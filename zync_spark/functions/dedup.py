@@ -1,0 +1,275 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design notes (the point of this module is 100 TB corpora):
+
+- Exact dedup is a hash-groupBy: one shuffle on a 16-byte digest, map-side
+  partial aggregation, no row text ever shuffles (we group on md5).
+- Jaccard pair generation uses an inverted index (explode shingles → self
+  equi-join on shingle) instead of a cross join: cost is sum over shingles of
+  df(s)^2, not n^2. `max_shingle_freq` drops degenerate ultra-frequent
+  shingles (a stopword shingle shared by millions of docs would otherwise
+  create a quadratic hot partition — classic skew). AQE skew-join splitting
+  handles the residual tail.
+- MinHash compresses each doc's shingle set to `num_hashes` longs, so the
+  candidate-generation join shuffles signatures (KBs) instead of shingle
+  sets (MBs); LSH banding makes candidate generation linear in the number
+  of colliding pairs. Verification re-checks exact Jaccard on candidates
+  only.
+- SimHash is a single groupBy over (doc, bit) partial sums — fully
+  map-reducible, no joins.
+
+All hashes derive from md5 so an external SQL oracle reproduces them bit-for-bit
+(see queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from zync_spark.functions.text import (
+    HASH_PRIME,
+    md5_long,
+    tokens,
+    word_shingles,
+)
+
+# MinHash permutation parameters h_i(x) = (a_i * x + b_i) mod P, generated
+# deterministically (no RNG at plan-build time; resume-safe).
+MINHASH_PRIME = HASH_PRIME
+
+
+def _perm_params(num_hashes: int) -> list[tuple[int, int]]:
+    # Deterministic LCG-derived odd multipliers/offsets; any fixed full-rank
+    # family works, cross-run stability is what matters.
+    params = []
+    a, b = 1103515245, 12345
+    x = 42
+    for _ in range(num_hashes):
+        x = (a * x + b) % MINHASH_PRIME
+        mult = (2 * x + 1) % MINHASH_PRIME
+        x = (a * x + b) % MINHASH_PRIME
+        off = x % MINHASH_PRIME
+        params.append((mult, off))
+    return params
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical texts by md5 digest; one row per duplicate-group with
+    the canonical (min) id and the group size."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct (doc_id, shingle-hash) inverted-index rows. Hashing the
+    shingle to a long before the explode keeps shuffle rows narrow."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(tokens(F.col(text_col)), k)).alias("shingle"),
+        )
+        .select("doc_id", md5_long(F.col("shingle")).alias("sh"))
+        .distinct()
+    )
+
+
+def _shingle_counts(sh: DataFrame) -> DataFrame:
+    return sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard duplicate pairs via inverted index.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    `max_shingle_freq` (scale knob): drop shingles appearing in more than
+    this many docs before pairing — bounds the worst-case join fanout.
+    """
+    sh = doc_shingles(df, id_col, text_col, k)
+    if max_shingle_freq is not None:
+        freq_ok = (
+            sh.groupBy("sh").agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") <= max_shingle_freq)
+            .select("sh")
+        )
+        sh = sh.join(freq_ok, "sh")
+    counts = _shingle_counts(sh)
+    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(counts.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(counts.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            # Raw long/long division: bit-identical across engines (no
+            # round(): its half-way behavior is implementation-defined).
+            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """(doc_id, sig: array<long>[num_hashes]) MinHash signatures.
+
+    One explode + one groupBy: per (doc, shingle) row we evaluate the whole
+    permutation family as an array expression (JVM-side), then take
+    element-wise mins in a single aggregation — no per-hash shuffle.
+    """
+    sh = doc_shingles(df, id_col, text_col, k)
+    p = F.lit(MINHASH_PRIME).cast("long")
+    hs = F.array(
+        *[
+            ((F.col("sh") % p) * F.lit(a_i) + F.lit(b_i)) % p
+            for a_i, b_i in _perm_params(num_hashes)
+        ]
+    ).alias("hs")
+    per_shingle = sh.select("doc_id", hs)
+    mins = [F.min(F.col("hs")[i]).alias(f"m{i}") for i in range(num_hashes)]
+    sig = per_shingle.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH candidate generation, exact-Jaccard verified.
+
+    Band the signature into `bands` groups of num_hashes/bands rows; docs
+    colliding in any band become candidate pairs (join on the band digest,
+    not the raw band values — narrow shuffle keys); candidates are then
+    verified with exact Jaccard so the output contains no false positives.
+    Output: (id_a, id_b, jaccard) with jaccard >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    band_rows = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a = band_rows.select(F.col("doc_id").alias("id_a"), "band", "bkey")
+    b = band_rows.select(F.col("doc_id").alias("id_b"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    exact = jaccard_pairs(df, id_col, text_col, k=k, threshold=threshold)
+    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, nbits: int = 60) -> DataFrame:
+    """60-bit SimHash over the token multiset.
+
+    explode(tokens) → explode(bit index) → groupBy(doc, bit) sum(±1) →
+    reassemble. Both explodes are map-side; the single shuffle is the
+    groupBy on (doc_id, bit) with partial aggregation. 60 bits (not 64)
+    keeps the reassembled value positive in signed-64 engines.
+    Output: (doc_id, simhash: long).
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).select("doc_id", md5_long(F.col("tok")).alias("h"))
+    bits = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(nbits - 1))).alias("bit"),
+        F.col("h"),
+    ).select(
+        "doc_id",
+        "bit",
+        # F.shiftright only takes a literal shift amount; the SQL form
+        # accepts a column.
+        (F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) * 2 - 1).alias("sgn"),
+    )
+    bit_sums = bits.groupBy("doc_id", "bit").agg(F.sum("sgn").alias("s"))
+    return bit_sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bucket_bits: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    bucket_bits=0: exact all-pairs via self-join (quadratic — only for
+    verification scale). bucket_bits>0: random-hyperplane sign-bucket LSH —
+    pairs are only compared within a bucket, the scale path.
+    Output: (id_a, id_b, cos) with cos >= threshold, id_a < id_b.
+    """
+    from zync_spark.functions.similarity import cosine_expr, hyperplane_bucket
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if bucket_bits > 0:
+        base = base.withColumn("bucket", hyperplane_bucket(F.col("v"), bucket_bits))
+        join_on = [F.col("a.bucket") == F.col("b.bucket"), F.col("a.id") < F.col("b.id")]
+    else:
+        join_on = [F.col("a.id") < F.col("b.id")]
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, join_on)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

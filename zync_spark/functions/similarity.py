@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (array<float>).
+
+- `cosine_topk`: brute-force exact top-k — the correctness baseline. The
+  query set is broadcast (it is small by construction), so the big side
+  never shuffles: scan → broadcast-nested-loop join → window per query.
+- `lsh_ann_topk`: random-hyperplane LSH approximate top-k — the scale path.
+  Bucketing is a pure Column expression; candidate generation is an
+  equi-join on bucket id, which Catalyst shuffles on a narrow int key
+  (or broadcasts the query side).
+
+Dot products use `zip_with` + `aggregate` fold over doubles: sequential
+per-row JVM arithmetic, reproducible bit-for-bit by the SQL oracle
+(list_dot_product over DOUBLE[]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact brute-force cosine top-k per query vector.
+
+    Output: (query_id, neighbor_id, rank, cos). Self-matches excluded.
+    Rank is deterministic: ties on rounded cosine break by neighbor_id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def _hyperplane(dim_idx: int, bit: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1) derived
+    from a hash of (bit, dim) — stable across runs/engines, no RNG state."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane-{bit}-{dim_idx}".encode()).hexdigest()[:8], 16)
+    return (h / float(1 << 31)) - 1.0
+
+
+def hyperplane_bucket(vec: Column, nbits: int, dim: int = 64) -> Column:
+    """Sign-bit LSH bucket id (int) from `nbits` fixed hyperplanes."""
+    bucket = F.lit(0)
+    for bit in range(nbits):
+        plane = F.array(*[F.lit(_hyperplane(d, bit)) for d in range(dim)])
+        proj = F.aggregate(
+            F.zip_with(vec, plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << bit)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nbits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: only candidates in the query's hyperplane bucket
+    are scored. Recall < 1 by design; bucket count 2^nbits trades recall
+    for candidate-set size. Same output shape as cosine_topk.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        hyperplane_bucket(F.col(vec_col), nbits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        hyperplane_bucket(F.col(vec_col), nbits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

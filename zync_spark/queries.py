@@ -1,0 +1,979 @@
+"""The query catalog: every operator claimed in SURVEY.md §2 (and the
+beyond-reference LLM-pipeline operators) expressed as a (PySpark builder,
+DuckDB oracle SQL) pair.
+
+Conventions (driver contract, see __spark_entry__.py):
+- each builder takes (spark, sf_dir) and returns a DataFrame;
+- every computed column is aliased identically in Spark and SQL;
+- doubles that pass through commutative aggregation are rounded in BOTH
+  engines (summation order is nondeterministic at scale by design);
+- timestamps that reach the output are formatted to strings in BOTH engines.
+
+Reference parity citations are per-query in docstrings (file:line into
+/root/reference). The reference delegates all query execution to the Zed
+engine (SURVEY.md §0); here Catalyst plays that role, so these builders are
+declarative DataFrame plans — no hand-scheduling, no collect() loops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zync_spark.functions import dedup as D
+from zync_spark.functions import multimodal as M
+from zync_spark.functions import similarity as S
+from zync_spark.functions import text as TX
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+# Queries timed by bench.py (a representative mix of shuffle-heavy joins,
+# aggregations, window functions, and the LLM-pipeline operators).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q5_regional_revenue",
+    "q_group_topk",
+    "q_sessionize",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_stats",
+]
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a testdata table. `events.ts` is parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects — read nanos as long and truncate to
+    micros (integer division; float division drifts vs the oracle's
+    truncation)."""
+    # Driver-proofing: these two confs are load-bearing for correctness and
+    # must hold even under a caller-provided vanilla SparkSession.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Relational core (scan/filter/agg/join/sort surface of SURVEY §2.2-§2.6,
+# exercised at TPC-H-ish scale on the driver corpus).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity::DECIMAL(12,2))::DOUBLE                      AS sum_qty,
+           sum(l_extendedprice::DECIMAL(12,2))::DOUBLE                 AS sum_base_price,
+           sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(4,2)))::DOUBLE AS sum_disc_price,
+           sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(4,2))
+               * (1 + l_tax::DECIMAL(4,2)))::DOUBLE                    AS sum_charge,
+           sum(l_quantity::DECIMAL(12,2))::DOUBLE / count(*)           AS avg_qty,
+           sum(l_extendedprice::DECIMAL(12,2))::DOUBLE / count(*)      AS avg_price,
+           sum(l_discount::DECIMAL(4,2))::DOUBLE / count(*)            AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: filter → grouped multi-aggregate → (sorted) summary.
+
+    Parity: filter/implicit-where (etl/build.go:113-114), multi-aggregate
+    with computed keys (demo/update-etl.zed:16). Scale: single shuffle on a
+    6-value key with map-side partial aggregation; the shipdate filter is
+    pushed to the parquet scan.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    # Decimal-exact aggregation: double sums are order-dependent in the last
+    # ulp (shuffle order is nondeterministic), and round(double) half-way
+    # behavior differs between engines. Casting the 2-decimal inputs to
+    # DECIMAL makes every sum exact and order-independent; the final cast
+    # back to double is then deterministic.
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    cnt = F.count("*")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
+            F.sum(ep * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(ep * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(ep).cast("double") / cnt).alias("avg_price"),
+            (F.sum(disc).cast("double") / cnt).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q5_regional_revenue",
+    """
+    SELECT n.n_name AS nation,
+           sum(l.l_extendedprice::DECIMAL(12,2) * (1 - l.l_discount::DECIMAL(4,2)))::DOUBLE AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join + grouped sum.
+
+    Scale: nation/region/supplier/customer are broadcast by Catalyst (under
+    the session's 64 MB threshold); only orders⋈lineitem shuffles, on their
+    join keys. Declarative joins let AQE reorder/skew-split at runtime.
+    """
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(s, (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q_top_customers",
+    """
+    SELECT c.c_custkey, c.c_name, sum(o.o_totalprice::DECIMAL(14,2))::DOUBLE AS total_spent,
+           count(*) AS n_orders
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY total_spent DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def q_top_customers(spark, sf_dir):
+    """Join + group + deterministic top-k (ordered limit = TopK physical op).
+
+    Parity: sort + head (fifo/lake.go:85-89, SURVEY §2.6).
+    """
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total_spent"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_anti_join",
+    """
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+    """,
+)
+def q_anti_join(spark, sf_dir):
+    """Left-anti join — the reference's workhorse operator (the done-marker
+    subtraction in every generated ETL program, etl/build.go:111-116,
+    README.md:453-455).
+
+    Scale: anti join shuffles both sides on the key and spills — exactly the
+    capability the reference admits it lacks (etl/pipeline.go:87-91).
+    """
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    return o.join(l, o.o_orderkey == l.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_semi_join",
+    """
+    SELECT o.o_orderkey, o.o_orderpriority
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+    """,
+)
+def q_semi_join(spark, sf_dir):
+    """Left-semi join (free-in-Spark companion of the anti join, SURVEY §2.3)."""
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.09)
+    return o.join(l, o.o_orderkey == l.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
+@register(
+    "q_denorm_join",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+           l.l_linenumber, l.l_partkey,
+           (l.l_extendedprice::DECIMAL(12,2) * (1 - l.l_discount::DECIMAL(4,2)))::DOUBLE AS net_price
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+    """,
+)
+def q_denorm_join(spark, sf_dir):
+    """The invoices-style denormalizing inner join: child rows grafted onto
+    the parent (etl/build.go:187-216, README.md:384-397). The reference
+    pre-sorts both sides because its merge join requires it; Catalyst picks
+    the physical join itself, so no manual sorts (SURVEY §4).
+    """
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    l = T(spark, sf_dir, "lineitem")
+    joined = o.join(l, l.l_orderkey == o.o_orderkey)
+    # Internally the reference grafts the right record as a nested field
+    # (right:=right); we build the nested struct then flatten for output.
+    nested = joined.select(
+        F.struct("o_orderkey", "o_custkey", "o_orderstatus").alias("left"),
+        F.struct("l_linenumber", "l_partkey", "l_extendedprice", "l_discount").alias(
+            "right"
+        ),
+    )
+    return nested.select(
+        F.col("left.o_orderkey").alias("o_orderkey"),
+        F.col("left.o_custkey").alias("o_custkey"),
+        F.col("left.o_orderstatus").alias("o_orderstatus"),
+        F.col("right.l_linenumber").alias("l_linenumber"),
+        F.col("right.l_partkey").alias("l_partkey"),
+        (
+            F.col("right.l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1).cast("decimal(3,2)") - F.col("right.l_discount").cast("decimal(4,2)"))
+        )
+        .cast("double")
+        .alias("net_price"),
+    )
+
+
+@register(
+    "q_agg_stats",
+    """
+    SELECT count(*) AS n_rows,
+           count(DISTINCT l_orderkey) AS n_orders,
+           sum(l_quantity::DECIMAL(12,2))::DOUBLE AS total_qty,
+           sum(l_extendedprice::DECIMAL(12,2))::DOUBLE / count(*) AS avg_price,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price
+    FROM lineitem
+    """,
+)
+def q_agg_stats(spark, sf_dir):
+    """Global multi-aggregate incl. exact distinct count (SURVEY §2.4)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct(F.col("l_orderkey")).alias("n_orders"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("total_qty"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@register(
+    "q_group_topk",
+    """
+    SELECT * FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def q_group_topk(spark, sf_dir):
+    """Per-group top-k via rank window — the idiomatic replacement for the
+    reference's head-per-group tricks (README.md:360-366)."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@register(
+    "q_case_bucketing",
+    """
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           o_orderstatus,
+           count(*) AS n,
+           sum(o_totalprice::DECIMAL(14,2))::DOUBLE AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_case_bucketing(spark, sf_dir):
+    """CASE expression + grouped agg (scalar-expression surface, SURVEY §2.8)."""
+    o = T(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"), F.col("o_orderstatus"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ETL / envelope surface on the events stream table (SURVEY §1.1, §2.2, §2.5,
+# §2.7, §2.9 analogs — event_type plays the Kafka topic, event_id the offset).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_envelope",
+    """
+    SELECT event_type AS topic, 0::BIGINT AS "partition", event_id AS "offset",
+           user_id AS key_user, value AS val,
+           json_extract_string(props, '$.k')::BIGINT AS prop_k
+    FROM events
+    """,
+)
+def q_envelope(spark, sf_dir):
+    """Build the reference's {kafka:{topic,partition,offset},key,value}
+    envelope (fifo/consumer.go:117-148, README.md:124-130) from the event
+    stream, flattened for oracle comparison. JSON payload parsing =
+    schema-on-read, exactly the Connect-JSON decode path
+    (connectjson/connectjson.go:185-228 → get_json_object)."""
+    ev = T(spark, sf_dir, "events")
+    env = ev.select(
+        F.struct(
+            F.col("event_type").alias("topic"),
+            F.lit(0).cast("long").alias("partition"),
+            F.col("event_id").alias("offset"),
+        ).alias("kafka"),
+        F.col("user_id").alias("key_user"),
+        F.col("value").alias("val"),
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+    return env.select(
+        F.col("kafka.topic").alias("topic"),
+        F.col("kafka.partition").alias("partition"),
+        F.col("kafka.offset").alias("offset"),
+        "key_user",
+        "val",
+        "prop_k",
+    )
+
+
+@register(
+    "q_switch_route",
+    """
+    SELECT event_id, 'clicks' AS route, value * 2 AS routed_value FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, 'views' AS route, value AS routed_value FROM events WHERE event_type = 'view'
+    UNION ALL
+    SELECT event_id, 'other' AS route, 0.0 AS routed_value FROM events
+    WHERE event_type <> 'click' AND event_type <> 'view'
+    """,
+)
+def q_switch_route(spark, sf_dir):
+    """switch/case routing: each record enters the first matching case's
+    sub-pipeline, branch outputs union (etl/build.go:92-107,
+    ztests/etl-zed.yaml:24-113). Implemented as ordered exclusive filters +
+    unionByName — branch exclusivity preserved by construction."""
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", F.lit("clicks").alias("route"), (F.col("value") * 2).alias("routed_value")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", F.lit("views").alias("route"), F.col("value").alias("routed_value")
+    )
+    other = ev.filter(~F.col("event_type").isin("click", "view")).select(
+        "event_id", F.lit("other").alias("route"), F.lit(0.0).alias("routed_value")
+    )
+    return clicks.unionByName(views).unionByName(other)
+
+
+@register(
+    "q_offset_assign",
+    """
+    SELECT event_id, event_type AS topic,
+           row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS new_offset
+    FROM events
+    """,
+)
+def q_offset_assign(spark, sf_dir):
+    """Per-topic consecutive output-offset assignment — the window-function
+    replacement (SURVEY §2.5) for the reference's Go loop + ZSON-round-trip
+    hack (etl/pipeline.go:127-164, which itself apologizes at :128-130)."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    return ev.select(
+        "event_id",
+        F.col("event_type").alias("topic"),
+        (F.row_number().over(w) - 1).cast("long").alias("new_offset"),
+    )
+
+
+@register(
+    "q_anti_done",
+    """
+    SELECT e.event_id, e.event_type
+    FROM events e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events d
+      WHERE d.event_id % 7 = 0 AND d.event_type = e.event_type AND d.event_id = e.event_id)
+    """,
+)
+def q_anti_done(spark, sf_dir):
+    """The done-marker anti join on (topic, offset): subtract already-
+    processed offsets from the raw scan (etl/build.go:111-116; markers
+    modeled as every 7th offset)."""
+    ev = T(spark, sf_dir, "events")
+    done = ev.filter(F.col("event_id") % 7 == 0).select(
+        F.col("event_type").alias("d_topic"), F.col("event_id").alias("d_offset")
+    )
+    return ev.join(
+        done,
+        (ev.event_type == done.d_topic) & (ev.event_id == done.d_offset),
+        "left_anti",
+    ).select("event_id", "event_type")
+
+
+@register(
+    "q_agg_reagg",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           string_agg(event_type, ',' ORDER BY event_type, event_id) AS types,
+           max(value) AS max_value,
+           bool_or(event_type = 'error') AS any_error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_agg_reagg(spark, sf_dir):
+    """The collect/max/or-by re-aggregation pattern of the reference's
+    transaction bundling (demo/etl.zed:12, design.md:262): collect(this),
+    max(seqno), or(value.done) by txn. collect_list order is made
+    deterministic by sorting on (event_type, event_id) before joining."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("event_type", "event_id"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ",",
+            ).alias("types"),
+            F.max("value").alias("max_value"),
+            F.max(F.col("event_type") == "error").alias("any_error"),
+        )
+    )
+
+
+@register(
+    "q_fuse",
+    """
+    SELECT event_id, 'click' AS kind, value AS click_value, NULL AS error_prop FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, 'error' AS kind, NULL AS click_value,
+           json_extract_string(props, '$.k')::BIGINT AS error_prop
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def q_fuse(spark, sf_dir):
+    """fuse: merge heterogeneous record shapes into one wide schema with
+    null-padding (README.md:487; SURVEY §1.2) — unionByName with
+    allowMissingColumns."""
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", F.lit("click").alias("kind"), F.col("value").alias("click_value")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        F.lit("error").alias("kind"),
+        F.get_json_object("props", "$.k").cast("long").alias("error_prop"),
+    )
+    return clicks.unionByName(errors, allowMissingColumns=True).select(
+        "event_id", "kind", "click_value", "error_prop"
+    )
+
+
+@register(
+    "q_topk_events",
+    """
+    SELECT event_id, event_type, value AS val
+    FROM events ORDER BY value DESC, event_id LIMIT 20
+    """,
+)
+def q_topk_events(spark, sf_dir):
+    """head-N over a sort (fifo/lake.go:85, design.md:128) → TopK exec."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("value").desc(), F.col("event_id"))
+        .limit(20)
+        .select("event_id", "event_type", F.col("value").alias("val"))
+    )
+
+
+@register(
+    "q_max_offsets",
+    """
+    SELECT event_type AS topic, max(event_id) AS max_offset, count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_max_offsets(spark, sf_dir):
+    """Resume-offset query: max(kafka.offset) by topic (etl/pool.go:60-66,
+    fifo/lake.go:62-66 'tail 1' shortcut, README.md:360)."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("topic")).agg(
+        F.max("event_id").alias("max_offset"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "q_window_tumbling",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           sum(value::DECIMAL(12,2))::DOUBLE AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_window_tumbling(spark, sf_dir):
+    """Tumbling event-time window aggregation (beyond-reference op, SURVEY §7
+    M5; the reference orders by Kafka offset only and has no event-time
+    windows, SURVEY §2.9). Uses the same `window()` expression Structured
+    Streaming uses, so the batch and streaming plans share semantics."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+           count(*) AS n_events,
+           max(cnt) AS max_session_events
+    FROM (SELECT user_id, session_id, count(*) OVER (PARTITION BY user_id, session_id) AS cnt
+          FROM sess)
+    GROUP BY user_id
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """Sessionization (30-min inactivity gap): lag + cumulative-sum windows.
+    Beyond-reference analytic op; batch analog of session_window streaming.
+    """
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = gaps.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    per_sess = sess.select(
+        "user_id",
+        "session_id",
+        F.count("*")
+        .over(Window.partitionBy("user_id", "session_id"))
+        .alias("cnt"),
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count_distinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+        F.max("cnt").alias("max_session_events"),
+    )
+
+
+@register(
+    "q_map_lookup",
+    """
+    SELECT doc_id,
+           CASE lang WHEN 'en' THEN 1 WHEN 'es' THEN 2 WHEN 'fr' THEN 3
+                     WHEN 'de' THEN 4 WHEN 'zh' THEN 5 ELSE 0 END AS lang_id
+    FROM documents
+    """,
+)
+def q_map_lookup(spark, sf_dir):
+    """const map literal + lookup (demo/etl.zed:1-9,15: customerIDs[...]) —
+    a Spark map literal indexed per row."""
+    docs = T(spark, sf_dir, "documents")
+    m = F.create_map(
+        *[
+            F.lit(x)
+            for pair in [("en", 1), ("es", 2), ("fr", 3), ("de", 4), ("zh", 5)]
+            for x in pair
+        ]
+    )
+    return docs.select(
+        "doc_id", F.coalesce(m[F.col("lang")], F.lit(0)).cast("int").alias("lang_id")
+    )
+
+
+@register(
+    "q_string_funcs",
+    """
+    SELECT DISTINCT event_type,
+           upper(event_type) AS upper_name,
+           len(string_split(event_type, 'e')) - 1 AS n_e,
+           substr(event_type, 1, 3) AS prefix
+    FROM events
+    """,
+)
+def q_string_funcs(spark, sf_dir):
+    """Scalar string surface of shaper examples: to_upper / split
+    (README.md:78) + substring."""
+    ev = T(spark, sf_dir, "events")
+    return ev.select(
+        "event_type",
+        F.upper("event_type").alias("upper_name"),
+        (F.size(F.split(F.col("event_type"), "e", -1)) - 1).cast("long").alias("n_e"),
+        F.substring("event_type", 1, 3).alias("prefix"),
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# LLM training-data pipeline operators (BASELINE.json north star).
+# ---------------------------------------------------------------------------
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, len(toks)-2),"
+    " i -> ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 15))::BIGINT))"
+)
+_JACCARD_CTE = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS sh FROM toks WHERE len(toks) >= 3),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b,
+                     c / (ca.n + cb.n - c) AS jaccard
+              FROM inter
+              JOIN cnt ca ON ca.doc_id = id_a
+              JOIN cnt cb ON cb.doc_id = id_b)
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS digest, min(doc_id) AS canonical_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the md5 digest; only 16-byte digests
+    shuffle, never document text."""
+    docs = T(spark, sf_dir, "documents")
+    return D.exact_duplicates(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_jaccard_pairs",
+    _JACCARD_CTE + "SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5",
+)
+def dedup_jaccard_pairs(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs via inverted-index join
+    (no cross join; cost ∝ Σ df(shingle)²)."""
+    docs = T(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+
+
+@register(
+    "dedup_minhash_lsh",
+    _JACCARD_CTE + "SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(64)+LSH(16 bands × 4) candidate generation with exact-Jaccard
+    verification. Oracle is the exact pair set: candidates ⊆ exact by the
+    verify step, and the miss probability for this corpus's ≥0.9-Jaccard
+    pairs is (1-0.9⁴)¹⁶ ≈ 3e-8 — deterministic in practice. At 100 TB only
+    the signatures (64 longs/doc) shuffle, not shingle sets."""
+    docs = T(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.5
+    )
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+    bits AS (SELECT doc_id, b.bit, sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) b
+             GROUP BY doc_id, b.bit)
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (2::BIGINT ^ bit)::BIGINT ELSE 0 END)::BIGINT AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """60-bit SimHash per document (near-dup fingerprint; equal hashes ⇒
+    near-identical token multisets)."""
+    docs = T(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", "text")
+
+
+@register(
+    "text_stats",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS n_stopwords,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(toks, t -> ('0x' || substr(md5(t),1,15))::BIGINT % 2147483647)),
+             (acc, h) -> (acc * 131 + h) % 2147483647) AS fingerprint
+    FROM t
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Token counting + stopword counting + rolling-hash document
+    fingerprint — all pure Column expressions (no UDFs)."""
+    docs = T(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        TX.stopword_count(toks).cast("long").alias("n_stopwords"),
+        TX.fingerprint(toks).alias("fingerprint"),
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    m AS (SELECT doc_id,
+                 len(toks)::DOUBLE AS n,
+                 len(list_filter(toks, x -> x IN ('the','a','of','and','to','in')))::DOUBLE AS sw,
+                 (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE AS punct,
+                 length(text)::DOUBLE AS chars
+          FROM t)
+    SELECT doc_id,
+           floor((0.5 * least(n / 50.0, 1.0)
+                  + 0.35 * least(sw / greatest(n, 1.0) * 5.0, 1.0)
+                  + 0.15 * (1.0 - least(punct / greatest(chars, 1.0) * 10.0, 1.0)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS quality
+    FROM m
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Document quality scoring (length/stopword/punctuation heuristic)."""
+    docs = T(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "text_langid",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    m AS (SELECT doc_id,
+                 len(list_filter(toks, x -> x = 'the')) AS n_the,
+                 len(list_filter(toks, x -> x = 'a')) AS n_a
+          FROM t)
+    SELECT doc_id,
+           CASE WHEN n_the > n_a THEN 'en' WHEN n_a > n_the THEN 'es' ELSE 'zh' END AS pred_lang
+    FROM m
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Marker-token language-ID heuristic (deterministic n-gram stand-in)."""
+    docs = T(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("pred_lang"))
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             (list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(q.qv, c.v), s -> struct_extract(s,1)*struct_extract(s,2))), (a,b) -> a+b) / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(q.qv, q.qv), s -> struct_extract(s,1)*struct_extract(s,2))), (a,b) -> a+b)) * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(c.v, c.v), s -> struct_extract(s,1)*struct_extract(s,2))), (a,b) -> a+b)))) AS cos
+      FROM q JOIN e c ON c.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k similarity search (exact ANN baseline):
+    broadcast the query set, score with JVM-side zip_with/aggregate fold,
+    rank per query. The LSH-bucketed scale path is
+    functions/similarity.lsh_ann_topk."""
+    emb = T(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5)
+
+
+@register(
+    "emb_neardup",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           (list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(a.v, b.v), s -> struct_extract(s,1)*struct_extract(s,2))), (a,b) -> a+b) / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(a.v, a.v), s -> struct_extract(s,1)*struct_extract(s,2))), (a,b) -> a+b)) * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(b.v, b.v), s -> struct_extract(s,1)*struct_extract(s,2))), (a,b) -> a+b)))) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE (list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(a.v, b.v), s -> struct_extract(s,1)*struct_extract(s,2))), (a,b) -> a+b) / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(a.v, a.v), s -> struct_extract(s,1)*struct_extract(s,2))), (a,b) -> a+b)) * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(b.v, b.v), s -> struct_extract(s,1)*struct_extract(s,2))), (a,b) -> a+b)))) >= 0.45
+    """,
+)
+def emb_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact all-pairs form for the
+    oracle; hyperplane-bucketed form available via bucket_bits>0)."""
+    emb = T(spark, sf_dir, "embeddings")
+    return D.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(text::BLOB) AS n_bytes,
+           md5(text) AS digest,
+           ('0x' || substr(md5(text), 1, 8))::BIGINT  / 4294967296.0 AS feat0,
+           ('0x' || substr(md5(text), 9, 8))::BIGINT  / 4294967296.0 AS feat1,
+           ('0x' || substr(md5(text), 17, 8))::BIGINT / 4294967296.0 AS feat2,
+           ('0x' || substr(md5(text), 25, 8))::BIGINT / 4294967296.0 AS feat3
+    FROM documents
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    """Multimodal column plumbing: wrap text as an opaque binary payload with
+    typed metadata, then run the Arrow-batched mapInPandas 'decode' stage
+    (deterministic stub features — real codecs absent in this container;
+    see functions/multimodal.py)."""
+    docs = T(spark, sf_dir, "documents")
+    media = M.attach_media(docs, "doc_id", "text")
+    feats = M.decode_media(media, fake_features=True)
+    return feats.select("media_id", "n_bytes", "digest", "feat0", "feat1", "feat2", "feat3")
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (SURVEY §2.9): same window semantics as
+# q_window_tumbling, executed as an actual availableNow streaming query.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_window_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def stream_window_counts(spark, sf_dir):
+    """Tumbling-window count over events executed through Structured
+    Streaming (readStream parquet → window agg → memory sink, availableNow
+    trigger). Demonstrates the micro-batch path of SURVEY §3.2; the batch
+    oracle is identical because the aggregation is time-deterministic."""
+    from zync_spark.streaming.batch_bridge import run_windowed_count
+
+    return run_windowed_count(spark, f"{sf_dir}/events.parquet")
