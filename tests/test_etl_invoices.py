@@ -1,0 +1,108 @@
+"""Golden end-to-end CDC test: the reference's 4-batch invoices demo
+(ztests/etl-demo.yaml) run through the Spark ETL compiler.
+
+Asserts, after every batch: exact data rows (stable consecutive 0-based
+NewInvoices offsets), exact done-marker set, and that an immediate rerun
+commits 0 records (idempotency via the anti-join backstop)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.fixtures_invoices import (
+    BATCHES,
+    GOLDEN_DATA,
+    GOLDEN_DONE,
+    INVOICES_YAML,
+    ROW_SCHEMA,
+)
+
+from zync_spark.etl import EtlPipeline, load_config
+from zync_spark.pool import Pool
+
+
+def _staging_state(staging: Pool):
+    df = staging.scan()
+    assert df is not None
+    rows = df.collect()
+    data = sorted(
+        (
+            r["kafka"]["offset"],
+            r["key"]["ID"],
+            r["value"]["ID"],
+            r["value"]["customer"],
+            r["value"]["item"],
+            r["value"]["invoice_status"],
+        )
+        for r in rows
+        if r["zed_type"] == "data"
+    )
+    done = sorted(
+        (r["kafka"]["topic"], r["kafka"]["offset"])
+        for r in rows
+        if r["zed_type"] == "done"
+    )
+    return data, done
+
+
+def test_invoices_four_batches(spark, tmp_path):
+    raw = Pool.create(spark, os.path.join(tmp_path, "Raw"))
+    staging = Pool.create(spark, os.path.join(tmp_path, "Staging"))
+    transform = load_config(INVOICES_YAML)
+    pipeline = EtlPipeline(spark, transform, {"Raw": raw, "Staging": staging})
+
+    expected_data: list = []
+    expected_done: list = []
+    for batch_no, batch in enumerate(BATCHES, start=1):
+        raw.load(spark.createDataFrame(batch, ROW_SCHEMA), f"batch-{batch_no}")
+        committed = pipeline.run(f"etl-{batch_no}")
+        assert committed > 0, f"batch {batch_no} committed nothing"
+
+        expected_data += GOLDEN_DATA[batch_no]
+        expected_done += GOLDEN_DONE[batch_no]
+        data, done = _staging_state(staging)
+        assert data == sorted(expected_data), f"data mismatch after batch {batch_no}"
+        assert done == sorted(expected_done), f"markers mismatch after batch {batch_no}"
+
+        # Idempotent rerun: anti-join makes it a no-op (README.md:447-455).
+        assert pipeline.run("rerun") == 0, f"rerun after batch {batch_no} not idempotent"
+
+
+def test_unmatched_row_stays_pending(spark, tmp_path):
+    """Dan's invoice (batch 2) has no InvoiceStatus partner yet: no output,
+    no done marker — retried and resolved by batch 3 (README.md:465-476)."""
+    raw = Pool.create(spark, os.path.join(tmp_path, "Raw"))
+    staging = Pool.create(spark, os.path.join(tmp_path, "Staging"))
+    transform = load_config(INVOICES_YAML)
+    pipeline = EtlPipeline(spark, transform, {"Raw": raw, "Staging": staging})
+
+    raw.load(spark.createDataFrame(BATCHES[0] + BATCHES[1], ROW_SCHEMA))
+    pipeline.run()
+    data, done = _staging_state(staging)
+    assert ("Invoices", 4) not in done
+    assert not any(r[1] == 103 for r in data)
+
+    raw.load(spark.createDataFrame(BATCHES[2], ROW_SCHEMA))
+    pipeline.run()
+    data, done = _staging_state(staging)
+    assert ("Invoices", 4) in done
+    assert any(r[1] == 103 and r[5] == "pending" for r in data)
+
+
+def test_route_validation():
+    from zync_spark.etl.config import ConfigError, load_config as lc
+
+    bad = INVOICES_YAML.replace(
+        "  - topic: InvoiceStatus\n    pool: Raw",
+        "  - topic: InvoiceStatus\n    pool: Other",
+    )
+    # same topic in two pools is fine; duplicate topic with conflicting pool is not
+    dup = INVOICES_YAML.replace(
+        "inputs:\n  - topic: Invoices\n    pool: Raw",
+        "inputs:\n  - topic: Invoices\n    pool: Raw\n  - topic: Invoices\n    pool: Other",
+    )
+    with pytest.raises(ConfigError):
+        lc(dup)
+    lc(bad)  # distinct pools for distinct topics is legal

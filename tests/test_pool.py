@@ -1,0 +1,57 @@
+"""Pool: atomic commits, schema widening, offset resume queries."""
+
+import json
+import os
+
+import pytest
+
+from tests.fixtures_invoices import BATCH_1, BATCH_2, ROW_SCHEMA
+
+from zync_spark.pool import Pool, PoolKeyError
+
+
+def test_create_open_and_key_check(spark, tmp_path):
+    p = Pool.create(spark, str(tmp_path / "p"))
+    assert Pool.open(spark, str(tmp_path / "p")) is not None
+    # corrupt the key config → open must refuse (etl/pool.go:37-40 analog)
+    with open(tmp_path / "p" / "pool.json", "w") as f:
+        json.dump({"key": "ts", "order": "asc"}, f)
+    with pytest.raises(PoolKeyError):
+        Pool.open(spark, str(tmp_path / "p"))
+
+
+def test_load_scan_roundtrip(spark, tmp_path):
+    p = Pool.create(spark, str(tmp_path / "p"))
+    assert p.scan() is None
+    assert p.load(spark.createDataFrame(BATCH_1, ROW_SCHEMA)) == 4
+    assert p.scan().count() == 4
+    assert p.load(spark.createDataFrame(BATCH_2, ROW_SCHEMA)) == 3
+    assert p.scan().count() == 7
+
+
+def test_empty_load_commits_nothing(spark, tmp_path):
+    p = Pool.create(spark, str(tmp_path / "p"))
+    empty = spark.createDataFrame([], ROW_SCHEMA)
+    assert p.load(empty) == 0
+    assert p.commits() == []
+
+
+def test_uncommitted_files_invisible(spark, tmp_path):
+    """Data files without a commit manifest must not be readable state."""
+    p = Pool.create(spark, str(tmp_path / "p"))
+    p.load(spark.createDataFrame(BATCH_1, ROW_SCHEMA))
+    # orphan a data file (simulates a crash between write and manifest)
+    spark.createDataFrame(BATCH_2, ROW_SCHEMA).write.parquet(
+        str(tmp_path / "p" / "data" / "orphan")
+    )
+    assert p.scan().count() == 4
+
+
+def test_offset_queries(spark, tmp_path):
+    p = Pool.create(spark, str(tmp_path / "p"))
+    assert p.next_consumer_offset("Invoices") == 0
+    assert p.next_producer_offsets() == {}
+    p.load(spark.createDataFrame(BATCH_1 + BATCH_2, ROW_SCHEMA))
+    assert p.next_consumer_offset("Invoices") == 5      # max offset 4 + 1
+    assert p.next_consumer_offset("InvoiceStatus") == 4  # max offset 3 + 1
+    assert p.next_producer_offsets() == {"Invoices": 5, "InvoiceStatus": 4}

@@ -1,0 +1,87 @@
+"""Unit tests for the zed-expression → Column translator (SURVEY §2.8)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from zync_spark.zedexpr import (
+    Context,
+    ZedSyntaxError,
+    compile_assignments,
+    compile_expr,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [("c", 5, "Taco", 2.5), ("u", 9, "Beans", 1.0)],
+        "op string, n long, name string, price double",
+    )
+
+
+def _vals(df, col):
+    return [r[0] for r in df.select(col.alias("x")).collect()]
+
+
+def test_comparisons_and_in(df):
+    assert _vals(df, compile_expr('op == "c"', Context())) == [True, False]
+    assert _vals(df, compile_expr('op in ["c", "r"]', Context())) == [True, False]
+    assert _vals(df, compile_expr("n >= 6 and op == \"u\"", Context())) == [False, True]
+    assert _vals(df, compile_expr("not (n < 6)", Context())) == [False, True]
+
+
+def test_arithmetic(df):
+    assert _vals(df, compile_expr("n * 2 + 1", Context())) == [11, 19]
+    assert _vals(df, compile_expr("price / 2", Context())) == [1.25, 0.5]
+    assert _vals(df, compile_expr("n % 4", Context())) == [1, 1]
+
+
+def test_functions(df):
+    assert _vals(df, compile_expr("to_upper(name)", Context())) == ["TACO", "BEANS"]
+    assert _vals(df, compile_expr('split(name, "a")', Context())) == [
+        ["T", "co"],
+        ["Be", "ns"],
+    ]
+
+
+def test_record_literal(df):
+    rows = df.select(
+        compile_expr('{upper: to_upper(name), words: split(name, "a"), n: n}', Context()).alias("r")
+    ).collect()
+    assert rows[0]["r"]["upper"] == "TACO"
+    assert rows[0]["r"]["n"] == 5
+
+
+def test_assignments_with_roots(spark):
+    df = spark.createDataFrame([((1, "x"),)], "rec struct<id:long, s:string>")
+    ctx = Context(roots={"in": F.col("rec")})
+    assigns = compile_assignments("| out := {key: in.id, value: {s: in.s}}", ctx)
+    assert list(assigns) == ["out"]
+    row = df.select(assigns["out"].alias("o")).collect()[0]
+    assert row["o"]["key"] == 1 and row["o"]["value"]["s"] == "x"
+
+
+def test_cast_typeof_null(spark):
+    df = spark.createDataFrame([((1, "x"),)], "rec struct<id:long, s:string>")
+    ctx = Context(roots={"in": F.col("rec")}, schema=df.schema.fields[0].dataType and df.schema)
+    # build a root schema where `in` maps to the rec struct
+    from pyspark.sql.types import StructField, StructType
+
+    ctx = Context(
+        roots={"in": F.col("rec")},
+        schema=StructType([StructField("in", df.schema.fields[0].dataType)]),
+    )
+    col = compile_expr("cast(null, typeof(in))", ctx)
+    row = df.select(col.alias("x")).collect()[0]
+    assert row["x"] is None
+    assert df.select(col.alias("x")).schema.fields[0].dataType == df.schema.fields[0].dataType
+
+
+def test_syntax_errors():
+    with pytest.raises(ZedSyntaxError):
+        compile_expr("a ~~ b", Context())
+    with pytest.raises(ZedSyntaxError):
+        compile_expr("unknown_fn(1)", Context())
+    with pytest.raises(ZedSyntaxError):
+        compile_expr("{a: }", Context())

@@ -1,0 +1,260 @@
+"""Compile a transform YAML into a DataFrame pipeline and run it
+transactionally against pools.
+
+Reference pipeline shape (etl/build.go:88-138, SURVEY §3.1): per input
+topic, scan raw + already-done markers and anti-join them away; route each
+unprocessed record through the first matching rule (switch semantics,
+etl/build.go:92-107); denorm rules inner-join two topics and graft the
+right record on; every consumed input yields a `done` marker; outputs get
+consecutive per-topic offsets; outputs + markers commit atomically.
+
+Differences from the reference, by design (Spark-first):
+- The reference generates a Zed program *string* and re-parses it; here the
+  YAML compiles straight to a Catalyst logical plan.
+- The reference assigns output offsets in a driver-side Go loop over
+  ZSON strings (etl/pipeline.go:127-164); here it is a window function —
+  distributed, no driver materialization.
+- The reference materializes the whole update in RAM with no spill
+  (etl/pipeline.go:87-91); here every join/agg is a spillable shuffle.
+- Anti-join + switch + join run in ONE plan, so Catalyst can share the
+  scans and push `kafka.topic` predicates into them.
+
+Unmatched records (no rule matches / denorm row without a partner) produce
+no output AND no done marker, so they are retried on the next run —
+the reference's "Dan row pending" behavior (README.md:465-476).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+from zync_spark.envelope import ZED_TYPE_DATA, ZED_TYPE_DONE
+from zync_spark.etl.config import Rule, Transform
+from zync_spark.pool import Pool
+from zync_spark.zedexpr import Context, compile_assignments, compile_expr
+
+
+class EtlPipeline:
+    def __init__(self, spark: SparkSession, transform: Transform,
+                 pools: dict[str, Pool]):
+        """pools: pool-name → Pool for every pool named in the transform."""
+        self.spark = spark
+        self.t = transform
+        self.pools = pools
+
+    # -- plan construction -------------------------------------------------
+
+    def _unprocessed(self, topic: str) -> DataFrame | None:
+        """Raw records of `topic` minus those with done markers in the
+        output pool (the anti-join of etl/build.go:111-116)."""
+        pool = self.pools[self.t.pool_for_topic(topic)]
+        raw = pool.scan()
+        if raw is None:
+            return None
+        raw = raw.filter(
+            (F.col("kafka.topic") == topic) & (F.col("zed_type") == ZED_TYPE_DATA)
+        )
+        out_state = self.pools[self.t.output.pool].scan()
+        if out_state is None:
+            return raw
+        done = (
+            out_state.filter(F.col("zed_type") == ZED_TYPE_DONE)
+            .select(
+                F.col("kafka.topic").alias("__d_topic"),
+                F.col("kafka.offset").alias("__d_offset"),
+            )
+        )
+        return raw.join(
+            done,
+            (F.col("kafka.topic") == F.col("__d_topic"))
+            & (F.col("kafka.offset") == F.col("__d_offset")),
+            "left_anti",
+        )
+
+    def _rule_predicate(self, rule: Rule) -> Column:
+        """Topic gate AND the rule's where clause, on an envelope DF."""
+        if rule.type == "stateless":
+            pred = F.col("kafka.topic") == rule.in_topic
+        else:
+            pred = F.col("kafka.topic").isin(rule.left, rule.right)
+        if rule.where:
+            pred = pred & compile_expr(rule.where, Context())
+        return pred
+
+    def _route(self, records: DataFrame) -> DataFrame:
+        """Switch routing: tag each record with the index of the FIRST
+        matching rule (etl/build.go:92-107 case ordering); -1 = unmatched."""
+        idx: Column = F.lit(-1)
+        for i in reversed(range(len(self.t.rules))):
+            idx = F.when(self._rule_predicate(self.t.rules[i]), F.lit(i)).otherwise(idx)
+        return records.withColumn("__rule", idx)
+
+    def _apply_projection(self, rule: Rule, roots: dict[str, Column],
+                          roots_schema: dict[str, StructType]) -> Column:
+        """Compile the rule's `zed: | out := {...}` (or spark_sql) snippet
+        into the output record Column (struct with key/value fields)."""
+        if rule.spark_sql is not None:
+            return F.expr(rule.spark_sql)
+        schema = StructType([StructField(k, v) for k, v in roots_schema.items()])
+        assigns = compile_assignments(rule.zed, Context(roots=roots, schema=schema))
+        if list(assigns) != ["out"]:
+            raise ValueError(
+                f"rule snippet must assign exactly `out`, got {list(assigns)}"
+            )
+        return assigns["out"]
+
+    def _rule_outputs(self, i: int, rule: Rule, routed: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Returns (outputs, consumed) for one rule.
+
+        outputs: columns __out (struct), __sort_offset, __rule, __src_topic,
+        __src_offset, __out_topic. consumed: (topic, offset) pairs."""
+        mine = routed.filter(F.col("__rule") == i)
+        env_schema = StructType(
+            [f for f in mine.schema.fields if not f.name.startswith("__")]
+        )
+        env_cols = [f.name for f in env_schema.fields]
+        if rule.type == "stateless":
+            this = F.struct(*[F.col(c) for c in env_cols])
+            out_col = self._apply_projection(rule, {"in": this}, {"in": env_schema})
+            outputs = mine.select(
+                out_col.alias("__out"),
+                F.col("kafka.offset").alias("__sort_offset"),
+                F.lit(i).alias("__rule_idx"),
+                F.col("kafka.topic").alias("__src_topic"),
+                F.col("kafka.offset").alias("__src_offset"),
+                F.lit(rule.out).alias("__out_topic"),
+            )
+            consumed = mine.select(
+                F.col("kafka.topic").alias("topic"), F.col("kafka.offset").alias("offset")
+            )
+            return outputs, consumed
+
+        # denorm: two-sided equi-join (etl/build.go:187-216). The reference
+        # pre-sorts both sides for its merge join; Catalyst picks the
+        # physical join strategy itself.
+        lpath, rpath = [p.strip() for p in rule.join_on.split("=", 1)]
+        lparts, rparts = lpath.split("."), rpath.split(".")
+        if lparts[0] == "left":
+            lparts = lparts[1:]
+        if rparts[0] == "right":
+            rparts = rparts[1:]
+        this = F.struct(*[F.col(c) for c in env_cols])
+        left = (
+            mine.filter(F.col("kafka.topic") == rule.left)
+            .select(this.alias("left"))
+        )
+        right = (
+            mine.filter(F.col("kafka.topic") == rule.right)
+            .select(this.alias("right"))
+        )
+        lkey = reduce(lambda c, p: c[p], lparts, F.col("left"))
+        rkey = reduce(lambda c, p: c[p], rparts, F.col("right"))
+        joined = left.join(right, lkey == rkey, "inner")
+        out_col = self._apply_projection(
+            rule,
+            {"left": F.col("left"), "right": F.col("right")},
+            {"left": env_schema, "right": env_schema},
+        )
+        outputs = joined.select(
+            out_col.alias("__out"),
+            F.col("left.kafka.offset").alias("__sort_offset"),
+            F.lit(i).alias("__rule_idx"),
+            F.col("left.kafka.topic").alias("__src_topic"),
+            F.col("left.kafka.offset").alias("__src_offset"),
+            F.lit(rule.out).alias("__out_topic"),
+        )
+        # both sides of a joined pair are consumed (etl/build.go:210-213);
+        # distinct because a shared row could legally match twice
+        consumed = (
+            joined.select(
+                F.col("left.kafka.topic").alias("topic"),
+                F.col("left.kafka.offset").alias("offset"),
+            )
+            .unionByName(
+                joined.select(
+                    F.col("right.kafka.topic").alias("topic"),
+                    F.col("right.kafka.offset").alias("offset"),
+                )
+            )
+            .distinct()
+        )
+        return outputs, consumed
+
+    def build(self) -> tuple[DataFrame | None, DataFrame | None]:
+        """Build (outputs, markers) DataFrames for one ETL pass.
+
+        outputs: full output-envelope rows with assigned per-topic offsets.
+        markers: done-marker envelope rows. Either may be None when there
+        is nothing to do."""
+        scans = [self._unprocessed(t) for t in self.t.input_topics()]
+        scans = [s for s in scans if s is not None]
+        if not scans:
+            return None, None
+        # fuse the per-topic scans (schemas may differ across pools)
+        records = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), scans
+        )
+        routed = self._route(records)
+
+        outs, consumed = [], []
+        for i, rule in enumerate(self.t.rules):
+            o, c = self._rule_outputs(i, rule, routed)
+            outs.append(o)
+            consumed.append(c)
+        outputs = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), outs
+        )
+        markers = reduce(lambda a, b: a.unionByName(b), consumed).distinct()
+
+        # Per-output-topic consecutive offsets: window function over a
+        # deterministic order (driving input offset, rule order, source) —
+        # replaces the reference's driver-side loop (etl/pipeline.go:127-164).
+        base = self.pools[self.t.output.pool].next_producer_offsets()
+        base_map = F.create_map(
+            *[F.lit(x) for kv in base.items() for x in kv]
+        ) if base else None
+        w = Window.partitionBy("__out_topic").orderBy(
+            "__sort_offset", "__rule_idx", "__src_topic", "__src_offset"
+        )
+        start = (
+            F.coalesce(base_map[F.col("__out_topic")], F.lit(0))
+            if base_map is not None
+            else F.lit(0)
+        )
+        out_env = outputs.select(
+            F.struct(
+                F.col("__out_topic").alias("topic"),
+                F.lit(0).cast("long").alias("partition"),
+                (start + F.row_number().over(w) - 1).cast("long").alias("offset"),
+            ).alias("kafka"),
+            F.col("__out.key").alias("key"),
+            F.col("__out.value").alias("value"),
+            F.lit(ZED_TYPE_DATA).alias("zed_type"),
+        )
+        marker_env = markers.select(
+            F.struct(
+                F.col("topic"),
+                F.lit(0).cast("long").alias("partition"),
+                F.col("offset").cast("long").alias("offset"),
+            ).alias("kafka"),
+            F.lit(ZED_TYPE_DONE).alias("zed_type"),
+        )
+        return out_env, marker_env
+
+    # -- execution ---------------------------------------------------------
+
+    def run(self, message: str = "etl") -> int:
+        """One transactional ETL pass: outputs + markers in a single atomic
+        pool commit (etl/pipeline.go:92-125). Returns committed row count;
+        rerunning with no new input commits 0 rows (idempotent, the
+        anti-join backstop of README.md:447-455)."""
+        outputs, markers = self.build()
+        if outputs is None:
+            return 0
+        batch = outputs.unionByName(markers, allowMissingColumns=True)
+        return self.pools[self.t.output.pool].load(batch, message)
+

@@ -1,0 +1,168 @@
+"""Pool: an append-only, offset-keyed lake table over parquet files with
+atomic commits — the Spark-side analog of the reference's Zed lake pool
+(etl/pool.go, fifo/lake.go).
+
+Commit protocol (a minimal transaction log, Delta-style):
+  pool_dir/
+    pool.json              # config: {"key": "kafka.offset", "order": "asc"}
+    data/<uuid>.parquet    # immutable data files (written first)
+    _commits/<n>.json      # manifest per commit: {"files": [...], "message": ...}
+
+A commit is visible iff its manifest exists; manifests are written with
+write-to-temp + atomic rename, so readers never see partial commits and a
+crashed writer leaves only orphaned data files (never a torn table). This
+reproduces the reference's transactional `Load` (etl/pool.go:56-58) without
+a lake server. Multi-writer safety relies on the reference's own
+single-writer-per-pool assumption (README.md:150-151).
+
+Scale note: reads hand Spark the committed file list directly — partition
+pruning / predicate pushdown work as with any parquet scan, and because
+pools are offset-sorted at write time, min/max row-group stats give the
+range-pruned scans the reference only planned (etl/build.go:9-18).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class PoolKeyError(ValueError):
+    """Pool exists but its key is not kafka.offset ascending
+    (mirrors the reference's pool-open check, etl/pool.go:37-40)."""
+
+
+class Pool:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- lifecycle ---------------------------------------------------------
+
+    @classmethod
+    def create(cls, spark: SparkSession, path: str, key: str = "kafka.offset",
+               order: str = "asc") -> "Pool":
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        os.makedirs(os.path.join(path, "_commits"), exist_ok=True)
+        cfg = os.path.join(path, "pool.json")
+        if not os.path.exists(cfg):
+            _atomic_write_json(cfg, {"key": key, "order": order})
+        return cls(spark, path)
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "Pool":
+        cfg_path = os.path.join(path, "pool.json")
+        if not os.path.exists(cfg_path):
+            raise FileNotFoundError(f"not a pool: {path}")
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        if cfg.get("key") != "kafka.offset" or cfg.get("order", "asc") != "asc":
+            raise PoolKeyError(
+                f"pool {path} must have key kafka.offset in ascending order, "
+                f"got {cfg}"
+            )
+        return cls(spark, path)
+
+    # -- commit log --------------------------------------------------------
+
+    def _commit_dir(self) -> str:
+        return os.path.join(self.path, "_commits")
+
+    def commits(self) -> list[str]:
+        d = self._commit_dir()
+        if not os.path.isdir(d):
+            return []
+        return sorted(f for f in os.listdir(d) if f.endswith(".json"))
+
+    def committed_files(self) -> list[str]:
+        files: list[str] = []
+        for c in self.commits():
+            with open(os.path.join(self._commit_dir(), c)) as f:
+                files.extend(json.load(f)["files"])
+        return files
+
+    # -- I/O ---------------------------------------------------------------
+
+    def scan(self) -> DataFrame | None:
+        """Read the pool's committed state; None when the pool is empty.
+
+        Schemas may widen across commits (the pool is heterogeneously
+        typed, SURVEY §1.2) — mergeSchema unifies them with null-padding.
+        """
+        files = self.committed_files()
+        if not files:
+            return None
+        return (
+            self.spark.read.option("mergeSchema", "true").parquet(*files)
+        )
+
+    def load(self, df: DataFrame, message: str = "") -> int:
+        """Atomically commit a batch (reference Load, etl/pool.go:56-58).
+
+        Data is sorted by the pool key within partitions before writing so
+        parquet row-group stats enable offset-range data skipping.
+        Returns the number of committed rows.
+        """
+        n = df.count()
+        if n == 0:
+            return 0
+        file_id = uuid.uuid4().hex
+        data_path = os.path.join(self.path, "data", file_id)
+        (
+            df.sortWithinPartitions(F.col("kafka.offset"))
+            .write.mode("overwrite")
+            .parquet(data_path)
+        )
+        parts = [
+            os.path.join(data_path, f)
+            for f in os.listdir(data_path)
+            if f.endswith(".parquet")
+        ]
+        seq = len(self.commits())
+        _atomic_write_json(
+            os.path.join(self._commit_dir(), f"{seq:06d}.json"),
+            {"files": sorted(parts), "message": message, "rows": n},
+        )
+        return n
+
+    # -- offset queries (etl/pool.go:60-81, fifo/lake.go:62-82) ------------
+
+    def next_producer_offsets(self) -> dict[str, int]:
+        """max(kafka.offset)+1 per topic over data records — where newly
+        produced records for each output topic should start."""
+        df = self.scan()
+        if df is None:
+            return {}
+        rows = (
+            df.filter(F.col("zed_type") == "data")
+            .groupBy(F.col("kafka.topic").alias("topic"))
+            .agg(F.max(F.col("kafka.offset")).alias("mx"))
+            .collect()
+        )
+        return {r["topic"]: r["mx"] + 1 for r in rows}
+
+    def next_consumer_offset(self, topic: str) -> int:
+        """max(offset)+1 over records of `topic` (ingest resume point,
+        fifo/lake.go:62-82); 0 for an empty pool."""
+        df = self.scan()
+        if df is None:
+            return 0
+        row = (
+            df.filter(F.col("kafka.topic") == topic)
+            .agg(F.max(F.col("kafka.offset")).alias("mx"))
+            .collect()[0]
+        )
+        return 0 if row["mx"] is None else row["mx"] + 1
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)

@@ -1,0 +1,419 @@
+"""Translator for the reference's user-facing expression subset → Spark
+Columns.
+
+The reference's extension point is arbitrary Zed script injection in shaper
+files and ETL YAML (cli/shaper.go:8-22, etl/yaml.go:28); the *documented*
+surface actually exercised (SURVEY §2.8) is a small expression language:
+
+  record literals        {key: left.key, value: {ID: in.value.after.ID}}
+  dotted paths           left.value.after.ID, this
+  field assignment       out := {...},  rec.kafka.offset := expr
+  predicates             ==, !=, <, <=, >, >=, in [..], and, or, not
+  arithmetic             + - * / %
+  literals               "s", 123, 1.5, true, false, null
+  functions              to_upper(s), split(s, sep), cast(x, T), typeof(x)
+  array index            records[0], map lookup m[k]
+
+This module parses that subset (recursive descent — no dependency on the
+reference's grammar machinery) and emits `pyspark.sql.Column` expressions,
+so user snippets execute JVM-side inside whole-stage codegen, never in
+Python. Anything beyond the subset can be supplied as raw Spark SQL via the
+`spark_sql:` escape hatch in the YAML (SURVEY §2.10).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DataType, StructType
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>//[^\n]*)
+  | (?P<float>\d+\.\d*|\.\d+)
+  | (?P<int>\d+)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<assign>:=)
+  | (?P<op>==|!=|<=|>=|\|\||&&|[<>+\-*/%().,{}\[\]:|])
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {"and", "or", "not", "in", "null", "true", "false", "this"}
+
+# zed function name → builder over translated args
+_FUNCTIONS = {
+    "to_upper": lambda a: F.upper(a[0]),
+    "to_lower": lambda a: F.lower(a[0]),
+    "split": lambda a: F.split(a[0], a[1]),
+    "len": lambda a: F.length(a[0]),
+    "abs": lambda a: F.abs(a[0]),
+    "lower": lambda a: F.lower(a[0]),
+    "upper": lambda a: F.upper(a[0]),
+    "trim": lambda a: F.trim(a[0]),
+    "replace": lambda a: F.regexp_replace(a[0], a[1], a[2]),
+    "coalesce": lambda a: F.coalesce(*a),
+}
+
+
+@dataclass
+class Token:
+    kind: str
+    text: str
+    pos: int
+
+
+def tokenize(src: str) -> list[Token]:
+    out, i = [], 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise ZedSyntaxError(f"bad character {src[i]!r} at {i}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind in ("ws", "comment"):
+            continue
+        text = m.group()
+        if kind == "ident" and text in _KEYWORDS:
+            kind = text
+        out.append(Token(kind, text, m.start()))
+    out.append(Token("eof", "", len(src)))
+    return out
+
+
+class ZedSyntaxError(ValueError):
+    pass
+
+
+class Context:
+    """Resolution context: maps root identifiers to Columns and (optionally)
+    to Spark DataTypes for typeof()/cast() support.
+
+    roots: {"in": Column, "left": Column, ...}. A path whose head is not a
+    root resolves against `default_root` (the record itself = `this`).
+    """
+
+    def __init__(self, roots: dict[str, Column] | None = None,
+                 schema: StructType | None = None,
+                 default_root: Column | None = None):
+        self.roots = roots or {}
+        self.schema = schema
+        self.default_root = default_root
+
+    def resolve(self, path: list[str]) -> Column:
+        head, rest = path[0], path[1:]
+        if head in self.roots:
+            col = self.roots[head]
+        elif self.default_root is not None:
+            col, rest = self.default_root, path
+        else:
+            col, rest = F.col(head), path[1:]
+        for p in rest:
+            col = col[p]
+        return col
+
+    def resolve_type(self, path: list[str]) -> DataType:
+        if self.schema is None:
+            raise ZedSyntaxError("typeof() needs a schema-bearing context")
+        dt: DataType = self.schema
+        for p in path:
+            if not isinstance(dt, StructType):
+                raise ZedSyntaxError(f"typeof: {'.'.join(path)} not a struct path")
+            dt = dt[p].dataType
+        return dt
+
+
+class Parser:
+    def __init__(self, tokens: list[Token], ctx: Context):
+        self.toks = tokens
+        self.i = 0
+        self.ctx = ctx
+
+    # -- token helpers -----------------------------------------------------
+
+    def peek(self) -> Token:
+        return self.toks[self.i]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, text: str | None = None) -> Token:
+        t = self.next()
+        if t.kind != kind or (text is not None and t.text != text):
+            raise ZedSyntaxError(f"expected {text or kind}, got {t.text!r} at {t.pos}")
+        return t
+
+    def accept(self, kind: str, text: str | None = None) -> Token | None:
+        t = self.peek()
+        if t.kind == kind and (text is None or t.text == text):
+            return self.next()
+        return None
+
+    # -- grammar -----------------------------------------------------------
+
+    def parse_expr(self) -> Column:
+        return self.parse_or()
+
+    def parse_or(self) -> Column:
+        left = self.parse_and()
+        while self.accept("or") or self.accept("op", "||"):
+            left = left | self.parse_and()
+        return left
+
+    def parse_and(self) -> Column:
+        left = self.parse_not()
+        while self.accept("and") or self.accept("op", "&&"):
+            left = left & self.parse_not()
+        return left
+
+    def parse_not(self) -> Column:
+        if self.accept("not"):
+            return ~self.parse_not()
+        return self.parse_cmp()
+
+    def parse_cmp(self) -> Column:
+        left = self.parse_add()
+        t = self.peek()
+        if t.kind == "op" and t.text in ("==", "!=", "<", "<=", ">", ">="):
+            self.next()
+            right = self.parse_add()
+            return {
+                "==": lambda: left == right,
+                "!=": lambda: left != right,
+                "<": lambda: left < right,
+                "<=": lambda: left <= right,
+                ">": lambda: left > right,
+                ">=": lambda: left >= right,
+            }[t.text]()
+        if t.kind == "in":
+            self.next()
+            items = self.parse_list_literal()
+            return left.isin(*items)
+        return left
+
+    def parse_add(self) -> Column:
+        left = self.parse_mul()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.text in ("+", "-"):
+                self.next()
+                right = self.parse_mul()
+                left = left + right if t.text == "+" else left - right
+            else:
+                return left
+
+    def parse_mul(self) -> Column:
+        left = self.parse_unary()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.text in ("*", "/", "%"):
+                self.next()
+                right = self.parse_unary()
+                left = (
+                    left * right if t.text == "*"
+                    else left / right if t.text == "/"
+                    else left % right
+                )
+            else:
+                return left
+
+    def parse_unary(self) -> Column:
+        if self.accept("op", "-"):
+            return -self.parse_unary()
+        return self.parse_postfix()
+
+    def parse_postfix(self) -> Column:
+        col = self.parse_primary()
+        while True:
+            if self.accept("op", "["):
+                idx = self.parse_expr()
+                self.expect("op", "]")
+                col = col[idx]
+            elif self.peek().kind == "op" and self.peek().text == ".":
+                # only valid after a path/record expression; Column[field]
+                self.next()
+                field = self.expect("ident").text
+                col = col[field]
+            else:
+                return col
+
+    def parse_list_literal(self) -> list:
+        self.expect("op", "[")
+        items = []
+        if not self.accept("op", "]"):
+            while True:
+                items.append(self._literal_value())
+                if self.accept("op", "]"):
+                    break
+                self.expect("op", ",")
+        return items
+
+    def _literal_value(self):
+        t = self.next()
+        if t.kind == "string":
+            return t.text[1:-1].encode().decode("unicode_escape")
+        if t.kind == "int":
+            return int(t.text)
+        if t.kind == "float":
+            return float(t.text)
+        raise ZedSyntaxError(f"expected literal in list, got {t.text!r}")
+
+    def parse_primary(self) -> Column:
+        t = self.peek()
+        if t.kind == "string":
+            self.next()
+            return F.lit(t.text[1:-1].encode().decode("unicode_escape"))
+        if t.kind == "int":
+            self.next()
+            return F.lit(int(t.text)).cast("long")
+        if t.kind == "float":
+            self.next()
+            return F.lit(float(t.text))
+        if t.kind == "null":
+            self.next()
+            return F.lit(None)
+        if t.kind == "true":
+            self.next()
+            return F.lit(True)
+        if t.kind == "false":
+            self.next()
+            return F.lit(False)
+        if t.kind == "this":
+            self.next()
+            if self.ctx.default_root is not None:
+                return self.ctx.default_root
+            return F.struct("*")
+        if t.kind == "op" and t.text == "{":
+            return self.parse_record()
+        if t.kind == "op" and t.text == "(":
+            self.next()
+            e = self.parse_expr()
+            self.expect("op", ")")
+            return e
+        if t.kind == "ident" or t.kind == "in":
+            # `in` doubles as the stateless-rule root identifier in the
+            # reference's snippets (etl/build.go:171: yield {in:this});
+            # a binary `in` never starts an expression, so this is safe.
+            return self.parse_ident_or_call()
+        raise ZedSyntaxError(f"unexpected token {t.text!r} at {t.pos}")
+
+    def parse_record(self) -> Column:
+        self.expect("op", "{")
+        fields = []
+        if not self.accept("op", "}"):
+            while True:
+                nt = self.next()
+                if nt.kind not in ("ident", "in", "this") and nt.kind not in _KEYWORDS:
+                    raise ZedSyntaxError(f"expected field name, got {nt.text!r} at {nt.pos}")
+                name = nt.text
+                self.expect("op", ":")
+                fields.append(self.parse_expr().alias(name))
+                if self.accept("op", "}"):
+                    break
+                self.expect("op", ",")
+        return F.struct(*fields)
+
+    def parse_ident_or_call(self) -> Column:
+        t = self.next()
+        if t.kind not in ("ident", "in"):
+            raise ZedSyntaxError(f"expected identifier, got {t.text!r} at {t.pos}")
+        name = t.text
+        if self.peek().kind == "op" and self.peek().text == "(":
+            return self.parse_call(name)
+        # dotted path
+        path = [name]
+        while (
+            self.peek().kind == "op"
+            and self.peek().text == "."
+            and self.toks[self.i + 1].kind == "ident"
+        ):
+            self.next()
+            path.append(self.expect("ident").text)
+        return self.ctx.resolve(path)
+
+    def _parse_path_only(self) -> list[str]:
+        t = self.next()
+        if t.kind not in ("ident", "in"):
+            raise ZedSyntaxError(f"expected path, got {t.text!r} at {t.pos}")
+        path = [t.text]
+        while self.accept("op", "."):
+            path.append(self.expect("ident").text)
+        return path
+
+    def parse_call(self, name: str) -> Column:
+        self.expect("op", "(")
+        if name == "typeof":
+            path = self._parse_path_only()
+            self.expect("op", ")")
+            # typeof() used inside cast(); return a sentinel carrying the type
+            return _TypeOf(self.ctx.resolve_type(path))
+        if name == "cast":
+            arg = self.parse_expr()
+            self.expect("op", ",")
+            t = self.peek()
+            if t.kind == "ident" and t.text == "typeof":
+                self.next()
+                target = self.parse_call("typeof")
+                self.expect("op", ")")
+                return arg.cast(target.dtype)
+            type_name = self.expect("ident").text
+            self.expect("op", ")")
+            return arg.cast(type_name)
+        args = []
+        if not self.accept("op", ")"):
+            while True:
+                args.append(self.parse_expr())
+                if self.accept("op", ")"):
+                    break
+                self.expect("op", ",")
+        if name == "is":
+            raise ZedSyntaxError("is(<T>) must be used as a where predicate")
+        if name not in _FUNCTIONS:
+            raise ZedSyntaxError(f"unknown function {name!r}")
+        return _FUNCTIONS[name](args)
+
+
+class _TypeOf:
+    """Sentinel produced by typeof() — only valid as cast() target."""
+
+    def __init__(self, dtype: DataType):
+        self.dtype = dtype
+
+
+def compile_expr(src: str, ctx: Context) -> Column:
+    """Compile one zed expression to a Column."""
+    p = Parser(tokenize(src), ctx)
+    col = p.parse_expr()
+    p.expect("eof")
+    if isinstance(col, _TypeOf):
+        raise ZedSyntaxError("typeof() is only valid inside cast()")
+    return col
+
+
+def compile_assignments(src: str, ctx: Context) -> dict[str, Column]:
+    """Compile a zed snippet of the form used in ETL YAML:
+    ``| name := expr | other := expr`` → {name: Column}.
+
+    Leading pipes are cosmetic in the reference's YAML (spliced into a
+    larger program, etl/build.go:172-173); nested-path targets (a.b := e)
+    are returned as dotted names for the caller to apply via withField.
+    """
+    toks = tokenize(src)
+    p = Parser(toks, ctx)
+    out: dict[str, Column] = {}
+    while p.accept("op", "|"):
+        pass
+    while p.peek().kind != "eof":
+        path = p._parse_path_only()
+        p.expect("assign")
+        out[".".join(path)] = p.parse_expr()
+        while p.accept("op", "|"):
+            pass
+    return out
