@@ -65,13 +65,27 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to full parallelism before CPU-heavy per-row expansion.
+
+    Small corpora arrive as one parquet split; without this, tokenize/
+    md5/explode run on a single core. At real scale the scan already has
+    many splits and this extra round-robin shuffle of (id, text) rows is
+    noise relative to the expansion it parallelizes; tune
+    spark.sql.files.maxPartitionBytes downward instead if the shuffle ever
+    matters."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Distinct (doc_id, shingle-hash) inverted-index rows. Hashing the
     shingle to a long before the explode keeps shuffle rows narrow."""
     return (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(word_shingles(tokens(F.col(text_col)), k)).alias("shingle"),
+        _spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")))
+        .select(
+            "doc_id",
+            F.explode(word_shingles(tokens(F.col("__text")), k)).alias("shingle"),
         )
         .select("doc_id", md5_long(F.col("shingle")).alias("sh"))
         .distinct()
@@ -172,7 +186,37 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard) with jaccard >= threshold.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    # ONE pass over the shingle index produces both the MinHash signature
+    # and the doc's (hashed) shingle set: a single shuffle instead of four
+    # separate scans of the exploded index (signatures, counts, and both
+    # verification sides). Candidate verification then needs no join against
+    # exploded shingle rows — just array_intersect on the carried sets.
+    sh = doc_shingles(df, id_col, text_col, k)
+    p = F.lit(MINHASH_PRIME).cast("long")
+    hs = F.array(
+        *[
+            ((F.col("sh") % p) * F.lit(a_i) + F.lit(b_i)) % p
+            for a_i, b_i in _perm_params(num_hashes)
+        ]
+    ).alias("hs")
+    per_shingle = sh.select("doc_id", "sh", hs)
+    sig = per_shingle.groupBy("doc_id").agg(
+        *[F.min(F.col("hs")[i]).alias(f"m{i}") for i in range(num_hashes)],
+        F.collect_set("sh").alias("sh_set"),
+    )
+    sig = sig.select(
+        "doc_id",
+        F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"),
+        "sh_set",
+    )
+    # Both the banding branch and the verification branch consume `sig`;
+    # persist so the shingle→signature pipeline materializes once (the
+    # ContextCleaner unpersists it once the plan is garbage-collected).
+    # The signature table is tiny relative to the corpus: ~64 longs + the
+    # hashed shingle set per doc.
+    from pyspark import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     band_rows = sig.select(
         "doc_id",
         F.explode(
@@ -203,8 +247,29 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    exact = jaccard_pairs(df, id_col, text_col, k=k, threshold=threshold)
-    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    # Verify candidates ONLY (the point of LSH: exact Jaccard is computed
+    # for the handful of colliding pairs, never all pairs): join the two
+    # carried shingle sets and intersect them JVM-side.
+    sets = sig.select("doc_id", "sh_set")
+    scored = (
+        cand.join(sets.select(F.col("doc_id").alias("id_a"), F.col("sh_set").alias("set_a")), "id_a")
+        .join(sets.select(F.col("doc_id").alias("id_b"), F.col("sh_set").alias("set_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("n_common"),
+            F.size("set_a").alias("n_a"),
+            F.size("set_b").alias("n_b"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= threshold)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, nbits: int = 60) -> DataFrame:
@@ -216,10 +281,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str, nbits: int = 60) -> DataF
     keeps the reassembled value positive in signed-64 engines.
     Output: (doc_id, simhash: long).
     """
-    tok = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens(F.col(text_col))).alias("tok"),
-    ).select("doc_id", md5_long(F.col("tok")).alias("h"))
+    tok = (
+        _spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")))
+        .select("doc_id", F.explode(tokens(F.col("__text"))).alias("tok"))
+        .select("doc_id", md5_long(F.col("tok")).alias("h"))
+    )
     bits = tok.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(nbits - 1))).alias("bit"),

@@ -45,15 +45,20 @@ def cosine_topk(
     Rank is deterministic: ties on rounded cosine break by neighbor_id.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm_expr(F.col(vec_col)).alias("qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm_expr(F.col(vec_col)).alias("cn"),
+    )
+    # Norms are computed once per side; the per-pair work is a single fold.
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_expr(F.col("qv"), F.col("cv")).alias("cos"),
+            (dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
