@@ -1,0 +1,164 @@
+"""from-kafka / to-kafka pipeline logic, driven with broker-less frames
+(the kafka source/sink are injected seams; everything below them is plain
+DataFrames)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from zync_spark.pool import Pool
+from zync_spark.sources.avro import encode_column
+from zync_spark.sources.registry import MemoryRegistry
+from zync_spark.streaming.from_kafka import FromKafka, MonotonicityError, apply_shaper
+from zync_spark.streaming.to_kafka import ToKafka
+
+S, Fld = StructType, StructField
+
+KEY_T = S([Fld("ID", LongType())])
+VAL_T = S([Fld("op", StringType()), Fld("name", StringType())])
+
+FRAME_T = S(
+    [
+        Fld("topic", StringType()),
+        Fld("partition", LongType()),
+        Fld("offset", LongType()),
+        Fld("key", BinaryType()),
+        Fld("value", BinaryType()),
+    ]
+)
+
+
+def _wire_frame(spark, reg, rows):
+    """rows: (topic, offset, key_id, op, name) → avro-framed kafka frame."""
+    typed = spark.createDataFrame(
+        [(t, 0, o, (k,), (op, nm)) for t, o, k, op, nm in rows],
+        S(
+            [
+                Fld("topic", StringType()),
+                Fld("partition", LongType()),
+                Fld("offset", LongType()),
+                Fld("key", KEY_T),
+                Fld("value", VAL_T),
+            ]
+        ),
+    )
+    wire = encode_column(typed, "key", KEY_T, reg)
+    return encode_column(wire, "value", VAL_T, reg)
+
+
+def test_from_kafka_ingest_and_resume(spark, tmp_path):
+    reg = MemoryRegistry()
+    pool = Pool.create(spark, str(tmp_path / "T"))
+    fk = FromKafka(spark, {"T": pool}, KEY_T, VAL_T, registry=reg, format="avro")
+
+    assert fk.resume_offsets() == {"T": 0}
+    frame = _wire_frame(spark, reg, [("T", 0, 1, "c", "a"), ("T", 1, 2, "c", "b")])
+    committed = fk.commit_batch(frame)
+    assert committed == {"T": 2}
+    assert fk.resume_offsets() == {"T": 2}
+
+    env = pool.scan().orderBy(F.col("kafka.offset")).collect()
+    assert env[0]["kafka"]["topic"] == "T" and env[0]["kafka"]["offset"] == 0
+    assert env[0]["key"]["ID"] == 1 and env[0]["value"]["name"] == "a"
+    assert env[0]["zed_type"] == "data"
+
+    # redelivery below the resume offset → monotonicity guard trips
+    with pytest.raises(MonotonicityError):
+        fk.commit_batch(_wire_frame(spark, reg, [("T", 1, 2, "c", "b")]))
+
+    # next batch continues cleanly
+    fk.commit_batch(_wire_frame(spark, reg, [("T", 2, 3, "u", "c")]))
+    assert fk.resume_offsets() == {"T": 3}
+
+
+def test_from_kafka_connectjson_format(spark, tmp_path):
+    from zync_spark.sources import connectjson
+
+    pool = Pool.create(spark, str(tmp_path / "J"))
+    typed = spark.createDataFrame(
+        [("J", 0, 0, (7,), ("c", "x"))],
+        S(
+            [
+                Fld("topic", StringType()),
+                Fld("partition", LongType()),
+                Fld("offset", LongType()),
+                Fld("key", KEY_T),
+                Fld("value", VAL_T),
+            ]
+        ),
+    )
+    frame = typed.withColumn(
+        "key", connectjson.encode(F.col("key"), KEY_T).cast("binary")
+    ).withColumn("value", connectjson.encode(F.col("value"), VAL_T).cast("binary"))
+    fk = FromKafka(spark, {"J": pool}, KEY_T, VAL_T, format="json")
+    assert fk.commit_batch(frame) == {"J": 1}
+    row = pool.scan().collect()[0]
+    assert row["key"]["ID"] == 7 and row["value"]["op"] == "c"
+
+
+def test_shaper_assignment_and_filter(spark):
+    env = spark.createDataFrame(
+        [(("T", 0, 0), "x"), (("T", 0, 1), "y")],
+        S(
+            [
+                Fld(
+                    "kafka",
+                    S(
+                        [
+                            Fld("topic", StringType()),
+                            Fld("partition", LongType()),
+                            Fld("offset", LongType()),
+                        ]
+                    ),
+                ),
+                Fld("v", StringType()),
+            ]
+        ),
+    )
+    shaped = apply_shaper(env, '| v := to_upper(v)')
+    assert sorted(r["v"] for r in shaped.collect()) == ["X", "Y"]
+    # nested assignment via withField
+    shaped2 = apply_shaper(env, '| kafka.topic := "Renamed"')
+    assert {r["kafka"]["topic"] for r in shaped2.collect()} == {"Renamed"}
+    # bare predicate = filter
+    filtered = apply_shaper(env, 'kafka.offset >= 1')
+    assert [r["kafka"]["offset"] for r in filtered.collect()] == [1]
+
+
+def test_to_kafka_paged_sync(spark, tmp_path):
+    reg = MemoryRegistry()
+    pool = Pool.create(spark, str(tmp_path / "Out"))
+    rows = [
+        (("T", 0, i), (i,), ("c", f"r{i}"), "data") for i in range(7)
+    ]
+    env_schema = S(
+        [
+            Fld("kafka", S([Fld("topic", StringType()), Fld("partition", LongType()), Fld("offset", LongType())])),
+            Fld("key", KEY_T),
+            Fld("value", VAL_T),
+            Fld("zed_type", StringType()),
+        ]
+    )
+    pool.load(spark.createDataFrame(rows, env_schema))
+
+    pages = []
+    tk = ToKafka(pool, KEY_T, VAL_T, registry=reg, format="avro", batch_size=3)
+    produced = tk.sync("T", hwm=2, produce=lambda df: pages.append(df.collect()))
+    assert produced == 5                      # offsets 2..6
+    assert [len(p) for p in pages] == [3, 2]  # paged by batch_size
+    # frames carry confluent-framed bytes in offset order
+    first = pages[0][0]
+    assert first["offset"] == 2 and first["value"][0] == 0
+
+
+def test_to_kafka_already_synced(spark, tmp_path):
+    pool = Pool.create(spark, str(tmp_path / "Out2"))
+    tk = ToKafka(pool, KEY_T, VAL_T, format="json")
+    assert tk.sync("T", hwm=0, produce=lambda df: None) == 0

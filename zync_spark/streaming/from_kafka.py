@@ -1,0 +1,175 @@
+"""from-kafka: continuous multi-topic → multi-pool sync
+(cmd/zync/from-kafka/command.go:33-302, SURVEY §3.2).
+
+Pipeline: kafka frame (topic, partition, offset, key, value bytes)
+→ decode key/value (Avro wire format via registry, or Connect JSON)
+→ envelope {kafka:{topic,partition,offset}, key, value, zed_type='data'}
+→ optional shaper (zed-expression subset → Columns)
+→ per-pool append with resume + monotonicity guard.
+
+The reference's two-goroutine channel design (reader + per-pool loaders,
+thresh/interval batching) maps onto Structured Streaming micro-batches:
+`trigger(processingTime=interval)` + `maxOffsetsPerTrigger=thresh` bound
+latency and commit size the same way; `foreachBatch` plays the loader.
+All logic below the source is plain DataFrame → testable without a broker
+by feeding any frame-shaped DataFrame (tests use in-memory frames).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from zync_spark.envelope import ZED_TYPE_DATA
+from zync_spark.pool import Pool
+from zync_spark.sources import connectjson
+from zync_spark.sources.avro import decode_column
+from zync_spark.sources.kafka import kafka_available, read_stream
+from zync_spark.sources.registry import BaseRegistry
+from zync_spark.zedexpr import Context, compile_assignments, compile_expr
+
+
+class MonotonicityError(RuntimeError):
+    """Incoming offset below the pool's resume offset
+    (fifo/consumer.go:117-122)."""
+
+
+class FromKafka:
+    def __init__(
+        self,
+        spark: SparkSession,
+        topic_pools: dict[str, Pool],
+        key_schema: StructType,
+        value_schema: StructType,
+        registry: BaseRegistry | None = None,
+        format: str = "avro",
+        shaper: str | None = None,
+    ):
+        self.spark = spark
+        self.topic_pools = topic_pools
+        self.key_schema = key_schema
+        self.value_schema = value_schema
+        self.registry = registry
+        self.format = format
+        self.shaper = shaper
+
+    # -- resume ------------------------------------------------------------
+
+    def resume_offsets(self) -> dict[str, int]:
+        """Per-topic next offset from each pool's committed state
+        (fifo/lake.go:62-82): consume restarts exactly after the last
+        committed record — crash-recoverable without Kafka group state."""
+        return {
+            topic: pool.next_consumer_offset(topic)
+            for topic, pool in self.topic_pools.items()
+        }
+
+    # -- decode + envelope -------------------------------------------------
+
+    def decode_frame(self, frame: DataFrame) -> DataFrame:
+        """kafka frame → envelope rows (fifo/consumer.go:117-148)."""
+        if self.format == "avro":
+            if self.registry is None:
+                raise ValueError("avro format needs a schema registry")
+            decoded = decode_column(frame, "key", self.key_schema, self.registry)
+            decoded = decode_column(decoded, "value", self.value_schema, self.registry)
+        elif self.format == "json":
+            decoded = frame.withColumn(
+                "key", connectjson.decode(F.col("key").cast("string"), self.key_schema)
+            ).withColumn(
+                "value", connectjson.decode(F.col("value").cast("string"), self.value_schema)
+            )
+        else:
+            raise ValueError(f"unknown format {self.format!r}")
+        env = decoded.select(
+            F.struct(
+                F.col("topic"),
+                F.col("partition").cast("long").alias("partition"),
+                F.col("offset").cast("long").alias("offset"),
+            ).alias("kafka"),
+            F.col("key"),
+            F.col("value"),
+            F.lit(ZED_TYPE_DATA).alias("zed_type"),
+        )
+        if self.shaper:
+            env = apply_shaper(env, self.shaper)
+        return env
+
+    # -- commit ------------------------------------------------------------
+
+    def commit_batch(self, frame: DataFrame) -> dict[str, int]:
+        """Decode + envelope + per-pool atomic append for one micro-batch.
+
+        Monotonicity guard: offsets below a pool's resume point mean
+        duplicate redelivery after an out-of-band reset — refuse, like the
+        reference (fifo/consumer.go:117-122). Returns rows per topic."""
+        env = self.decode_frame(frame)
+        resume = self.resume_offsets()
+        committed: dict[str, int] = {}
+        for topic, pool in self.topic_pools.items():
+            part = env.filter(F.col("kafka.topic") == topic)
+            low = part.agg(F.min("kafka.offset").alias("m")).collect()[0]["m"]
+            if low is None:
+                continue
+            if low < resume[topic]:
+                raise MonotonicityError(
+                    f"topic {topic}: received offset {low} < saved offset {resume[topic]}"
+                )
+            committed[topic] = pool.load(part, f"from-kafka {topic}")
+        return committed
+
+    # -- streaming entry ---------------------------------------------------
+
+    def run(self, config: dict, thresh: int = 1_048_576, interval: str = "5 seconds",
+            exit_after: bool = False):
+        """Start the Structured Streaming sync (needs the kafka connector).
+
+        thresh/interval are the reference's -thresh/-interval commit bounds
+        (cmd/zync/from-kafka/command.go:79-82)."""
+        if not kafka_available(self.spark):
+            raise RuntimeError(
+                "spark-sql-kafka connector not on the classpath; "
+                "add org.apache.spark:spark-sql-kafka-0-10_2.13 to spark.jars.packages"
+            )
+        resume = self.resume_offsets()
+        starting = {t: {"0": o} for t, o in resume.items()}
+        frame = read_stream(self.spark, config, list(self.topic_pools), starting)
+        frame = frame.selectExpr(
+            "topic", "partition", "CAST(offset AS LONG) offset", "key", "value"
+        )
+        writer = (
+            frame.writeStream.foreachBatch(lambda df, _id: self.commit_batch(df))
+            .option("maxOffsetsPerTrigger", str(thresh))
+        )
+        if exit_after:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=interval)
+        return writer.start()
+
+
+def apply_shaper(env: DataFrame, shaper_src: str) -> DataFrame:
+    """Apply a shaper snippet to each envelope row
+    (cli/shaper.go:8-22, fifo/lake.go:94-106).
+
+    Supported forms: assignments (`value.x := expr`) and a bare filter
+    expression; this covers the documented shaper examples (README.md:78).
+    """
+    src = shaper_src.strip()
+    try:
+        assigns = compile_assignments(src, Context())
+        if assigns:
+            for path, col in assigns.items():
+                parts = path.split(".")
+                if len(parts) == 1:
+                    env = env.withColumn(parts[0], col)
+                else:
+                    # nested a.b := expr via withField
+                    top = parts[0]
+                    target = F.col(top)
+                    env = env.withColumn(top, target.withField(".".join(parts[1:]), col))
+            return env
+    except Exception:
+        pass
+    return env.filter(compile_expr(src, Context()))

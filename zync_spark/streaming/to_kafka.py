@@ -1,0 +1,97 @@
+"""to-kafka: pool → topic egress from the Kafka high-water mark
+(cmd/zync/to-kafka/command.go:20-104, fifo/to.go:29-55, SURVEY §3.3).
+
+Resume: the Kafka end-offset (HWM) per topic tells us how much of the pool
+has already been produced; scan the pool at offset >= HWM, page through it
+in offset order, encode, produce, advance. The reference pages 200 records
+per lake query and produces synchronously one record at a time
+(fifo/to.go:29, fifo/producer.go:96-100); here a page is one DataFrame
+written through the kafka sink in a single batched call.
+
+The producer is injected as a callable (frame_df → None) so the sync logic
+is testable without a broker; the real sink is sources.kafka.write_batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from zync_spark.pool import Pool
+from zync_spark.sources import connectjson
+from zync_spark.sources.avro import encode_column
+from zync_spark.sources.registry import BaseRegistry
+
+BATCH_SIZE = 200  # reference default, fifo/to.go:29
+
+
+class ToKafka:
+    def __init__(
+        self,
+        pool: Pool,
+        key_schema: StructType,
+        value_schema: StructType,
+        registry: BaseRegistry | None = None,
+        format: str = "avro",
+        batch_size: int = BATCH_SIZE,
+    ):
+        self.pool = pool
+        self.key_schema = key_schema
+        self.value_schema = value_schema
+        self.registry = registry
+        self.format = format
+        self.batch_size = batch_size
+
+    def encode_frame(self, env: DataFrame) -> DataFrame:
+        """envelope rows → kafka frame (topic, key bytes, value bytes)."""
+        frame = env.select(
+            F.col("kafka.topic").alias("topic"),
+            F.col("kafka.offset").alias("offset"),
+            "key",
+            "value",
+        )
+        if self.format == "avro":
+            if self.registry is None:
+                raise ValueError("avro format needs a schema registry")
+            frame = encode_column(frame, "key", self.key_schema, self.registry)
+            frame = encode_column(frame, "value", self.value_schema, self.registry)
+        elif self.format == "json":
+            frame = frame.withColumn(
+                "key", connectjson.encode(F.col("key"), self.key_schema).cast("binary")
+            ).withColumn(
+                "value", connectjson.encode(F.col("value"), self.value_schema).cast("binary")
+            )
+        else:
+            raise ValueError(f"unknown format {self.format!r}")
+        return frame
+
+    def sync(self, topic: str, hwm: int,
+             produce: Callable[[DataFrame], None]) -> int:
+        """Produce pool records of `topic` with offset >= hwm, in offset
+        order, paged by batch_size; returns records produced. Exits when
+        the pool is drained (fifo/to.go:42-53)."""
+        produced = 0
+        offset = hwm
+        while True:
+            df = self.pool.scan()
+            if df is None:
+                return produced
+            page = (
+                df.filter(
+                    (F.col("zed_type") == "data")
+                    & (F.col("kafka.topic") == topic)
+                    & (F.col("kafka.offset") >= offset)
+                )
+                .orderBy(F.col("kafka.offset"))
+                .limit(self.batch_size)
+            )
+            frame = self.encode_frame(page)
+            n = frame.count()
+            if n == 0:
+                return produced
+            produce(frame)
+            produced += n
+            offset += n
