@@ -977,3 +977,210 @@ def stream_window_counts(spark, sf_dir):
     from zync_spark.streaming.batch_bridge import run_windowed_count
 
     return run_windowed_count(spark, f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Extended relational surface (SURVEY §2.4/§2.7 "free in Spark" set: grouping
+# sets, set operations, percentiles, running windows) + streaming dedup +
+# rows-only entries for the ETL compiler and approximate operators.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cube_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           sum(o_totalprice::DECIMAL(14,2))::DOUBLE AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_agg(spark, sf_dir):
+    """CUBE grouping sets (beyond the reference's aggregate surface —
+    'free in Spark if wanted', SURVEY §2.4)."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "q_rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           sum(l_quantity::DECIMAL(12,2))::DOUBLE AS qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_agg(spark, sf_dir):
+    """ROLLUP hierarchy totals."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("qty"),
+        )
+    )
+
+
+@register(
+    "q_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def q_intersect(spark, sf_dir):
+    """INTERSECT (set op; SURVEY §2.7 'not implemented' in the reference)."""
+    o = T(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return urgent.intersect(low)
+
+
+@register(
+    "q_except",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def q_except(spark, sf_dir):
+    """EXCEPT (set difference)."""
+    o = T(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    # subtract == SQL EXCEPT (distinct set difference); exceptAll would keep
+    # per-occurrence multiset remainders, which is a different operator.
+    return urgent.subtract(low)
+
+
+@register(
+    "q_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.5)  AS p50,
+           quantile_cont(l_extendedprice, 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    quantile_cont: both linear interpolation over the sorted set)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("p75"),
+    )
+
+
+@register(
+    "q_running_window",
+    """
+    SELECT user_id, event_id,
+           sum(value::DECIMAL(12,2)) OVER (PARTITION BY user_id ORDER BY event_id
+                                           ROWS UNBOUNDED PRECEDING)::DOUBLE AS running_total,
+           lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_event,
+           ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS quartile
+    FROM events
+    """,
+)
+def q_running_window(spark, sf_dir):
+    """Running aggregates + lag + ntile over per-user event streams
+    (decimal-exact running sum so partial order never changes the double)."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_total"),
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "stream_dedup",
+    """
+    SELECT DISTINCT user_id FROM events
+    """,
+)
+def stream_dedup(spark, sf_dir):
+    """Streaming deduplication: dropDuplicates over an unbounded key set,
+    executed through Structured Streaming (availableNow → memory sink).
+    Batch oracle: DISTINCT. (The watermarked variant is
+    dropDuplicatesWithinWatermark; exact state here since keys are few.)"""
+    from zync_spark.streaming.batch_bridge import read_events_stream, run_to_memory
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    deduped = ev.select("user_id").dropDuplicates(["user_id"])
+    return run_to_memory(deduped, output_mode="append")
+
+
+@register("etl_invoices")
+def etl_invoices(spark, sf_dir):
+    """The flagship reference scenario as a catalog entry: run the full
+    4-batch Debezium invoices CDC ETL (anti-join dedup, switch routing,
+    denorm join, typed-null cast, offset assignment, atomic commits,
+    idempotent reruns) in a temp lake and return the final staging state.
+    Rows-only check (inputs are the reference's demo fixtures, not the
+    sf tables; golden-asserted in tests/test_etl_invoices.py)."""
+    import sys
+    import tempfile
+
+    sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/tests")
+    from fixtures_invoices import BATCHES, INVOICES_YAML, ROW_SCHEMA
+
+    from zync_spark.etl import EtlPipeline, load_config
+    from zync_spark.pool import Pool
+
+    lake = tempfile.mkdtemp(prefix="zs-etl-")
+    raw = Pool.create(spark, f"{lake}/Raw")
+    staging = Pool.create(spark, f"{lake}/Staging")
+    pipeline = EtlPipeline(spark, load_config(INVOICES_YAML), {"Raw": raw, "Staging": staging})
+    for i, batch in enumerate(BATCHES, 1):
+        raw.load(spark.createDataFrame(batch, ROW_SCHEMA), f"batch-{i}")
+        pipeline.run(f"etl-{i}")
+        assert pipeline.run("rerun-check") == 0
+    final = staging.scan()
+    return final.select(
+        F.col("kafka.topic").alias("topic"),
+        F.col("kafka.offset").alias("offset"),
+        F.col("zed_type").alias("zed_type"),
+        F.col("key.ID").alias("key_id"),
+        F.col("value.ID").alias("value_id"),
+        F.col("value.customer").alias("customer"),
+        F.col("value.item").alias("item"),
+        F.col("value.invoice_status").alias("invoice_status"),
+    )
+
+
+@register("ann_lsh_topk")
+def ann_lsh_topk(spark, sf_dir):
+    """Approximate nearest neighbors via random-hyperplane LSH bucketing —
+    the scale path for similarity search (recall < 1 by design, so no SQL
+    oracle; the exact baseline ann_cosine_topk is the oracle-checked twin)."""
+    emb = T(spark, sf_dir, "embeddings")
+    return S.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, nbits=4)
+
+
+@register("q_approx_distinct")
+def q_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ approximate distinct counts per event type (sketch
+    aggregate; approximate by construction → rows-only check)."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
