@@ -9,7 +9,10 @@ from __future__ import annotations
 
 import datetime
 import math
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
