@@ -78,17 +78,49 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
-def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct (doc_id, shingle-hash) inverted-index rows. Hashing the
-    shingle to a long before the explode keeps shuffle rows narrow."""
-    return (
+def doc_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, shingle-hash) inverted-index rows. Hashing the shingle to a
+    long before the explode keeps shuffle rows narrow. `distinct=False`
+    skips the dedup shuffle for consumers whose next step dedups anyway
+    (collect_set)."""
+    sh = (
         _spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")))
         .select(
             "doc_id",
             F.explode(word_shingles(tokens(F.col("__text")), k)).alias("shingle"),
         )
         .select("doc_id", md5_long(F.col("shingle")).alias("sh"))
-        .distinct()
+    )
+    return sh.distinct() if distinct else sh
+
+
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(doc_id, sh_set: array<long>) — ONE shuffle: raw exploded shingle
+    rows go straight into collect_set (map-side partial sets dedup early);
+    no separate distinct pass."""
+    sh = doc_shingles(df, id_col, text_col, k, distinct=False)
+    return sh.groupBy("doc_id").agg(F.collect_set("sh").alias("sh_set"))
+
+
+def _minhash_sig_expr(num_hashes: int) -> Column:
+    """MinHash signature of `sh_set` as ONE nested higher-order expression:
+    transform over a literal (a,b) permutation array, array_min over the
+    permuted set. A single compact expression tree — 64 separate min()
+    aggregate buffers (the obvious formulation) cost multiple seconds of
+    Catalyst analysis + codegen per query, dominating small-batch runs."""
+    p = F.lit(MINHASH_PRIME).cast("long")
+    params = _perm_params(num_hashes)
+    perms = F.arrays_zip(
+        F.array(*[F.lit(a).cast("long") for a, _ in params]).alias("a"),
+        F.array(*[F.lit(b).cast("long") for _, b in params]).alias("b"),
+    )
+    return F.transform(
+        perms,
+        lambda pr: F.array_min(
+            F.transform("sh_set", lambda s: ((s % p) * pr["a"] + pr["b"]) % p)
+        ),
     )
 
 
@@ -148,24 +180,11 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig: array<long>[num_hashes]) MinHash signatures.
 
-    One explode + one groupBy: per (doc, shingle) row we evaluate the whole
-    permutation family as an array expression (JVM-side), then take
-    element-wise mins in a single aggregation — no per-hash shuffle.
-    """
-    sh = doc_shingles(df, id_col, text_col, k)
-    p = F.lit(MINHASH_PRIME).cast("long")
-    hs = F.array(
-        *[
-            ((F.col("sh") % p) * F.lit(a_i) + F.lit(b_i)) % p
-            for a_i, b_i in _perm_params(num_hashes)
-        ]
-    ).alias("hs")
-    per_shingle = sh.select("doc_id", hs)
-    mins = [F.min(F.col("hs")[i]).alias(f"m{i}") for i in range(num_hashes)]
-    sig = per_shingle.groupBy("doc_id").agg(*mins)
-    return sig.select(
-        "doc_id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    One explode + one groupBy(collect_set) shuffle, then the whole
+    permutation family evaluates as one nested higher-order expression per
+    doc (see _minhash_sig_expr)."""
+    sets = _shingle_sets(df, id_col, text_col, k)
+    return sets.select("doc_id", _minhash_sig_expr(num_hashes).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -186,28 +205,12 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard) with jaccard >= threshold.
     """
     rows_per_band = num_hashes // bands
-    # ONE pass over the shingle index produces both the MinHash signature
-    # and the doc's (hashed) shingle set: a single shuffle instead of four
-    # separate scans of the exploded index (signatures, counts, and both
-    # verification sides). Candidate verification then needs no join against
-    # exploded shingle rows — just array_intersect on the carried sets.
-    sh = doc_shingles(df, id_col, text_col, k)
-    p = F.lit(MINHASH_PRIME).cast("long")
-    hs = F.array(
-        *[
-            ((F.col("sh") % p) * F.lit(a_i) + F.lit(b_i)) % p
-            for a_i, b_i in _perm_params(num_hashes)
-        ]
-    ).alias("hs")
-    per_shingle = sh.select("doc_id", "sh", hs)
-    sig = per_shingle.groupBy("doc_id").agg(
-        *[F.min(F.col("hs")[i]).alias(f"m{i}") for i in range(num_hashes)],
-        F.collect_set("sh").alias("sh_set"),
-    )
-    sig = sig.select(
-        "doc_id",
-        F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"),
-        "sh_set",
+    # ONE shuffle over raw exploded shingles produces both the MinHash
+    # signature and the doc's (hashed) shingle set. Candidate verification
+    # then needs no join against exploded shingle rows — just
+    # array_intersect on the carried sets.
+    sig = _shingle_sets(df, id_col, text_col, k).select(
+        "doc_id", "sh_set", _minhash_sig_expr(num_hashes).alias("sig")
     )
     # Both the banding branch and the verification branch consume `sig`;
     # persist so the shingle→signature pipeline materializes once (the
@@ -217,32 +220,27 @@ def minhash_lsh_pairs(
     from pyspark import StorageLevel
 
     sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    # Band digests as one higher-order expression: band index `bb` is part
+    # of the digest input, so equal row-slices in *different* bands never
+    # collide. Joining on a single 32-hex-char string key keeps the
+    # shuffle narrow.
     band_rows = sig.select(
         "doc_id",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * rows_per_band + r]
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bkey"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bb: F.md5(
+                    F.concat_ws(
+                        ",", bb, F.slice("sig", bb * rows_per_band + 1, rows_per_band)
                     )
-                    for b in range(bands)
-                ]
+                ),
             )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
-    a = band_rows.select(F.col("doc_id").alias("id_a"), "band", "bkey")
-    b = band_rows.select(F.col("doc_id").alias("id_b"), "band", "bkey")
+        ).alias("bkey"),
+    )
+    a = band_rows.select(F.col("doc_id").alias("id_a"), "bkey")
+    b = band_rows.select(F.col("doc_id").alias("id_b"), "bkey")
     cand = (
-        a.join(b, ["band", "bkey"])
+        a.join(b, "bkey")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -251,22 +249,14 @@ def minhash_lsh_pairs(
     # for the handful of colliding pairs, never all pairs): join the two
     # carried shingle sets and intersect them JVM-side.
     sets = sig.select("doc_id", "sh_set")
+    inter = F.size(F.array_intersect("set_a", "set_b"))
     scored = (
         cand.join(sets.select(F.col("doc_id").alias("id_a"), F.col("sh_set").alias("set_a")), "id_a")
         .join(sets.select(F.col("doc_id").alias("id_b"), F.col("sh_set").alias("set_b")), "id_b")
         .select(
             "id_a",
             "id_b",
-            F.size(F.array_intersect("set_a", "set_b")).alias("n_common"),
-            F.size("set_a").alias("n_a"),
-            F.size("set_b").alias("n_b"),
-        )
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias(
-                "jaccard"
-            ),
+            (inter / (F.size("set_a") + F.size("set_b") - inter)).alias("jaccard"),
         )
     )
     return scored.filter(F.col("jaccard") >= threshold)
