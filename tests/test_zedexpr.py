@@ -85,3 +85,47 @@ def test_syntax_errors():
         compile_expr("unknown_fn(1)", Context())
     with pytest.raises(ZedSyntaxError):
         compile_expr("{a: }", Context())
+
+
+def test_map_literal_lookup(df):
+    # demo/etl.zed:1-9,15: const map + bracket lookup, no join in the plan
+    assert _vals(
+        df, compile_expr('|{"Taco": 100, "Beans": 200}|[name]', Context())
+    ) == [100, 200]
+    assert _vals(df, compile_expr("|{}|", Context()).cast("string")) == ["{}", "{}"]
+
+
+def test_array_literal(df):
+    assert _vals(df, compile_expr('["a", name]', Context())) == [
+        ["a", "Taco"],
+        ["a", "Beans"],
+    ]
+    assert _vals(df, compile_expr('["x", "y"][0]', Context())) == ["x", "x"]
+
+
+def test_const_prologue(df):
+    src = """
+    const menuIDs = |{
+        "Taco": 100,
+        "Beans": 200
+    }|;
+    const markup = 2;
+    {menuID: menuIDs[name], total: price * markup}
+    """
+    rows = df.select(compile_expr(src, Context()).alias("r")).collect()
+    assert [(r["r"]["menuID"], r["r"]["total"]) for r in rows] == [
+        (100, 5.0),
+        (200, 2.0),
+    ]
+
+
+def test_const_prologue_in_assignments(spark):
+    df = spark.createDataFrame([(("jane", 3),)], "rec struct<customer:string, qty:long>")
+    ctx = Context(roots={"in": F.col("rec")})
+    assigns = compile_assignments(
+        'const ids = |{"jane": 1, "bob": 2}|\n'
+        "| out := {customerID: ids[in.customer], qty: in.qty}",
+        ctx,
+    )
+    row = df.select(assigns["out"].alias("out")).collect()[0]
+    assert row["out"]["customerID"] == 1 and row["out"]["qty"] == 3

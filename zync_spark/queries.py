@@ -147,9 +147,13 @@ def q1_pricing_summary(spark, sf_dir):
 def q5_regional_revenue(spark, sf_dir):
     """TPC-H Q5 shape: 6-way join + grouped sum.
 
-    Scale: nation/region/supplier/customer are broadcast by Catalyst (under
-    the session's 64 MB threshold); only orders⋈lineitem shuffles, on their
-    join keys. Declarative joins let AQE reorder/skew-split at runtime.
+    Scale: the region filter is applied FIRST (nation⋈region broadcast),
+    then customers/orders prune through it before the fact join — Catalyst
+    does not reorder joins without table stats, so selectivity ordering is
+    declared. Only broadcast hints on the always-tiny dims (nation,
+    region); AQE decides for supplier/customer at runtime (supplier at
+    100 TB scale is too big to force-broadcast). The one big shuffle is
+    lineitem⋈orders on l_orderkey.
     """
     c = T(spark, sf_dir, "customer")
     o = T(spark, sf_dir, "orders")
@@ -157,13 +161,26 @@ def q5_regional_revenue(spark, sf_dir):
     s = T(spark, sf_dir, "supplier")
     n = T(spark, sf_dir, "nation")
     r = T(spark, sf_dir, "region")
-    return (
-        c.join(o, o.o_custkey == c.c_custkey)
-        .join(l, l.l_orderkey == o.o_orderkey)
-        .join(s, (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey))
-        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
-        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+    asia_n = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    cn = c.join(F.broadcast(asia_n), c.c_nationkey == F.col("n_nationkey")).select(
+        "c_custkey", "c_nationkey", "n_name"
+    )
+    oc = o.join(cn, o.o_custkey == F.col("c_custkey")).select(
+        "o_orderkey", "c_nationkey", "n_name"
+    )
+    ls = l.join(s, l.l_suppkey == s.s_suppkey).select(
+        "l_orderkey", "l_extendedprice", "l_discount", "s_nationkey"
+    )
+    return (
+        ls.join(
+            oc,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.sum(

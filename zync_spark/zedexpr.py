@@ -11,6 +11,9 @@ surface actually exercised (SURVEY §2.8) is a small expression language:
   predicates             ==, !=, <, <=, >, >=, in [..], and, or, not
   arithmetic             + - * / %
   literals               "s", 123, 1.5, true, false, null
+  map literals           |{"jane": 1, "bob": 2}| (demo/etl.zed:1-9)
+  array literals         ["a", "b"]
+  const bindings         const ids = |{...}|;  prologue (demo/etl.zed:1-9)
   functions              to_upper(s), split(s, sep), cast(x, T), typeof(x)
   array index            records[0], map lookup m[k]
 
@@ -38,7 +41,7 @@ _TOKEN_RE = re.compile(
   | (?P<int>\d+)
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<assign>:=)
-  | (?P<op>==|!=|<=|>=|\|\||&&|[<>+\-*/%().,{}\[\]:|])
+  | (?P<op>==|!=|<=|>=|\|\||&&|[<>+\-*/%().,{}\[\]:|;=])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -292,6 +295,18 @@ class Parser:
             return F.struct("*")
         if t.kind == "op" and t.text == "{":
             return self.parse_record()
+        if t.kind == "op" and t.text == "|" and self.toks[self.i + 1].text == "{":
+            return self.parse_map_literal()
+        if t.kind == "op" and t.text == "[":
+            self.next()
+            items = []
+            if not self.accept("op", "]"):
+                while True:
+                    items.append(self.parse_expr())
+                    if self.accept("op", "]"):
+                        break
+                    self.expect("op", ",")
+            return F.array(*items)
         if t.kind == "op" and t.text == "(":
             self.next()
             e = self.parse_expr()
@@ -303,6 +318,25 @@ class Parser:
             # a binary `in` never starts an expression, so this is safe.
             return self.parse_ident_or_call()
         raise ZedSyntaxError(f"unexpected token {t.text!r} at {t.pos}")
+
+    def parse_map_literal(self) -> Column:
+        """Zed map literal ``|{"k": v, ...}|`` → create_map. The idiomatic
+        scale note from the reference docs applies: a small const map used
+        as a lookup (demo/etl.zed:15) compiles to a literal expression, so
+        it broadcasts with the plan — no join, no shuffle."""
+        self.expect("op", "|")
+        self.expect("op", "{")
+        pairs: list[Column] = []
+        if not self.accept("op", "}"):
+            while True:
+                k = self.parse_expr()
+                self.expect("op", ":")
+                pairs.extend([k, self.parse_expr()])
+                if self.accept("op", "}"):
+                    break
+                self.expect("op", ",")
+        self.expect("op", "|")
+        return F.create_map(*pairs)
 
     def parse_record(self) -> Column:
         self.expect("op", "{")
@@ -387,8 +421,27 @@ class _TypeOf:
         self.dtype = dtype
 
 
+def strip_const_prologue(src: str, ctx: Context) -> str:
+    """Parse a leading ``const name = expr[;]`` prologue (demo/etl.zed:1-9,
+    demo/update-etl.zed:1-8), binding each constant as a root Column in
+    `ctx`, and return the remaining source. Lookups like
+    ``customerIDs[records[0].value.row.customer]`` then resolve through the
+    normal path machinery."""
+    toks = tokenize(src)
+    p = Parser(toks, ctx)
+    while p.peek().kind == "ident" and p.peek().text == "const":
+        p.next()
+        name = p.expect("ident").text
+        p.expect("op", "=")
+        ctx.roots[name] = p.parse_expr()
+        while p.accept("op", ";"):
+            pass
+    return src[p.peek().pos:]
+
+
 def compile_expr(src: str, ctx: Context) -> Column:
-    """Compile one zed expression to a Column."""
+    """Compile one zed expression to a Column (const prologue allowed)."""
+    src = strip_const_prologue(src, ctx)
     p = Parser(tokenize(src), ctx)
     col = p.parse_expr()
     p.expect("eof")
@@ -404,7 +457,9 @@ def compile_assignments(src: str, ctx: Context) -> dict[str, Column]:
     Leading pipes are cosmetic in the reference's YAML (spliced into a
     larger program, etl/build.go:172-173); nested-path targets (a.b := e)
     are returned as dotted names for the caller to apply via withField.
+    A ``const`` prologue is allowed before the first assignment.
     """
+    src = strip_const_prologue(src, ctx)
     toks = tokenize(src)
     p = Parser(toks, ctx)
     out: dict[str, Column] = {}
