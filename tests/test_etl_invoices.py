@@ -106,3 +106,79 @@ def test_route_validation():
     with pytest.raises(ConfigError):
         lc(dup)
     lc(bad)  # distinct pools for distinct topics is legal
+
+
+MULTI_OUT_YAML = """
+inputs:
+  - topic: Invoices
+    pool: Raw
+  - topic: InvoiceStatus
+    pool: Raw
+
+outputs:
+  - topic: NewInvoices
+    pool: Staging
+  - topic: StatusFeed
+    pool: StatusPool
+
+transforms:
+  - type: stateless
+    where: value.op in ["c", "r"]
+    in: Invoices
+    out: NewInvoices
+    zed: |
+      | out:={key: in.key, value: {ID: in.value.after.ID, customer: in.value.after.customer}}
+  - type: stateless
+    in: InvoiceStatus
+    out: StatusFeed
+    zed: |
+      | out:={key: in.key, value: {ID: in.value.after.InvoiceID, status: in.value.after.status}}
+"""
+
+
+def test_multi_output_pools(spark, tmp_path):
+    """Rules fan out to two output pools; each pool gets its own atomic
+    commit, done markers, and offset sequence (one plan per pool — the
+    reference's per-output-topic program loop, etl/build.go:66-80)."""
+    raw = Pool.create(spark, os.path.join(tmp_path, "Raw"))
+    staging = Pool.create(spark, os.path.join(tmp_path, "Staging"))
+    statusp = Pool.create(spark, os.path.join(tmp_path, "StatusPool"))
+    transform = load_config(MULTI_OUT_YAML)
+    pipeline = EtlPipeline(
+        spark, transform, {"Raw": raw, "Staging": staging, "StatusPool": statusp}
+    )
+
+    raw.load(spark.createDataFrame(BATCHES[0] + BATCHES[1], ROW_SCHEMA))
+    assert pipeline.run() > 0
+    stg = staging.scan().collect()
+    sts = statusp.scan().collect()
+    # Staging sees only Invoices-derived rows + Invoices markers
+    assert all(r["kafka"]["topic"] == "NewInvoices" for r in stg if r["zed_type"] == "data")
+    assert {r["kafka"]["topic"] for r in stg if r["zed_type"] == "done"} == {"Invoices"}
+    assert {r["kafka"]["topic"] for r in sts if r["zed_type"] == "done"} == {"InvoiceStatus"}
+    # per-pool offset sequences both start at 0 and are consecutive
+    stg_offsets = sorted(r["kafka"]["offset"] for r in stg if r["zed_type"] == "data")
+    sts_offsets = sorted(r["kafka"]["offset"] for r in sts if r["zed_type"] == "data")
+    assert stg_offsets == list(range(len(stg_offsets)))
+    assert sts_offsets == list(range(len(sts_offsets)))
+    # idempotent rerun across BOTH pools
+    assert pipeline.run("rerun") == 0
+    # incremental: new batch appends with continuing offsets
+    raw.load(spark.createDataFrame(BATCHES[2], ROW_SCHEMA))
+    assert pipeline.run() > 0
+    sts2 = sorted(
+        r["kafka"]["offset"] for r in statusp.scan().collect() if r["zed_type"] == "data"
+    )
+    assert sts2 == list(range(len(sts2)))
+    assert pipeline.run("rerun-2") == 0
+
+
+def test_split_input_pool_conflict():
+    """One input topic feeding rules that land in different output pools is
+    rejected — its done markers could not live in one place
+    (etl/routes.go:62-70)."""
+    from zync_spark.etl.config import ConfigError, load_config as lc
+
+    bad = MULTI_OUT_YAML.replace("in: InvoiceStatus", "in: Invoices")
+    with pytest.raises(ConfigError, match="multiple output pools"):
+        lc(bad)

@@ -44,16 +44,16 @@ def cmd_etl(args) -> int:
 
     spark = _spark()
     transform = load_config(args.config)
-    pool_names = {r.pool for r in transform.inputs} | {transform.output.pool}
-    pools = {n: _pool(spark, args.lake, n, create=True) for n in pool_names}
+    pools = {n: _pool(spark, args.lake, n, create=True) for n in transform.pool_names()}
     pipeline = EtlPipeline(spark, transform, pools)
     if args.plan:
-        outputs, markers = pipeline.build()
-        if outputs is None:
-            print("-- empty plan (no unprocessed input) --")
-            return 0
-        print(outputs._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        for pool_name, (outputs, _markers) in pipeline.build_all().items():
+            print(f"-- output pool {pool_name} --")
+            if outputs is None:
+                print("-- empty plan (no unprocessed input) --")
+                continue
+            print(outputs._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
         return 0
     n = pipeline.run(args.message)
     print(f"ETL'd {n} records")

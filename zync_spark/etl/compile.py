@@ -48,7 +48,7 @@ class EtlPipeline:
 
     # -- plan construction -------------------------------------------------
 
-    def _unprocessed(self, topic: str) -> DataFrame | None:
+    def _unprocessed(self, topic: str, out_pool: str) -> DataFrame | None:
         """Raw records of `topic` minus those with done markers in the
         output pool (the anti-join of etl/build.go:111-116)."""
         pool = self.pools[self.t.pool_for_topic(topic)]
@@ -58,7 +58,7 @@ class EtlPipeline:
         raw = raw.filter(
             (F.col("kafka.topic") == topic) & (F.col("zed_type") == ZED_TYPE_DATA)
         )
-        out_state = self.pools[self.t.output.pool].scan()
+        out_state = self.pools[out_pool].scan()
         if out_state is None:
             return raw
         done = (
@@ -85,12 +85,13 @@ class EtlPipeline:
             pred = pred & compile_expr(rule.where, Context())
         return pred
 
-    def _route(self, records: DataFrame) -> DataFrame:
-        """Switch routing: tag each record with the index of the FIRST
-        matching rule (etl/build.go:92-107 case ordering); -1 = unmatched."""
+    def _route(self, records: DataFrame, group: list[tuple[int, Rule]]) -> DataFrame:
+        """Switch routing: tag each record with the (global) index of the
+        FIRST matching rule of this output-pool group (etl/build.go:92-107
+        case ordering); -1 = unmatched."""
         idx: Column = F.lit(-1)
-        for i in reversed(range(len(self.t.rules))):
-            idx = F.when(self._rule_predicate(self.t.rules[i]), F.lit(i)).otherwise(idx)
+        for i, rule in reversed(group):
+            idx = F.when(self._rule_predicate(rule), F.lit(i)).otherwise(idx)
         return records.withColumn("__rule", idx)
 
     def _apply_projection(self, rule: Rule, roots: dict[str, Column],
@@ -184,13 +185,51 @@ class EtlPipeline:
         )
         return outputs, consumed
 
+    def _pool_groups(self) -> dict[str, list[tuple[int, Rule]]]:
+        """Rules grouped by output POOL, preserving declared order — the
+        reference's per-output-topic program loop (etl/build.go:66-80),
+        coarsened to pools because a pool is the commit + done-marker
+        scope (two output topics in one pool share one atomic commit)."""
+        groups: dict[str, list[tuple[int, Rule]]] = {}
+        for i, rule in enumerate(self.t.rules):
+            groups.setdefault(self.t.output_pool_for_topic(rule.out), []).append((i, rule))
+        return groups
+
     def build(self) -> tuple[DataFrame | None, DataFrame | None]:
-        """Build (outputs, markers) DataFrames for one ETL pass.
+        """Single-output-pool convenience: build (outputs, markers) for one
+        ETL pass. Raises if the transform spans multiple output pools —
+        use build_all() then."""
+        groups = self._pool_groups()
+        if len(groups) > 1:
+            raise ValueError(
+                f"transform spans output pools {sorted(groups)}; use build_all()"
+            )
+        [(pool_name, group)] = groups.items()
+        return self._build_group(pool_name, group)
+
+    def build_all(self) -> dict[str, tuple[DataFrame | None, DataFrame | None]]:
+        """Build one (outputs, markers) plan per output pool."""
+        return {
+            pool_name: self._build_group(pool_name, group)
+            for pool_name, group in self._pool_groups().items()
+        }
+
+    def _build_group(
+        self, out_pool: str, group: list[tuple[int, Rule]]
+    ) -> tuple[DataFrame | None, DataFrame | None]:
+        """Build (outputs, markers) DataFrames for one output pool's rules.
 
         outputs: full output-envelope rows with assigned per-topic offsets.
         markers: done-marker envelope rows. Either may be None when there
         is nothing to do."""
-        scans = [self._unprocessed(t) for t in self.t.input_topics()]
+        group_topics = {
+            t for _, r in group for t in (r.in_topic, r.left, r.right) if t
+        }
+        scans = [
+            self._unprocessed(t, out_pool)
+            for t in self.t.input_topics()
+            if t in group_topics
+        ]
         scans = [s for s in scans if s is not None]
         if not scans:
             return None, None
@@ -198,10 +237,10 @@ class EtlPipeline:
         records = reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), scans
         )
-        routed = self._route(records)
+        routed = self._route(records, group)
 
         outs, consumed = [], []
-        for i, rule in enumerate(self.t.rules):
+        for i, rule in group:
             o, c = self._rule_outputs(i, rule, routed)
             outs.append(o)
             consumed.append(c)
@@ -213,7 +252,7 @@ class EtlPipeline:
         # Per-output-topic consecutive offsets: window function over a
         # deterministic order (driving input offset, rule order, source) —
         # replaces the reference's driver-side loop (etl/pipeline.go:127-164).
-        base = self.pools[self.t.output.pool].next_producer_offsets()
+        base = self.pools[out_pool].next_producer_offsets()
         base_map = F.create_map(
             *[F.lit(x) for kv in base.items() for x in kv]
         ) if base else None
@@ -248,13 +287,15 @@ class EtlPipeline:
     # -- execution ---------------------------------------------------------
 
     def run(self, message: str = "etl") -> int:
-        """One transactional ETL pass: outputs + markers in a single atomic
-        pool commit (etl/pipeline.go:92-125). Returns committed row count;
-        rerunning with no new input commits 0 rows (idempotent, the
-        anti-join backstop of README.md:447-455)."""
-        outputs, markers = self.build()
-        if outputs is None:
-            return 0
-        batch = outputs.unionByName(markers, allowMissingColumns=True)
-        return self.pools[self.t.output.pool].load(batch, message)
+        """One transactional ETL pass: per output pool, outputs + markers
+        in a single atomic pool commit (etl/pipeline.go:92-125). Returns
+        total committed row count; rerunning with no new input commits 0
+        rows (idempotent, the anti-join backstop of README.md:447-455)."""
+        total = 0
+        for pool_name, (outputs, markers) in self.build_all().items():
+            if outputs is None:
+                continue
+            batch = outputs.unionByName(markers, allowMissingColumns=True)
+            total += self.pools[pool_name].load(batch, message)
+        return total
 

@@ -38,8 +38,13 @@ class Rule:
 @dataclass
 class Transform:
     inputs: list[Route]
-    output: Route
+    outputs: list[Route]
     rules: list[Rule] = field(default_factory=list)
+
+    @property
+    def output(self) -> Route:
+        """The first (often only) output route — single-output sugar."""
+        return self.outputs[0]
 
     def input_topics(self) -> list[str]:
         return [r.topic for r in self.inputs]
@@ -49,6 +54,15 @@ class Transform:
             if r.topic == topic:
                 return r.pool
         raise ConfigError(f"no route for input topic {topic!r}")
+
+    def output_pool_for_topic(self, topic: str) -> str:
+        for r in self.outputs:
+            if r.topic == topic:
+                return r.pool
+        raise ConfigError(f"no route for output topic {topic!r}")
+
+    def pool_names(self) -> set[str]:
+        return {r.pool for r in self.inputs} | {r.pool for r in self.outputs}
 
 
 class ConfigError(ValueError):
@@ -74,14 +88,18 @@ def parse_config(doc: dict) -> Transform:
     inputs = [Route(i["topic"], i["pool"]) for i in doc.get("inputs", [])]
     if not inputs:
         raise ConfigError("at least one input route required")
-    out = doc.get("output")
-    if not out:
+    # `output:` (reference schema, etl/yaml.go:11) or `outputs:` (extension
+    # matching the reference's per-output-topic program loop,
+    # etl/build.go:66-80, which its single-output YAML could not express).
+    out_doc = doc.get("outputs") or ([doc["output"]] if doc.get("output") else [])
+    if not out_doc:
         raise ConfigError("output route required")
-    output = Route(out["topic"], out["pool"])
+    outputs = [Route(o["topic"], o["pool"]) for o in out_doc]
 
-    # Route validation (etl/routes.go): each topic maps to exactly one pool.
+    # Route validation (etl/routes.go:33-40): each topic maps to exactly
+    # one pool, across inputs AND outputs.
     seen: dict[str, str] = {}
-    for r in inputs:
+    for r in inputs + outputs:
         if r.topic in seen and seen[r.topic] != r.pool:
             raise ConfigError(
                 f"topic {r.topic!r} routed to multiple pools: "
@@ -90,6 +108,8 @@ def parse_config(doc: dict) -> Transform:
         seen[r.topic] = r.pool
 
     topics = {r.topic for r in inputs}
+    out_topics = {r.topic for r in outputs}
+    output = outputs[0]
     rules: list[Rule] = []
     for t in doc.get("transforms", []):
         kind = t.get("type")
@@ -129,6 +149,25 @@ def parse_config(doc: dict) -> Transform:
             raise ConfigError(f"unknown transform type {kind!r}")
         if rules[-1].zed is None and rules[-1].spark_sql is None:
             raise ConfigError("rule needs zed: or spark_sql: projection")
+        if rules[-1].out not in out_topics:
+            raise ConfigError(
+                f"rule out topic {rules[-1].out!r} is not an output route"
+            )
     if not rules:
         raise ConfigError("at least one transform rule required")
-    return Transform(inputs=inputs, output=output, rules=rules)
+
+    # Per-input same-pool constraint (etl/routes.go:62-70): every output
+    # topic fed by a given input topic must land in the same pool, because
+    # that pool holds the input's done markers.
+    t = Transform(inputs=inputs, outputs=outputs, rules=rules)
+    input_pool: dict[str, str] = {}
+    for rule in rules:
+        out_pool = t.output_pool_for_topic(rule.out)
+        for src in filter(None, (rule.in_topic, rule.left, rule.right)):
+            prev = input_pool.setdefault(src, out_pool)
+            if prev != out_pool:
+                raise ConfigError(
+                    f"input topic {src!r} routed to multiple output pools "
+                    f"({prev!r} and {out_pool!r})"
+                )
+    return t
