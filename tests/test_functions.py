@@ -112,3 +112,80 @@ def test_multimodal_decode_without_codecs_raises(docs):
     media = M.attach_media(docs, "doc_id", "text")
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         M.decode_media(media, fake_features=False).collect()
+
+
+# -- temporal joins (functions/joins.py) ------------------------------------
+
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_basic_and_tolerance(spark):
+    from zync_spark.functions.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01 10:00:00")),
+         (2, 1, _ts("2024-01-01 10:10:00")),
+         (3, 2, _ts("2024-01-01 10:05:00"))],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 1, _ts("2024-01-01 09:59:00")),
+         (101, 1, _ts("2024-01-01 10:00:00")),   # equal ts: inclusive match
+         (102, 1, _ts("2024-01-01 10:07:00")),
+         (103, 3, _ts("2024-01-01 09:00:00"))],
+        "rid long, k long, ts timestamp",
+    )
+    out = {
+        r["id"]: (r["matched"]["rid"] if r["matched"] else None)
+        for r in asof_join(left, right, on="k", left_time="ts").collect()
+    }
+    assert out == {1: 101, 2: 102, 3: None}
+
+    # tolerance: id=2's match at 10:07 is 180s old; a 60s tolerance drops it
+    out_tol = {
+        r["id"]: (r["matched"]["rid"] if r["matched"] else None)
+        for r in asof_join(
+            left, right, on="k", left_time="ts", tolerance_seconds=60
+        ).collect()
+    }
+    assert out_tol == {1: 101, 2: None, 3: None}
+
+
+def test_interval_join_inner_and_right(spark):
+    from pyspark.sql import functions as F
+
+    from zync_spark.functions.joins import interval_join
+
+    points = spark.createDataFrame(
+        [(1, 10, 95.0), (1, 11, 150.0), (2, 12, 50.0)],
+        "k long, pid long, x double",
+    ).select("k", "pid", F.timestamp_seconds("x").alias("ts"))
+    intervals = spark.createDataFrame(
+        [(1, 100, 90.0, 120.0),   # catches x=95 (and not 150: hi exclusive would, 150>120)
+         (1, 101, 140.0, 160.0),  # catches x=150, crosses bucket boundary
+         (2, 102, 200.0, 230.0)], # no points
+        "k long, iid long, lo_s double, hi_s double",
+    ).select(
+        "k", "iid",
+        F.timestamp_seconds("lo_s").alias("lo"),
+        F.timestamp_seconds("hi_s").alias("hi"),
+    )
+    inner = interval_join(
+        points, intervals, on="k", point_time="ts", lo="lo", hi="hi",
+        bucket_seconds=30,
+    )
+    got = sorted((r["iid"], r["pid"]) for r in inner.collect())
+    assert got == [(100, 10), (101, 11)]
+
+    right = interval_join(
+        points, intervals, on="k", point_time="ts", lo="lo", hi="hi",
+        bucket_seconds=30, how="right",
+    )
+    per_iv = {}
+    for r in right.collect():
+        per_iv.setdefault(r["iid"], []).append(r["pid"])
+    assert per_iv == {100: [10], 101: [11], 102: [None]}

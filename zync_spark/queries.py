@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zync_spark.functions import dedup as D
+from zync_spark.functions import joins as J
 from zync_spark.functions import multimodal as M
 from zync_spark.functions import similarity as S
 from zync_spark.functions import text as TX
@@ -1200,4 +1201,71 @@ def q_approx_distinct(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (beyond-reference; zync_spark/functions/joins.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_asof_join",
+    """
+    SELECT c.event_id, c.user_id, e.event_id AS err_id, e.ts AS err_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id AND e.ts <= c.ts
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join: each click joined to the user's most recent
+    error at-or-before it. Implemented as union + running last() window —
+    ONE shuffle on user_id, linear cost, no per-pair candidate blowup
+    (functions/joins.py); the oracle is DuckDB's native ASOF JOIN."""
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    errors = ev.filter(F.col("event_type") == "error")
+    out = J.asof_join(clicks, errors, on="user_id", left_time="ts", right_alias="m")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("m.event_id").alias("err_id"),
+        F.col("m.ts").alias("err_ts"),
+    )
+
+
+@register(
+    "q_range_join",
+    """
+    SELECT e.event_id, e.user_id, count(c.event_id) AS n_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = e.user_id
+     AND c.ts >= e.ts - INTERVAL 300 SECONDS AND c.ts < e.ts
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def q_range_join(spark, sf_dir):
+    """Interval (range) join: clicks within the 5 minutes before each error
+    by the same user, counted per error. Implemented as a time-bucket
+    equi-join + residual range filter (functions/joins.py) — a hash join
+    Catalyst can shuffle/AQE-plan, instead of the BroadcastNestedLoopJoin
+    a raw range predicate would force."""
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 300 SECONDS")).alias("lo"),
+        F.col("ts").alias("hi"),
+    )
+    joined = J.interval_join(
+        clicks, intervals, on="user_id", point_time="ts",
+        lo="lo", hi="hi", bucket_seconds=300, how="right",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("click_id").alias("n_clicks")
     )
