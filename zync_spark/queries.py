@@ -1269,3 +1269,22 @@ def q_range_join(spark, sf_dir):
     return joined.groupBy("event_id", "user_id").agg(
         F.count("click_id").alias("n_clicks")
     )
+
+
+@register("stream_stateful_sessions")
+def stream_stateful_sessions(spark, sf_dir):
+    """Custom stateful streaming operator: gap-based sessionization via
+    applyInPandasWithState (per-key state store + event-time timeouts,
+    zync_spark/streaming/stateful.py). Genuinely non-SQL-expressible
+    (stateful timeout semantics) → rows-only check; the golden test
+    cross-checks it against the batch gap-split sessions."""
+    from zync_spark.streaming.batch_bridge import read_events_stream, run_to_memory
+    from zync_spark.streaming.stateful import sessionize_with_state
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "value"
+    )
+    return run_to_memory(
+        sessionize_with_state(ev, gap_minutes=30, watermark="0 seconds"),
+        output_mode="append",
+    )
