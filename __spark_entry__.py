@@ -24,8 +24,51 @@ from zync_spark import queries as _q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: the 6-way regional-revenue join at sf0.001."""
-    return _q.q5_regional_revenue(spark, "/root/testdata/sf0.001")
+    """Flagship query: the engine's signature pipeline in one Catalyst plan —
+    envelope construction ({kafka:{topic,partition,offset},key,value},
+    fifo/consumer.go:117-148) → done-marker anti-join (etl/build.go:111-116)
+    → switch-case routing (etl/build.go:92-107) → per-topic window-function
+    offset assignment (replacing etl/pipeline.go:127-164's driver loop) →
+    grouped summary. Read-only over sf0.001 events."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = _q.T(spark, "/root/testdata/sf0.001", "events")
+    env = ev.select(
+        F.struct(
+            F.col("event_type").alias("topic"),
+            F.lit(0).cast("long").alias("partition"),
+            F.col("event_id").cast("long").alias("offset"),
+        ).alias("kafka"),
+        F.struct(F.col("user_id").alias("id")).alias("key"),
+        F.struct(F.col("value").alias("v"), F.col("ts").alias("ts")).alias("value"),
+    )
+    done = env.filter(F.col("kafka.offset") % 7 == 0).select(
+        F.col("kafka.topic").alias("d_topic"), F.col("kafka.offset").alias("d_offset")
+    )
+    pending = env.join(
+        done,
+        (F.col("kafka.topic") == F.col("d_topic"))
+        & (F.col("kafka.offset") == F.col("d_offset")),
+        "left_anti",
+    )
+    routed = pending.withColumn(
+        "route",
+        F.when(F.col("value.v") >= 10.0, F.lit("hot")).otherwise(F.lit("cold")),
+    )
+    w = Window.partitionBy("kafka.topic").orderBy("kafka.offset")
+    assigned = routed.withColumn(
+        "out_offset", (F.row_number().over(w) - 1).cast("long")
+    )
+    return (
+        assigned.groupBy(F.col("kafka.topic").alias("topic"), "route")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("out_offset").alias("max_out_offset"),
+            F.sum(F.col("value.v").cast("decimal(12,2)")).cast("double").alias("total_v"),
+        )
+        .orderBy("topic", "route")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
