@@ -189,3 +189,79 @@ def test_interval_join_inner_and_right(spark):
     for r in right.collect():
         per_iv.setdefault(r["iid"], []).append(r["pid"])
     assert per_iv == {100: [10], 101: [11], 102: [None]}
+
+
+def test_multimodal_resize_and_frames(spark):
+    from pyspark.sql import functions as F
+
+    from zync_spark.functions.multimodal import (
+        attach_media,
+        resize_images,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "another payload")], "id long, text string"
+    )
+    media = attach_media(df, "id", "text", "image/fake")
+
+    resized = resize_images(media, width=8, height=4, fake=True).collect()
+    assert {r["media_id"] for r in resized} == {1, 2}
+    assert all(r["n_bytes"] == 32 and len(r["payload"]) == 32 for r in resized)
+    assert all(r["width"] == 8 and r["height"] == 4 for r in resized)
+    # deterministic across runs
+    again = resize_images(media, width=8, height=4, fake=True).collect()
+    assert {r["media_id"]: r["digest"] for r in resized} == {
+        r["media_id"]: r["digest"] for r in again
+    }
+
+    frames = sample_frames(media, n_frames=3, frame_ms=100, fake=True).collect()
+    assert len(frames) == 6  # 1→N explode
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append((r["frame_idx"], r["frame_ts_ms"]))
+    assert all(sorted(v) == [(0, 0), (1, 100), (2, 200)] for v in by_media.values())
+
+    # the real-codec path is an explicit stub
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as ei:
+        resize_images(media, width=8, height=4, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "not available" in str(ei.value)
+
+
+def test_ann_variants_beat_random_sampling(spark):
+    """IVF and LSH are approximate, but on deterministic inputs their
+    recall@5 must beat the fraction of the corpus they scan (else the
+    index adds nothing over random sampling). IVF probes 2/16 cells
+    (~12.5%); LSH nbits=4 buckets scan ~1/16 (~6%)."""
+    from pyspark.sql import functions as F
+
+    import zync_spark.functions.similarity as S
+    from zync_spark.queries import T
+
+    emb = T(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in S.cosine_topk(emb, q, k=5).collect()}
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_ann_topk(emb, q, k=5, n_cells=16, nprobe=2).collect()
+    }
+    lsh = {(r["query_id"], r["neighbor_id"]) for r in S.lsh_ann_topk(emb, q, k=5, nbits=4).collect()}
+    assert len(exact) == 50
+    assert len(ivf & exact) / len(exact) > 0.125
+    assert len(lsh & exact) / len(exact) > 0.0625
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from zync_spark.functions.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold") for i in range(1000)], "id long, k string"
+    )
+    right = spark.createDataFrame([("hot", 1), ("cold", 2)], "k string, w long")
+    plain = {(r["id"], r["w"]) for r in left.join(right, "k").collect()}
+    salted = {(r["id"], r["w"]) for r in salted_join(left, right, on="k", salt=8).collect()}
+    assert salted == plain and len(plain) == 1000

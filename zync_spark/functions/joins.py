@@ -132,3 +132,32 @@ def interval_join(
         )
     )
     return matched.select(*point_cols, *iv_cols).unionByName(missing)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting for skewed keys: the left (big, skewed)
+    side gets a deterministic salt in [0, salt) derived from xxhash64 of
+    its whole row, splitting each hot key across `salt` reducers; the
+    right side replicates `salt`× via explode. Result is identical to the
+    plain join — salting only re-shards the shuffle.
+
+    Use when one key dominates (AQE's skew splitting handles sort-merge
+    spills, but salting also fixes the single-reducer hot partition for
+    hash aggregation downstream). Right side should be the smaller input
+    (it is replicated salt×).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    l2 = left.withColumn("__salt", lsalt.cast("int"))
+    # explode() is a generator — it cannot nest inside another expression
+    # (e.g. a cast), so the sequence is already int-typed to match __salt.
+    r2 = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0).cast("int"), F.lit(salt - 1).cast("int")))
+    )
+    return l2.join(r2, [*keys, "__salt"], how).drop("__salt")

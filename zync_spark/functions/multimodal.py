@@ -107,3 +107,107 @@ def decode_media(df: DataFrame, fake_features: bool = False) -> DataFrame:
             yield out
 
     return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+        StructField("digest", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_ts_ms", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  fake: bool = False) -> DataFrame:
+    """Resize image payloads to width×height via mapInPandas (1 row in →
+    1 row out, payload replaced, metadata updated).
+
+    Real decode+resample (PIL) is unavailable here — stubbed behind
+    NotImplementedError. With fake=True the stage emits a deterministic
+    payload (md5-seeded bytes, length width*height) so the Arrow batch
+    path, schema contract, and size accounting stay real and testable.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "image codecs (PIL) not available in this environment; "
+                    "run with fake=True for the deterministic stub"
+                )
+            payloads, digests = [], []
+            for payload in pdf["payload"]:
+                seed = hashlib.md5(bytes(payload)).digest()
+                # deterministic pseudo-pixels: repeat the md5 to the target size
+                buf = (seed * (width * height // len(seed) + 1))[: width * height]
+                payloads.append(buf)
+                digests.append(hashlib.md5(buf).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": payloads,
+                    "n_bytes": pd.Series([len(p) for p in payloads], dtype="int64"),
+                    "digest": digests,
+                    "width": pd.Series([width] * len(pdf), dtype="int64"),
+                    "height": pd.Series([height] * len(pdf), dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4, frame_ms: int = 1000,
+                  fake: bool = False) -> DataFrame:
+    """Sample n_frames frames per video payload via mapInPandas — the 1→N
+    batch shape (each input row explodes into frame rows).
+
+    Real demux (ffmpeg) is unavailable here — stubbed behind
+    NotImplementedError. With fake=True each frame payload derives
+    deterministically from (digest, frame_idx).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "video demux (ffmpeg) not available in this environment; "
+                    "run with fake=True for the deterministic stub"
+                )
+            rows = {k: [] for k in ("media_id", "frame_idx", "frame_ts_ms",
+                                    "payload", "digest")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                base = hashlib.md5(bytes(payload)).hexdigest()
+                for i in range(n_frames):
+                    frame = hashlib.md5(f"{base}:{i}".encode()).digest()
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["frame_ts_ms"].append(i * frame_ms)
+                    rows["payload"].append(frame)
+                    rows["digest"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int64"),
+                    "frame_ts_ms": pd.Series(rows["frame_ts_ms"], dtype="int64"),
+                    "payload": rows["payload"],
+                    "digest": rows["digest"],
+                }
+            )
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)

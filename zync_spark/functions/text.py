@@ -117,3 +117,18 @@ def word_shingles(tokens_col: Column, k: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(tokens_col, i, k)),
         )
     )
+
+
+# GPT-2-style pre-tokenizer pattern (public BPE regex shape): contractions,
+# letter runs, digit runs, punctuation runs — each optionally space-prefixed.
+# RE2 (DuckDB) has no backreferences/lookahead, and this pattern needs
+# neither, so both engines count identical matches.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish subword-boundary token count (the pre-tokenization pass of a
+    GPT-2-family tokenizer; real merges need the vocab, but the match count
+    is the standard cheap token estimate for corpus budgeting)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), F.lit(0))).cast("long")

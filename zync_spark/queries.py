@@ -1288,3 +1288,178 @@ def stream_stateful_sessions(spark, sf_dir):
         sessionize_with_state(ev, gap_minutes=30, watermark="0 seconds"),
         output_mode="append",
     )
+
+
+@register(
+    "text_bpe_tokens",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9[:space:]]+'))::BIGINT
+             AS n_bpe_tokens,
+           len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_bpe_tokens(spark, sf_dir):
+    """Token counting two ways: whitespace and the GPT-2-style BPE
+    pre-tokenizer regex (functions/text.py BPE_PATTERN — no backrefs or
+    lookahead, so Java regex and RE2 count identically). Pure Column
+    expressions inside whole-stage codegen."""
+    docs = T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.bpe_token_count("text").alias("n_bpe_tokens"),
+        F.size(TX.tokens("text")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+@register("multimodal_resize")
+def multimodal_resize(spark, sf_dir):
+    """Image-resize stage shape: opaque binary payloads through an
+    Arrow-batched mapInPandas resample (deterministic stub — real codecs
+    are deployment dependencies; functions/multimodal.py). Rows-only:
+    payload bytes are not SQL-reproducible."""
+    docs = T(spark, sf_dir, "documents")
+    media = M.attach_media(docs.limit(200), "doc_id", "text", "image/fake")
+    out = M.resize_images(media, width=32, height=16, fake=True)
+    return out.select("media_id", "n_bytes", "digest", "width", "height")
+
+
+@register("multimodal_frames")
+def multimodal_frames(spark, sf_dir):
+    """Video frame-sampling stage shape: each payload row explodes into
+    n_frames frame rows (1→N mapInPandas batch contract; deterministic
+    stub). Rows-only: payload bytes are not SQL-reproducible."""
+    docs = T(spark, sf_dir, "documents")
+    media = M.attach_media(docs.limit(100), "doc_id", "text", "video/fake")
+    out = M.sample_frames(media, n_frames=4, frame_ms=250, fake=True)
+    return out.select("media_id", "frame_idx", "frame_ts_ms", "digest")
+
+
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors: deterministic coarse quantizer
+    (16 cells), corpus assigned to 1 cell, queries probe 2 — the classic
+    inverted-file ANN layout (functions/similarity.py). Approximate by
+    construction → rows-only; ann_cosine_topk is the exact oracle-checked
+    twin."""
+    emb = T(spark, sf_dir, "embeddings")
+    return S.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                          n_cells=16, nprobe=2)
+
+
+@register(
+    "q_window_sliding",
+    """
+    WITH w AS (
+      SELECT event_type,
+             unnest([
+               to_timestamp((epoch_us(ts) // 1800000000) * 1800),
+               to_timestamp((epoch_us(ts) // 1800000000) * 1800 - 1800)
+             ]) AS ws
+      FROM events)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n
+    FROM w GROUP BY ws, event_type
+    """,
+)
+def q_window_sliding(spark, sf_dir):
+    """Sliding event-time windows (1h size, 30min slide): every event lands
+    in exactly 2 windows. F.window() expands window copies map-side; the
+    one shuffle is the grouped count. The oracle replays Spark's
+    epoch-aligned window-start arithmetic with integer floor division."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@register(
+    "stream_stream_join",
+    """
+    SELECT e.event_id AS err_id, c.event_id AS click_id, e.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = e.user_id
+     AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 1800 SECONDS
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join with watermarks and a bounded time-range
+    condition (clicks within 30 min after each error, same user): Spark
+    buffers each side in the state store only up to watermark + range —
+    bounded state, the Structured Streaming scale contract. availableNow
+    over the file source replays it batch-equivalently, so the plain-SQL
+    interval join is an exact oracle."""
+    from zync_spark.streaming.batch_bridge import read_events_stream, run_to_memory
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    j = errors.join(
+        clicks,
+        F.expr(
+            "c_user = user_id AND c_ts >= e_ts "
+            "AND c_ts < e_ts + INTERVAL 1800 SECONDS"
+        ),
+        "inner",
+    ).select("err_id", "click_id", "user_id")
+    return run_to_memory(j, output_mode="append")
+
+
+@register(
+    "q_salted_join",
+    """
+    SELECT e.event_type, count(*) AS n,
+           sum(e.value::DECIMAL(12,2))::DOUBLE AS total_value,
+           any_value(d.weight) AS weight
+    FROM events e
+    JOIN (SELECT DISTINCT event_type, length(event_type)::BIGINT AS weight
+          FROM events) d
+      ON d.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_salted_join(spark, sf_dir):
+    """Skew-resilient join: event_type has only a handful of values, so a
+    plain shuffle join lands each hot key on one reducer; salted_join
+    (functions/joins.py) shards every hot key across 8 reducers by salting
+    the big side and replicating the small side 8x. Result is identical to
+    the plain join (the oracle)."""
+    ev = T(spark, sf_dir, "events")
+    dims = ev.select("event_type").distinct().select(
+        "event_type", F.length("event_type").cast("long").alias("weight")
+    )
+    joined = J.salted_join(ev, dims, on="event_type", salt=8)
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        F.first("weight").alias("weight"),
+    )
