@@ -182,3 +182,38 @@ def test_split_input_pool_conflict():
     bad = MULTI_OUT_YAML.replace("in: InvoiceStatus", "in: Invoices")
     with pytest.raises(ConfigError, match="multiple output pools"):
         lc(bad)
+
+
+def test_cursor_prunes_incremental_scans(spark, tmp_path):
+    """After batches are fully processed, the next build's raw scan prunes
+    fully-done commits at the MANIFEST level (etl/build.go:9-18's missing
+    optimization) — and stays correct with gaps (pending rows hold the
+    cursor back until resolved)."""
+    raw = Pool.create(spark, os.path.join(tmp_path, "Raw"))
+    staging = Pool.create(spark, os.path.join(tmp_path, "Staging"))
+    transform = load_config(INVOICES_YAML)
+    pipeline = EtlPipeline(spark, transform, {"Raw": raw, "Staging": staging})
+
+    raw.load(spark.createDataFrame(BATCHES[0], ROW_SCHEMA), "b1")
+    pipeline.run()
+    # batch 2 leaves Dan's invoice (offset 4) pending: cursor stuck at 4
+    raw.load(spark.createDataFrame(BATCHES[1], ROW_SCHEMA), "b2")
+    pipeline.run()
+    cursors2 = staging.stored_cursors()
+    assert cursors2["Invoices"] == 4
+
+    # with batch-1 offsets all done, a bounded raw scan drops commit b1
+    all_files = raw.committed_files()
+    pruned = raw.committed_files(lower_bounds={"Invoices": cursors2["Invoices"]})
+    assert set(pruned) <= set(all_files)
+
+    # batch 3 resolves Dan; full golden state must still hold after pruned
+    # incremental runs (correctness backstop = anti-join over the tail)
+    raw.load(spark.createDataFrame(BATCHES[2], ROW_SCHEMA), "b3")
+    pipeline.run()
+    assert staging.stored_cursors()["Invoices"] > 4
+    assert pipeline.run("rerun") == 0
+    data, done = _staging_state(staging)
+    expected_data = sorted(GOLDEN_DATA[1] + GOLDEN_DATA[2] + GOLDEN_DATA[3])
+    expected_done = sorted(GOLDEN_DONE[1] + GOLDEN_DONE[2] + GOLDEN_DONE[3])
+    assert data == expected_data and done == expected_done

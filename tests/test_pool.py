@@ -55,3 +55,51 @@ def test_offset_queries(spark, tmp_path):
     assert p.next_consumer_offset("Invoices") == 5      # max offset 4 + 1
     assert p.next_consumer_offset("InvoiceStatus") == 4  # max offset 3 + 1
     assert p.next_producer_offsets() == {"Invoices": 5, "InvoiceStatus": 4}
+
+
+def test_manifest_stats_prune_commits(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from zync_spark.pool import Pool
+
+    pool = Pool.create(spark, os.path.join(tmp_path, "P"))
+
+    def env_batch(topic, offsets):
+        return spark.createDataFrame(
+            [((topic, 0, o), "data") for o in offsets],
+            "kafka struct<topic:string,partition:long,offset:long>, zed_type string",
+        )
+
+    pool.load(env_batch("A", [0, 1, 2]))
+    pool.load(env_batch("A", [3, 4]))
+    pool.load(env_batch("B", [0, 1]))
+
+    all_files = pool.committed_files()
+    # bound A>=3: commit 1 (A max 2) and commit 3 (no A) prune away
+    pruned = pool.committed_files(lower_bounds={"A": 3})
+    assert set(pruned) < set(all_files)
+    rows = pool.scan(lower_bounds={"A": 3}).filter(
+        (F.col("kafka.topic") == "A") & (F.col("kafka.offset") >= 3)
+    ).collect()
+    assert sorted(r["kafka"]["offset"] for r in rows) == [3, 4]
+    # bound below everything keeps all commits with that topic
+    assert len(pool.committed_files(lower_bounds={"A": 0})) == len(
+        pool.committed_files(lower_bounds={"A": 2})
+    )
+
+
+def test_stored_cursors_latest_wins(spark, tmp_path):
+    import os
+
+    from zync_spark.pool import Pool
+
+    pool = Pool.create(spark, os.path.join(tmp_path, "C"))
+    env = spark.createDataFrame(
+        [(("T", 0, 0), "done")],
+        "kafka struct<topic:string,partition:long,offset:long>, zed_type string",
+    )
+    pool.load(env, "c1", cursors={"T": 3, "U": 2})
+    pool.load(env, "c2", cursors={"T": 7})
+    assert pool.stored_cursors() == {"T": 7, "U": 2}

@@ -45,24 +45,43 @@ class EtlPipeline:
         self.spark = spark
         self.t = transform
         self.pools = pools
+        # out-pool → cursor-advance plan for the latest build (see
+        # _build_group); collected and committed by run().
+        self._cursor_plans: dict[str, DataFrame] = {}
 
     # -- plan construction -------------------------------------------------
 
-    def _unprocessed(self, topic: str, out_pool: str) -> DataFrame | None:
+    def _unprocessed(self, topic: str, out_pool: str,
+                     cursor: int = 0) -> DataFrame | None:
         """Raw records of `topic` minus those with done markers in the
-        output pool (the anti-join of etl/build.go:111-116)."""
+        output pool (the anti-join of etl/build.go:111-116).
+
+        `cursor` is the topic's contiguous done prefix (Pool.done_cursors):
+        the raw scan and the marker scan are both range-limited to
+        offset >= cursor — whole commits prune via manifest stats, row
+        groups via parquet min/max, and the anti-join build side shrinks
+        to the non-contiguous tail. The reference scans the full pool
+        every run and flags exactly this as its missing optimization
+        (etl/build.go:9-18)."""
         pool = self.pools[self.t.pool_for_topic(topic)]
-        raw = pool.scan()
+        bounds = {topic: cursor}
+        raw = pool.scan(lower_bounds=bounds)
         if raw is None:
             return None
         raw = raw.filter(
-            (F.col("kafka.topic") == topic) & (F.col("zed_type") == ZED_TYPE_DATA)
+            (F.col("kafka.topic") == topic)
+            & (F.col("zed_type") == ZED_TYPE_DATA)
+            & (F.col("kafka.offset") >= cursor)
         )
-        out_state = self.pools[out_pool].scan()
+        out_state = self.pools[out_pool].scan(lower_bounds=bounds)
         if out_state is None:
             return raw
         done = (
-            out_state.filter(F.col("zed_type") == ZED_TYPE_DONE)
+            out_state.filter(
+                (F.col("zed_type") == ZED_TYPE_DONE)
+                & (F.col("kafka.topic") == topic)
+                & (F.col("kafka.offset") >= cursor)
+            )
             .select(
                 F.col("kafka.topic").alias("__d_topic"),
                 F.col("kafka.offset").alias("__d_offset"),
@@ -225,8 +244,9 @@ class EtlPipeline:
         group_topics = {
             t for _, r in group for t in (r.in_topic, r.left, r.right) if t
         }
+        cursors = self.pools[out_pool].stored_cursors()
         scans = [
-            self._unprocessed(t, out_pool)
+            self._unprocessed(t, out_pool, cursor=cursors.get(t, 0))
             for t in self.t.input_topics()
             if t in group_topics
         ]
@@ -248,6 +268,25 @@ class EtlPipeline:
             lambda a, b: a.unionByName(b, allowMissingColumns=True), outs
         )
         markers = reduce(lambda a, b: a.unionByName(b), consumed).distinct()
+
+        # Cursor advance (persisted with the commit in run()): per topic,
+        # the min offset scanned-but-not-consumed this run (still pending),
+        # else max scanned + 1. Safe lower bound for the NEXT run's scans:
+        # everything below it either carries a done marker or does not
+        # exist — the range limit of etl/build.go:9-18.
+        scanned = records.select(
+            F.col("kafka.topic").alias("t"), F.col("kafka.offset").alias("o")
+        )
+        pend = scanned.join(
+            markers.select(F.col("topic").alias("t"), F.col("offset").alias("o")),
+            ["t", "o"],
+            "left_anti",
+        )
+        self._cursor_plans[out_pool] = (
+            scanned.groupBy("t")
+            .agg(F.max("o").alias("mx"))
+            .join(pend.groupBy("t").agg(F.min("o").alias("pmin")), "t", "left")
+        )
 
         # Per-output-topic consecutive offsets: window function over a
         # deterministic order (driving input offset, rule order, source) —
@@ -295,7 +334,17 @@ class EtlPipeline:
         for pool_name, (outputs, markers) in self.build_all().items():
             if outputs is None:
                 continue
+            pool = self.pools[pool_name]
+            # Advance scan cursors monotonically; committed atomically with
+            # outputs+markers so the bound is exactly as durable as the
+            # markers it summarizes.
+            cursors = dict(pool.stored_cursors())
+            plan = self._cursor_plans.get(pool_name)
+            if plan is not None:
+                for r in plan.collect():
+                    nxt = r["pmin"] if r["pmin"] is not None else r["mx"] + 1
+                    cursors[r["t"]] = max(int(nxt), cursors.get(r["t"], 0))
             batch = outputs.unionByName(markers, allowMissingColumns=True)
-            total += self.pools[pool_name].load(batch, message)
+            total += pool.load(batch, message, cursors=cursors)
         return total
 

@@ -78,34 +78,61 @@ class Pool:
             return []
         return sorted(f for f in os.listdir(d) if f.endswith(".json"))
 
-    def committed_files(self) -> list[str]:
+    def committed_files(self, lower_bounds: dict[str, int] | None = None) -> list[str]:
+        """Committed data files, optionally pruned by manifest offset stats.
+
+        `lower_bounds` declares the caller's read contract: it will only
+        look at rows whose kafka.topic is a key of the dict with
+        kafka.offset >= its bound. A commit is skipped when no bounded
+        topic can still have qualifying rows (its per-topic max offset is
+        below the bound, or the topic is absent). Commits without stats
+        (foreign manifests) are always kept. This is the range-limited
+        scan the reference planned but never built (etl/build.go:9-18):
+        incremental ETL cost goes with NEW data, not pool size.
+        """
         files: list[str] = []
         for c in self.commits():
             with open(os.path.join(self._commit_dir(), c)) as f:
-                files.extend(json.load(f)["files"])
+                manifest = json.load(f)
+            if lower_bounds is not None:
+                stats = manifest.get("stats")
+                if stats is not None:
+                    keep = any(
+                        topic in stats and stats[topic][1] >= bound
+                        for topic, bound in lower_bounds.items()
+                    )
+                    if not keep:
+                        continue
+            files.extend(manifest["files"])
         return files
 
     # -- I/O ---------------------------------------------------------------
 
-    def scan(self) -> DataFrame | None:
+    def scan(self, lower_bounds: dict[str, int] | None = None) -> DataFrame | None:
         """Read the pool's committed state; None when the pool is empty.
 
         Schemas may widen across commits (the pool is heterogeneously
         typed, SURVEY §1.2) — mergeSchema unifies them with null-padding.
+        With `lower_bounds`, whole commits outside the bounds are pruned
+        from the file list (see committed_files); the caller MUST still
+        apply the matching row filter (which parquet row-group stats then
+        accelerate, since files are offset-sorted at write time).
         """
-        files = self.committed_files()
+        files = self.committed_files(lower_bounds)
         if not files:
             return None
         return (
             self.spark.read.option("mergeSchema", "true").parquet(*files)
         )
 
-    def load(self, df: DataFrame, message: str = "") -> int:
+    def load(self, df: DataFrame, message: str = "",
+             cursors: dict[str, int] | None = None) -> int:
         """Atomically commit a batch (reference Load, etl/pool.go:56-58).
 
         Data is sorted by the pool key within partitions before writing so
         parquet row-group stats enable offset-range data skipping.
-        Returns the number of committed rows.
+        `cursors` (optional) persists per-topic scan cursors with the
+        commit (see stored_cursors). Returns the number of committed rows.
         """
         n = df.count()
         if n == 0:
@@ -122,10 +149,27 @@ class Pool:
             for f in os.listdir(data_path)
             if f.endswith(".parquet")
         ]
+        # Per-topic offset range stats → manifest-level commit pruning for
+        # bounded scans (committed_files). One tiny agg per commit.
+        try:
+            stats = {
+                r["t"]: [r["lo"], r["hi"]]
+                for r in df.groupBy(F.col("kafka.topic").alias("t"))
+                .agg(
+                    F.min(F.col("kafka.offset")).alias("lo"),
+                    F.max(F.col("kafka.offset")).alias("hi"),
+                )
+                .collect()
+            }
+        except Exception:
+            stats = None  # non-envelope frame: no stats, commit never pruned
         seq = len(self.commits())
+        manifest = {"files": sorted(parts), "message": message, "rows": n,
+                    "stats": stats}
+        if cursors:
+            manifest["cursors"] = cursors
         _atomic_write_json(
-            os.path.join(self._commit_dir(), f"{seq:06d}.json"),
-            {"files": sorted(parts), "message": message, "rows": n},
+            os.path.join(self._commit_dir(), f"{seq:06d}.json"), manifest
         )
         return n
 
@@ -144,6 +188,24 @@ class Pool:
             .collect()
         )
         return {r["topic"]: r["mx"] + 1 for r in rows}
+
+    def stored_cursors(self) -> dict[str, int]:
+        """Per input topic, the scan cursor persisted with the most recent
+        commit that recorded one: every existing offset below the cursor is
+        processed, so incremental scans may start there — the cursor range
+        limit of design.md / README pseudo-code that the reference never
+        implemented (etl/build.go:9-18). Cursors are computed by the ETL
+        run itself (min still-pending offset, else max-scanned+1) and
+        committed atomically with outputs+markers, so they are exactly as
+        durable as the markers they summarize.
+        """
+        cursors: dict[str, int] = {}
+        for c in self.commits():
+            with open(os.path.join(self._commit_dir(), c)) as f:
+                manifest = json.load(f)
+            for t, v in (manifest.get("cursors") or {}).items():
+                cursors[t] = int(v)
+        return cursors
 
     def next_consumer_offset(self, topic: str) -> int:
         """max(offset)+1 over records of `topic` (ingest resume point,
