@@ -1,0 +1,64 @@
+"""End-to-end CLI test over a temp lake: produce envelope JSON → etl from a
+YAML transform (+ --plan dump) → query → consume. Runs in-process (main()
+with argv) so the shared test SparkSession is reused."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from tests.fixtures_invoices import BATCHES, INVOICES_YAML, ROW_SCHEMA
+
+from zync_spark.cli import main
+
+
+def _produce_file(spark, tmp_path, batch) -> str:
+    # CLI produce reads JSON-lines envelope records
+    df = spark.createDataFrame(batch, ROW_SCHEMA)
+    path = os.path.join(tmp_path, "input")
+    df.coalesce(1).write.mode("overwrite").json(path)
+    files = [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".json")]
+    assert files
+    return files[0]
+
+
+def test_cli_produce_etl_query_consume(spark, tmp_path, capsys):
+    lake = os.path.join(tmp_path, "lake")
+    cfg = os.path.join(tmp_path, "invoices.yaml")
+    with open(cfg, "w") as f:
+        f.write(INVOICES_YAML)
+
+    f1 = _produce_file(spark, tmp_path, BATCHES[0])
+    assert main([
+        "--lake", lake, "produce", f1, "--pool", "Raw",
+        "--schema", ROW_SCHEMA.toDDL(),
+    ]) == 0
+    assert "loaded" in capsys.readouterr().out
+
+    # plan dump (the analog of `zync etl -zed` golden program output)
+    assert main(["--lake", lake, "etl", cfg, "--plan"]) == 0
+    plan = capsys.readouterr().out
+    assert "output pool Staging" in plan and "AdaptiveSparkPlan" in plan
+
+    assert main(["--lake", lake, "etl", cfg]) == 0
+    out = capsys.readouterr().out
+    assert "ETL'd" in out and "ETL'd 0" not in out
+
+    # rerun is a no-op (idempotent)
+    assert main(["--lake", lake, "etl", cfg, "--message", "rerun"]) == 0
+    assert "ETL'd 0 records" in capsys.readouterr().out
+
+    assert main([
+        "--lake", lake, "query",
+        "SELECT count(*) AS n FROM Staging WHERE zed_type = 'data'",
+    ]) == 0
+    n = json.loads(capsys.readouterr().out.strip())["n"]
+    assert n > 0
+
+    assert main([
+        "--lake", lake, "consume", "NewInvoices", "--pool", "Staging",
+    ]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == n
+    offsets = [r["kafka"]["offset"] for r in lines]
+    assert offsets == sorted(offsets)

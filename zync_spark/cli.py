@@ -96,10 +96,17 @@ def cmd_consume(args) -> int:
 
 def cmd_produce(args) -> int:
     """Load JSON-lines envelope records from files into a pool
-    (broker-less analog of cmd/zync/produce)."""
+    (broker-less analog of cmd/zync/produce).
+
+    `--schema` takes a Spark DDL string; without it the schema is inferred,
+    which silently DROPS all-null fields (plain JSON is schema-lossy, which
+    is exactly why the reference feeds typed ZSON to produce)."""
     spark = _spark()
     pool = _pool(spark, args.lake, args.pool, create=True)
-    df = spark.read.json(args.files)
+    reader = spark.read
+    if args.schema:
+        reader = reader.schema(args.schema)
+    df = reader.json(args.files)
     n = pool.load(df, f"produce {','.join(args.files)}")
     print(f"loaded {n} records")
     return 0
@@ -160,6 +167,9 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("produce", help="load envelope JSON files into a pool")
     p.add_argument("files", nargs="+")
     p.add_argument("--pool", required=True)
+    p.add_argument("--schema", default=None,
+                   help="Spark DDL schema for the JSON records (inference "
+                        "drops all-null fields)")
     p.set_defaults(fn=cmd_produce)
 
     p = sub.add_parser("ls", help="list schema registry subjects")
