@@ -1463,3 +1463,87 @@ def q_salted_join(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
         F.first("weight").alias("weight"),
     )
+
+
+@register(
+    "q_json_extract",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+           max(json_extract(props, '$.k')::BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    """Semi-structured column handling: events.props carries JSON text;
+    get_json_object extracts fields JVM-side (no Python). The schema-on-
+    read posture of the reference's Connect-JSON decode path
+    (connectjson/connectjson.go:185-228) applied to an embedded column."""
+    ev = T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "q_pivot",
+    """
+    SELECT user_id % 10 AS cohort,
+           sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
+           sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
+           sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup
+    FROM events
+    GROUP BY user_id % 10
+    """,
+)
+def q_pivot(spark, sf_dir):
+    """Pivot (wide conditional aggregation): one shuffle with map-side
+    partials; expressed via pivot() so Catalyst emits the same conditional
+    aggregates as the CASE WHEN oracle."""
+    ev = T(spark, sf_dir, "events")
+    types = ["click", "view", "error", "purchase", "signup"]
+    out = (
+        ev.withColumn("cohort", F.col("user_id") % 10)
+        .groupBy("cohort")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "cohort",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
+@register(
+    "q_corr_subquery",
+    """
+    SELECT o.o_orderkey
+    FROM orders o
+    WHERE o.o_totalprice::DECIMAL(14,2) > 1.5 * (
+      SELECT sum(o2.o_totalprice::DECIMAL(14,2)) / count(*)
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q_corr_subquery(spark, sf_dir):
+    """Correlated scalar subquery (orders 1.5x above their customer's
+    average), decorrelated to a window aggregate — ONE shuffle on
+    o_custkey instead of a per-row subquery. DECIMAL-exact average keeps
+    the comparison deterministic across engines."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    avg_exact = (
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).over(w)
+        / F.count("*").over(w)
+    )
+    return (
+        o.withColumn("__avg", avg_exact)
+        .filter(F.col("o_totalprice").cast("decimal(14,2)") > 1.5 * F.col("__avg"))
+        .select("o_orderkey")
+    )
