@@ -217,3 +217,44 @@ def test_cursor_prunes_incremental_scans(spark, tmp_path):
     expected_data = sorted(GOLDEN_DATA[1] + GOLDEN_DATA[2] + GOLDEN_DATA[3])
     expected_done = sorted(GOLDEN_DONE[1] + GOLDEN_DONE[2] + GOLDEN_DONE[3])
     assert data == expected_data and done == expected_done
+
+
+def test_compiled_plan_shape(spark, tmp_path):
+    """Golden compiled-plan test (analog of the reference's generated-
+    program golden, ztests/etl-zed.yaml), in both cursor regimes:
+
+    1. markers at/above the cursor → the physical plan carries the full
+       signature: done-marker anti join, window offset assignment, rule-
+       branch union, and the cursor bound pushed into the parquet scan;
+    2. everything processed → the bounded marker scan prunes to NOTHING
+       at the manifest level and the anti-join disappears from the plan
+       entirely (the run the reference performs a full scan for
+       compiles to a no-op here)."""
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    raw = Pool.create(spark, os.path.join(tmp_path, "Raw"))
+    staging = Pool.create(spark, os.path.join(tmp_path, "Staging"))
+    transform = load_config(INVOICES_YAML)
+    pipeline = EtlPipeline(spark, transform, {"Raw": raw, "Staging": staging})
+    raw.load(spark.createDataFrame(BATCHES[0], ROW_SCHEMA))
+    # pre-seed a done marker with NO stored cursor: markers >= cursor(0)
+    staging.load(
+        spark.createDataFrame(
+            [(("Invoices", 0, 1), "done")],
+            "kafka struct<topic:string,partition:long,offset:long>, zed_type string",
+        )
+    )
+
+    outputs, _markers = pipeline.build()
+    assert outputs is not None
+    plan = outputs._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan                       # done-marker anti join
+    assert "row_number" in plan                     # offset assignment window
+    assert "Union" in plan                          # switch-branch merge
+    assert "GreaterThanOrEqual(kafka.offset,0)" in plan  # cursor bound pushed
+
+    # regime 2: process everything; next build prunes the anti-join away
+    pipeline.run()
+    outputs2, _ = pipeline.build()
+    if outputs2 is not None:
+        plan2 = outputs2._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" not in plan2
