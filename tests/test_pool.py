@@ -103,3 +103,25 @@ def test_stored_cursors_latest_wins(spark, tmp_path):
     pool.load(env, "c1", cursors={"T": 3, "U": 2})
     pool.load(env, "c2", cursors={"T": 7})
     assert pool.stored_cursors() == {"T": 7, "U": 2}
+
+
+def test_schema_widening_across_commits(spark, tmp_path):
+    """The pool is heterogeneously typed (SURVEY §1.2): later commits may
+    carry wider value schemas; scan() fuses them with null-padding."""
+    import os
+
+    from zync_spark.pool import Pool
+
+    pool = Pool.create(spark, os.path.join(tmp_path, "W"))
+    pool.load(spark.createDataFrame(
+        [((("T"), 0, 0), (1,), "data")],
+        "kafka struct<topic:string,partition:long,offset:long>, "
+        "value struct<a:long>, zed_type string",
+    ))
+    pool.load(spark.createDataFrame(
+        [((("T"), 0, 1), (2, "x"), "data")],
+        "kafka struct<topic:string,partition:long,offset:long>, "
+        "value struct<a:long,b:string>, zed_type string",
+    ))
+    rows = {r["kafka"]["offset"]: r["value"].asDict() for r in pool.scan().collect()}
+    assert rows == {0: {"a": 1, "b": None}, 1: {"a": 2, "b": "x"}}

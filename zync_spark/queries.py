@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "text_stats",
+    "q_asof_join",
 ]
 
 
@@ -1547,3 +1548,34 @@ def q_corr_subquery(spark, sf_dir):
         .filter(F.col("o_totalprice").cast("decimal(14,2)") > 1.5 * F.col("__avg"))
         .select("o_orderkey")
     )
+
+
+@register(
+    "stream_dedup_watermarked",
+    """
+    SELECT user_id, event_type, count(*) AS n_first
+    FROM (
+      SELECT DISTINCT ON (user_id, event_type, (epoch_us(ts) // 3600000000))
+             user_id, event_type
+      FROM events
+      ORDER BY user_id, event_type, (epoch_us(ts) // 3600000000), ts, event_id)
+    GROUP BY user_id, event_type
+    """,
+)
+def stream_dedup_watermarked(spark, sf_dir):
+    """Bounded-state streaming dedup: dropDuplicates on (user_id,
+    event_type, hour-bucket) — the production pattern where per-key state
+    expires with the watermark instead of growing forever
+    (dropDuplicatesWithinWatermark semantics, expressed with an explicit
+    time bucket so a batch oracle exists: one survivor per key per hour)."""
+    from zync_spark.streaming.batch_bridge import read_events_stream, run_to_memory
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    deduped = (
+        ev.withWatermark("ts", "1 hour")
+        .withColumn("hour_bucket", (F.unix_micros("ts") / F.lit(3600000000)).cast("long"))
+        .dropDuplicates(["user_id", "event_type", "hour_bucket"])
+        .select("user_id", "event_type")
+    )
+    res = run_to_memory(deduped, output_mode="append")
+    return res.groupBy("user_id", "event_type").agg(F.count("*").alias("n_first"))
