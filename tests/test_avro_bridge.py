@@ -157,3 +157,13 @@ def test_dataframe_encode_decode_roundtrip(spark):
     assert got[1]["ID"] == 100 and got[1]["name"] == "Alice"
     assert got[2]["ID"] == 101 and got[2]["name"] is None
     assert got[3] is None or (got[3]["ID"] is None and got[3]["name"] is None)
+
+
+def test_registry_latest():
+    from zync_spark.sources.registry import MemoryRegistry
+
+    reg = MemoryRegistry()
+    reg.register("zng_aaa", '{"type":"record","name":"a","fields":[]}')
+    reg.register("zng_aaa", '{"type":"record","name":"a2","fields":[]}')
+    latest = reg.latest("zng_aaa")
+    assert latest["version"] == 2 and latest["schema"]["name"] == "a2"

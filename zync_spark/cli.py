@@ -113,11 +113,17 @@ def cmd_produce(args) -> int:
 
 
 def cmd_ls(args) -> int:
+    """List registry subjects with latest id/version/schema — the exact
+    output shape of the reference (cmd/zync/ls/command.go:53-60)."""
     from zync_spark.sources.registry import HttpRegistry
 
     reg = HttpRegistry(args.registry)
     for s in reg.subjects():
-        print(s)
+        print(f"subject {s}:")
+        latest = reg.latest(s)
+        print(f"  id {latest['id']}")
+        print(f"  version {latest['version']}")
+        print(f"  schema {json.dumps(latest['schema'])}")
     return 0
 
 

@@ -26,6 +26,11 @@ class BaseRegistry:
     def subjects(self) -> list[str]:
         raise NotImplementedError
 
+    def latest(self, subject: str) -> dict:
+        """{id, version, schema} of the subject's latest version
+        (cmd/zync/ls/command.go:53-60)."""
+        raise NotImplementedError
+
 
 class MemoryRegistry(BaseRegistry):
     """In-memory registry with Confluent semantics (same schema text →
@@ -53,6 +58,14 @@ class MemoryRegistry(BaseRegistry):
 
     def subjects(self) -> list[str]:
         return sorted(self._subjects)
+
+    def latest(self, subject: str) -> dict:
+        ids = self._subjects[subject]
+        return {
+            "id": ids[-1],
+            "version": len(ids),
+            "schema": json.loads(self._by_id[ids[-1]]),
+        }
 
 
 class HttpRegistry(BaseRegistry):
@@ -91,3 +104,11 @@ class HttpRegistry(BaseRegistry):
 
     def subjects(self) -> list[str]:
         return sorted(self._request("GET", "/subjects"))
+
+    def latest(self, subject: str) -> dict:
+        out = self._request("GET", f"/subjects/{subject}/versions/latest")
+        return {
+            "id": out["id"],
+            "version": out["version"],
+            "schema": json.loads(out["schema"]),
+        }
