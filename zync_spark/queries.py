@@ -1579,3 +1579,40 @@ def stream_dedup_watermarked(spark, sf_dir):
     )
     res = run_to_memory(deduped, output_mode="append")
     return res.groupBy("user_id", "event_type").agg(F.count("*").alias("n_first"))
+
+
+@register(
+    "q_vector_centroids",
+    """
+    WITH pos AS (
+      SELECT vec_id % 8 AS cluster,
+             unnest(range(64)) AS pos,
+             floor(unnest(embedding)::DOUBLE * 1048576)::BIGINT AS xs
+      FROM embeddings)
+    SELECT cluster, pos,
+           sum(xs) AS sum_scaled,
+           count(*) AS n,
+           sum(xs) / (count(*) * 1048576.0) AS mean_x
+    FROM pos GROUP BY cluster, pos
+    """,
+)
+def q_vector_centroids(spark, sf_dir):
+    """Element-wise vector aggregation (cluster centroids — the building
+    block of IVF training / embedding analytics): posexplode the vectors,
+    one shuffle on (cluster, dim) with map-side partial sums. Values scale
+    to fixed-point longs before summing (floor is exact in both engines;
+    double summation order is nondeterministic under shuffle)."""
+    emb = T(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        (F.col("vec_id") % 8).alias("cluster"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "cluster",
+        F.col("pos").cast("long").alias("pos"),
+        F.floor(F.col("x").cast("double") * 1048576).cast("long").alias("xs"),
+    )
+    return exploded.groupBy("cluster", "pos").agg(
+        F.sum("xs").alias("sum_scaled"),
+        F.count("*").alias("n"),
+        (F.sum("xs") / (F.count("*") * F.lit(1048576.0))).alias("mean_x"),
+    )
