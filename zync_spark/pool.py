@@ -139,8 +139,14 @@ class Pool:
             return 0
         file_id = uuid.uuid4().hex
         data_path = os.path.join(self.path, "data", file_id)
+        # Size-aware write: small batches collapse to few files instead of
+        # one tiny file per shuffle partition (a 20k-row commit is 1 file,
+        # not 32) — file-count bloat is what kills manifest-driven lakes
+        # at scale. Large batches keep their parallelism.
+        target = max(1, min(df.rdd.getNumPartitions(), n // 500_000 + 1))
         (
-            df.sortWithinPartitions(F.col("kafka.offset"))
+            df.coalesce(target)
+            .sortWithinPartitions(F.col("kafka.offset"))
             .write.mode("overwrite")
             .parquet(data_path)
         )
