@@ -104,28 +104,38 @@ def q1_pricing_summary(spark, sf_dir):
     pushed to the parquet scan.
     """
     li = T(spark, sf_dir, "lineitem")
-    # Decimal-exact aggregation: double sums are order-dependent in the last
-    # ulp (shuffle order is nondeterministic), and round(double) half-way
-    # behavior differs between engines. Casting the 2-decimal inputs to
-    # DECIMAL makes every sum exact and order-independent; the final cast
-    # back to double is then deterministic.
-    qty = F.col("l_quantity").cast("decimal(12,2)")
-    ep = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc = F.col("l_discount").cast("decimal(4,2)")
-    tax = F.col("l_tax").cast("decimal(4,2)")
-    one = F.lit(1).cast("decimal(3,2)")
+    # Exact-and-fast aggregation: double sums are order-dependent in the
+    # last ulp (shuffle order is nondeterministic), so all sums must be
+    # exact integer/decimal arithmetic. The 2-decimal inputs are scaled to
+    # integer cents (round() only snaps the <1-ulp storage error — inputs
+    # are exact hundredths, never a true halfway case), so the per-row
+    # multiplies run on longs inside whole-stage codegen instead of the
+    # ~2x-slower decimal path. Sums that stay small (qty<=50_00,
+    # disc<=10 per row: <4e15 even at 6e11 rows) accumulate as long;
+    # price-magnitude sums (~1e7..1e11 per row, would overflow long past
+    # ~sf100) accumulate as decimal(30,0). Final downscale happens in
+    # decimal (exact), then ONE cast to double — identical to the
+    # oracle's sum(DECIMAL)::DOUBLE.
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    ep = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    tax = F.round(F.col("l_tax") * 100).cast("long")
+    dp = (ep * (100 - disc)).cast("decimal(20,0)")
+    ch = (ep * (100 - disc) * (100 + tax)).cast("decimal(20,0)")
+    sum_qty = (F.sum(qty).cast("decimal(38,0)") / 100).cast("double")
+    sum_base = (F.sum(ep.cast("decimal(20,0)")) / 100).cast("double")
     cnt = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(ep).cast("double").alias("sum_base_price"),
-            F.sum(ep * (one - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(ep * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
-            (F.sum(qty).cast("double") / cnt).alias("avg_qty"),
-            (F.sum(ep).cast("double") / cnt).alias("avg_price"),
-            (F.sum(disc).cast("double") / cnt).alias("avg_disc"),
+            sum_qty.alias("sum_qty"),
+            sum_base.alias("sum_base_price"),
+            (F.sum(dp) / 10000).cast("double").alias("sum_disc_price"),
+            (F.sum(ch) / 1000000).cast("double").alias("sum_charge"),
+            (sum_qty / cnt).alias("avg_qty"),
+            (sum_base / cnt).alias("avg_price"),
+            ((F.sum(disc).cast("decimal(38,0)") / 100).cast("double") / cnt).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )

@@ -12,7 +12,8 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "zync-spark", master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              adaptive: bool = True) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
 
     - AQE enabled: runtime coalescing of shuffle partitions + skew-join
@@ -25,7 +26,7 @@ def get_spark(app_name: str = "zync-spark", master: str | None = None,
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", str(adaptive).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
