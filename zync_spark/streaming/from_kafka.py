@@ -121,20 +121,27 @@ class FromKafka:
 
     # -- streaming entry ---------------------------------------------------
 
-    def run(self, config: dict, thresh: int = 1_048_576, interval: str = "5 seconds",
-            exit_after: bool = False):
-        """Start the Structured Streaming sync (needs the kafka connector).
+    def run(self, config: dict | None = None, thresh: int = 1_048_576,
+            interval: str = "5 seconds", exit_after: bool = False,
+            frame: DataFrame | None = None, checkpoint: str | None = None):
+        """Start the Structured Streaming sync.
 
         thresh/interval are the reference's -thresh/-interval commit bounds
-        (cmd/zync/from-kafka/command.go:79-82)."""
-        if not kafka_available(self.spark):
-            raise RuntimeError(
-                "spark-sql-kafka connector not on the classpath; "
-                "add org.apache.spark:spark-sql-kafka-0-10_2.13 to spark.jars.packages"
-            )
-        resume = self.resume_offsets()
-        starting = {t: {"0": o} for t, o in resume.items()}
-        frame = read_stream(self.spark, config, list(self.topic_pools), starting)
+        (cmd/zync/from-kafka/command.go:79-82). The source is pluggable:
+        by default the kafka connector (resuming from the pools' committed
+        offsets via startingOffsets); pass `frame` to run the same loop
+        over any streaming kafka-frame (e.g. sources.filequeue.FileQueue
+        for broker-less dev/test — there the streaming checkpoint carries
+        the resume point, so pass `checkpoint` too)."""
+        if frame is None:
+            if not kafka_available(self.spark):
+                raise RuntimeError(
+                    "spark-sql-kafka connector not on the classpath; "
+                    "add org.apache.spark:spark-sql-kafka-0-10_2.13 to spark.jars.packages"
+                )
+            resume = self.resume_offsets()
+            starting = {t: {"0": o} for t, o in resume.items()}
+            frame = read_stream(self.spark, config or {}, list(self.topic_pools), starting)
         frame = frame.selectExpr(
             "topic", "partition", "CAST(offset AS LONG) offset", "key", "value"
         )
@@ -142,6 +149,8 @@ class FromKafka:
             frame.writeStream.foreachBatch(lambda df, _id: self.commit_batch(df))
             .option("maxOffsetsPerTrigger", str(thresh))
         )
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
         if exit_after:
             writer = writer.trigger(availableNow=True)
         else:
