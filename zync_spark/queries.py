@@ -56,6 +56,13 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# Source-DataFrame cache: spark.read.parquet costs a footer read + file
+# listing + schema resolution on the driver (~50-100ms/table); a catalog
+# (metastore) amortizes that once per table, and so do we. Keyed by session
+# identity so a restarted session never sees a stale plan.
+_T_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table. `events.ts` is parquet TIMESTAMP(NANOS), which
     Spark's vectorized reader rejects — read nanos as long and truncate to
@@ -64,11 +71,18 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Driver-proofing: these two confs are load-bearing for correctness and
     # must hold even under a caller-provided vanilla SparkSession.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (id(spark), sf_dir, name)
+    cached = _T_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _T_CACHE[key] = df
+    return df
 
 
 # ---------------------------------------------------------------------------
