@@ -7,13 +7,13 @@ Methodology:
 - Each query materializes through the `noop` sink: every output column is
   computed and written (a bare count() would let Catalyst prune the
   aggregate expressions and under-measure).
-- Each query runs three times and the fastest run is reported:
+- Each query runs four times and the fastest run is reported:
   steady-state execution time. The first run pays one-time Catalyst
   analysis + codegen compilation (~0.5-1.5s per multi-stage plan on a cold
-  JVM) and JIT warmup continues into the second — fixed per-query latency
-  that is irrelevant at the 100 TB design point, where execution dominates
-  planning by orders of magnitude. Cold-run totals are also printed under
-  "cold_queries" for transparency.
+  JVM) and C2 JIT warmup continues through the second and third — fixed
+  per-query latency that is irrelevant at the 100 TB design point, where
+  execution dominates planning by orders of magnitude. Cold-run totals are
+  also printed under "cold_queries" for transparency.
 """
 
 from __future__ import annotations
@@ -56,7 +56,7 @@ def main() -> None:
     cold: dict[str, float] = {}
     for name in HEADLINE:
         runs = []
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.perf_counter()
             _materialize(QUERIES[name](spark, sf_dir))
             runs.append(time.perf_counter() - t0)

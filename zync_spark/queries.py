@@ -122,36 +122,47 @@ def q1_pricing_summary(spark, sf_dir):
     # last ulp (shuffle order is nondeterministic), so all sums must be
     # exact integer/decimal arithmetic. The 2-decimal inputs are scaled to
     # integer cents (round() only snaps the <1-ulp storage error — inputs
-    # are exact hundredths, never a true halfway case), so the per-row
-    # multiplies run on longs inside whole-stage codegen instead of the
-    # ~2x-slower decimal path. Sums that stay small (qty<=50_00,
-    # disc<=10 per row: <4e15 even at 6e11 rows) accumulate as long;
-    # price-magnitude sums (~1e7..1e11 per row, would overflow long past
-    # ~sf100) accumulate as decimal(30,0). Final downscale happens in
-    # decimal (exact), then ONE cast to double — identical to the
-    # oracle's sum(DECIMAL)::DOUBLE.
+    # are exact hundredths, never a true halfway case), so per-row
+    # arithmetic runs on longs inside whole-stage codegen instead of the
+    # ~2x-slower decimal path. Accumulation is two-phase, the int128-late
+    # strategy vectorized engines use: phase 1 sums longs per (key, input
+    # partition) — map-side hash agg fully combines each task's rows, so
+    # the shuffle carries one row per key per task and the long
+    # accumulator is bounded by rows-per-task: the largest per-row term
+    # (charge <= 1.21e11) overflows long only past 7.6e7 rows/task, ~100x
+    # a 128 MB parquet task — phase 2 merges the tiny partials in
+    # decimal(38,0), which is exact at any cluster size. Final downscale
+    # happens in decimal (exact), then ONE cast to double — identical to
+    # the oracle's sum(DECIMAL)::DOUBLE.
     qty = F.round(F.col("l_quantity") * 100).cast("long")
     ep = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc = F.round(F.col("l_discount") * 100).cast("long")
     tax = F.round(F.col("l_tax") * 100).cast("long")
-    dp = (ep * (100 - disc)).cast("decimal(20,0)")
-    ch = (ep * (100 - disc) * (100 + tax)).cast("decimal(20,0)")
-    sum_qty = (F.sum(qty).cast("decimal(38,0)") / 100).cast("double")
-    sum_base = (F.sum(ep.cast("decimal(20,0)")) / 100).cast("double")
-    cnt = F.count("*")
-    return (
+    partial = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("_p"))
         .agg(
-            sum_qty.alias("sum_qty"),
-            sum_base.alias("sum_base_price"),
-            (F.sum(dp) / 10000).cast("double").alias("sum_disc_price"),
-            (F.sum(ch) / 1000000).cast("double").alias("sum_charge"),
-            (sum_qty / cnt).alias("avg_qty"),
-            (sum_base / cnt).alias("avg_price"),
-            ((F.sum(disc).cast("decimal(38,0)") / 100).cast("double") / cnt).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.sum(qty).alias("_qty"),
+            F.sum(ep).alias("_ep"),
+            F.sum(ep * (100 - disc)).alias("_dp"),
+            F.sum(ep * (100 - disc) * (100 + tax)).alias("_ch"),
+            F.sum(disc).alias("_disc"),
+            F.count("*").alias("_n"),
         )
+    )
+    dec = lambda c: F.sum(F.col(c).cast("decimal(38,0)"))  # noqa: E731
+    sum_qty = (dec("_qty") / 100).cast("double")
+    sum_base = (dec("_ep") / 100).cast("double")
+    cnt = F.sum("_n")
+    return partial.groupBy("l_returnflag", "l_linestatus").agg(
+        sum_qty.alias("sum_qty"),
+        sum_base.alias("sum_base_price"),
+        (dec("_dp") / 10000).cast("double").alias("sum_disc_price"),
+        (dec("_ch") / 1000000).cast("double").alias("sum_charge"),
+        (sum_qty / cnt).alias("avg_qty"),
+        (sum_base / cnt).alias("avg_price"),
+        ((dec("_disc") / 100).cast("double") / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
     )
 
 
