@@ -62,3 +62,13 @@ def test_cli_produce_etl_query_consume(spark, tmp_path, capsys):
     assert len(lines) == n
     offsets = [r["kafka"]["offset"] for r in lines]
     assert offsets == sorted(offsets)
+
+    # lake maintenance: compact + vacuum leave the query result unchanged
+    assert main(["--lake", lake, "compact", "Staging", "--vacuum"]) == 0
+    out = capsys.readouterr().out
+    assert "compacted" in out and "vacuumed" in out
+    assert main([
+        "--lake", lake, "query",
+        "SELECT count(*) AS n FROM Staging WHERE zed_type = 'data'",
+    ]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["n"] == n

@@ -125,3 +125,87 @@ def test_schema_widening_across_commits(spark, tmp_path):
     ))
     rows = {r["kafka"]["offset"]: r["value"].asDict() for r in pool.scan().collect()}
     assert rows == {0: {"a": 1, "b": None}, 1: {"a": 2, "b": "x"}}
+
+
+def test_compact_time_travel_and_vacuum(spark, tmp_path):
+    """compact() collapses many small commits into a base manifest whose
+    files are offset-clustered; scan(at=) time-travels; vacuum() reclaims
+    superseded files (and only those)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from zync_spark.pool import Pool
+
+    pool = Pool.create(spark, os.path.join(tmp_path, "K"))
+
+    def env_batch(topic, offsets):
+        return spark.createDataFrame(
+            [((topic, 0, o), "data") for o in offsets],
+            "kafka struct<topic:string,partition:long,offset:long>, zed_type string",
+        )
+
+    pool.load(env_batch("A", [0, 1, 2]), cursors={"A": 2})
+    pool.load(env_batch("A", [3, 4]))
+    pool.load(env_batch("B", [0, 1]), cursors={"B": 1})
+    before = sorted(
+        (r["kafka"]["topic"], r["kafka"]["offset"]) for r in pool.scan().collect()
+    )
+    n_small = len(pool.committed_files())
+
+    assert pool.compact() == 7
+    # live view identical, through fewer files
+    after = sorted(
+        (r["kafka"]["topic"], r["kafka"]["offset"]) for r in pool.scan().collect()
+    )
+    assert after == before
+    assert len(pool.committed_files()) < n_small
+    # merged stats keep bounded-scan pruning alive on the base manifest
+    assert pool.scan(lower_bounds={"A": 3}).filter(
+        (F.col("kafka.topic") == "A") & (F.col("kafka.offset") >= 3)
+    ).count() == 2
+    # cursors carried across the checkpoint
+    assert pool.stored_cursors() == {"A": 2, "B": 1}
+
+    # time travel: as-of commit 0 sees only the first batch
+    assert pool.scan(at=0).count() == 3
+    # appends after compaction layer on top of the base
+    pool.load(env_batch("B", [2]))
+    assert pool.scan().count() == 8
+    assert pool.next_producer_offsets() == {"A": 5, "B": 3}
+
+    # vacuum removes exactly the superseded small files
+    live = set(pool.committed_files())
+    assert pool.vacuum() == n_small
+    assert set(pool.committed_files()) == live
+    assert pool.scan().count() == 8
+    # rerun is a no-op
+    assert pool.vacuum() == 0
+
+
+def test_compact_materializes_schema_fuse(spark, tmp_path):
+    """Heterogeneous commit schemas become one wide schema in the base
+    files (readers stop paying mergeSchema)."""
+    import os
+
+    from zync_spark.pool import Pool
+
+    pool = Pool.create(spark, os.path.join(tmp_path, "F"))
+    pool.load(spark.createDataFrame(
+        [(("T", 0, 0), (1,), "data")],
+        "kafka struct<topic:string,partition:long,offset:long>, "
+        "value struct<a:long>, zed_type string",
+    ))
+    pool.load(spark.createDataFrame(
+        [(("T", 0, 1), (2, "x"), "data")],
+        "kafka struct<topic:string,partition:long,offset:long>, "
+        "value struct<a:long,b:string>, zed_type string",
+    ))
+    pool.compact()
+    pool.vacuum()
+    # every live file now carries the fused schema on its own
+    for f in pool.committed_files():
+        df = spark.read.parquet(f)  # no mergeSchema
+        assert "b" in df.schema["value"].dataType.fieldNames()
+    rows = {r["kafka"]["offset"]: r["value"].asDict() for r in pool.scan().collect()}
+    assert rows == {0: {"a": 1, "b": None}, 1: {"a": 2, "b": "x"}}

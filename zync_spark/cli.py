@@ -127,6 +127,20 @@ def cmd_ls(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Lake maintenance: collapse a pool's commit log into one base
+    manifest of large offset-clustered files, optionally reclaiming the
+    superseded small files (the streaming small-files problem)."""
+    spark = _spark()
+    pool = _pool(spark, args.lake, args.pool)
+    n = pool.compact(target_rows=args.target_rows)
+    msg = f"compacted {n} rows into {len(pool.committed_files())} file(s)"
+    if args.vacuum:
+        msg += f"; vacuumed {pool.vacuum()} superseded file(s)"
+    print(msg)
+    return 0
+
+
 def cmd_info(args) -> int:
     spark = _spark()
     from zync_spark.sources.kafka import kafka_available, load_kafka_config, read_batch
@@ -181,6 +195,14 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("ls", help="list schema registry subjects")
     p.add_argument("--registry", default="http://localhost:8081")
     p.set_defaults(fn=cmd_ls)
+
+    p = sub.add_parser("compact", help="compact a pool's small commits")
+    p.add_argument("pool")
+    p.add_argument("--target-rows", type=int, default=4_000_000,
+                   help="rows per output file")
+    p.add_argument("--vacuum", action="store_true",
+                   help="also delete the superseded data files")
+    p.set_defaults(fn=cmd_compact)
 
     p = sub.add_parser("info", help="kafka topic watermarks")
     p.add_argument("topics", nargs="+")

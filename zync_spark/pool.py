@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -78,7 +79,8 @@ class Pool:
             return []
         return sorted(f for f in os.listdir(d) if f.endswith(".json"))
 
-    def committed_files(self, lower_bounds: dict[str, int] | None = None) -> list[str]:
+    def committed_files(self, lower_bounds: dict[str, int] | None = None,
+                        at: int | None = None) -> list[str]:
         """Committed data files, optionally pruned by manifest offset stats.
 
         `lower_bounds` declares the caller's read contract: it will only
@@ -89,11 +91,20 @@ class Pool:
         (foreign manifests) are always kept. This is the range-limited
         scan the reference planned but never built (etl/build.go:9-18):
         incremental ETL cost goes with NEW data, not pool size.
+
+        `at` (commit sequence number) reads the table as of that commit —
+        time travel over the manifest log. A `base` manifest (written by
+        compact()) supersedes everything before it, so the live view is
+        "last base + later deltas", like a Delta checkpoint.
         """
         files: list[str] = []
         for c in self.commits():
+            if at is not None and int(c.split(".")[0]) > at:
+                break
             with open(os.path.join(self._commit_dir(), c)) as f:
                 manifest = json.load(f)
+            if manifest.get("base"):
+                files = []  # compaction checkpoint: replaces prior commits
             if lower_bounds is not None:
                 stats = manifest.get("stats")
                 if stats is not None:
@@ -108,7 +119,8 @@ class Pool:
 
     # -- I/O ---------------------------------------------------------------
 
-    def scan(self, lower_bounds: dict[str, int] | None = None) -> DataFrame | None:
+    def scan(self, lower_bounds: dict[str, int] | None = None,
+             at: int | None = None) -> DataFrame | None:
         """Read the pool's committed state; None when the pool is empty.
 
         Schemas may widen across commits (the pool is heterogeneously
@@ -117,8 +129,10 @@ class Pool:
         from the file list (see committed_files); the caller MUST still
         apply the matching row filter (which parquet row-group stats then
         accelerate, since files are offset-sorted at write time).
+        `at` time-travels to a historical commit (valid until vacuum()
+        reclaims the files it references).
         """
-        files = self.committed_files(lower_bounds)
+        files = self.committed_files(lower_bounds, at=at)
         if not files:
             return None
         return (
@@ -178,6 +192,89 @@ class Pool:
             os.path.join(self._commit_dir(), f"{seq:06d}.json"), manifest
         )
         return n
+
+    # -- maintenance -------------------------------------------------------
+
+    def compact(self, target_rows: int = 4_000_000, message: str = "compact") -> int:
+        """Rewrite the live file set into few large, globally offset-
+        clustered files and commit a `base` manifest that supersedes all
+        prior commits.
+
+        Streaming ingest commits every few seconds (thresh/interval,
+        cmd/zync/from-kafka/command.go:79-82), so a pool accretes small
+        files — the classic lakehouse small-files problem; at 100 TB an
+        uncompacted manifest would list millions of files and every scan
+        would pay per-file open cost. Compaction (a) range-partitions by
+        (topic, offset) so each output file covers one contiguous offset
+        range per topic — parquet row-group stats then prune bounded scans
+        maximally — and (b) materializes the schema fuse: heterogeneous
+        commit schemas become one wide parquet schema, so readers stop
+        paying mergeSchema footer reads.
+
+        Old data files stay on disk for time travel (`scan(at=...)`) until
+        vacuum() reclaims them. Crash-safe like load(): data first, one
+        atomic manifest rename last. Returns the number of rows compacted.
+        """
+        df = self.scan()
+        if df is None:
+            return 0
+        n = df.count()
+        nfiles = max(1, (n + target_rows - 1) // target_rows)
+        file_id = uuid.uuid4().hex
+        data_path = os.path.join(self.path, "data", file_id)
+        (
+            df.repartitionByRange(nfiles, F.col("kafka.topic"), F.col("kafka.offset"))
+            .sortWithinPartitions(F.col("kafka.topic"), F.col("kafka.offset"))
+            .write.mode("overwrite")
+            .parquet(data_path)
+        )
+        parts = [
+            os.path.join(data_path, f)
+            for f in os.listdir(data_path)
+            if f.endswith(".parquet")
+        ]
+        # Merge per-topic offset stats across the superseded manifests so
+        # bounded scans keep pruning; carry cursors forward likewise.
+        stats: dict[str, list[int]] | None = {}
+        for c in self.commits():
+            with open(os.path.join(self._commit_dir(), c)) as f:
+                manifest = json.load(f)
+            s = manifest.get("stats")
+            if s is None:
+                stats = None  # a stat-less commit poisons the merge
+                break
+            for t, (lo, hi) in s.items():
+                if t in stats:
+                    stats[t] = [min(stats[t][0], lo), max(stats[t][1], hi)]
+                else:
+                    stats[t] = [lo, hi]
+        seq = len(self.commits())
+        manifest = {"files": sorted(parts), "message": message, "rows": n,
+                    "stats": stats, "base": True}
+        cursors = self.stored_cursors()
+        if cursors:
+            manifest["cursors"] = cursors
+        _atomic_write_json(
+            os.path.join(self._commit_dir(), f"{seq:06d}.json"), manifest
+        )
+        return n
+
+    def vacuum(self) -> int:
+        """Delete data files not referenced by the LIVE view (everything a
+        compaction superseded). Time travel to pre-compaction commits stops
+        working — standard lakehouse VACUUM semantics. Returns the number
+        of files removed."""
+        live = set(self.committed_files())
+        removed = 0
+        data_root = os.path.join(self.path, "data")
+        for d in os.listdir(data_root):
+            sub = os.path.join(data_root, d)
+            parquets = [f for f in os.listdir(sub) if f.endswith(".parquet")]
+            if any(os.path.join(sub, f) in live for f in parquets):
+                continue
+            removed += len(parquets)
+            shutil.rmtree(sub)  # whole load/compact dir is dead (incl. _SUCCESS)
+        return removed
 
     # -- offset queries (etl/pool.go:60-81, fifo/lake.go:62-82) ------------
 
