@@ -265,3 +265,20 @@ def test_salted_join_equals_plain_join(spark):
     plain = {(r["id"], r["w"]) for r in left.join(right, "k").collect()}
     salted = {(r["id"], r["w"]) for r in salted_join(left, right, on="k", salt=8).collect()}
     assert salted == plain and len(plain) == 1000
+
+
+def test_connected_components_chain_clique_singleton(spark):
+    from zync_spark.functions.graph import connected_components
+
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    # clique 10-11-12, isolated edge 20-21; node 99 has no edges
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a long, b long",
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components(edges, "a", "b").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    assert 99 not in got  # singletons are the caller's left-join

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zync_spark.functions import dedup as D
+from zync_spark.functions import graph as G
 from zync_spark.functions import joins as J
 from zync_spark.functions import multimodal as M
 from zync_spark.functions import similarity as S
@@ -835,6 +836,41 @@ def dedup_jaccard_pairs(spark, sf_dir):
     (no cross join; cost ∝ Σ df(shingle)²)."""
     docs = T(spark, sf_dir, "documents")
     return D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+
+
+@register(
+    "dedup_components",
+    _JACCARD_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """,
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.5
+              UNION ALL
+              SELECT id_b AS a, id_a AS b FROM pairs WHERE jaccard >= 0.5),
+    reach(node, label) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, min(label) AS label FROM reach GROUP BY node)
+    SELECT d.doc_id, coalesce(c.label, d.doc_id) AS canonical_id
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Duplicate-CLUSTER resolution: near-dup pairs → connected components
+    → one canonical id (min doc_id of the cluster) per document.
+    Pair-level dedup under-removes (A~B, B~C but A≁C leaves A,C both
+    "kept" or both "dropped" depending on order); component-level dedup is
+    the standard corpus-dedup construction. Spark side iterates min-label
+    propagation (functions/graph.py, one shuffle/round, O(diameter)
+    rounds); the oracle is DuckDB's recursive CTE over the same exact-
+    Jaccard pair graph — genuinely iterative dataflow, SQL-checkable."""
+    docs = T(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    comp = G.connected_components(pairs, "id_a", "id_b")
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("label", F.col("doc_id")).alias("canonical_id"))
+    )
 
 
 @register(
