@@ -1,0 +1,92 @@
+"""Physical-plan regression tests: the scale claims made in query
+docstrings (pushdown, broadcast choice, shuffle counts, JVM-only hot
+paths) asserted against the actual Catalyst plans, so a refactor that
+silently de-optimizes a plan fails CI — not just the benchmark.
+
+Counts are locked as upper bounds (a Spark upgrade may only IMPROVE a
+plan); the qualitative properties (a filter reached the scan, a dim was
+broadcast, no Python in the hot path) are exact.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from zync_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+PY_NODES = r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def count(node: str, plan: str) -> int:
+    return len(re.findall(rf"^\(\d+\) {node}", plan, re.M))
+
+
+def n_shuffles(plan: str) -> int:
+    return count("Exchange", plan)
+
+
+def test_q1_two_phase_shape(spark):
+    p = plan_of(spark, "q1_pricing_summary")
+    # the shipdate filter must reach the parquet scan
+    assert re.search(r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_shipdate", p)
+    # column pruning: the wide comment column never leaves the scan
+    assert "l_comment" not in p
+    # two-phase agg = exactly two exchanges, both of tiny partial rows
+    assert n_shuffles(p) <= 2
+    assert re.search(PY_NODES, p) is None
+
+
+def test_q5_broadcasts_dims_single_big_shuffle(spark):
+    p = plan_of(spark, "q5_regional_revenue")
+    # region/nation/supplier/customer sides all broadcast...
+    assert count("BroadcastHashJoin", p) >= 3
+    # ...leaving exactly one shuffle join: lineitem x orders
+    assert count("SortMergeJoin", p) + count("ShuffledHashJoin", p) <= 1
+    # the ASIA filter is pushed into the region scan
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(r_name,ASIA\)", p)
+    assert re.search(PY_NODES, p) is None
+
+
+def test_asof_join_single_shuffle(spark):
+    # union + running-last window: ONE shuffle, no join node at all
+    p = plan_of(spark, "q_asof_join")
+    assert n_shuffles(p) <= 1
+    assert count("SortMergeJoin", p) + count("ShuffledHashJoin", p) == 0
+    assert re.search(PY_NODES, p) is None
+
+
+def test_text_pipeline_fully_pipelined(spark):
+    # per-document text stats: map-only, zero shuffles, zero Python
+    p = plan_of(spark, "text_stats")
+    assert n_shuffles(p) == 0
+    assert re.search(PY_NODES, p) is None
+    assert "codegen id" in p  # scan stage is whole-stage-codegen'd
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_simhash", "dedup_minhash_lsh", "ann_cosine_topk", "q_group_topk"],
+)
+def test_llm_operators_stay_jvm_side(spark, name):
+    # sketches/similarity run as built-in expressions (HOFs), not UDFs
+    p = plan_of(spark, name)
+    assert re.search(PY_NODES, p) is None
+
+
+def test_multimodal_is_arrow_batched_python(spark):
+    # decode genuinely needs Python: it must be the Arrow-batched
+    # mapInPandas path, never row-at-a-time BatchEvalPython
+    p = plan_of(spark, "multimodal_features")
+    assert "MapInPandas" in p or "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
