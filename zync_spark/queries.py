@@ -980,6 +980,76 @@ def text_langid(spark, sf_dir):
 
 
 @register(
+    "split_hashmod",
+    """
+    SELECT doc_id,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket,
+           CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 90
+                THEN 'train'
+                WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 95
+                THEN 'val' ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_hashmod(spark, sf_dir):
+    """Deterministic train/val/test assignment by content-independent id
+    hash — the reproducible-split idiom for training corpora (random
+    sampling is neither reproducible across engines nor stable under
+    re-partitioning; hash-mod is both, and documents keep their split when
+    the corpus grows). Pure map: no shuffle at any scale."""
+    docs = T(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    n AS (SELECT doc_id, doc_id % 8 AS shard, len(toks) AS n_tokens FROM t),
+    c AS (SELECT doc_id, shard, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM n)
+    SELECT doc_id, shard, n_tokens, (cum - n_tokens) // 2048 AS pack_id
+    FROM c
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Context-window packing: assign documents to ~2048-token training
+    packs by cumulative token count (greedy fill in doc_id order; a doc
+    belongs to the pack where it starts). Packing is inherently
+    sequential, so it is SHARDED — the running sum runs per doc_id%8
+    shard, keeping every shard an independent parallel window instead of
+    one global sort bottleneck; at 1000 executors you'd raise the shard
+    count, not the algorithm."""
+    docs = T(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return n.select(
+        "doc_id", "shard", "n_tokens",
+        ((cum - F.col("n_tokens")) / 2048).cast("long").alias("pack_id"),
+    )
+
+
+@register(
     "ann_cosine_topk",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
