@@ -195,3 +195,47 @@ def test_wire_fidelity_full_loop(spark, tmp_path):
         for r in decoded.collect()
     )
     assert got == [(t, o, k, op, nm) for t, o, k, op, nm in rows]
+
+
+def test_from_kafka_multipartition_resume_and_guard(spark, tmp_path):
+    """Multi-partition ingest (beyond the reference's pinned partition 0):
+    each partition's offset sequence resumes independently, and the
+    monotonicity guard trips per (topic, partition)."""
+    reg = MemoryRegistry()
+    pool = Pool.create(spark, str(tmp_path / "M"))
+    fk = FromKafka(spark, {"M": pool}, KEY_T, VAL_T, registry=reg, format="avro")
+
+    def frame(rows):
+        """rows: (partition, offset, key_id, op, name)."""
+        typed = spark.createDataFrame(
+            [("M", p, o, (k,), (op, nm)) for p, o, k, op, nm in rows],
+            S(
+                [
+                    Fld("topic", StringType()),
+                    Fld("partition", LongType()),
+                    Fld("offset", LongType()),
+                    Fld("key", KEY_T),
+                    Fld("value", VAL_T),
+                ]
+            ),
+        )
+        wire = encode_column(typed, "key", KEY_T, reg)
+        return encode_column(wire, "value", VAL_T, reg)
+
+    # partitions 0 and 1 carry independent offset sequences
+    assert fk.commit_batch(
+        frame([(0, 0, 1, "c", "a"), (0, 1, 2, "c", "b"), (1, 0, 3, "c", "x")])
+    ) == {"M": 3}
+    assert fk.resume_offsets_by_partition() == {"M": {0: 2, 1: 1}}
+
+    # partition 1 advancing while partition 0 is idle is fine
+    assert fk.commit_batch(frame([(1, 1, 4, "c", "y")])) == {"M": 1}
+    assert fk.resume_offsets_by_partition() == {"M": {0: 2, 1: 2}}
+
+    # an offset at partition 0's HWM is fine even though it is BELOW
+    # partition 1's — the guard must be per partition, not per topic
+    assert fk.commit_batch(frame([(0, 2, 5, "u", "a2")])) == {"M": 1}
+
+    # redelivery below one partition's resume point trips the guard
+    with pytest.raises(MonotonicityError):
+        fk.commit_batch(frame([(1, 0, 3, "c", "x")]))

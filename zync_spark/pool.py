@@ -323,6 +323,24 @@ class Pool:
         )
         return 0 if row["mx"] is None else row["mx"] + 1
 
+    def next_consumer_offsets_by_partition(self, topic: str) -> dict[int, int]:
+        """Per-partition resume points for `topic` — the multi-partition
+        generalization of next_consumer_offset. The reference pins
+        partition 0 for CDC ordering (fifo/consumer.go:59-63); ingest at
+        scale wants one consumer per partition, each resuming from its own
+        committed high-water mark. Offsets are per-partition sequences in
+        Kafka, so the max is taken per (topic, partition)."""
+        df = self.scan()
+        if df is None:
+            return {}
+        rows = (
+            df.filter(F.col("kafka.topic") == topic)
+            .groupBy(F.col("kafka.partition").alias("p"))
+            .agg(F.max(F.col("kafka.offset")).alias("mx"))
+            .collect()
+        )
+        return {int(r["p"]): r["mx"] + 1 for r in rows}
+
 
 def _atomic_write_json(path: str, obj: dict) -> None:
     tmp = path + f".tmp-{uuid.uuid4().hex}"

@@ -59,9 +59,23 @@ class FromKafka:
     def resume_offsets(self) -> dict[str, int]:
         """Per-topic next offset from each pool's committed state
         (fifo/lake.go:62-82): consume restarts exactly after the last
-        committed record — crash-recoverable without Kafka group state."""
+        committed record — crash-recoverable without Kafka group state.
+        Single-partition view (the reference's CDC assumption)."""
         return {
             topic: pool.next_consumer_offset(topic)
+            for topic, pool in self.topic_pools.items()
+        }
+
+    def resume_offsets_by_partition(self) -> dict[str, dict[int, int]]:
+        """Per-(topic, partition) resume points — the multi-partition
+        generalization (beyond the reference, which pins partition 0,
+        fifo/consumer.go:59-63). Ingest parallelism at 100 TB is one
+        consumer per partition; each partition's offset sequence resumes
+        independently. Per-partition ORDER is still guaranteed by Kafka;
+        cross-partition order is not — CDC ETL keeps the single-partition
+        contract (README.md:198-199), plain ingest does not need it."""
+        return {
+            topic: pool.next_consumer_offsets_by_partition(topic)
             for topic, pool in self.topic_pools.items()
         }
 
@@ -105,17 +119,33 @@ class FromKafka:
         duplicate redelivery after an out-of-band reset — refuse, like the
         reference (fifo/consumer.go:117-122). Returns rows per topic."""
         env = self.decode_frame(frame)
-        resume = self.resume_offsets()
+        resume = self.resume_offsets_by_partition()
+        # ONE aggregation over the batch yields every (topic, partition)
+        # incoming low-water mark — not a driver loop of per-topic jobs.
+        lows = (
+            env.groupBy(
+                F.col("kafka.topic").alias("t"), F.col("kafka.partition").alias("p")
+            )
+            .agg(F.min(F.col("kafka.offset")).alias("lo"))
+            .collect()
+        )
+        present: set[str] = set()
+        for r in lows:
+            topic, part, lo = r["t"], int(r["p"]), r["lo"]
+            if topic not in self.topic_pools:
+                continue
+            present.add(topic)
+            saved = resume[topic].get(part, 0)
+            if lo < saved:
+                raise MonotonicityError(
+                    f"topic {topic} partition {part}: received offset {lo} "
+                    f"< saved offset {saved}"
+                )
         committed: dict[str, int] = {}
         for topic, pool in self.topic_pools.items():
-            part = env.filter(F.col("kafka.topic") == topic)
-            low = part.agg(F.min("kafka.offset").alias("m")).collect()[0]["m"]
-            if low is None:
+            if topic not in present:
                 continue
-            if low < resume[topic]:
-                raise MonotonicityError(
-                    f"topic {topic}: received offset {low} < saved offset {resume[topic]}"
-                )
+            part = env.filter(F.col("kafka.topic") == topic)
             committed[topic] = pool.load(part, f"from-kafka {topic}")
         return committed
 
@@ -123,7 +153,8 @@ class FromKafka:
 
     def run(self, config: dict | None = None, thresh: int = 1_048_576,
             interval: str = "5 seconds", exit_after: bool = False,
-            frame: DataFrame | None = None, checkpoint: str | None = None):
+            frame: DataFrame | None = None, checkpoint: str | None = None,
+            partitions: dict[str, int] | None = None):
         """Start the Structured Streaming sync.
 
         thresh/interval are the reference's -thresh/-interval commit bounds
@@ -132,15 +163,31 @@ class FromKafka:
         offsets via startingOffsets); pass `frame` to run the same loop
         over any streaming kafka-frame (e.g. sources.filequeue.FileQueue
         for broker-less dev/test — there the streaming checkpoint carries
-        the resume point, so pass `checkpoint` too)."""
+        the resume point, so pass `checkpoint` too).
+
+        `partitions` declares each topic's partition count for
+        multi-partition resume (beyond the reference's pinned partition 0):
+        every declared partition resumes from its pool high-water mark, or
+        earliest (-2) if the pool has no state for it. Without
+        `partitions`, the single-partition CDC contract applies."""
         if frame is None:
             if not kafka_available(self.spark):
                 raise RuntimeError(
                     "spark-sql-kafka connector not on the classpath; "
                     "add org.apache.spark:spark-sql-kafka-0-10_2.13 to spark.jars.packages"
                 )
-            resume = self.resume_offsets()
-            starting = {t: {"0": o} for t, o in resume.items()}
+            if partitions:
+                by_part = self.resume_offsets_by_partition()
+                starting = {
+                    t: {
+                        str(p): by_part.get(t, {}).get(p, -2)
+                        for p in range(partitions.get(t, 1))
+                    }
+                    for t in self.topic_pools
+                }
+            else:
+                resume = self.resume_offsets()
+                starting = {t: {"0": o} for t, o in resume.items()}
             frame = read_stream(self.spark, config or {}, list(self.topic_pools), starting)
         frame = frame.selectExpr(
             "topic", "partition", "CAST(offset AS LONG) offset", "key", "value"
