@@ -72,3 +72,57 @@ def test_cli_produce_etl_query_consume(spark, tmp_path, capsys):
         "SELECT count(*) AS n FROM Staging WHERE zed_type = 'data'",
     ]) == 0
     assert json.loads(capsys.readouterr().out.strip())["n"] == n
+
+
+def test_cli_from_kafka_to_kafka_file_transport(spark, tmp_path, capsys):
+    """The reference's from-kafka/to-kafka commands, driven end-to-end over
+    the file transport: queue → pool (streaming loop, --exitafter) →
+    mirror queue (HWM-paged egress)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from zync_spark.sources import connectjson
+    from zync_spark.sources.filequeue import FileQueue
+
+    key_t = StructType([StructField("ID", LongType())])
+    val_t = StructType([StructField("name", StringType())])
+    lake = os.path.join(tmp_path, "lake2")
+    queue = FileQueue(os.path.join(tmp_path, "q"))
+
+    typed = spark.createDataFrame(
+        [((i,), (f"n{i}",)) for i in range(6)],
+        StructType([StructField("key", key_t), StructField("value", val_t)]),
+    )
+    enc = typed.select(
+        connectjson.encode(F.col("key"), key_t).cast("binary").alias("k"),
+        connectjson.encode(F.col("value"), val_t).cast("binary").alias("v"),
+    )
+    queue.produce("T", [(r["k"], r["v"]) for r in enc.collect()])
+
+    common = [
+        "--key-schema", key_t.toDDL(), "--value-schema", val_t.toDDL(),
+        "--transport", f"file:{queue.root}",
+    ]
+    assert main(["--lake", lake, "from-kafka", "T", *common, "--exitafter"]) == 0
+    assert "synced topic T" in capsys.readouterr().out
+    assert main([
+        "--lake", lake, "query",
+        "SELECT count(*) AS n FROM T WHERE zed_type = 'data'",
+    ]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["n"] == 6
+
+    mirror = FileQueue(os.path.join(tmp_path, "mirror"))
+    assert main([
+        "--lake", lake, "to-kafka", "T", "--pool", "T",
+        "--key-schema", key_t.toDDL(), "--value-schema", val_t.toDDL(),
+        "--transport", f"file:{mirror.root}",
+    ]) == 0
+    assert "produced 6 records" in capsys.readouterr().out
+    assert mirror.end_offset("T") == 6
+    # idempotent: mirror HWM says everything is already out
+    assert main([
+        "--lake", lake, "to-kafka", "T", "--pool", "T",
+        "--key-schema", key_t.toDDL(), "--value-schema", val_t.toDDL(),
+        "--transport", f"file:{mirror.root}",
+    ]) == 0
+    assert "produced 0 records" in capsys.readouterr().out

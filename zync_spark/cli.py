@@ -64,10 +64,10 @@ def cmd_query(args) -> int:
     """Run SQL over the lake: every pool is registered as a view."""
     spark = _spark()
     for name in sorted(os.listdir(args.lake)):
-        try:
-            df = _pool(spark, args.lake, name).scan()
-        except Exception:
+        # only pool directories (skips checkpoints and foreign files)
+        if not os.path.exists(os.path.join(args.lake, name, "pool.json")):
             continue
+        df = _pool(spark, args.lake, name).scan()
         if df is not None:
             df.createOrReplaceTempView(name)
     for line in spark.sql(args.sql).toJSON().collect():
@@ -124,6 +124,78 @@ def cmd_ls(args) -> int:
         print(f"  id {latest['id']}")
         print(f"  version {latest['version']}")
         print(f"  schema {json.dumps(latest['schema'])}")
+    return 0
+
+
+def _schemas(args):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromDDL(args.key_schema), StructType.fromDDL(args.value_schema)
+
+
+def cmd_from_kafka(args) -> int:
+    """Continuous topic → pool sync (reference cmd/zync/from-kafka).
+
+    `--transport file:DIR` runs the identical Structured Streaming loop
+    over a FileQueue directory (broker-less dev/test); the default kafka
+    transport needs the spark-sql-kafka connector on the classpath."""
+    spark = _spark()
+    from zync_spark.streaming.from_kafka import FromKafka
+
+    pool = _pool(spark, args.lake, args.pool or args.topic, create=True)
+    key_t, val_t = _schemas(args)
+    fk = FromKafka(
+        spark, {args.topic: pool}, key_t, val_t,
+        format=args.format, shaper=args.shaper,
+    )
+    if args.transport.startswith("file:"):
+        from zync_spark.sources.filequeue import FileQueue
+
+        queue = FileQueue(args.transport[len("file:"):])
+        q = fk.run(
+            frame=queue.stream_frame(spark),
+            checkpoint=args.checkpoint or os.path.join(args.lake, "_ckpt", args.topic),
+            thresh=args.thresh, interval=args.interval, exit_after=args.exitafter,
+        )
+    else:
+        q = fk.run(thresh=args.thresh, interval=args.interval,
+                   exit_after=args.exitafter, checkpoint=args.checkpoint)
+    q.awaitTermination()
+    print(f"synced topic {args.topic} -> pool {args.pool or args.topic}")
+    return 0
+
+
+def cmd_to_kafka(args) -> int:
+    """Pool → topic egress resuming from the transport's high-water mark
+    (reference cmd/zync/to-kafka). `--transport file:DIR` produces to a
+    FileQueue; kafka needs the connector."""
+    spark = _spark()
+    from zync_spark.streaming.to_kafka import ToKafka
+
+    pool = _pool(spark, args.lake, args.pool or args.topic)
+    key_t, val_t = _schemas(args)
+    tk = ToKafka(pool, key_t, val_t, format=args.format, batch_size=args.batch_size)
+    if args.transport.startswith("file:"):
+        from zync_spark.sources.filequeue import FileQueue
+
+        queue = FileQueue(args.transport[len("file:"):])
+        produced = tk.sync(args.topic, queue.end_offset(args.topic), queue.produce_frame)
+    else:
+        from zync_spark.sources.kafka import kafka_available
+
+        if not kafka_available(spark):
+            print("kafka connector not available in this deployment", file=sys.stderr)
+            return 1
+        from zync_spark.sources.kafka import load_kafka_config, read_batch, write_batch
+
+        config = load_kafka_config(args.config)
+        frame = read_batch(spark, config, [args.topic])
+        from pyspark.sql import functions as F
+
+        row = frame.agg(F.max("offset").alias("mx")).collect()[0]
+        hwm = 0 if row["mx"] is None else row["mx"] + 1
+        produced = tk.sync(args.topic, hwm, lambda df: write_batch(df, config))
+    print(f"produced {produced} records to topic {args.topic}")
     return 0
 
 
@@ -195,6 +267,31 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("ls", help="list schema registry subjects")
     p.add_argument("--registry", default="http://localhost:8081")
     p.set_defaults(fn=cmd_ls)
+
+    def _transport_args(p):
+        p.add_argument("topic")
+        p.add_argument("--pool", default=None, help="pool name (default: topic)")
+        p.add_argument("--key-schema", required=True, help="Spark DDL for keys")
+        p.add_argument("--value-schema", required=True, help="Spark DDL for values")
+        p.add_argument("--format", default="json", choices=["json", "avro"])
+        p.add_argument("--transport", default="kafka",
+                       help="'kafka' (needs connector) or 'file:DIR' (FileQueue)")
+
+    p = sub.add_parser("from-kafka", help="continuous topic -> pool sync")
+    _transport_args(p)
+    p.add_argument("--thresh", type=int, default=1_048_576)
+    p.add_argument("--interval", default="5 seconds")
+    p.add_argument("--exitafter", action="store_true",
+                   help="drain what is available, then stop (reference -exitafter)")
+    p.add_argument("--shaper", default=None, help="zed shaper snippet")
+    p.add_argument("--checkpoint", default=None)
+    p.set_defaults(fn=cmd_from_kafka)
+
+    p = sub.add_parser("to-kafka", help="pool -> topic egress from the HWM")
+    _transport_args(p)
+    p.add_argument("--batch-size", type=int, default=200)
+    p.add_argument("--config", default=None)
+    p.set_defaults(fn=cmd_to_kafka)
 
     p = sub.add_parser("compact", help="compact a pool's small commits")
     p.add_argument("pool")
