@@ -209,3 +209,66 @@ def test_compact_materializes_schema_fuse(spark, tmp_path):
         assert "b" in df.schema["value"].dataType.fieldNames()
     rows = {r["kafka"]["offset"]: r["value"].asDict() for r in pool.scan().collect()}
     assert rows == {0: {"a": 1, "b": None}, 1: {"a": 2, "b": "x"}}
+
+
+def test_concurrent_commit_protocol(spark, tmp_path):
+    """Optimistic concurrency: a manifest seq collision makes load() retry
+    at the next seq and makes compact() abort — never silent overwrite."""
+    import json as _json
+    import os
+
+    import pytest
+
+    from zync_spark.pool import ConcurrentWriteError, Pool, _atomic_create_json
+
+    pool = Pool.create(spark, os.path.join(tmp_path, "X"))
+
+    def env_batch(offsets):
+        return spark.createDataFrame(
+            [(("T", 0, o), "data") for o in offsets],
+            "kafka struct<topic:string,partition:long,offset:long>, zed_type string",
+        )
+
+    pool.load(env_batch([0, 1]))
+    # another writer claims seq 1 out from under us
+    foreign = os.path.join(pool._commit_dir(), "000001.json")
+    _atomic_create_json(foreign, {"files": [], "message": "foreign", "rows": 0,
+                                  "stats": {}})
+    # load() must NOT overwrite seq 1: it lands at seq 2
+    pool.load(env_batch([2, 3]))
+    assert pool.commits() == ["000000.json", "000001.json", "000002.json"]
+    with open(foreign) as f:
+        assert _json.load(f)["message"] == "foreign"  # untouched
+    assert pool.scan().count() == 4
+
+    # exclusive create itself refuses to replace an existing manifest
+    with pytest.raises(FileExistsError):
+        _atomic_create_json(foreign, {"files": []})
+
+    # compact: a commit landing after the snapshot aborts the publish.
+    # Simulate the race by appending a commit right after compact() takes
+    # its snapshot (the first commits() call inside compact).
+    real_commits = Pool.commits
+    race = {"armed": True}
+
+    def racing_commits(self):
+        out = real_commits(self)
+        if race["armed"]:
+            race["armed"] = False  # disarm BEFORE the racing load recurses
+            racer = Pool.open(spark, self.path)
+            racer.load(env_batch([4]))
+        return out
+
+    try:
+        Pool.commits = racing_commits
+        with pytest.raises(ConcurrentWriteError):
+            pool.compact()
+    finally:
+        Pool.commits = real_commits
+    # nothing lost: the racer's row is live, no base manifest was published
+    assert pool.scan().count() == 5
+    # a clean re-run then succeeds and keeps every row
+    assert pool.compact() == 5
+    assert pool.scan().count() == 5
+    assert pool.vacuum() > 0
+    assert pool.scan().count() == 5

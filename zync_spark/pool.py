@@ -8,12 +8,18 @@ Commit protocol (a minimal transaction log, Delta-style):
     data/<uuid>.parquet    # immutable data files (written first)
     _commits/<n>.json      # manifest per commit: {"files": [...], "message": ...}
 
-A commit is visible iff its manifest exists; manifests are written with
-write-to-temp + atomic rename, so readers never see partial commits and a
-crashed writer leaves only orphaned data files (never a torn table). This
-reproduces the reference's transactional `Load` (etl/pool.go:56-58) without
-a lake server. Multi-writer safety relies on the reference's own
-single-writer-per-pool assumption (README.md:150-151).
+A commit is visible iff its manifest exists; manifests are PUBLISHED with
+write-to-temp + atomic EXCLUSIVE link (os.link fails on an existing
+name), so readers never see partial commits, a crashed writer leaves only
+orphaned data files (never a torn table), and two writers can never both
+claim one commit sequence number — optimistic concurrency control, the
+same protocol Delta uses against a transaction log. A losing load()
+retries at the next sequence number (its data files are independent); a
+losing compact() aborts with ConcurrentWriteError (its base manifest
+would supersede a commit it never read — the caller just re-runs). This
+goes beyond the reference, which assumes a single writer per pool
+(README.md:150-151) and offers transactionality only through the lake
+server (etl/pool.go:56-58).
 
 Scale note: reads hand Spark the committed file list directly — partition
 pruning / predicate pushdown work as with any parquet scan, and because
@@ -35,6 +41,11 @@ from pyspark.sql import functions as F
 class PoolKeyError(ValueError):
     """Pool exists but its key is not kafka.offset ascending
     (mirrors the reference's pool-open check, etl/pool.go:37-40)."""
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed while this operation ran and the operation
+    cannot be transparently retried (compaction); re-run it."""
 
 
 class Pool:
@@ -183,15 +194,23 @@ class Pool:
             }
         except Exception:
             stats = None  # non-envelope frame: no stats, commit never pruned
-        seq = len(self.commits())
         manifest = {"files": sorted(parts), "message": message, "rows": n,
                     "stats": stats}
         if cursors:
             manifest["cursors"] = cursors
-        _atomic_write_json(
-            os.path.join(self._commit_dir(), f"{seq:06d}.json"), manifest
-        )
-        return n
+        # optimistic concurrency: claim the next sequence number; on a
+        # collision another writer won that seq — append after it instead
+        # (this load's data files are independent of theirs).
+        for _ in range(64):
+            seq = len(self.commits())
+            try:
+                _atomic_create_json(
+                    os.path.join(self._commit_dir(), f"{seq:06d}.json"), manifest
+                )
+                return n
+            except FileExistsError:
+                continue
+        raise ConcurrentWriteError(f"could not claim a commit seq in {self.path}")
 
     # -- maintenance -------------------------------------------------------
 
@@ -213,11 +232,28 @@ class Pool:
 
         Old data files stay on disk for time travel (`scan(at=...)`) until
         vacuum() reclaims them. Crash-safe like load(): data first, one
-        atomic manifest rename last. Returns the number of rows compacted.
+        exclusive manifest publish last; concurrent appends make the
+        publish fail with ConcurrentWriteError (never data loss). Returns
+        the number of rows compacted.
         """
-        df = self.scan()
-        if df is None:
+        # ONE snapshot of the commit log drives the whole rewrite: files,
+        # stats, cursors, AND the claimed sequence number. Any load that
+        # lands after this point takes seq >= len(snapshot), so our
+        # exclusive publish at len(snapshot) collides and we abort — a
+        # base manifest can never supersede a commit it did not read.
+        snapshot = self.commits()
+        if not snapshot:
             return 0
+        manifests = []
+        for c in snapshot:
+            with open(os.path.join(self._commit_dir(), c)) as f:
+                manifests.append(json.load(f))
+        files: list[str] = []
+        for m in manifests:
+            if m.get("base"):
+                files = []
+            files.extend(m["files"])
+        df = self.spark.read.option("mergeSchema", "true").parquet(*files)
         n = df.count()
         nfiles = max(1, (n + target_rows - 1) // target_rows)
         file_id = uuid.uuid4().hex
@@ -236,27 +272,35 @@ class Pool:
         # Merge per-topic offset stats across the superseded manifests so
         # bounded scans keep pruning; carry cursors forward likewise.
         stats: dict[str, list[int]] | None = {}
-        for c in self.commits():
-            with open(os.path.join(self._commit_dir(), c)) as f:
-                manifest = json.load(f)
-            s = manifest.get("stats")
-            if s is None:
+        cursors: dict[str, int] = {}
+        for m in manifests:
+            s = m.get("stats")
+            if stats is not None and s is None:
                 stats = None  # a stat-less commit poisons the merge
-                break
-            for t, (lo, hi) in s.items():
-                if t in stats:
-                    stats[t] = [min(stats[t][0], lo), max(stats[t][1], hi)]
-                else:
-                    stats[t] = [lo, hi]
-        seq = len(self.commits())
+            elif stats is not None:
+                for t, (lo, hi) in s.items():
+                    if t in stats:
+                        stats[t] = [min(stats[t][0], lo), max(stats[t][1], hi)]
+                    else:
+                        stats[t] = [lo, hi]
+            for t, v in (m.get("cursors") or {}).items():
+                cursors[t] = int(v)
+        seq = len(snapshot)
         manifest = {"files": sorted(parts), "message": message, "rows": n,
                     "stats": stats, "base": True}
-        cursors = self.stored_cursors()
         if cursors:
             manifest["cursors"] = cursors
-        _atomic_write_json(
-            os.path.join(self._commit_dir(), f"{seq:06d}.json"), manifest
-        )
+        try:
+            _atomic_create_json(
+                os.path.join(self._commit_dir(), f"{seq:06d}.json"), manifest
+            )
+        except FileExistsError:
+            # a load() landed after our snapshot; publishing the base now
+            # would supersede data it never read. Abort — the orphaned
+            # rewrite files are invisible without a manifest.
+            raise ConcurrentWriteError(
+                f"pool {self.path} advanced during compaction; re-run"
+            ) from None
         return n
 
     def vacuum(self) -> int:
@@ -349,3 +393,19 @@ def _atomic_write_json(path: str, obj: dict) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, path)
+
+
+def _atomic_create_json(path: str, obj: dict) -> None:
+    """Publish `obj` at `path` iff `path` does not exist yet: os.link is
+    atomic AND exclusive (unlike rename, which silently overwrites), so
+    exactly one writer can claim a commit sequence number. Raises
+    FileExistsError for the loser."""
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    finally:
+        os.unlink(tmp)
