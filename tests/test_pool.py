@@ -272,3 +272,38 @@ def test_concurrent_commit_protocol(spark, tmp_path):
     assert pool.scan().count() == 5
     assert pool.vacuum() > 0
     assert pool.scan().count() == 5
+
+
+def test_key_compaction_log_semantics(spark, tmp_path):
+    """keep_latest_by_key: Kafka log-compaction over the pool — latest data
+    record per (topic, key) survives, markers are never dropped."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from zync_spark.pool import Pool
+
+    pool = Pool.create(spark, os.path.join(tmp_path, "LC"))
+    schema = (
+        "kafka struct<topic:string,partition:long,offset:long>, "
+        "key struct<ID:long>, value struct<name:string>, zed_type string"
+    )
+    pool.load(spark.createDataFrame(
+        [(("T", 0, 0), (1,), ("a",), "data"),
+         (("T", 0, 1), (2,), ("b",), "data")], schema))
+    pool.load(spark.createDataFrame(
+        [(("T", 0, 2), (1,), ("a2",), "data"),     # update key 1
+         (("T", 0, 3), (None,), (None,), "done"),  # marker must survive
+         (("U", 0, 0), (1,), ("u1",), "data")], schema))  # other topic's key 1
+
+    assert pool.compact(keep_latest_by_key=True) == 4
+    rows = pool.scan().orderBy("kafka.topic", "kafka.offset").collect()
+    data = [(r["kafka"]["topic"], r["kafka"]["offset"], r["key"]["ID"],
+             r["value"]["name"]) for r in rows if r["zed_type"] == "data"]
+    # key 1 on topic T keeps only offset 2; topic U's key 1 is independent
+    assert data == [("T", 1, 2, "b"), ("T", 2, 1, "a2"), ("U", 0, 1, "u1")]
+    assert [r["zed_type"] for r in rows].count("done") == 1
+    # resume points still reflect the original high-water marks (the
+    # latest record per key is by definition never dropped, and the
+    # marker row at offset 3 survives)
+    assert pool.next_consumer_offset("T") == 4

@@ -205,7 +205,8 @@ def cmd_compact(args) -> int:
     superseded small files (the streaming small-files problem)."""
     spark = _spark()
     pool = _pool(spark, args.lake, args.pool)
-    n = pool.compact(target_rows=args.target_rows)
+    n = pool.compact(target_rows=args.target_rows,
+                     keep_latest_by_key=args.keep_latest_by_key)
     msg = f"compacted {n} rows into {len(pool.committed_files())} file(s)"
     if args.vacuum:
         msg += f"; vacuumed {pool.vacuum()} superseded file(s)"
@@ -299,6 +300,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="rows per output file")
     p.add_argument("--vacuum", action="store_true",
                    help="also delete the superseded data files")
+    p.add_argument("--keep-latest-by-key", action="store_true",
+                   help="Kafka log-compaction semantics: keep only the "
+                        "highest-offset data record per (topic, key)")
     p.set_defaults(fn=cmd_compact)
 
     p = sub.add_parser("info", help="kafka topic watermarks")

@@ -214,10 +214,20 @@ class Pool:
 
     # -- maintenance -------------------------------------------------------
 
-    def compact(self, target_rows: int = 4_000_000, message: str = "compact") -> int:
+    def compact(self, target_rows: int = 4_000_000, message: str = "compact",
+                keep_latest_by_key: bool = False) -> int:
         """Rewrite the live file set into few large, globally offset-
         clustered files and commit a `base` manifest that supersedes all
         prior commits.
+
+        `keep_latest_by_key` additionally applies Kafka log-compaction
+        semantics to CDC pools: among `zed_type='data'` rows, only the
+        highest-offset record per (topic, key) survives — the current
+        state of each entity, exactly what a compacted Kafka topic
+        retains. Non-data rows (done markers, cursors) are never dropped,
+        so ETL idempotence bookkeeping is preserved. One extra shuffle on
+        (topic, key), executed during the rewrite the pool was paying
+        anyway.
 
         Streaming ingest commits every few seconds (thresh/interval,
         cmd/zync/from-kafka/command.go:79-82), so a pool accretes small
@@ -254,6 +264,20 @@ class Pool:
                 files = []
             files.extend(m["files"])
         df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        if keep_latest_by_key and "key" in df.columns and "zed_type" in df.columns:
+            from pyspark.sql import Window
+
+            is_data = F.col("zed_type") == "data"
+            w = Window.partitionBy(F.col("kafka.topic"), F.col("key")).orderBy(
+                F.col("kafka.offset").desc()
+            )
+            data = (
+                df.filter(is_data)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            df = data.unionByName(df.filter(~is_data))
         n = df.count()
         nfiles = max(1, (n + target_rows - 1) // target_rows)
         file_id = uuid.uuid4().hex
