@@ -129,3 +129,16 @@ def test_const_prologue_in_assignments(spark):
     )
     row = df.select(assigns["out"].alias("out")).collect()[0]
     assert row["out"]["customerID"] == 1 and row["out"]["qty"] == 3
+
+
+def test_stdlib_functions(df):
+    assert _vals(df, compile_expr('grep("^Ta", name)', Context())) == [True, False]
+    assert _vals(df, compile_expr("floor(price)", Context())) == [2, 1]
+    assert _vals(df, compile_expr("ceil(price)", Context())) == [3, 1]
+    assert _vals(df, compile_expr("pow(n, 2)", Context())) == [25.0, 81.0]
+    assert _vals(df, compile_expr('join(split(name, "a"), "-")', Context())) == [
+        "T-co",
+        "Be-ns",
+    ]
+    # as a filter predicate, the idiomatic zed use
+    assert df.filter(compile_expr('grep("co$", name)', Context())).count() == 1

@@ -61,6 +61,23 @@ _FUNCTIONS = {
     "trim": lambda a: F.trim(a[0]),
     "replace": lambda a: F.regexp_replace(a[0], a[1], a[2]),
     "coalesce": lambda a: F.coalesce(*a),
+    # zed stdlib surface beyond the documented examples (public zed docs):
+    # grep(<regexp>, <string>) — regex containment predicate
+    "grep": lambda a: F.regexp_like(a[1], a[0]),
+    "floor": lambda a: F.floor(a[0]),
+    "ceil": lambda a: F.ceil(a[0]),
+    "round": lambda a: F.round(a[0]),
+    "sqrt": lambda a: F.sqrt(a[0]),
+    "pow": lambda a: F.pow(a[0], a[1]),
+    "log": lambda a: F.log(a[0]),
+    # join(<array>, <sep>) — array-of-strings to string. array_join()
+    # only takes a Python-str delimiter, but translated args are Columns,
+    # so fold with concat instead.
+    "join": lambda a: F.aggregate(
+        a[0],
+        F.lit("").cast("string"),
+        lambda acc, x: F.when(acc == "", x).otherwise(F.concat(acc, a[1], x)),
+    ),
 }
 
 
