@@ -80,3 +80,35 @@ def test_stream_run_loop_ingest_resume_egress(spark, tmp_path):
     )
     names = [r["name"] for r in back.select("value.name").orderBy("offset").collect()]
     assert names == [f"n{i}" for i in range(5)] + ["m1", "m3", "m5"]
+
+
+def test_stream_run_loop_auto_compaction(spark, tmp_path):
+    """Auto-compaction inside the live streaming loop: every 2 delta
+    commits the pool folds into a base manifest; data and resume state
+    are unaffected."""
+    queue = FileQueue(str(tmp_path / "q"))
+    ckpt = str(tmp_path / "ckpt")
+    pool = Pool.create(spark, str(tmp_path / "T"))
+    fk = FromKafka(spark, {"T": pool}, KEY_T, VAL_T, format="json",
+                   auto_compact_every=2)
+
+    offset = 0
+    for batch in range(4):
+        queue.produce(
+            "T", _records(spark, [(offset + i, "c", f"n{offset+i}") for i in range(3)])
+        )
+        offset += 3
+        q = fk.run(frame=queue.stream_frame(spark), checkpoint=ckpt,
+                   exit_after=True)
+        q.awaitTermination(120)
+
+    # 4 delta commits → at least one base fold happened and at most one
+    # delta is pending on top of the last base
+    assert pool.commits_since_base() <= 1
+    assert any("auto-compact" in m for m in (
+        __import__("json").load(open(f"{pool._commit_dir()}/{c}"))["message"]
+        for c in pool.commits()
+    ))
+    assert fk.resume_offsets() == {"T": 12}
+    rows = pool.scan().select("key.ID").orderBy("ID").collect()
+    assert [r["ID"] for r in rows] == list(range(12))

@@ -327,6 +327,18 @@ class Pool:
             ) from None
         return n
 
+    def commits_since_base(self) -> int:
+        """Delta commits on top of the last compaction checkpoint — the
+        signal maintenance policies key on (auto-compaction)."""
+        n = 0
+        for c in self.commits():
+            with open(os.path.join(self._commit_dir(), c)) as f:
+                if json.load(f).get("base"):
+                    n = 0
+                else:
+                    n += 1
+        return n
+
     def vacuum(self) -> int:
         """Delete data files not referenced by the LIVE view (everything a
         compaction superseded). Time travel to pre-compaction commits stops

@@ -936,28 +936,54 @@ def text_stats(spark, sf_dir):
     )
 
 
-@register(
-    "text_quality",
-    f"""
+_QUALITY_CTE = f"""
     WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
     m AS (SELECT doc_id,
                  len(toks)::DOUBLE AS n,
                  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in')))::DOUBLE AS sw,
                  (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE AS punct,
                  length(text)::DOUBLE AS chars
-          FROM t)
-    SELECT doc_id,
-           floor((0.5 * least(n / 50.0, 1.0)
-                  + 0.35 * least(sw / greatest(n, 1.0) * 5.0, 1.0)
-                  + 0.15 * (1.0 - least(punct / greatest(chars, 1.0) * 10.0, 1.0)))
-                 * 1000000.0 + 0.5) / 1000000.0 AS quality
-    FROM m
-    """,
-)
+          FROM t),
+    q AS (SELECT doc_id,
+                 floor((0.5 * least(n / 50.0, 1.0)
+                        + 0.35 * least(sw / greatest(n, 1.0) * 5.0, 1.0)
+                        + 0.15 * (1.0 - least(punct / greatest(chars, 1.0) * 10.0, 1.0)))
+                       * 1000000.0 + 0.5) / 1000000.0 AS quality
+          FROM m)
+"""
+
+
+@register("text_quality", _QUALITY_CTE + "SELECT doc_id, quality FROM q")
 def text_quality(spark, sf_dir):
     """Document quality scoring (length/stopword/punctuation heuristic)."""
     docs = T(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "quality_filter",
+    _QUALITY_CTE
+    + """,
+    thr AS (SELECT quantile_cont(quality, 0.25) AS t FROM q)
+    SELECT doc_id, quality FROM q, thr WHERE quality >= thr.t
+    """,
+)
+def quality_filter(spark, sf_dir):
+    """Corpus curation by GLOBAL statistic: keep documents at or above the
+    25th quality percentile. The global-stat-then-filter shape — compute a
+    corpus-wide threshold, broadcast the one-row result back against the
+    full table — is the standard curation pattern (quality cuts, length
+    cuts, perplexity cuts). The threshold agg is a full pass + single-row
+    reduce; the filter pass never shuffles. Exact interpolated percentile
+    matches DuckDB's quantile_cont bit-for-bit (see q_percentiles)."""
+    docs = T(spark, sf_dir, "documents")
+    q = docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+    thr = q.agg(F.percentile("quality", F.lit(0.25)).alias("t"))
+    return (
+        q.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("t"))
+        .select("doc_id", "quality")
+    )
 
 
 @register(

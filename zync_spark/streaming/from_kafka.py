@@ -45,6 +45,7 @@ class FromKafka:
         registry: BaseRegistry | None = None,
         format: str = "avro",
         shaper: str | None = None,
+        auto_compact_every: int | None = None,
     ):
         self.spark = spark
         self.topic_pools = topic_pools
@@ -53,6 +54,7 @@ class FromKafka:
         self.registry = registry
         self.format = format
         self.shaper = shaper
+        self.auto_compact_every = auto_compact_every
 
     # -- resume ------------------------------------------------------------
 
@@ -147,6 +149,16 @@ class FromKafka:
                 continue
             part = env.filter(F.col("kafka.topic") == topic)
             committed[topic] = pool.load(part, f"from-kafka {topic}")
+            # maintenance policy: every N delta commits, fold the pool
+            # into a base manifest so streaming ingest (one small commit
+            # per trigger) cannot accrete an unbounded small-file set.
+            # The loop is this pool's only writer, so the compaction's
+            # ConcurrentWriteError path cannot trip here.
+            if (
+                self.auto_compact_every
+                and pool.commits_since_base() >= self.auto_compact_every
+            ):
+                pool.compact(message="auto-compact")
         return committed
 
     # -- streaming entry ---------------------------------------------------
