@@ -239,3 +239,37 @@ def test_from_kafka_multipartition_resume_and_guard(spark, tmp_path):
     # redelivery below one partition's resume point trips the guard
     with pytest.raises(MonotonicityError):
         fk.commit_batch(frame([(1, 0, 3, "c", "x")]))
+
+
+def test_from_kafka_dead_letter_routing(spark, tmp_path):
+    """Malformed values route to the dead-letter pool with raw bytes;
+    well-formed records in the same batch commit normally."""
+    from zync_spark.sources import connectjson
+
+    pool = Pool.create(spark, str(tmp_path / "D"))
+    dlq = Pool.create(spark, str(tmp_path / "D_dlq"))
+    fk = FromKafka(spark, {"D": pool}, KEY_T, VAL_T, format="json",
+                   dead_letter_pool=dlq)
+
+    good_key = spark.range(1).select(
+        connectjson.encode(F.struct(F.lit(7).alias("ID")), KEY_T).cast("binary")
+    ).collect()[0][0]
+    good_val = spark.range(1).select(
+        connectjson.encode(
+            F.struct(F.lit("c").alias("op"), F.lit("ok").alias("name")), VAL_T
+        ).cast("binary")
+    ).collect()[0][0]
+    frame = spark.createDataFrame(
+        [
+            ("D", 0, 0, good_key, good_val),
+            ("D", 0, 1, good_key, b"this is not connect-json"),
+        ],
+        FRAME_T,
+    )
+    assert fk.commit_batch(frame) == {"D": 1}
+    assert pool.scan().filter(F.col("zed_type") == "data").count() == 1
+    dead = dlq.scan().collect()
+    assert len(dead) == 1
+    assert dead[0]["zed_type"] == "dlq"
+    assert dead[0]["kafka"]["offset"] == 1
+    assert bytes(dead[0]["raw_value"]) == b"this is not connect-json"

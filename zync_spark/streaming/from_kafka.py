@@ -46,6 +46,7 @@ class FromKafka:
         format: str = "avro",
         shaper: str | None = None,
         auto_compact_every: int | None = None,
+        dead_letter_pool: Pool | None = None,
     ):
         self.spark = spark
         self.topic_pools = topic_pools
@@ -55,6 +56,7 @@ class FromKafka:
         self.format = format
         self.shaper = shaper
         self.auto_compact_every = auto_compact_every
+        self.dead_letter_pool = dead_letter_pool
 
     # -- resume ------------------------------------------------------------
 
@@ -85,6 +87,8 @@ class FromKafka:
 
     def decode_frame(self, frame: DataFrame) -> DataFrame:
         """kafka frame → envelope rows (fifo/consumer.go:117-148)."""
+        if self.dead_letter_pool is not None:
+            frame = frame.withColumn("_raw_value", F.col("value"))
         if self.format == "avro":
             if self.registry is None:
                 raise ValueError("avro format needs a schema registry")
@@ -98,7 +102,7 @@ class FromKafka:
             )
         else:
             raise ValueError(f"unknown format {self.format!r}")
-        env = decoded.select(
+        cols = [
             F.struct(
                 F.col("topic"),
                 F.col("partition").cast("long").alias("partition"),
@@ -107,7 +111,10 @@ class FromKafka:
             F.col("key"),
             F.col("value"),
             F.lit(ZED_TYPE_DATA).alias("zed_type"),
-        )
+        ]
+        if self.dead_letter_pool is not None:
+            cols.append(F.col("_raw_value"))
+        env = decoded.select(*cols)
         if self.shaper:
             env = apply_shaper(env, self.shaper)
         return env
@@ -121,6 +128,25 @@ class FromKafka:
         duplicate redelivery after an out-of-band reset — refuse, like the
         reference (fifo/consumer.go:117-122). Returns rows per topic."""
         env = self.decode_frame(frame)
+        if self.dead_letter_pool is not None:
+            # decode-failure routing: a non-null wire value that decoded
+            # to null is malformed. It goes to the dead-letter pool with
+            # its raw bytes (zed_type='dlq') instead of poisoning the
+            # stream (the reference has no such path; a bad record fails
+            # the run). Forward progress comes from the streaming
+            # checkpoint; on an out-of-band restart from pool state a
+            # trailing bad record may be re-routed to the DLQ (duplicate
+            # dead letters, never lost or double-committed data). The
+            # guard below runs on the surviving rows only, so re-fetched
+            # bad offsets cannot trip it. Flagging is a per-row
+            # predicate, no extra pass.
+            bad = F.col("value").isNull() & F.col("_raw_value").isNotNull()
+            dead = env.filter(bad).select(
+                "kafka", F.col("_raw_value").alias("raw_value"),
+                F.lit("dlq").alias("zed_type"),
+            )
+            self.dead_letter_pool.load(dead, "from-kafka dead-letter")
+            env = env.filter(~bad).drop("_raw_value")
         resume = self.resume_offsets_by_partition()
         # ONE aggregation over the batch yields every (topic, partition)
         # incoming low-water mark — not a driver loop of per-topic jobs.
