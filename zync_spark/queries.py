@@ -1076,6 +1076,83 @@ def pack_sequences(spark, sf_dir):
 
 
 @register(
+    "q_funnel",
+    """
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+      FROM events GROUP BY user_id)
+    SELECT user_id, t_view, t_click, t_buy FROM f
+    WHERE t_view IS NOT NULL AND t_click IS NOT NULL AND t_buy IS NOT NULL
+      AND t_view < t_click AND t_click < t_buy
+    """,
+)
+def q_funnel(spark, sf_dir):
+    """Ordered-funnel analysis: users whose first view precedes their
+    first click precedes their first purchase — the sequential-pattern
+    query behind conversion metrics. ONE shuffle (the user_id agg with
+    map-side conditional-min partials); the ordering test runs on the
+    6-column aggregate, never on raw events. Times compare as epoch
+    MICROS in both engines (events.ts is nanos parquet; both engines
+    truncate to µs — comparing post-truncation keeps them identical)."""
+    e = T(spark, sf_dir, "events")
+    first = lambda typ: F.min(  # noqa: E731
+        F.when(F.col("event_type") == typ, F.unix_micros(F.col("ts")))
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            first("view").alias("t_view"),
+            first("click").alias("t_click"),
+            first("purchase").alias("t_buy"),
+        )
+        .filter(
+            F.col("t_view").isNotNull()
+            & F.col("t_click").isNotNull()
+            & F.col("t_buy").isNotNull()
+            & (F.col("t_view") < F.col("t_click"))
+            & (F.col("t_click") < F.col("t_buy"))
+        )
+    )
+
+
+@register(
+    "emb_quantize",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+          FROM e)
+    SELECT vec_id, scale,
+           list_transform(v, x -> floor(x / scale + 0.5)::BIGINT) AS q
+    FROM s WHERE scale > 0
+    """,
+)
+def emb_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (per-vector absmax scale) —
+    the standard storage/compute shrink for vector corpora (4x smaller,
+    SIMD-friendly). Pure per-row HOFs: no shuffle at any scale. Integer
+    outputs make the oracle exact: both engines do the same IEEE divide
+    then floor(x+0.5) half-up rounding (round() would diverge)."""
+    emb = T(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    s = emb.select(
+        "vec_id",
+        v.alias("v"),
+        (F.array_max(F.transform(v, F.abs)) / 127.0).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    return s.select(
+        "vec_id",
+        "scale",
+        F.transform(
+            F.col("v"), lambda x: F.floor(x / F.col("scale") + 0.5).cast("long")
+        ).alias("q"),
+    )
+
+
+@register(
     "ann_cosine_topk",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
