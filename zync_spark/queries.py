@@ -1076,6 +1076,61 @@ def pack_sequences(spark, sf_dir):
 
 
 @register(
+    "pii_pseudonymize",
+    """
+    SELECT c_custkey,
+           md5(c_name) AS name_token,
+           regexp_replace(c_name, '[0-9]', '*', 'g') AS name_masked,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def pii_pseudonymize(spark, sf_dir):
+    """PII handling for training corpora: identifying fields become stable
+    opaque tokens (md5 — joinable across tables without exposing the
+    value) and quasi-identifiers are masked in place; analytic columns
+    pass through. Pure map, no shuffle at any scale; same shape applies to
+    free-text scrubbing (regexp over documents.text)."""
+    c = T(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5(F.col("c_name")).alias("name_token"),
+        F.regexp_replace(F.col("c_name"), "[0-9]", "*").alias("name_masked"),
+        "c_mktsegment",
+    )
+
+
+@register(
+    "q_outer_join",
+    """
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+           coalesce(sum(o.o_totalprice::DECIMAL(14,2)), 0)::DOUBLE AS total
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def q_outer_join(spark, sf_dir):
+    """Left outer join preserving unmatched build-side rows (customers
+    with no orders appear with n_orders=0) — the outer-join member of the
+    join family (§2.3). One shuffle on custkey; count(col) skips nulls in
+    both engines identically."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(14,2)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@register(
     "q_funnel",
     """
     WITH f AS (
