@@ -1076,6 +1076,60 @@ def pack_sequences(spark, sf_dir):
 
 
 @register(
+    "q_gapfill",
+    """
+    WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, value FROM events),
+    agg AS (SELECT user_id, day, sum(value::DECIMAL(12,2))::DOUBLE AS day_total
+            FROM d GROUP BY 1, 2),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    users AS (SELECT DISTINCT user_id FROM d),
+    grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day
+             FROM users CROSS JOIN b),
+    j AS (SELECT g.user_id, g.day, a.day_total
+          FROM grid g LEFT JOIN agg a ON a.user_id = g.user_id AND a.day = g.day)
+    SELECT user_id, day, day_total,
+           last_value(day_total IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS filled
+    FROM j
+    """,
+)
+def q_gapfill(spark, sf_dir):
+    """Hypertable-style gap-filled rollup: daily per-user totals on a
+    REGULAR time grid (missing days materialized via sequence+explode)
+    with forward fill (last non-null over an ordered window) — the
+    time-series resample/locf operator warehouses bolt on. Scale: the
+    grid is users x buckets (explode distributes it); the fill window is
+    per-user and bounded by the bucket count — for unbounded retention,
+    partition the window by (user, coarse epoch) so state stays fixed.
+    Day = epoch-micros integer-division in BOTH engines (truncation
+    parity); bucket sums are DECIMAL-exact before the one cast."""
+    e = T(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    d = e.select("user_id", day.alias("day"), "value")
+    agg = d.groupBy("user_id", "day").agg(
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("day_total")
+    )
+    bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = (
+        d.select("user_id").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("user_id", F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(agg, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        "day_total",
+        F.last("day_total", ignorenulls=True).over(w).alias("filled"),
+    )
+
+
+@register(
     "pii_pseudonymize",
     """
     SELECT c_custkey,
