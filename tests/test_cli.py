@@ -63,6 +63,12 @@ def test_cli_produce_etl_query_consume(spark, tmp_path, capsys):
     offsets = [r["kafka"]["offset"] for r in lines]
     assert offsets == sorted(offsets)
 
+    # time travel: as of the first Staging commit, same view (single etl)
+    assert main([
+        "--lake", lake, "consume", "NewInvoices", "--pool", "Staging", "--at", "0",
+    ]) == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == n
+
     # lake maintenance: compact + vacuum leave the query result unchanged
     assert main(["--lake", lake, "compact", "Staging", "--vacuum"]) == 0
     out = capsys.readouterr().out

@@ -81,7 +81,7 @@ def cmd_consume(args) -> int:
     from pyspark.sql import functions as F
 
     spark = _spark()
-    df = _pool(spark, args.lake, args.pool).scan()
+    df = _pool(spark, args.lake, args.pool).scan(at=args.at)
     if df is None:
         return 0
     out = (
@@ -255,6 +255,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("topic")
     p.add_argument("--pool", required=True)
     p.add_argument("--offset", type=int, default=0)
+    p.add_argument("--at", type=int, default=None,
+                   help="time-travel: read the pool as of this commit seq")
     p.set_defaults(fn=cmd_consume)
 
     p = sub.add_parser("produce", help="load envelope JSON files into a pool")
