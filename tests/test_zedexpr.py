@@ -131,6 +131,73 @@ def test_const_prologue_in_assignments(spark):
     assert row["out"]["customerID"] == 1 and row["out"]["qty"] == 3
 
 
+def test_time_functions(spark):
+    df = spark.createDataFrame(
+        [("2024-03-05 10:47:33",), ("2024-03-05 11:02:10",)],
+        "s string",
+    ).select(F.col("s").cast("timestamp").alias("ts"))
+    assert _vals(df, compile_expr("bucket(ts, 15m)", Context()).cast("string")) == [
+        "2024-03-05 10:45:00",
+        "2024-03-05 11:00:00",
+    ]
+    assert _vals(df, compile_expr("bucket(ts, 1h)", Context()).cast("string")) == [
+        "2024-03-05 10:00:00",
+        "2024-03-05 11:00:00",
+    ]
+    # numeric-seconds variant
+    assert _vals(df, compile_expr("bucket(ts, 3600)", Context()).cast("string")) == [
+        "2024-03-05 10:00:00",
+        "2024-03-05 11:00:00",
+    ]
+    assert _vals(df, compile_expr('strftime("%Y-%m-%dT%H", ts)', Context())) == [
+        "2024-03-05T10",
+        "2024-03-05T11",
+    ]
+    # now() is a plan-time-stable timestamp column
+    assert df.select(compile_expr("now()", Context()).alias("t")).schema[
+        "t"
+    ].dataType.typeName() == "timestamp"
+    with pytest.raises(ZedSyntaxError):
+        compile_expr("1h + 2", Context())
+    with pytest.raises(ZedSyntaxError):
+        compile_expr('strftime("%Q", ts)', Context())
+
+
+def test_network_functions(spark):
+    df = spark.createDataFrame(
+        [("10.1.2.3",), ("10.2.0.9",), ("192.168.1.77",)], "ip string"
+    )
+    assert _vals(df, compile_expr('cidr_match("10.1.0.0/16", ip)', Context())) == [
+        True,
+        False,
+        False,
+    ]
+    assert _vals(df, compile_expr('cidr_match("10.0.0.0/8", ip)', Context())) == [
+        True,
+        True,
+        False,
+    ]
+    assert _vals(df, compile_expr("network_of(ip, 24)", Context())) == [
+        "10.1.2.0/24",
+        "10.2.0.0/24",
+        "192.168.1.0/24",
+    ]
+
+
+def test_string_encoding_functions(df):
+    assert _vals(df, compile_expr('levenshtein(name, "Tacos")', Context())) == [1, 4]
+    assert _vals(df, compile_expr('hex("A")', Context())) == ["41", "41"]
+    assert _vals(df, compile_expr('base64("hi")', Context())) == ["aGk=", "aGk="]
+    assert _vals(df, compile_expr('position(name, "a")', Context())) == [2, 3]
+    uri = compile_expr(
+        'parse_uri("https://example.com/p/q?x=1#frag")', Context()
+    )
+    row = None
+    row = df.limit(1).select(uri.alias("u")).collect()[0]["u"]
+    assert row["scheme"] == "https" and row["host"] == "example.com"
+    assert row["path"] == "/p/q" and row["query"] == "x=1" and row["fragment"] == "frag"
+
+
 def test_stdlib_functions(df):
     assert _vals(df, compile_expr('grep("^Ta", name)', Context())) == [True, False]
     assert _vals(df, compile_expr("floor(price)", Context())) == [2, 1]

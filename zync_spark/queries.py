@@ -1969,3 +1969,98 @@ def q_vector_centroids(spark, sf_dir):
         F.count("*").alias("n"),
         (F.sum("xs") / (F.count("*") * F.lit(1048576.0))).alias("mean_x"),
     )
+
+
+@register(
+    "q_time_bucket",
+    """
+    SELECT strftime(make_timestamp(((floor(epoch(ts))::BIGINT // 900) * 900)
+                                   * 1000000), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           event_type,
+           count(*) AS n,
+           sum((value * 100)::DECIMAL(18,0))::BIGINT AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_time_bucket(spark, sf_dir):
+    """Arbitrary-duration time bucketing via the zed stdlib `bucket()`
+    function, compiled by zedexpr to pure epoch-micros arithmetic (no UDF,
+    stays in whole-stage codegen). The reference exposes bucket() through
+    its embedded Zed engine (SURVEY §2.8); 15-minute grids are the shape
+    date_trunc can't express. Output formatted with zed `strftime()`."""
+    from zync_spark import zedexpr
+
+    ev = T(spark, sf_dir, "events")
+    ctx = zedexpr.Context()
+    bucket = zedexpr.compile_expr(
+        'strftime("%Y-%m-%d %H:%M:%S", bucket(ts, 15m))', ctx
+    )
+    return ev.groupBy(
+        bucket.alias("bucket_start"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("value_cents"),
+    )
+
+
+@register(
+    "q_cidr_route",
+    """
+    SELECT '10.' || (event_id % 256) || '.0.0/16' AS network,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE (event_id % 256) >= 128
+    GROUP BY 1
+    """,
+)
+def q_cidr_route(spark, sf_dir):
+    """Network predicates from the zed stdlib: cidr_match() as a filter and
+    network_of() as a grouping key, both compiled by zedexpr to Column
+    arithmetic (a fold over the dotted quad — no UDF). Source IPs are
+    synthesized deterministically from event_id so the oracle can express
+    the same predicate in integer arithmetic."""
+    from zync_spark import zedexpr
+
+    ev = T(spark, sf_dir, "events").withColumn(
+        "ip",
+        F.concat_ws(
+            ".",
+            F.lit("10"),
+            (F.col("event_id") % 256).cast("string"),
+            F.lit("0"),
+            F.lit("7"),
+        ),
+    )
+    ctx = zedexpr.Context()
+    matched = ev.filter(zedexpr.compile_expr('cidr_match("10.128.0.0/9", ip)', ctx))
+    return matched.groupBy(
+        zedexpr.compile_expr("network_of(ip, 16)", ctx).alias("network")
+    ).agg(
+        F.count("*").alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "q_fuzzy_distance",
+    """
+    SELECT levenshtein(p_brand, 'Brand#11') AS edit_dist,
+           count(*) AS n_parts
+    FROM part GROUP BY 1
+    """,
+)
+def q_fuzzy_distance(spark, sf_dir):
+    """Edit-distance bucketing (zed stdlib `levenshtein()`): fuzzy string
+    match as a pure row-map (JVM levenshtein, no shuffle beyond the final
+    small agg). The scale path for fuzzy joins is candidate pruning first
+    (see dedup_jaccard_pairs); plain levenshtein stays for the verify step."""
+    from zync_spark import zedexpr
+
+    part = T(spark, sf_dir, "part")
+    dist = zedexpr.compile_expr('levenshtein(p_brand, "Brand#11")', zedexpr.Context())
+    return part.groupBy(dist.cast("long").alias("edit_dist")).agg(
+        F.count("*").alias("n_parts")
+    )

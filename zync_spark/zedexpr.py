@@ -37,6 +37,7 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
   | (?P<comment>//[^\n]*)
+  | (?P<duration>\d+(?:ns|us|ms|s|m|h|d|w|y)\b)
   | (?P<float>\d+\.\d*|\.\d+)
   | (?P<int>\d+)
   | (?P<string>"(?:[^"\\]|\\.)*")
@@ -78,7 +79,104 @@ _FUNCTIONS = {
         F.lit("").cast("string"),
         lambda acc, x: F.when(acc == "", x).otherwise(F.concat(acc, a[1], x)),
     ),
+    # time (zed stdlib: now(), bucket() — bucket with a duration literal is
+    # special-cased in parse_call; this entry covers bucket(ts, <seconds>))
+    "now": lambda a: F.current_timestamp(),
+    # strings / encodings
+    "levenshtein": lambda a: F.levenshtein(a[0], a[1]),
+    "hex": lambda a: F.lower(F.hex(a[0])),
+    "unhex": lambda a: F.unhex(a[0]),
+    "base64": lambda a: F.base64(a[0].cast("binary")),
+    "regexp_replace": lambda a: F.regexp_replace(a[1], a[0], a[2]),
+    "position": lambda a: F.instr(a[0], a[1]),
+    # parse_uri(<string>) → record of URL components (zed stdlib shape)
+    "parse_uri": lambda a: F.struct(
+        F.parse_url(a[0], F.lit("PROTOCOL")).alias("scheme"),
+        F.parse_url(a[0], F.lit("HOST")).alias("host"),
+        F.parse_url(a[0], F.lit("PATH")).alias("path"),
+        F.parse_url(a[0], F.lit("QUERY")).alias("query"),
+        F.parse_url(a[0], F.lit("REF")).alias("fragment"),
+    ),
+    # networks (zed stdlib cidr_match/network_of). IPv4 dotted-quad only —
+    # pure Column arithmetic, stays in whole-stage codegen.
+    "cidr_match": lambda a: _cidr_match(a[0], a[1]),
+    "network_of": lambda a: _network_of(a[0], a[1]),
 }
+
+
+def _ip_to_long(ip: Column) -> Column:
+    """Dotted-quad string → uint32-as-long, as a codegen-friendly fold."""
+    return F.aggregate(
+        F.split(ip, r"\."),
+        F.lit(0).cast("long"),
+        lambda acc, octet: acc * 256 + octet.cast("long"),
+    )
+
+
+def _cidr_match(net: Column, addr: Column) -> Column:
+    """cidr_match("10.1.0.0/16", ip) — true when addr falls in the network.
+    prefix may be a column, so mask via pow(2, 32-p) (exact in double for
+    p in 0..32) instead of shiftright (which needs a literal bit count)."""
+    prefix = F.split(net, "/")[1].cast("int")
+    netip = _ip_to_long(F.split(net, "/")[0])
+    ip = _ip_to_long(addr)
+    host_bits = F.pow(F.lit(2.0), 32 - prefix)
+    return (
+        F.floor(ip / host_bits).cast("long")
+        == F.floor(netip / host_bits).cast("long")
+    )
+
+
+def _network_of(addr: Column, prefix: Column) -> Column:
+    """network_of(ip, prefixlen) → "a.b.c.0/len" masked network string."""
+    ip = _ip_to_long(addr)
+    host_bits = F.pow(F.lit(2.0), 32 - prefix.cast("int"))
+    masked = (F.floor(ip / host_bits).cast("long") * host_bits).cast("long")
+    octets = [
+        ((masked / F.lit(d)).cast("long") % 256).cast("string")
+        for d in (16777216, 65536, 256, 1)
+    ]
+    return F.concat_ws("/", F.concat_ws(".", *octets), prefix.cast("string"))
+
+
+_DURATION_US = {
+    "ns": 0.001, "us": 1, "ms": 1000, "s": 1_000_000,
+    "m": 60_000_000, "h": 3_600_000_000, "d": 86_400_000_000,
+    "w": 604_800_000_000, "y": 31_536_000_000_000,
+}
+
+
+def _duration_micros(text: str) -> int:
+    m = re.fullmatch(r"(\d+)(ns|us|ms|s|m|h|d|w|y)", text)
+    return int(int(m.group(1)) * _DURATION_US[m.group(2)])
+
+
+# strftime %-codes → Spark/Java DateTimeFormatter patterns. The subset the
+# reference's ecosystem (and DuckDB, our oracle) shares.
+_STRFTIME_MAP = {
+    "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
+    "%S": "ss", "%y": "yy", "%j": "DDD", "%b": "MMM", "%B": "MMMM",
+    "%a": "EEE", "%A": "EEEE", "%%": "%",
+}
+
+
+def strftime_to_java(fmt: str) -> str:
+    out, i = [], 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            code = fmt[i : i + 2]
+            if code not in _STRFTIME_MAP:
+                raise ZedSyntaxError(f"unsupported strftime code {code!r}")
+            out.append(_STRFTIME_MAP[code])
+            i += 2
+        elif fmt[i].isalpha():
+            # bare letters are pattern chars to Java — quote them
+            out.append(f"'{fmt[i]}'")
+            i += 1
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
 
 
 @dataclass
@@ -293,6 +391,9 @@ class Parser:
         if t.kind == "int":
             self.next()
             return F.lit(int(t.text)).cast("long")
+        if t.kind == "duration":
+            self.next()
+            return _Duration(_duration_micros(t.text))
         if t.kind == "float":
             self.next()
             return F.lit(float(t.text))
@@ -417,6 +518,29 @@ class Parser:
             type_name = self.expect("ident").text
             self.expect("op", ")")
             return arg.cast(type_name)
+        if name == "bucket":
+            # bucket(<time expr>, <duration literal>) — zed stdlib. Truncate
+            # to the duration grid: pure epoch-micros arithmetic, no UDF.
+            # (Floor-toward-zero on the epoch; testdata is post-1970.)
+            ts = self.parse_expr()
+            self.expect("op", ",")
+            d = self.parse_expr()
+            self.expect("op", ")")
+            if isinstance(d, _Duration):
+                micros = F.lit(d.micros)
+            else:  # numeric expression = seconds
+                micros = (d * 1_000_000).cast("long")
+            us = F.unix_micros(ts)
+            return F.timestamp_micros(us - us % micros)
+        if name == "strftime":
+            # strftime(<format literal>, <time expr>) — format must be a
+            # literal so the %-codes convert at compile time.
+            t = self.expect("string")
+            fmt = t.text[1:-1].encode().decode("unicode_escape")
+            self.expect("op", ",")
+            ts = self.parse_expr()
+            self.expect("op", ")")
+            return F.date_format(ts, strftime_to_java(fmt))
         args = []
         if not self.accept("op", ")"):
             while True:
@@ -436,6 +560,22 @@ class _TypeOf:
 
     def __init__(self, dtype: DataType):
         self.dtype = dtype
+
+
+class _Duration:
+    """Sentinel for a zed duration literal (1h, 30m, …) — valid only as the
+    second argument of bucket(); anywhere else is a syntax error."""
+
+    def __init__(self, micros: int):
+        self.micros = micros
+
+    def _bad(self, *_a, **_k):
+        raise ZedSyntaxError("duration literal is only valid inside bucket()")
+
+    __add__ = __radd__ = __sub__ = __rsub__ = __mul__ = __rmul__ = _bad
+    __truediv__ = __rtruediv__ = __mod__ = __rmod__ = __neg__ = _bad
+    __eq__ = __ne__ = __lt__ = __le__ = __gt__ = __ge__ = _bad  # type: ignore[assignment]
+    __hash__ = None  # type: ignore[assignment]
 
 
 def strip_const_prologue(src: str, ctx: Context) -> str:
@@ -464,6 +604,8 @@ def compile_expr(src: str, ctx: Context) -> Column:
     p.expect("eof")
     if isinstance(col, _TypeOf):
         raise ZedSyntaxError("typeof() is only valid inside cast()")
+    if isinstance(col, _Duration):
+        raise ZedSyntaxError("duration literal is only valid inside bucket()")
     return col
 
 
