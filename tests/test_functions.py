@@ -282,3 +282,51 @@ def test_connected_components_chain_clique_singleton(spark):
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
     assert 99 not in got  # singletons are the caller's left-join
+
+
+def test_nest_flatten_dotted_roundtrip(spark):
+    from zync_spark import envelope as E
+
+    df = spark.createDataFrame([(1, "t", 5, "x")], "id long, a string, b long, plain string")
+    df = df.select(
+        "id",
+        F.col("a").alias("kafka.topic"),
+        F.col("b").alias("kafka.offset"),
+        "plain",
+    )
+    nested = E.nest_dotted(df)
+    assert [f.name for f in nested.schema.fields] == ["id", "kafka", "plain"]
+    kafka_t = nested.schema["kafka"].dataType
+    assert [f.name for f in kafka_t.fields] == ["topic", "offset"]
+    row = nested.collect()[0]
+    assert row["kafka"]["topic"] == "t" and row["kafka"]["offset"] == 5
+
+    flat = E.flatten_dotted(nested)
+    assert [f.name for f in flat.schema.fields] == [
+        "id",
+        "kafka.topic",
+        "kafka.offset",
+        "plain",
+    ]
+    assert flat.collect() == df.collect()
+
+
+def test_nest_dotted_deep_and_collision(spark):
+    from zync_spark import envelope as E
+
+    df = spark.createDataFrame([(1, 2, 3)], "x long, y long, z long").select(
+        F.col("x").alias("a.b.c"),
+        F.col("y").alias("a.b.d"),
+        F.col("z").alias("a.e"),
+    )
+    nested = E.nest_dotted(df)
+    assert [f.name for f in nested.schema.fields] == ["a"]
+    row = nested.collect()[0]
+    assert row["a"]["b"]["c"] == 1 and row["a"]["b"]["d"] == 2 and row["a"]["e"] == 3
+
+    bad = spark.createDataFrame([(1, 2)], "x long, y long").select(
+        F.col("x").alias("a"),
+        F.col("y").alias("a.b"),
+    )
+    with pytest.raises(ValueError, match="collides"):
+        E.nest_dotted(bad)

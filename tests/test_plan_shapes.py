@@ -84,6 +84,30 @@ def test_llm_operators_stay_jvm_side(spark, name):
     assert re.search(PY_NODES, p) is None
 
 
+def test_kmeans_broadcasts_centroids(spark):
+    # each Lloyd round: centroid recompute shuffles, but reassignment must
+    # broadcast the k centroid arrays — never shuffle the corpus per round
+    p = plan_of(spark, "kmeans_clusters")
+    assert count("BroadcastNestedLoopJoin", p) >= 2
+    assert count("SortMergeJoin", p) + count("ShuffledHashJoin", p) <= 2
+    assert re.search(PY_NODES, p) is None
+
+
+def test_tfidf_stays_jvm_side(spark):
+    p = plan_of(spark, "text_tfidf_topk")
+    assert re.search(PY_NODES, p) is None
+    # tokenize→tf→df→join→topk: bounded shuffle budget
+    assert n_shuffles(p) <= 5
+
+
+def test_nest_roundtrip_collapses_to_scan(spark):
+    # nest_dotted∘flatten_dotted is a pair of projections; Catalyst must
+    # collapse the roundtrip into the scan stage: no shuffle, no Python
+    p = plan_of(spark, "q_nest_roundtrip")
+    assert n_shuffles(p) == 0
+    assert re.search(PY_NODES, p) is None
+
+
 def test_multimodal_is_arrow_batched_python(spark):
     # decode genuinely needs Python: it must be the Arrow-batched
     # mapInPandas path, never row-at-a-time BatchEvalPython

@@ -77,3 +77,58 @@ def fuse(*dfs: DataFrame) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
     return out
+
+
+def flatten_dotted(df: DataFrame, sep: str = ".") -> DataFrame:
+    """Shaper op: recursively expand struct columns into top-level columns
+    with dotted names (`kafka.topic`, `value.after.ID`). The inverse of
+    `nest_dotted`. Zed's shaper surface exposes this record restructuring
+    (the reference splices shaper scripts around its ETL programs,
+    cli/shaper.go:8-22); Kafka Connect emits dotted field names that the
+    nested envelope model needs to absorb both ways.
+
+    Pure projection — no shuffle, column pruning still reaches the scan
+    (Catalyst sees plain GetStructField chains)."""
+    from pyspark.sql.types import StructType as _St
+
+    def leaves(prefix: str, dtype, col: Column):
+        if isinstance(dtype, _St):
+            for f in dtype.fields:
+                yield from leaves(f"{prefix}{sep}{f.name}", f.dataType, col[f.name])
+        else:
+            yield col.alias(prefix)
+
+    cols: list[Column] = []
+    for f in df.schema.fields:
+        cols.extend(leaves(f.name, f.dataType, df[f.name]))
+    return df.select(*cols)
+
+
+def nest_dotted(df: DataFrame, sep: str = ".") -> DataFrame:
+    """Shaper op: group top-level columns whose names contain `sep` into
+    nested structs — zed `nest_dotted()` (the standard fix-up for Kafka
+    Connect's flattened dotted names). `a.b.c` and `a.b.d` become one
+    struct column `a` with nested `b.{c,d}`. Column order is preserved by
+    first appearance. Pure projection, no shuffle."""
+
+    def build(tree: dict, path: str) -> list[Column]:
+        cols = []
+        for name, node in tree.items():
+            if isinstance(node, dict):
+                cols.append(
+                    F.struct(*build(node, f"{path}{name}{sep}")).alias(name)
+                )
+            else:
+                cols.append(node.alias(name))
+        return cols
+
+    tree: dict = {}
+    for f in df.schema.fields:
+        parts = f.name.split(sep)
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+            if not isinstance(node, dict):
+                raise ValueError(f"nest_dotted: {f.name!r} collides with a leaf")
+        node[parts[-1]] = df[f"`{f.name}`"]
+    return df.select(*build(tree, ""))

@@ -131,6 +131,72 @@ def lsh_ann_topk(
     )
 
 
+def kmeans_assignments(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Lloyd's k-means over embedding vectors, in exact fixed-point integer
+    arithmetic so every engine computes identical assignments (floats are
+    scaled by 2^20 and floored; centroids use truncating integer division —
+    the same rounding in Spark `div` and DuckDB `//`).
+
+    Iterative algorithm on Spark: the loop unrolls into ONE lazy plan —
+    each round is (a) centroid recompute = posexplode + two-level groupBy
+    (map-side partial sums, shuffle keyed (cluster, dim): k*dim rows out),
+    then (b) reassignment = crossJoin against the k centroid arrays
+    (broadcast — k rows) with the squared-distance fold in whole-stage
+    codegen, argmin via min(struct(dist, cluster)). No driver-side loop
+    state: nothing is collected between rounds, so the scheduler pipelines
+    the whole thing; at 100 TB each round is 2 shuffles of k*64 longs plus
+    one scan-wide map.
+
+    Init is deterministic (cluster = vec_id % k). Returns
+    (vec_id, cluster, dist) after `iterations` reassignment rounds.
+    """
+    scaled = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.floor(x.cast("double") * scale).cast("long")
+        ).alias("xs"),
+    )
+    assign = scaled.select("vec_id", (F.col("vec_id") % k).cast("long").alias("cluster"))
+    for _ in range(iterations):
+        sums = (
+            scaled.join(assign, "vec_id")
+            .select("cluster", F.posexplode("xs").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .select("cluster", "pos", F.expr("s div n").alias("ci"))
+        )
+        cents = sums.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ci"))),
+                lambda st: st["ci"],
+            ).alias("c")
+        )
+        dists = scaled.crossJoin(
+            F.broadcast(cents.select(F.col("cluster").alias("cand"), "c"))
+        ).select(
+            "vec_id",
+            F.col("cand"),
+            F.aggregate(
+                F.zip_with(F.col("xs"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+        assign = (
+            dists.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cand")).alias("m"))
+            .select("vec_id", F.col("m.cand").alias("cluster"), F.col("m.dist").alias("dist"))
+        )
+    return assign
+
+
 def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[float]]],
                vec_col: str, nprobe: int = 1) -> DataFrame:
     """Attach the `nprobe` nearest coarse-centroid cell ids to each row

@@ -2064,3 +2064,200 @@ def q_fuzzy_distance(spark, sf_dir):
     return part.groupBy(dist.cast("long").alias("edit_dist")).agg(
         F.count("*").alias("n_parts")
     )
+
+
+@register(
+    "text_tfidf_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM toks WHERE term <> '' GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    s AS (SELECT doc_id, term, tf, df, (tf * 1000000) // df AS score_ppm
+          FROM tf JOIN dfreq USING (term)),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score_ppm DESC, term) AS rnk
+          FROM s)
+    SELECT doc_id, term, tf, df, score_ppm, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def text_tfidf_topk(spark, sf_dir):
+    """TF-IDF top-5 terms per document — the classic relevance/keyword
+    extractor for corpus analysis. Shape: tokenize → per-(doc,term) counts
+    (one shuffle, map-side combine) → per-term document frequency (second
+    shuffle, much smaller input) → join back on term → per-doc top-k
+    window. The weight is the rational surrogate tf/df in exact ppm
+    integer arithmetic (`div`) rather than tf*ln(N/df): ln() last-ulp
+    behavior differs between engines, and a monotone-in-df integer score
+    keeps the cross-engine rank (and hash) deterministic.
+
+    Scale: the df table is ~vocabulary-sized; at 100 TB it still shuffles
+    (no broadcast assumption), but AQE can downgrade it if small."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.expr("(tf * 1000000) div df").alias("score_ppm"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "term", "tf", "df", "score_ppm", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+@register(
+    "q_nest_roundtrip",
+    """
+    SELECT event_id,
+           'events' AS "meta.topic",
+           event_id AS "meta.offset",
+           user_id AS "meta.user",
+           event_type
+    FROM events
+    """,
+)
+def q_nest_roundtrip(spark, sf_dir):
+    """Shaper ops nest_dotted/flatten_dotted: Kafka Connect flattens nested
+    records to dotted column names; the envelope model nests them back
+    (zed `nest_dotted()`; shaper splice points at cli/shaper.go:8-22). The
+    query builds dotted columns, nests them into a struct, then flattens
+    back — proving the two are exact inverses. Pure projections: zero
+    shuffles, and Catalyst collapses the whole roundtrip into one scan."""
+    from zync_spark import envelope as E
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id",
+        F.lit("events").alias("meta.topic"),
+        F.col("event_id").alias("meta.offset"),
+        F.col("user_id").alias("meta.user"),
+        "event_type",
+    )
+    return E.flatten_dotted(E.nest_dotted(ev))
+
+
+@register(
+    "kmeans_clusters",
+    """
+    WITH scaled AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> floor(x::DOUBLE * 1048576)::BIGINT) AS xs
+      FROM embeddings),
+    e AS (SELECT vec_id, unnest(range(64)) AS pos, unnest(xs) AS x FROM scaled),
+    a0 AS (SELECT vec_id, vec_id % 8 AS cluster FROM scaled),
+    c1 AS (SELECT cluster, pos, (sum(x) // count(*))::BIGINT AS c
+           FROM e JOIN a0 USING (vec_id) GROUP BY cluster, pos),
+    d1 AS (SELECT e.vec_id, c1.cluster, sum((e.x - c1.c) * (e.x - c1.c)) AS dist
+           FROM e JOIN c1 USING (pos) GROUP BY e.vec_id, c1.cluster),
+    a1 AS (SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+             FROM d1) WHERE rn = 1),
+    c2 AS (SELECT cluster, pos, (sum(x) // count(*))::BIGINT AS c
+           FROM e JOIN a1 USING (vec_id) GROUP BY cluster, pos),
+    d2 AS (SELECT e.vec_id, c2.cluster, sum((e.x - c2.c) * (e.x - c2.c)) AS dist
+           FROM e JOIN c2 USING (pos) GROUP BY e.vec_id, c2.cluster),
+    a2 AS (SELECT vec_id, cluster, dist FROM (
+             SELECT vec_id, cluster, dist,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+             FROM d2) WHERE rn = 1)
+    SELECT cluster, count(*) AS n_vecs, sum(dist)::BIGINT AS total_sqdist
+    FROM a2 GROUP BY cluster
+    """,
+)
+def kmeans_clusters(spark, sf_dir):
+    """K-means clustering of the embedding corpus (k=8, two Lloyd rounds
+    from a deterministic init) — the iterative-algorithm showcase: the
+    whole loop is ONE lazy Catalyst plan, no driver-side state between
+    rounds (see similarity.kmeans_assignments for the per-round shuffle
+    budget). Exact fixed-point arithmetic makes even this iterative
+    pipeline hash-comparable against a DuckDB oracle with the iterations
+    unrolled as CTEs. Output: per-cluster sizes + total within-cluster
+    squared distance (the k-means objective)."""
+    emb = T(spark, sf_dir, "embeddings")
+    assign = S.kmeans_assignments(emb, k=8, iterations=2)
+    return assign.groupBy("cluster").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("dist").alias("total_sqdist"),
+    )
+
+
+@register(
+    "q_retention_cohorts",
+    """
+    WITH wk AS (
+      SELECT user_id, date_trunc('week', ts) AS week FROM events),
+    cohort AS (
+      SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id),
+    j AS (
+      SELECT w.user_id,
+             strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+             (floor(epoch(w.week))::BIGINT - floor(epoch(c.cohort_week))::BIGINT)
+               // 604800 AS week_offset
+      FROM wk w JOIN cohort c USING (user_id))
+    SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_active
+    FROM j GROUP BY cohort_week, week_offset
+    """,
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by first-active week, activity
+    counted per week offset — the standard growth-analytics triangle.
+    Two shuffles (per-user min, then the cohort join keyed on user_id) and
+    a distinct-count agg; the cohort side is per-user (small relative to
+    events) so AQE can broadcast it at scale. date_trunc('week') is
+    Monday-start in both engines; the offset is exact epoch arithmetic."""
+    ev = T(spark, sf_dir, "events")
+    wk = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("week"))
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    j = wk.join(cohort, "user_id").select(
+        "user_id",
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        F.expr(
+            "(unix_micros(week) div 1000000 - unix_micros(cohort_week) div 1000000)"
+            " div 604800"
+        ).alias("week_offset"),
+    )
+    return j.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
+
+
+@register(
+    "q_event_gaps",
+    """
+    WITH d AS (
+      SELECT user_id,
+             (epoch_us(ts) - epoch_us(lag(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id))) // 60000000 AS gap_min
+      FROM events)
+    SELECT gap_min, count(*) AS n
+    FROM d WHERE gap_min IS NOT NULL GROUP BY gap_min
+    """,
+)
+def q_event_gaps(spark, sf_dir):
+    """Inter-event time-delta histogram (lag window + minute bucketing):
+    the arrival-process profile behind sessionization thresholds and
+    watermark sizing. One shuffle to partition by user, then a pure map;
+    the histogram agg is tiny. Exact micros arithmetic both engines."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us")
+    ).select(F.expr("gap_us div 60000000").alias("gap_min"))
+    return d.filter(F.col("gap_min").isNotNull()).groupBy("gap_min").agg(
+        F.count("*").alias("n")
+    )
