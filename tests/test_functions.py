@@ -330,3 +330,45 @@ def test_nest_dotted_deep_and_collision(spark):
     )
     with pytest.raises(ValueError, match="collides"):
         E.nest_dotted(bad)
+
+
+def test_shape_crop_fill_order(spark):
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+    from zync_spark import envelope as E
+
+    df = spark.createDataFrame(
+        [(1, "x", (5, "deep"))],
+        "id long, extra string, rec struct<a:long, junk:string>",
+    )
+    target = StructType([
+        StructField("rec", StructType([
+            StructField("a", StringType()),      # cast long -> string
+            StructField("b", LongType()),        # missing -> null
+        ])),
+        StructField("id", StringType()),         # cast + reorder
+    ])
+
+    shaped = E.shape(df, target)
+    assert shaped.schema.simpleString() == target.simpleString()
+    row = shaped.collect()[0]
+    assert row["rec"]["a"] == "5" and row["rec"]["b"] is None
+    assert row["id"] == "1"
+
+    cropped = E.crop(df, target)
+    assert [f.name for f in cropped.schema.fields] == ["rec", "id"]
+    assert [f.name for f in cropped.schema["rec"].dataType.fields] == ["a"]
+    assert cropped.schema["id"].dataType == LongType()  # no cast
+
+    filled = E.fill(df, target)
+    names = [f.name for f in filled.schema.fields]
+    assert names == ["rec", "id", "extra"]  # extras appended
+    assert [f.name for f in filled.schema["rec"].dataType.fields] == [
+        "a", "b", "junk",
+    ]
+    assert filled.collect()[0]["rec"]["b"] is None
+
+    ordered = E.order_fields(df, target)
+    assert [f.name for f in ordered.schema.fields] == ["rec", "id", "extra"]
+    assert ordered.schema["id"].dataType == LongType()

@@ -198,6 +198,23 @@ def test_string_encoding_functions(df):
     assert row["path"] == "/p/q" and row["query"] == "x=1" and row["fragment"] == "frag"
 
 
+def test_has_missing(spark):
+    from pyspark.sql.types import StructField, StructType
+
+    df = spark.createDataFrame([((1, "x"),)], "rec struct<id:long, s:string>")
+    ctx = Context(
+        roots={"in": F.col("rec")},
+        schema=StructType([StructField("in", df.schema.fields[0].dataType)]),
+    )
+    assert _vals(df, compile_expr("has(in.id)", ctx)) == [True]
+    assert _vals(df, compile_expr("has(in.nope)", ctx)) == [False]
+    assert _vals(df, compile_expr("missing(in.nope)", ctx)) == [True]
+    # deep path through a non-struct → not present
+    assert _vals(df, compile_expr("has(in.id.deeper)", ctx)) == [False]
+    with pytest.raises(ZedSyntaxError):
+        compile_expr("has(x)", Context())  # no schema to resolve against
+
+
 def test_stdlib_functions(df):
     assert _vals(df, compile_expr('grep("^Ta", name)', Context())) == [True, False]
     assert _vals(df, compile_expr("floor(price)", Context())) == [2, 1]

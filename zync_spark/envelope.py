@@ -79,6 +79,85 @@ def fuse(*dfs: DataFrame) -> DataFrame:
     return out
 
 
+def _conform_col(col: Column | None, src, tgt, *, crop: bool, fill: bool,
+                 cast: bool) -> Column:
+    """Recursively conform one column from src type to tgt type."""
+    from pyspark.sql.types import StructType as _St
+
+    if col is None:  # field missing from source: fill with typed null
+        return F.lit(None).cast(tgt)
+    if not isinstance(tgt, _St) or not isinstance(src, _St):
+        return col.cast(tgt) if cast and src != tgt else col
+    src_fields = {f.name: f for f in src.fields}
+    out: list[Column] = []
+    for tf in tgt.fields:
+        sf = src_fields.get(tf.name)
+        if sf is None and not fill:
+            continue
+        out.append(
+            _conform_col(
+                col[tf.name] if sf is not None else None,
+                sf.dataType if sf is not None else None,
+                tf.dataType, crop=crop, fill=fill, cast=cast,
+            ).alias(tf.name)
+        )
+    if not crop:
+        tgt_names = {f.name for f in tgt.fields}
+        for sf in src.fields:
+            if sf.name not in tgt_names:
+                out.append(col[sf.name].alias(sf.name))
+    return F.struct(*out)
+
+
+def _conform(df: DataFrame, schema: StructType, *, crop: bool, fill: bool,
+             cast: bool) -> DataFrame:
+    src_fields = {f.name: f for f in df.schema.fields}
+    cols: list[Column] = []
+    for tf in schema.fields:
+        sf = src_fields.get(tf.name)
+        if sf is None and not fill:
+            continue
+        cols.append(
+            _conform_col(
+                df[f"`{tf.name}`"] if sf is not None else None,
+                sf.dataType if sf is not None else None,
+                tf.dataType, crop=crop, fill=fill, cast=cast,
+            ).alias(tf.name)
+        )
+    if not crop:
+        tgt_names = {f.name for f in schema.fields}
+        for sf in df.schema.fields:
+            if sf.name not in tgt_names:
+                cols.append(df[f"`{sf.name}`"])
+    return df.select(*cols)
+
+
+def shape(df: DataFrame, schema: StructType) -> DataFrame:
+    """Zed `shape(<type>)`: cast + fill + crop + order the frame to the
+    target record type (the shaper verb the reference splices around ETL
+    programs, cli/shaper.go:8-22). Recursive through nested structs; a
+    pure projection, so it collapses into the scan stage."""
+    return _conform(df, schema, crop=True, fill=True, cast=True)
+
+
+def crop(df: DataFrame, schema: StructType) -> DataFrame:
+    """Zed `crop(<type>)`: drop fields not present in the target type; no
+    casting, no filling. Field order follows the target for kept fields."""
+    return _conform(df, schema, crop=True, fill=False, cast=False)
+
+
+def fill(df: DataFrame, schema: StructType) -> DataFrame:
+    """Zed `fill(<type>)`: add typed-null columns for target fields the
+    source lacks; extra source fields are kept (appended after)."""
+    return _conform(df, schema, crop=False, fill=True, cast=False)
+
+
+def order_fields(df: DataFrame, schema: StructType) -> DataFrame:
+    """Zed `order(<type>)`: reorder fields to the target type's order;
+    extras keep their relative order after the ordered prefix."""
+    return _conform(df, schema, crop=False, fill=False, cast=False)
+
+
 def flatten_dotted(df: DataFrame, sep: str = ".") -> DataFrame:
     """Shaper op: recursively expand struct columns into top-level columns
     with dotted names (`kafka.topic`, `value.after.ID`). The inverse of

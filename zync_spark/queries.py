@@ -2261,3 +2261,184 @@ def q_event_gaps(spark, sf_dir):
     return d.filter(F.col("gap_min").isNotNull()).groupBy("gap_min").agg(
         F.count("*").alias("n")
     )
+
+
+@register(
+    "dedup_curate",
+    _JACCARD_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.5
+              UNION ALL
+              SELECT id_b AS a, id_a AS b FROM pairs WHERE jaccard >= 0.5),
+    reach(node, label) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, min(label) AS label FROM reach GROUP BY node)
+    """
+    + _QUALITY_CTE.replace("WITH ", ", ", 1)
+    + """,
+    lab AS (SELECT d.doc_id, coalesce(c.label, d.doc_id) AS canonical_id
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+    ranked AS (SELECT l.doc_id, l.canonical_id, q.quality,
+                      row_number() OVER (PARTITION BY l.canonical_id
+                                         ORDER BY q.quality DESC, l.doc_id) AS rn
+               FROM lab l JOIN q ON q.doc_id = l.doc_id)
+    SELECT doc_id, canonical_id, quality, (rn = 1) AS kept FROM ranked
+    """,
+)
+def dedup_curate(spark, sf_dir):
+    """The full corpus-curation composite: near-dup pairs → connected
+    components → keep the HIGHEST-QUALITY member of each duplicate
+    cluster (not the lowest id — the production policy: dedup should
+    retain the best exemplar). Composes jaccard_pairs,
+    connected_components, and quality_score into one lazy plan; the
+    cluster-member ranking is a window over the (small) labeled set.
+    Oracle: recursive CTE + the same quality formula + window."""
+    docs = T(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    comp = G.connected_components(pairs, "id_a", "id_b")
+    labeled = (
+        docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("canonical_id"),
+            "quality",
+        )
+    )
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return labeled.select(
+        "doc_id",
+        "canonical_id",
+        "quality",
+        (F.row_number().over(w) == 1).alias("kept"),
+    )
+
+
+@register(
+    "q_stratified_sample",
+    """
+    SELECT event_id, event_type
+    FROM events
+    WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 100
+          < CASE event_type WHEN 'click' THEN 10 WHEN 'view' THEN 5 ELSE 50 END
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: per-class rates via a content
+    hash (md5 mod 100), the training-pipeline rebalancing primitive.
+    Hash-based sampling is reproducible across runs, engines, and
+    partitionings — unlike rand()-based df.sample — and is a pure map:
+    the predicate pushes to the scan stage, no shuffle at all."""
+    ev = T(spark, sf_dir, "events")
+    rate = (
+        F.when(F.col("event_type") == "click", 10)
+        .when(F.col("event_type") == "view", 5)
+        .otherwise(50)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    return ev.filter(bucket < rate).select("event_id", "event_type")
+
+
+@register(
+    "q_shape",
+    """
+    SELECT o_orderkey::VARCHAR AS "rec.k",
+           NULL::BIGINT AS "rec.missing",
+           o_orderkey::VARCHAR AS id
+    FROM orders
+    """,
+)
+def q_shape(spark, sf_dir):
+    """Zed `shape(<type>)` applied to a frame: cast + fill + crop + order
+    against a target record type (envelope.shape). The reference's shaper
+    scripts do exactly this around ETL programs (cli/shaper.go:8-22).
+    Here: nested k casts long→string, an extra nested field is cropped, a
+    missing field fills with a typed null, and top-level order flips —
+    all in one projection that collapses into the scan. Output flattened
+    via flatten_dotted for oracle comparison (structs render differently
+    across engines in the driver's hasher)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from zync_spark import envelope as E
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("extra"),
+        ).alias("rec"),
+    )
+    target = StructType(
+        [
+            StructField(
+                "rec",
+                StructType(
+                    [StructField("k", StringType()), StructField("missing", LongType())]
+                ),
+            ),
+            StructField("id", StringType()),
+        ]
+    )
+    return E.flatten_dotted(E.shape(o, target))
+
+
+@register(
+    "text_bigram_lm",
+    """
+    WITH t AS (
+      SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents),
+    b AS (SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS p
+          FROM t WHERE len(toks) >= 2),
+    c AS (SELECT struct_extract(p, 1) AS prev, struct_extract(p, 2) AS next_tok,
+                 count(*) AS n
+          FROM b GROUP BY 1, 2 HAVING count(*) >= 3),
+    r AS (SELECT prev, next_tok, n,
+                 row_number() OVER (PARTITION BY prev ORDER BY n DESC, next_tok) AS rnk
+          FROM c)
+    SELECT prev, next_tok, n, rnk FROM r WHERE rnk <= 3
+    """,
+)
+def text_bigram_lm(spark, sf_dir):
+    """Bigram language-model table: top-3 continuations per token with
+    counts — the n-gram statistics pass behind tokenizer training and
+    text-quality heuristics. Adjacent-pair extraction is an array
+    zip_with of two slices (no self-join of positions!); one shuffle on
+    (prev, next), then a per-prev window. At 100 TB the pair space is
+    Zipf-distributed — the count>=3 filter runs BEFORE the window so the
+    rank only sorts surviving groups."""
+    docs = T(spark, sf_dir, "documents")
+    toks = TX.tokens(F.lower(F.col("text")))
+    bi = (
+        docs.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(toks, 1, size(toks)-1)"),
+                    F.expr("slice(toks, 2, size(toks)-1)"),
+                    lambda a, b: F.struct(a.alias("prev"), b.alias("next_tok")),
+                )
+            ).alias("p")
+        )
+        .select("p.prev", "p.next_tok")
+    )
+    c = (
+        bi.groupBy("prev", "next_tok")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 3)
+    )
+    w = Window.partitionBy("prev").orderBy(F.col("n").desc(), F.col("next_tok"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("prev", "next_tok", "n", "rnk")
+    )

@@ -518,6 +518,22 @@ class Parser:
             type_name = self.expect("ident").text
             self.expect("op", ")")
             return arg.cast(type_name)
+        if name in ("has", "missing"):
+            # zed has(<path>)/missing(<path>): field-presence predicates.
+            # Zed evaluates them per-value over heterogeneous data; in the
+            # unified-schema model presence is a property of the frame's
+            # schema, so they resolve at COMPILE time to a boolean literal
+            # (and Catalyst constant-folds the branch away).
+            path = self._parse_path_only()
+            self.expect("op", ")")
+            try:
+                self.ctx.resolve_type(path)
+                present = True
+            except (ZedSyntaxError, KeyError):
+                if self.ctx.schema is None:
+                    raise
+                present = False
+            return F.lit(present if name == "has" else not present)
         if name == "bucket":
             # bucket(<time expr>, <duration literal>) — zed stdlib. Truncate
             # to the duration grid: pure epoch-micros arithmetic, no UDF.
