@@ -69,6 +69,17 @@ def test_cli_produce_etl_query_consume(spark, tmp_path, capsys):
     ]) == 0
     assert len(capsys.readouterr().out.strip().splitlines()) == n
 
+    # zed filter over the envelope (--where compiles via zedexpr)
+    assert main([
+        "--lake", lake, "consume", "NewInvoices", "--pool", "Staging",
+        "--where", 'kafka.offset >= 1 and zed_type == "data"',
+    ]) == 0
+    filtered = [
+        json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert 0 < len(filtered) < n
+    assert all(r["kafka"]["offset"] >= 1 for r in filtered)
+
     # lake maintenance: compact + vacuum leave the query result unchanged
     assert main(["--lake", lake, "compact", "Staging", "--vacuum"]) == 0
     out = capsys.readouterr().out

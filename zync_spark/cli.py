@@ -89,6 +89,10 @@ def cmd_consume(args) -> int:
         .filter(F.col("kafka.offset") >= args.offset)
         .orderBy(F.col("kafka.offset"))
     )
+    if args.where:
+        from zync_spark import zedexpr
+
+        out = out.filter(zedexpr.compile_expr(args.where, zedexpr.Context()))
     for line in out.toJSON().collect():
         print(line)
     return 0
@@ -257,6 +261,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--offset", type=int, default=0)
     p.add_argument("--at", type=int, default=None,
                    help="time-travel: read the pool as of this commit seq")
+    p.add_argument("--where", default=None,
+                   help="zed filter expression over the envelope "
+                        '(e.g. \'value.after.id > 5 and kafka.offset < 100\')')
     p.set_defaults(fn=cmd_consume)
 
     p = sub.add_parser("produce", help="load envelope JSON files into a pool")

@@ -1972,6 +1972,106 @@ def q_vector_centroids(spark, sf_dir):
 
 
 @register(
+    "q_moving_avg_30d",
+    """
+    SELECT o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           sum((o_totalprice * 100)::DECIMAL(18,0))
+             OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)::BIGINT
+             AS window_cents,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                          RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+             AS n_orders
+    FROM orders
+    """,
+)
+def q_moving_avg_30d(spark, sf_dir):
+    """Time-RANGE window frame: per-customer trailing-30-day order volume.
+    RANGE frames (value-based, not row-count-based) are the window shape
+    rows-frames can't express — two orders on the same day share a frame;
+    sparse dates shrink it. Spark's rangeBetween needs a numeric ordering
+    key, so the frame runs over epoch seconds; sums are DECIMAL-exact
+    cents. One shuffle (hash by customer), sort within partition."""
+    o = T(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-2592000, 0)
+    )
+    return o.select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .over(w)
+        .cast("long")
+        .alias("window_cents"),
+        F.count("*").over(w).alias("n_orders"),
+    )
+
+
+@register(
+    "q_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, metric, value
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             unnest(['quantity', 'extendedprice', 'discount']) AS metric,
+             unnest([l_quantity::DOUBLE, l_extendedprice::DOUBLE,
+                     l_discount::DOUBLE]) AS value
+      FROM lineitem)
+    WHERE value > 40
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """Unpivot/melt (inverse of q_pivot): wide measure columns → long
+    (metric, value) rows via `stack` — a generated-column expansion, not a
+    join. Pure map (3× row fanout before the filter), predicate applies
+    pre-shuffle; nothing shuffles at all."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', cast(l_quantity as double),"
+            " 'extendedprice', cast(l_extendedprice as double),"
+            " 'discount', cast(l_discount as double)) AS (metric, value)"
+        ),
+    ).filter(F.col("value") > 40)
+
+
+@register(
+    "q_argmax",
+    """
+    WITH r AS (
+      SELECT event_type, user_id, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id DESC) AS rmax,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value ASC, event_id ASC) AS rmin
+      FROM events)
+    SELECT event_type,
+           max(CASE WHEN rmax = 1 THEN user_id END) AS top_user,
+           max(CASE WHEN rmin = 1 THEN event_id END) AS cheapest_event,
+           max(value) AS max_value
+    FROM r GROUP BY event_type
+    """,
+)
+def q_argmax(spark, sf_dir):
+    """arg-max/arg-min aggregation (max_by/min_by): "which row attains the
+    extreme", without a self-join or window. The ordering key is the pair
+    (value, event_id) so ties on value resolve deterministically by id in
+    both engines. Single shuffle with map-side partials."""
+    ev = T(spark, sf_dir, "events")
+    key = F.struct(F.col("value"), F.col("event_id"))
+    return ev.groupBy("event_type").agg(
+        F.max_by("user_id", key).alias("top_user"),
+        F.min_by("event_id", key).alias("cheapest_event"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@register(
     "q_time_bucket",
     """
     SELECT strftime(make_timestamp(((floor(epoch(ts))::BIGINT // 900) * 900)
