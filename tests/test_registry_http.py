@@ -18,11 +18,18 @@ from zync_spark.cli import main
 from zync_spark.sources.registry import HttpRegistry, MemoryRegistry
 
 
-@pytest.fixture()
-def registry_server():
-    backing = MemoryRegistry()
+def _make_server(backing: MemoryRegistry, require_auth: str | None = None):
+    """Start a registry server; require_auth is a base64 basic credential
+    that, when set, every request must present."""
 
     class Handler(BaseHTTPRequestHandler):
+        def _check_auth(self):
+            if require_auth is None:
+                return True
+            if self.headers.get("Authorization") == f"Basic {require_auth}":
+                return True
+            self._send({"error_code": 401, "message": "unauthorized"}, 401)
+            return False
         def _send(self, obj, code=200):
             body = json.dumps(obj).encode()
             self.send_response(code)
@@ -32,6 +39,8 @@ def registry_server():
             self.wfile.write(body)
 
         def do_GET(self):
+            if not self._check_auth():
+                return
             if self.path == "/subjects":
                 return self._send(backing.subjects())
             m = re.fullmatch(r"/schemas/ids/(\d+)", self.path)
@@ -49,6 +58,8 @@ def registry_server():
             self._send({"error_code": 40401, "message": "not found"}, 404)
 
         def do_POST(self):
+            if not self._check_auth():
+                return
             m = re.fullmatch(r"/subjects/([^/]+)/versions", self.path)
             if m:
                 body = json.loads(
@@ -64,8 +75,14 @@ def registry_server():
     srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+@pytest.fixture()
+def registry_server():
+    srv, url = _make_server(MemoryRegistry())
     try:
-        yield f"http://127.0.0.1:{srv.server_address[1]}"
+        yield url
     finally:
         srv.shutdown()
 
@@ -85,6 +102,32 @@ def test_http_registry_roundtrip_and_caches(registry_server):
     latest = reg.latest("zng_cd34")
     assert latest["id"] == sid2 and latest["version"] == 1
     assert latest["schema"]["name"] == "zng_cd34"
+
+
+def test_http_registry_basic_auth(tmp_path, monkeypatch):
+    import base64
+    import urllib.error
+
+    from zync_spark.sources.registry import registry_from_config
+
+    cred = base64.b64encode(b"svc:hunter2").decode()
+    srv, url = _make_server(MemoryRegistry(), require_auth=cred)
+    try:
+        schema = json.dumps({"type": "record", "name": "zng_aa11", "fields": []})
+        # unauthenticated client is rejected
+        with pytest.raises(urllib.error.HTTPError):
+            HttpRegistry(url).register("zng_aa11", schema)
+        # credentialed client (the reference's schema_registry.json shape,
+        # schema_registry.json:1-5) round-trips
+        cfg = tmp_path / "schema_registry.json"
+        cfg.write_text(json.dumps({"url": url, "user": "svc", "password": "hunter2"}))
+        from zync_spark.sources.registry import load_registry_config
+
+        reg = registry_from_config(load_registry_config(str(cfg)))
+        sid = reg.register("zng_aa11", schema)
+        assert reg.latest("zng_aa11")["id"] == sid
+    finally:
+        srv.shutdown()
 
 
 def test_cli_ls_over_http(registry_server, capsys):

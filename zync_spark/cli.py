@@ -118,10 +118,22 @@ def cmd_produce(args) -> int:
 
 def cmd_ls(args) -> int:
     """List registry subjects with latest id/version/schema — the exact
-    output shape of the reference (cmd/zync/ls/command.go:53-60)."""
-    from zync_spark.sources.registry import HttpRegistry
+    output shape of the reference (cmd/zync/ls/command.go:53-60). With no
+    --registry, connection/auth come from ~/.zync/schema_registry.json
+    (the reference's config file)."""
+    from zync_spark.sources.registry import (
+        HttpRegistry,
+        load_registry_config,
+        registry_from_config,
+    )
 
-    reg = HttpRegistry(args.registry)
+    if args.registry:
+        cfg = load_registry_config()
+        reg = HttpRegistry(
+            args.registry, user=cfg.get("user"), password=cfg.get("password")
+        )
+    else:
+        reg = registry_from_config()
     for s in reg.subjects():
         print(f"subject {s}:")
         latest = reg.latest(s)
@@ -275,7 +287,9 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_produce)
 
     p = sub.add_parser("ls", help="list schema registry subjects")
-    p.add_argument("--registry", default="http://localhost:8081")
+    p.add_argument("--registry", default=None,
+                   help="registry URL (default: ~/.zync/schema_registry.json "
+                        "or http://localhost:8081)")
     p.set_defaults(fn=cmd_ls)
 
     def _transport_args(p):

@@ -36,10 +36,14 @@ def kafka_options(config: dict, topics: list[str] | None = None,
     starting_offsets: {topic: {partition(str): offset}} → the JSON form of
     the `startingOffsets` option (resume semantics, fifo/lake.go:62-82)."""
     opts = {"kafka.bootstrap.servers": config.get("bootstrap_servers", "localhost:9092")}
-    if config.get("sasl_mechanism"):
-        opts["kafka.sasl.mechanism"] = config["sasl_mechanism"]
+    # accept both the reference's kafka.json spellings (sasl_mechanisms,
+    # sasl_username/sasl_password — kafka.json:1-10) and the singular forms
+    mech = config.get("sasl_mechanism") or config.get("sasl_mechanisms")
+    if mech:
+        opts["kafka.sasl.mechanism"] = mech
         opts["kafka.security.protocol"] = config.get("security_protocol", "SASL_SSL")
-        user, password = config.get("username", ""), config.get("password", "")
+        user = config.get("username") or config.get("sasl_username", "")
+        password = config.get("password") or config.get("sasl_password", "")
         opts["kafka.sasl.jaas.config"] = (
             "org.apache.kafka.common.security.plain.PlainLoginModule required "
             f'username="{user}" password="{password}";'

@@ -12,8 +12,30 @@ running the full Kafka-less demo path.
 
 from __future__ import annotations
 
+import base64
 import json
+import os
 import urllib.request
+
+
+def load_registry_config(path: str | None = None) -> dict:
+    """~/.zync/schema_registry.json: {"url":..., "user":..., "password":...}
+    (the reference's config file, schema_registry.json:1-5,
+    cli/flags.go:36-141)."""
+    path = path or os.path.expanduser("~/.zync/schema_registry.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def registry_from_config(config: dict | None = None) -> "HttpRegistry":
+    config = config if config is not None else load_registry_config()
+    return HttpRegistry(
+        config.get("url", "http://localhost:8081"),
+        user=config.get("user"),
+        password=config.get("password"),
+    )
 
 
 class BaseRegistry:
@@ -71,18 +93,27 @@ class MemoryRegistry(BaseRegistry):
 class HttpRegistry(BaseRegistry):
     """Minimal Confluent Schema Registry REST client (no external deps)."""
 
-    def __init__(self, url: str, timeout: int = 10):
+    def __init__(self, url: str, timeout: int = 10,
+                 user: str | None = None, password: str | None = None):
         self.url = url.rstrip("/")
         self.timeout = timeout
+        self._auth = (
+            base64.b64encode(f"{user}:{password or ''}".encode()).decode()
+            if user
+            else None
+        )
         self._id_cache: dict[int, dict] = {}
         self._reg_cache: dict[str, int] = {}
 
     def _request(self, method: str, path: str, body: dict | None = None):
+        headers = {"Content-Type": "application/vnd.schemaregistry.v1+json"}
+        if self._auth:
+            headers["Authorization"] = f"Basic {self._auth}"
         req = urllib.request.Request(
             self.url + path,
             data=json.dumps(body).encode() if body is not None else None,
             method=method,
-            headers={"Content-Type": "application/vnd.schemaregistry.v1+json"},
+            headers=headers,
         )
         with urllib.request.urlopen(req, timeout=self.timeout) as resp:
             return json.loads(resp.read())
