@@ -85,11 +85,12 @@ def test_llm_operators_stay_jvm_side(spark, name):
 
 
 def test_kmeans_broadcasts_centroids(spark):
-    # each Lloyd round: centroid recompute shuffles, but reassignment must
-    # broadcast the k centroid arrays — never shuffle the corpus per round
+    # each Lloyd round: the k centroids collapse to one row and broadcast
+    # back; reassignment is a pure map. The corpus must NEVER shuffle —
+    # the only exchanges carry k*dim partial sums
     p = plan_of(spark, "kmeans_clusters")
     assert count("BroadcastNestedLoopJoin", p) >= 2
-    assert count("SortMergeJoin", p) + count("ShuffledHashJoin", p) <= 2
+    assert count("SortMergeJoin", p) + count("ShuffledHashJoin", p) == 0
     assert re.search(PY_NODES, p) is None
 
 

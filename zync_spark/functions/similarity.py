@@ -144,15 +144,18 @@ def kmeans_assignments(
     scaled by 2^20 and floored; centroids use truncating integer division —
     the same rounding in Spark `div` and DuckDB `//`).
 
-    Iterative algorithm on Spark: the loop unrolls into ONE lazy plan —
-    each round is (a) centroid recompute = posexplode + two-level groupBy
-    (map-side partial sums, shuffle keyed (cluster, dim): k*dim rows out),
-    then (b) reassignment = crossJoin against the k centroid arrays
-    (broadcast — k rows) with the squared-distance fold in whole-stage
-    codegen, argmin via min(struct(dist, cluster)). No driver-side loop
-    state: nothing is collected between rounds, so the scheduler pipelines
-    the whole thing; at 100 TB each round is 2 shuffles of k*64 longs plus
-    one scan-wide map.
+    Iterative algorithm on Spark: the loop unrolls into ONE lazy plan, and
+    the CORPUS NEVER SHUFFLES. Each round: (a) centroid recompute =
+    posexplode off the current assignment (which carries the vector) +
+    groupBy(cluster, dim) — partial sums combine map-side, only k*dim
+    longs cross the wire; (b) the k centroids collapse to a SINGLE row
+    holding an array of (cluster, centroid) structs, which crossJoin-
+    broadcasts back over the corpus; (c) reassignment is then a pure map:
+    an array_sort-argmin fold over the k-element array in whole-stage
+    codegen — no per-candidate row fanout, no groupBy, no window. No
+    driver-side loop state: nothing is collected between rounds. At
+    100 TB each round costs two corpus scans (columnar, pipelined) and
+    one k*dim-row shuffle.
 
     Init is deterministic (cluster = vec_id % k). Returns
     (vec_id, cluster, dist) after `iterations` reassignment rounds.
@@ -163,38 +166,52 @@ def kmeans_assignments(
             F.col(vec_col), lambda x: F.floor(x.cast("double") * scale).cast("long")
         ).alias("xs"),
     )
-    assign = scaled.select("vec_id", (F.col("vec_id") % k).cast("long").alias("cluster"))
+    cur = scaled.select(
+        "vec_id", "xs", (F.col("vec_id") % k).cast("long").alias("cluster")
+    )
     for _ in range(iterations):
-        sums = (
-            scaled.join(assign, "vec_id")
-            .select("cluster", F.posexplode("xs").alias("pos", "x"))
+        cents = (
+            cur.select("cluster", F.posexplode("xs").alias("pos", "x"))
             .groupBy("cluster", "pos")
             .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
             .select("cluster", "pos", F.expr("s div n").alias("ci"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "ci"))),
+                    lambda st: st["ci"],
+                ).alias("c")
+            )
         )
-        cents = sums.groupBy("cluster").agg(
+        cents_row = cents.groupBy().agg(
+            F.collect_list(F.struct("cluster", "c")).alias("cents")
+        )
+        best = F.array_sort(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "ci"))),
-                lambda st: st["ci"],
-            ).alias("c")
+                F.col("cents"),
+                lambda cc: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("xs"), cc["c"], lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    cc["cluster"].alias("cluster"),
+                ),
+            )
+        )[0]
+        cur = (
+            scaled.crossJoin(F.broadcast(cents_row))
+            .withColumn("__best", best)
+            .select(
+                "vec_id",
+                "xs",
+                F.col("__best.cluster").alias("cluster"),
+                F.col("__best.dist").alias("dist"),
+            )
         )
-        dists = scaled.crossJoin(
-            F.broadcast(cents.select(F.col("cluster").alias("cand"), "c"))
-        ).select(
-            "vec_id",
-            F.col("cand"),
-            F.aggregate(
-                F.zip_with(F.col("xs"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("dist"),
-        )
-        assign = (
-            dists.groupBy("vec_id")
-            .agg(F.min(F.struct("dist", "cand")).alias("m"))
-            .select("vec_id", F.col("m.cand").alias("cluster"), F.col("m.dist").alias("dist"))
-        )
-    return assign
+    return cur.select("vec_id", "cluster", "dist")
 
 
 def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[float]]],
