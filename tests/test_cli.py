@@ -80,6 +80,31 @@ def test_cli_produce_etl_query_consume(spark, tmp_path, capsys):
     assert 0 < len(filtered) < n
     assert all(r["kafka"]["offset"] >= 1 for r in filtered)
 
+    # csv output flattens the envelope to dotted columns
+    assert main([
+        "--lake", lake, "consume", "NewInvoices", "--pool", "Staging",
+        "--format", "csv",
+    ]) == 0
+    csv_lines = capsys.readouterr().out.strip().splitlines()
+    assert csv_lines[0].startswith("kafka.topic,kafka.partition,kafka.offset")
+    assert len(csv_lines) == n + 1
+
+    # distributed parquet dump + parquet produce round-trip into a new pool
+    dump = os.path.join(tmp_path, "dump")
+    assert main([
+        "--lake", lake, "consume", "NewInvoices", "--pool", "Staging",
+        "--format", "parquet", "--out", dump,
+    ]) == 0
+    assert main([
+        "--lake", lake, "produce", dump, "--pool", "Rehydrated",
+        "--format", "parquet",
+    ]) == 0
+    assert f"loaded {n} records" in capsys.readouterr().out
+    assert main([
+        "--lake", lake, "query", "SELECT count(*) AS n FROM Rehydrated",
+    ]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["n"] == n
+
     # lake maintenance: compact + vacuum leave the query result unchanged
     assert main(["--lake", lake, "compact", "Staging", "--vacuum"]) == 0
     out = capsys.readouterr().out

@@ -93,6 +93,26 @@ def cmd_consume(args) -> int:
         from zync_spark import zedexpr
 
         out = out.filter(zedexpr.compile_expr(args.where, zedexpr.Context()))
+    if args.format == "parquet" and not args.out:
+        print("consume: --format parquet requires --out PATH")
+        return 2
+    if args.out:
+        # distributed write (the scale path — no driver collect); csv needs
+        # a flat schema, so dotted-flatten the envelope first
+        from zync_spark.envelope import flatten_dotted
+
+        w = flatten_dotted(out) if args.format == "csv" else out
+        w.write.format(args.format).mode("overwrite").save(args.out)
+        return 0
+    if args.format == "csv":
+        from zync_spark.envelope import flatten_dotted
+
+        flat = flatten_dotted(out)
+        cols = [f.name for f in flat.schema.fields]
+        print(",".join(cols))
+        for r in flat.collect():
+            print(",".join("" if r[c] is None else str(r[c]) for c in cols))
+        return 0
     for line in out.toJSON().collect():
         print(line)
     return 0
@@ -110,7 +130,10 @@ def cmd_produce(args) -> int:
     reader = spark.read
     if args.schema:
         reader = reader.schema(args.schema)
-    df = reader.json(args.files)
+    if args.format == "parquet":
+        df = reader.parquet(*args.files)
+    else:
+        df = reader.json(args.files)
     n = pool.load(df, f"produce {','.join(args.files)}")
     print(f"loaded {n} records")
     return 0
@@ -276,6 +299,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--where", default=None,
                    help="zed filter expression over the envelope "
                         '(e.g. \'value.after.id > 5 and kafka.offset < 100\')')
+    p.add_argument("--format", default="json", choices=["json", "csv", "parquet"],
+                   help="output format (reference -f; csv flattens the "
+                        "envelope to dotted columns)")
+    p.add_argument("--out", default=None,
+                   help="write via Spark to this path instead of stdout "
+                        "(distributed, no driver collect)")
     p.set_defaults(fn=cmd_consume)
 
     p = sub.add_parser("produce", help="load envelope JSON files into a pool")
@@ -284,6 +313,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--schema", default=None,
                    help="Spark DDL schema for the JSON records (inference "
                         "drops all-null fields)")
+    p.add_argument("--format", default="json", choices=["json", "parquet"],
+                   help="input file format (reference reads any zed format)")
     p.set_defaults(fn=cmd_produce)
 
     p = sub.add_parser("ls", help="list schema registry subjects")
