@@ -94,6 +94,15 @@ def test_kmeans_broadcasts_centroids(spark):
     assert re.search(PY_NODES, p) is None
 
 
+def test_retention_has_no_join(spark):
+    # cohort week must come from a window min over the user partition,
+    # not a groupBy+self-join — no join node anywhere in the plan
+    p = plan_of(spark, "q_retention_cohorts")
+    assert count("SortMergeJoin", p) + count("ShuffledHashJoin", p) == 0
+    assert count("BroadcastHashJoin", p) == 0
+    assert re.search(PY_NODES, p) is None
+
+
 def test_tfidf_stays_jvm_side(spark):
     p = plan_of(spark, "text_tfidf_topk")
     assert re.search(PY_NODES, p) is None

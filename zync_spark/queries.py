@@ -2316,18 +2316,19 @@ def kmeans_clusters(spark, sf_dir):
 def q_retention_cohorts(spark, sf_dir):
     """Cohort retention: users grouped by first-active week, activity
     counted per week offset — the standard growth-analytics triangle.
-    Two shuffles (per-user min, then the cohort join keyed on user_id) and
-    a distinct-count agg; the cohort side is per-user (small relative to
-    events) so AQE can broadcast it at scale. date_trunc('week') is
-    Monday-start in both engines; the offset is exact epoch arithmetic."""
+    The cohort week is a window min over the user partition (NOT a
+    groupBy+self-join: that costs an extra exchange and a join; the
+    window reuses the single hash-by-user shuffle), then one
+    distinct-count agg. date_trunc('week') is Monday-start in both
+    engines; the offset is exact epoch arithmetic."""
     ev = T(spark, sf_dir, "events")
     wk = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("week"))
-    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    j = wk.join(cohort, "user_id").select(
+    uw = Window.partitionBy("user_id")
+    j = wk.withColumn("cw", F.min("week").over(uw)).select(
         "user_id",
-        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
         F.expr(
-            "(unix_micros(week) div 1000000 - unix_micros(cohort_week) div 1000000)"
+            "(unix_micros(week) div 1000000 - unix_micros(cw) div 1000000)"
             " div 604800"
         ).alias("week_offset"),
     )
