@@ -1185,6 +1185,40 @@ def q_outer_join(spark, sf_dir):
 
 
 @register(
+    "q_full_outer",
+    """
+    WITH a AS (SELECT p_partkey AS k, max(p_size) AS size
+               FROM part WHERE p_size >= 45 GROUP BY 1),
+    b AS (SELECT l_partkey AS k, count(*) AS n_li
+          FROM lineitem WHERE l_quantity >= 48 GROUP BY 1)
+    SELECT coalesce(a.k, b.k) AS partkey, a.size, b.n_li
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    """,
+)
+def q_full_outer(spark, sf_dir):
+    """Full outer join — completes the join family (anti/semi/inner/left/
+    full, §2.3): rows unmatched on EITHER side survive with nulls. The two
+    pre-aggregated sides are key-distinct, so the join is 1:1 on a narrow
+    key; both pre-aggs combine map-side before the single co-partitioned
+    shuffle."""
+    part = T(spark, sf_dir, "part")
+    li = T(spark, sf_dir, "lineitem")
+    a = (
+        part.filter(F.col("p_size") >= 45)
+        .groupBy(F.col("p_partkey").alias("k"))
+        .agg(F.max("p_size").alias("size"))
+    )
+    b = (
+        li.filter(F.col("l_quantity") >= 48)
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count("*").alias("n_li"))
+    )
+    return a.join(b, "k", "full").select(
+        F.col("k").alias("partkey"), "size", "n_li"
+    )
+
+
+@register(
     "q_funnel",
     """
     WITH f AS (
