@@ -55,6 +55,14 @@ def test_cli_produce_etl_query_consume(spark, tmp_path, capsys):
     n = json.loads(capsys.readouterr().out.strip())["n"]
     assert n > 0
 
+    # --explain prints the physical plan, not rows
+    assert main([
+        "--lake", lake, "query", "--explain",
+        "SELECT count(*) AS n FROM Staging WHERE zed_type = 'data'",
+    ]) == 0
+    plan = capsys.readouterr().out
+    assert "HashAggregate" in plan and "Scan parquet" in plan
+
     assert main([
         "--lake", lake, "consume", "NewInvoices", "--pool", "Staging",
     ]) == 0

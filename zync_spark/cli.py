@@ -70,7 +70,12 @@ def cmd_query(args) -> int:
         df = _pool(spark, args.lake, name).scan()
         if df is not None:
             df.createOrReplaceTempView(name)
-    for line in spark.sql(args.sql).toJSON().collect():
+    result = spark.sql(args.sql)
+    if args.explain:
+        print(result._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        return 0
+    for line in result.toJSON().collect():
         print(line)
     return 0
 
@@ -288,6 +293,8 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("query", help="SQL over lake pools (views per pool)")
     p.add_argument("sql")
+    p.add_argument("--explain", action="store_true",
+                   help="print the formatted physical plan instead of rows")
     p.set_defaults(fn=cmd_query)
 
     p = sub.add_parser("consume", help="dump topic records from a pool")
