@@ -307,3 +307,49 @@ def test_key_compaction_log_semantics(spark, tmp_path):
     # latest record per key is by definition never dropped, and the
     # marker row at offset 3 survives)
     assert pool.next_consumer_offset("T") == 4
+
+
+def test_concurrent_loads_thread_stress(spark, tmp_path):
+    """Real-thread OCC stress: N writers race load() against one pool;
+    every commit must survive (exclusive manifest publish + seq retry),
+    no lost updates, rows of every writer present exactly once."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from zync_spark.pool import Pool
+
+    pool = Pool.create(spark, str(tmp_path / "stress"))
+    N = 6
+    errs = []
+
+    def writer(i):
+        try:
+            df = spark.range(i * 10, i * 10 + 10).select(
+                F.struct(
+                    F.lit("t").alias("topic"),
+                    F.lit(0).cast("long").alias("partition"),
+                    F.col("id").alias("offset"),
+                ).alias("kafka"),
+                F.col("id").alias("key"),
+                F.lit(f"w{i}").alias("value"),
+                F.lit("data").alias("zed_type"),
+            )
+            assert pool.load(df, f"writer-{i}") == 10
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append((i, e))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(N)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    assert len(pool.commits()) == N
+    rows = pool.scan().collect()
+    assert len(rows) == N * 10
+    # every writer's rows present exactly once
+    by_writer = {}
+    for r in rows:
+        by_writer[r["value"]] = by_writer.get(r["value"], 0) + 1
+    assert by_writer == {f"w{i}": 10 for i in range(N)}
