@@ -169,6 +169,16 @@ def test_compact_time_travel_and_vacuum(spark, tmp_path):
 
     # time travel: as-of commit 0 sees only the first batch
     assert pool.scan(at=0).count() == 3
+    # timestamp-based time travel: resolve a wall-clock instant to the
+    # last commit at or before it
+    with open(os.path.join(pool.path, "_commits", "000000.json")) as f:
+        t0 = json.load(f)["ts"]
+    assert pool.seq_at_ts(t0) == 0
+    assert pool.scan(at_ts=t0).count() == 3
+    assert pool.scan(at_ts=t0 - 1.0) is None        # before any commit
+    assert pool.seq_at_ts(float("inf")) == len(pool.commits()) - 1
+    with pytest.raises(ValueError, match="not both"):
+        pool.scan(at=0, at_ts=t0)
     # appends after compaction layer on top of the base
     pool.load(env_batch("B", [2]))
     assert pool.scan().count() == 8

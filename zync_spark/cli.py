@@ -86,7 +86,7 @@ def cmd_consume(args) -> int:
     from pyspark.sql import functions as F
 
     spark = _spark()
-    df = _pool(spark, args.lake, args.pool).scan(at=args.at)
+    df = _pool(spark, args.lake, args.pool).scan(at=args.at, at_ts=args.at_ts)
     if df is None:
         return 0
     out = (
@@ -303,6 +303,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--offset", type=int, default=0)
     p.add_argument("--at", type=int, default=None,
                    help="time-travel: read the pool as of this commit seq")
+    p.add_argument("--at-ts", type=float, default=None,
+                   help="time-travel: read as of this unix timestamp "
+                        "(last commit at or before it)")
     p.add_argument("--where", default=None,
                    help="zed filter expression over the envelope "
                         '(e.g. \'value.after.id > 5 and kafka.offset < 100\')')

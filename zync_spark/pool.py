@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -128,10 +129,23 @@ class Pool:
             files.extend(manifest["files"])
         return files
 
+    def seq_at_ts(self, ts: float) -> int | None:
+        """Resolve a wall-clock timestamp to the last commit sequence at or
+        before it (timestamp-based time travel, the lakehouse-standard
+        companion to `at=<seq>`). Commits without a `ts` field (pre-feature
+        manifests) count as arbitrarily old. None = nothing committed yet."""
+        last = None
+        for c in self.commits():
+            with open(os.path.join(self._commit_dir(), c)) as f:
+                if json.load(f).get("ts", 0.0) > ts:
+                    break
+            last = int(c.split(".")[0])
+        return last
+
     # -- I/O ---------------------------------------------------------------
 
     def scan(self, lower_bounds: dict[str, int] | None = None,
-             at: int | None = None) -> DataFrame | None:
+             at: int | None = None, at_ts: float | None = None) -> DataFrame | None:
         """Read the pool's committed state; None when the pool is empty.
 
         Schemas may widen across commits (the pool is heterogeneously
@@ -140,9 +154,16 @@ class Pool:
         from the file list (see committed_files); the caller MUST still
         apply the matching row filter (which parquet row-group stats then
         accelerate, since files are offset-sorted at write time).
-        `at` time-travels to a historical commit (valid until vacuum()
-        reclaims the files it references).
+        `at` time-travels to a historical commit; `at_ts` to the last
+        commit at or before a wall-clock timestamp (both valid until
+        vacuum() reclaims the files they reference).
         """
+        if at_ts is not None:
+            if at is not None:
+                raise ValueError("scan: pass at= or at_ts=, not both")
+            at = self.seq_at_ts(at_ts)
+            if at is None:
+                return None
         files = self.committed_files(lower_bounds, at=at)
         if not files:
             return None
@@ -195,7 +216,7 @@ class Pool:
         except Exception:
             stats = None  # non-envelope frame: no stats, commit never pruned
         manifest = {"files": sorted(parts), "message": message, "rows": n,
-                    "stats": stats}
+                    "stats": stats, "ts": time.time()}
         if cursors:
             manifest["cursors"] = cursors
         # optimistic concurrency: claim the next sequence number; on a
@@ -311,7 +332,7 @@ class Pool:
                 cursors[t] = int(v)
         seq = len(snapshot)
         manifest = {"files": sorted(parts), "message": message, "rows": n,
-                    "stats": stats, "base": True}
+                    "stats": stats, "base": True, "ts": time.time()}
         if cursors:
             manifest["cursors"] = cursors
         try:
