@@ -1,0 +1,190 @@
+"""Incremental materialized rollups (streaming/incremental.py): the
+cursor-bounded sync → partial-append → merge-on-read → fold lifecycle.
+
+The invariant under test everywhere: a rollup maintained incrementally
+over N commits equals the one-shot aggregate over all the data, at every
+point in the lifecycle (after each sync, after reruns, after fold)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from zync_spark.pool import Pool
+from zync_spark.streaming import incremental as inc
+
+ROW = StructType(
+    [
+        StructField(
+            "kafka",
+            StructType(
+                [
+                    StructField("topic", StringType()),
+                    StructField("partition", LongType()),
+                    StructField("offset", LongType()),
+                ]
+            ),
+        ),
+        StructField("zed_type", StringType()),
+        StructField(
+            "value",
+            StructType(
+                [StructField("k", StringType()), StructField("amt", DoubleType())]
+            ),
+        ),
+    ]
+)
+
+
+def rows(topic, start, pairs):
+    return [
+        ((topic, 0, start + i), "data", (k, float(a)))
+        for i, (k, a) in enumerate(pairs)
+    ]
+
+
+SPEC = inc.RollupSpec(
+    "t",
+    keys={"k": "value.k"},
+    aggs=[
+        ("n", "count", None),
+        ("total", "sum", "CAST(value.amt AS DECIMAL(10,2))"),
+        ("mn", "min", "value.amt"),
+        ("mx", "max", "value.amt"),
+        ("sq", "sum_sq", "CAST(value.amt AS DECIMAL(10,2))"),
+    ],
+)
+
+BATCHES = [
+    rows("t", 0, [("a", 1.5), ("b", 2.0), ("a", 3.0)]),
+    rows("t", 3, [("b", 4.5), ("c", 0.5)]),
+    rows("t", 5, [("a", 2.5), ("c", 1.0), ("b", 1.0)]),
+]
+
+
+def _expected(spark, batches):
+    all_rows = [r for b in batches for r in b]
+    df = spark.createDataFrame(all_rows, ROW)
+    return {
+        r["k"]: (r["n"], float(r["total"]), r["mn"], r["mx"], float(r["sq"]))
+        for r in df.groupBy(F.col("value.k").alias("k"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(value.amt AS DECIMAL(10,2))")).alias("total"),
+            F.min("value.amt").alias("mn"),
+            F.max("value.amt").alias("mx"),
+            F.sum(
+                F.expr("CAST(value.amt AS DECIMAL(10,2))")
+                * F.expr("CAST(value.amt AS DECIMAL(10,2))")
+            ).alias("sq"),
+        )
+        .collect()
+    }
+
+
+def _state(spark, dest):
+    v = inc.view(dest, SPEC)
+    return {
+        r["k"]: (r["n"], float(r["total"]), r["mn"], r["mx"], float(r["sq"]))
+        for r in v.collect()
+    }
+
+
+@pytest.fixture()
+def lakes(spark, tmp_path):
+    return (
+        Pool.create(spark, str(tmp_path / "src")),
+        Pool.create(spark, str(tmp_path / "dest")),
+    )
+
+
+def test_incremental_equals_full_recompute(spark, lakes):
+    src, dest = lakes
+    for i, b in enumerate(BATCHES, 1):
+        src.load(spark.createDataFrame(b, ROW), f"b{i}")
+        assert inc.sync(src, dest, SPEC, ["t"]) > 0
+        assert _state(spark, dest) == _expected(spark, BATCHES[:i])
+
+
+def test_rerun_is_noop_and_cursor_advances(spark, lakes):
+    src, dest = lakes
+    src.load(spark.createDataFrame(BATCHES[0], ROW), "b1")
+    inc.sync(src, dest, SPEC, ["t"])
+    assert dest.stored_cursors() == {"t": 3}
+    assert inc.sync(src, dest, SPEC, ["t"]) == 0  # no new data: no commit
+    assert _state(spark, dest) == _expected(spark, BATCHES[:1])
+
+
+def test_multi_commit_delta_in_one_sync(spark, lakes):
+    # source advances twice between maintenance passes; one sync absorbs both
+    src, dest = lakes
+    src.load(spark.createDataFrame(BATCHES[0], ROW), "b1")
+    src.load(spark.createDataFrame(BATCHES[1], ROW), "b2")
+    inc.sync(src, dest, SPEC, ["t"])
+    assert _state(spark, dest) == _expected(spark, BATCHES[:2])
+    assert dest.stored_cursors() == {"t": 5}
+
+
+def test_fold_preserves_view_and_bounds_state(spark, lakes):
+    src, dest = lakes
+    for i, b in enumerate(BATCHES, 1):
+        src.load(spark.createDataFrame(b, ROW), f"b{i}")
+        inc.sync(src, dest, SPEC, ["t"])
+    before = _state(spark, dest)
+    inc.fold(dest, SPEC)
+    assert _state(spark, dest) == before
+    assert dest.commits_since_base() == 0
+    # partials collapsed to one row per key
+    partials = dest.scan().filter(F.col("zed_type") == "partial")
+    assert partials.count() == len(before)
+    # cursor survives the fold: the next sync is still a no-op
+    assert inc.sync(src, dest, SPEC, ["t"]) == 0
+    # and new data after a fold keeps accruing correctly
+    extra = rows("t", 8, [("a", 9.0), ("d", 7.0)])
+    src.load(spark.createDataFrame(extra, ROW), "b4")
+    inc.sync(src, dest, SPEC, ["t"])
+    assert _state(spark, dest) == _expected(spark, BATCHES + [extra])
+
+
+def test_variance_derivable_from_partials(spark, lakes):
+    # sum_sq + sum + count ⇒ population variance at view time
+    src, dest = lakes
+    for b in BATCHES:
+        src.load(spark.createDataFrame(b, ROW), "b")
+        inc.sync(src, dest, SPEC, ["t"])
+    v = inc.view(dest, SPEC).withColumn(
+        "var",
+        F.col("sq").cast("double") / F.col("n")
+        - (F.col("total").cast("double") / F.col("n")) ** 2,
+    )
+    got = {r["k"]: r["var"] for r in v.collect()}
+    exp = {
+        r["k"]: r["v"]
+        for r in spark.createDataFrame([x for b in BATCHES for x in b], ROW)
+        .groupBy(F.col("value.k").alias("k"))
+        .agg(F.var_pop("value.amt").alias("v"))
+        .collect()
+    }
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k])
+
+
+def test_done_markers_pass_through_fold(spark, lakes):
+    # a summary pool can interleave other record types; fold leaves them be
+    src, dest = lakes
+    src.load(spark.createDataFrame(BATCHES[0], ROW), "b1")
+    inc.sync(src, dest, SPEC, ["t"])
+    other = spark.createDataFrame(
+        [(("done-topic", 0, 7), "done", None)], ROW
+    )
+    dest.load(other, "marker")
+    before = _state(spark, dest)
+    inc.fold(dest, SPEC)
+    assert _state(spark, dest) == before
+    kept = dest.scan().filter(F.col("zed_type") == "done").collect()
+    assert len(kept) == 1 and kept[0]["kafka"]["offset"] == 7

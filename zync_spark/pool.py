@@ -236,7 +236,8 @@ class Pool:
     # -- maintenance -------------------------------------------------------
 
     def compact(self, target_rows: int = 4_000_000, message: str = "compact",
-                keep_latest_by_key: bool = False) -> int:
+                keep_latest_by_key: bool = False,
+                transform=None) -> int:
         """Rewrite the live file set into few large, globally offset-
         clustered files and commit a `base` manifest that supersedes all
         prior commits.
@@ -299,6 +300,13 @@ class Pool:
                 .drop("_rn")
             )
             df = data.unionByName(df.filter(~is_data))
+        if transform is not None:
+            # State-folding hook: maintenance policies can rewrite the live
+            # row set during the compaction pass they were paying anyway
+            # (e.g. streaming.incremental.fold merges rollup partials).
+            # Runs under the same OCC publish, so a fold can never
+            # supersede a commit it did not read.
+            df = transform(df)
         n = df.count()
         nfiles = max(1, (n + target_rows - 1) // target_rows)
         file_id = uuid.uuid4().hex

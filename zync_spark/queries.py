@@ -77,9 +77,18 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     if name == "events":
+        # Two reader behaviors exist for parquet TIMESTAMP(NANOS): with the
+        # legacy conf honored (<=4.0) ts arrives as a nanos long; on 4.1+
+        # the conf is ignored and ts arrives as timestamp_ntz (already
+        # micros-truncated, same floor semantics as the div-1000 path).
+        # Either way we normalize to session-tz TIMESTAMP (UTC, set above)
+        # to match the oracle's reading.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     _T_CACHE[key] = df
@@ -2576,4 +2585,245 @@ def text_bigram_lm(spark, sf_dir):
         c.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("prev", "next_tok", "n", "rnk")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           sum(l.l_extendedprice::DECIMAL(12,2) * (1 - l.l_discount::DECIMAL(4,2)))::DOUBLE AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-06-30'
+      AND l.l_shipdate > TIMESTAMP '1997-06-30'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → two-hop join → grouped sum →
+    deterministic top-k (adapted to the driver corpus: o_orderpriority
+    stands in for o_shippriority).
+
+    Parity: join + sort + head (SURVEY §2.3, §2.6). Scale: both date
+    filters and the segment filter push to the scans, so the orders side
+    arrives pre-pruned (~40% of orders x ~20% of customers) before the
+    lineitem shuffle join on l_orderkey — the only big exchange. The
+    ordered LIMIT is a TopK physical op (no global sort of the aggregate).
+    """
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem")
+    cut = F.lit("1997-06-30").cast("timestamp")
+    oc = (
+        o.filter(F.col("o_orderdate") < cut)
+        .join(
+            c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    return (
+        l.filter(F.col("l_shipdate") > cut)
+        .join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           sum(l.l_extendedprice::DECIMAL(12,2) * (1 - l.l_discount::DECIMAL(4,2)))::DOUBLE AS revenue,
+           c.c_acctbal, n.n_name AS nation
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-items revenue per customer over one
+    quarter — fact⋈fact join, grouped sum, broadcast dim decorate, top-k.
+
+    Scale: the quarter filter prunes orders at the scan (parquet min/max
+    on o_orderdate) and l_returnflag='R' prunes lineitem to a third, both
+    BEFORE the l_orderkey shuffle. The customer join keys on c_custkey
+    (second shuffle); nation is broadcast. The aggregate keys on customer
+    attributes, so it piggybacks on the customer-join partitioning —
+    Catalyst elides the third exchange.
+    """
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem")
+    n = T(spark, sf_dir, "nation")
+    lo = (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("o_custkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        lo.join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_scd2_intervals",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    s AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM o WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+    FROM s
+    """,
+)
+def q_scd2_intervals(spark, sf_dir):
+    """SCD-type-2 history build: collapse an event stream into validity
+    intervals [valid_from, valid_to) that start whenever a user's
+    event_type changes — the standard materialization of a CDC changelog
+    (the reference's whole domain, README.md:180-403) into a queryable
+    dimension history.
+
+    Scale: change detection (lag) and interval close (lead) both window
+    over user_id, so the corpus shuffles ONCE on user_id and the second
+    window reuses the first's partitioning (local re-sort only, no new
+    exchange). Ordering ties break on event_id for determinism across
+    engines and partitionings.
+    """
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return starts.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+
+
+@register(
+    "rollup_incremental",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(value::DECIMAL(14,2))::DOUBLE AS total,
+           min(value) AS mn,
+           max(value) AS mx
+    FROM events GROUP BY event_type
+    """,
+)
+def rollup_incremental(spark, sf_dir):
+    """Incremental materialized rollup == full recompute: the events table
+    is loaded into a source pool in three commits; after each, sync()
+    scans ONLY the cursor-bounded delta (manifest-level commit pruning,
+    the range-limited scan of etl/build.go:9-18) and appends mergeable
+    partials to a summary pool atomically with the advanced cursor. A
+    rerun with no new data is a no-op; fold() collapses the partials
+    during compaction. The merged view over state built in three
+    increments must hash-match the oracle's one-shot GROUP BY over the
+    whole table.
+
+    Scale: each sync's cost is O(new data); view() reads |keys|x|syncs|
+    partial rows and never the fact pool. Exact arithmetic: value is
+    cents-precise, summed as DECIMAL (order-independent), one final cast
+    to double.
+    """
+    import tempfile
+
+    from zync_spark.pool import Pool
+    from zync_spark.streaming import incremental as inc
+
+    ev = T(spark, sf_dir, "events")
+    env = ev.select(
+        F.struct(
+            F.lit("events").alias("topic"),
+            F.lit(0).cast("long").alias("partition"),
+            F.col("event_id").cast("long").alias("offset"),
+        ).alias("kafka"),
+        F.lit("data").alias("zed_type"),
+        F.struct("event_type", "value").alias("value"),
+    )
+    lake = tempfile.mkdtemp(prefix="zs-rollup-")
+    src = Pool.create(spark, f"{lake}/src")
+    dest = Pool.create(spark, f"{lake}/summary")
+    spec = inc.RollupSpec(
+        "events_by_type",
+        keys={"event_type": "value.event_type"},
+        aggs=[
+            ("n", "count", None),
+            ("total", "sum", "CAST(value.value AS DECIMAL(14,2))"),
+            ("mn", "min", "value.value"),
+            ("mx", "max", "value.value"),
+        ],
+    )
+    n_events = ev.count()
+    cut1, cut2 = n_events // 3, 2 * n_events // 3
+    for lo, hi_ in ((None, cut1), (cut1, cut2), (cut2, None)):
+        batch = env
+        if lo is not None:
+            batch = batch.filter(F.col("kafka.offset") >= lo)
+        if hi_ is not None:
+            batch = batch.filter(F.col("kafka.offset") < hi_)
+        src.load(batch, f"events [{lo},{hi_})")
+        inc.sync(src, dest, spec, ["events"])
+    assert inc.sync(src, dest, spec, ["events"]) == 0  # rerun = no-op
+    inc.fold(dest, spec)
+    v = inc.view(dest, spec)
+    return v.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("total").cast("double").alias("total"),
+        "mn",
+        "mx",
     )

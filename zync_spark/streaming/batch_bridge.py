@@ -22,21 +22,29 @@ from pyspark.sql.types import (
     StructType,
 )
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos-as-long (see queries.T)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """readStream over the events parquet with the nanos→micros conversion
-    applied (same semantics as the batch loader).
+    applied (same semantics as the batch loader, queries.T).
+
+    The parquet ts column is physical TIMESTAMP(NANOS); what the reader
+    yields is version-dependent (<=4.0 honors the nanosAsLong legacy conf
+    and yields a nanos long; 4.1+ ignores it and yields timestamp_ntz,
+    already floor-truncated to micros). A streaming source needs the schema
+    declared up front, so probe with one batch footer read and declare
+    whichever ts type this runtime actually produces.
 
     FileStreamSource requires a directory; when given a single parquet file
     we expose it through a temp directory of symlinks (read-only source data
@@ -44,16 +52,19 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probed = spark.read.parquet(path).schema["ts"].dataType
     if os.path.isfile(path):
         d = tempfile.mkdtemp(prefix="zs-stream-src-")
         os.symlink(path, os.path.join(d, os.path.basename(path)))
         path = d
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(probed))
         .format("parquet")
         .load(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(probed, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_memory(stream_df: DataFrame, name: str | None = None,
