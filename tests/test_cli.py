@@ -176,3 +176,53 @@ def test_cli_from_kafka_to_kafka_file_transport(spark, tmp_path, capsys):
         "--transport", f"file:{mirror.root}",
     ]) == 0
     assert "produced 0 records" in capsys.readouterr().out
+
+
+def test_cli_rollup_sync_view_fold(spark, tmp_path, capsys):
+    import yaml as _yaml
+
+    from zync_spark.pool import Pool
+    from tests.test_incremental import BATCHES, ROW
+
+    lake = os.path.join(tmp_path, "lake")
+    src = Pool.create(spark, os.path.join(lake, "src"))
+    spec_path = os.path.join(tmp_path, "rollup.yaml")
+    with open(spec_path, "w") as f:
+        _yaml.safe_dump(
+            {
+                "name": "by_k",
+                "source": "src",
+                "dest": "summary",
+                "topics": ["t"],
+                "keys": {"k": "value.k"},
+                "aggs": [
+                    {"col": "n", "kind": "count"},
+                    {"col": "total", "kind": "sum",
+                     "expr": "CAST(value.amt AS DECIMAL(10,2))"},
+                ],
+            },
+            f,
+        )
+
+    def view():
+        assert main(["--lake", lake, "rollup", "view", spec_path]) == 0
+        return {
+            json.loads(l)["k"]: json.loads(l)
+            for l in capsys.readouterr().out.strip().splitlines()
+        }
+
+    src.load(spark.createDataFrame(BATCHES[0], ROW), "b1")
+    assert main(["--lake", lake, "rollup", "sync", spec_path]) == 0
+    assert "partial rows committed" in capsys.readouterr().out
+    v1 = view()
+    assert v1["a"]["n"] == 2 and float(v1["a"]["total"]) == 4.5
+
+    # second batch accrues; fold preserves the view
+    src.load(spark.createDataFrame(BATCHES[1], ROW), "b2")
+    assert main(["--lake", lake, "rollup", "sync", spec_path]) == 0
+    capsys.readouterr()
+    before = view()
+    assert before["b"]["n"] == 2 and before["c"]["n"] == 1
+    assert main(["--lake", lake, "rollup", "fold", spec_path]) == 0
+    capsys.readouterr()
+    assert view() == before

@@ -124,3 +124,48 @@ def test_multimodal_is_arrow_batched_python(spark):
     p = plan_of(spark, "multimodal_features")
     assert "MapInPandas" in p or "ArrowEvalPython" in p
     assert "BatchEvalPython" not in p
+
+
+def test_q3_q10_pushdown_and_topk(spark):
+    # ordered LIMIT must be a TopK physical op, never a global sort; the
+    # selective filters must reach the scans before any join
+    p3 = plan_of(spark, "q3_shipping_priority")
+    assert count("TakeOrderedAndProject", p3) == 1
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(l_shipdate", p3)
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(c_mktsegment,BUILDING\)", p3)
+    assert n_shuffles(p3) <= 3
+    assert re.search(PY_NODES, p3) is None
+
+    p10 = plan_of(spark, "q10_returned_items")
+    assert count("TakeOrderedAndProject", p10) == 1
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(l_returnflag,R\)", p10)
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", p10)
+    assert n_shuffles(p10) <= 3
+    assert re.search(PY_NODES, p10) is None
+
+
+def test_scd2_single_shuffle_no_join(spark):
+    # change-detect (lag) and interval-close (lead) share the user_id
+    # partitioning: ONE exchange, no join anywhere, and the second window
+    # reuses the first's sort order ((ts,event_id) == (valid_from,event_id))
+    p = plan_of(spark, "q_scd2_intervals")
+    assert n_shuffles(p) == 1
+    assert count("Sort", p) == 1
+    assert count("SortMergeJoin", p) + count("ShuffledHashJoin", p) == 0
+    assert re.search(PY_NODES, p) is None
+
+
+def test_ntile_is_knowingly_global(spark):
+    # q_ntile_deciles pins EXACT decile semantics, which needs a global
+    # order: the plan MUST contain the single-partition exchange (if this
+    # ever disappears, the query's documented scale caveat is stale)
+    p = plan_of(spark, "q_ntile_deciles")
+    assert "SinglePartition" in p
+
+
+def test_profile_single_pass(spark):
+    # all column stats compute in ONE scan + one global aggregate; the
+    # stack unpivot adds no shuffle and no rescan
+    p = plan_of(spark, "q_profile")
+    assert count("Scan parquet", p) == 1
+    assert re.search(PY_NODES, p) is None

@@ -123,6 +123,53 @@ def cmd_consume(args) -> int:
     return 0
 
 
+def cmd_rollup(args) -> int:
+    """Maintain an incremental materialized rollup from a YAML spec
+    (streaming/incremental.py). Actions:
+
+      sync  one maintenance pass: aggregate the cursor-bounded delta and
+            commit partials + advanced cursor atomically (rerun = no-op)
+      view  print the rollup's merged current value as JSON lines
+      fold  collapse accumulated partials during a compaction pass
+
+    Spec YAML:
+      name: events_by_type
+      source: src_pool
+      dest: summary_pool
+      topics: [events]
+      keys: {event_type: value.event_type}
+      aggs:
+        - {col: n, kind: count}
+        - {col: total, kind: sum, expr: "CAST(value.value AS DECIMAL(14,2))"}
+    """
+    import yaml
+
+    from zync_spark.streaming import incremental as inc
+
+    with open(args.spec) as f:
+        spec_doc = yaml.safe_load(f)
+    spec = inc.RollupSpec(
+        spec_doc["name"],
+        keys=dict(spec_doc["keys"]),
+        aggs=[(a["col"], a["kind"], a.get("expr")) for a in spec_doc["aggs"]],
+    )
+    spark = _spark()
+    dest = _pool(spark, args.lake, spec_doc["dest"], create=True)
+    if args.action == "sync":
+        src = _pool(spark, args.lake, spec_doc["source"])
+        n = inc.sync(src, dest, spec, list(spec_doc["topics"]))
+        print(f"rollup {spec.name}: {n} partial rows committed")
+    elif args.action == "fold":
+        n = inc.fold(dest, spec)
+        print(f"rollup {spec.name}: folded ({n} rows in base)")
+    else:
+        v = inc.view(dest, spec)
+        if v is not None:
+            for line in v.orderBy(*list(spec.keys)).toJSON().collect():
+                print(line)
+    return 0
+
+
 def cmd_produce(args) -> int:
     """Load JSON-lines envelope records from files into a pool
     (broker-less analog of cmd/zync/produce).
@@ -357,6 +404,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--batch-size", type=int, default=200)
     p.add_argument("--config", default=None)
     p.set_defaults(fn=cmd_to_kafka)
+
+    p = sub.add_parser("rollup", help="incremental materialized rollup")
+    p.add_argument("action", choices=["sync", "view", "fold"])
+    p.add_argument("spec", help="rollup spec YAML (see cmd_rollup docstring)")
+    p.set_defaults(fn=cmd_rollup)
 
     p = sub.add_parser("compact", help="compact a pool's small commits")
     p.add_argument("pool")

@@ -44,6 +44,9 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_stats",
     "q_asof_join",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "q_scd2_intervals",
 ]
 
 
@@ -2826,4 +2829,128 @@ def rollup_incremental(spark, sf_dir):
         F.col("total").cast("double").alias("total"),
         "mn",
         "mx",
+    )
+
+
+@register(
+    "q_ntile_deciles",
+    """
+    WITH d AS (
+      SELECT o_orderpriority,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile,
+             o_totalprice
+      FROM orders)
+    SELECT decile, count(*) AS n,
+           sum(o_totalprice::DECIMAL(14,2))::DOUBLE AS total,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi
+    FROM d GROUP BY decile
+    """,
+)
+def q_ntile_deciles(spark, sf_dir):
+    """Decile bucketing (ntile) + per-bucket stats — the score-bucket
+    analysis behind quality-threshold curation decisions ("what does the
+    corpus look like per quality decile").
+
+    Scale note: ntile is a GLOBAL ordering — a single-partition window,
+    the one shape that cannot distribute. Here it is deliberate and
+    locked by a test: at 100 TB you'd replace it with approx percentile
+    cut points broadcast back (the quality_filter pattern); this entry
+    exists to pin the exact semantics those cut points approximate.
+    Deterministic tie-break on o_orderkey.
+    """
+    o = T(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    d = o.select(
+        "o_orderpriority",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        "o_totalprice",
+    )
+    return d.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@register(
+    "q_histogram",
+    """
+    SELECT floor(value / 10.0)::BIGINT AS bucket,
+           count(*) AS n,
+           sum(value::DECIMAL(14,2))::DOUBLE AS total
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark, sf_dir):
+    """Fixed-width value histogram — the data-profiling primitive behind
+    distribution dashboards and outlier triage. Pure map + one tiny
+    grouped aggregation (bucket count is data-range/width, not data
+    size); floor-based bucketing is engine-exact (no rounding-mode
+    divergence)."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 10.0).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "q_profile",
+    """
+    SELECT 'o_totalprice' AS col, count(*) AS n_rows,
+           count(o_totalprice) AS n_nonnull,
+           count(DISTINCT o_totalprice) AS n_distinct,
+           min(o_totalprice)::VARCHAR AS min_v, max(o_totalprice)::VARCHAR AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*), count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+    FROM orders
+    """,
+)
+def q_profile(spark, sf_dir):
+    """Column profiling (the SUMMARIZE/df.describe of data engineering):
+    per-column row/non-null/distinct counts and min/max, one row per
+    column — the first query anyone runs on an unfamiliar 100 TB table.
+
+    Scale: ONE pass over the table computes all columns' stats together
+    (multi-aggregate), then the tiny per-column rows are unpivoted via
+    stack — no per-column rescans, no shuffle beyond the single global
+    aggregate. Values stringify for the uniform schema; timestamps
+    format explicitly so both engines render identically.
+    """
+    o = T(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.count("*").alias("n"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.count_distinct(F.col("o_totalprice")).alias("nd_price"),
+        F.min("o_totalprice").cast("string").alias("min_price"),
+        F.max("o_totalprice").cast("string").alias("max_price"),
+        F.count("o_orderpriority").alias("nn_prio"),
+        F.count_distinct(F.col("o_orderpriority")).alias("nd_prio"),
+        F.min("o_orderpriority").alias("min_prio"),
+        F.max("o_orderpriority").alias("max_prio"),
+        F.count("o_orderdate").alias("nn_date"),
+        F.count_distinct(F.col("o_orderdate")).alias("nd_date"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("min_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("max_date"),
+    )
+    return stats.selectExpr(
+        """stack(3,
+             'o_totalprice',    n, nn_price, nd_price, min_price, max_price,
+             'o_orderpriority', n, nn_prio,  nd_prio,  min_prio,  max_prio,
+             'o_orderdate',     n, nn_date,  nd_date,  min_date,  max_date
+           ) AS (col, n_rows, n_nonnull, n_distinct, min_v, max_v)"""
     )
