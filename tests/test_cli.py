@@ -226,3 +226,23 @@ def test_cli_rollup_sync_view_fold(spark, tmp_path, capsys):
     assert main(["--lake", lake, "rollup", "fold", spec_path]) == 0
     capsys.readouterr()
     assert view() == before
+
+
+def test_cli_profile(spark, tmp_path, capsys):
+    from zync_spark.pool import Pool
+    from tests.test_incremental import BATCHES, ROW
+
+    lake = os.path.join(tmp_path, "lake")
+    src = Pool.create(spark, os.path.join(lake, "src"))
+    src.load(spark.createDataFrame(BATCHES[0] + BATCHES[1], ROW), "b")
+    assert main(["--lake", lake, "profile", "src",
+                 "--columns", "value.k", "value.amt"]) == 0
+    out = {json.loads(l)["col"]: json.loads(l)
+           for l in capsys.readouterr().out.strip().splitlines()}
+    assert out["value.k"]["n_distinct"] == 3
+    assert out["value.amt"]["n_rows"] == 5
+    # zed --where filter composes
+    assert main(["--lake", lake, "profile", "src",
+                 "--columns", "value.k", "--where", 'value.k=="a"']) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["n_rows"] == 2

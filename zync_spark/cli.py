@@ -170,6 +170,27 @@ def cmd_rollup(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Profile a pool's columns (generic single-pass SUMMARIZE,
+    functions/profile.py): one JSON line per leaf column with
+    row/non-null/distinct counts and min/max."""
+    from zync_spark.functions.profile import profile
+
+    spark = _spark()
+    df = _pool(spark, args.lake, args.pool).scan()
+    if df is None:
+        return 0
+    if args.where:
+        from pyspark.sql import functions as F  # noqa: F401
+        from zync_spark import zedexpr
+
+        df = df.filter(zedexpr.compile_expr(args.where, zedexpr.Context()))
+    res = profile(df, columns=args.columns or None, exact=not args.approx)
+    for line in res.orderBy("col").toJSON().collect():
+        print(line)
+    return 0
+
+
 def cmd_produce(args) -> int:
     """Load JSON-lines envelope records from files into a pool
     (broker-less analog of cmd/zync/produce).
@@ -297,7 +318,8 @@ def cmd_compact(args) -> int:
     spark = _spark()
     pool = _pool(spark, args.lake, args.pool)
     n = pool.compact(target_rows=args.target_rows,
-                     keep_latest_by_key=args.keep_latest_by_key)
+                     keep_latest_by_key=args.keep_latest_by_key,
+                     cluster_by=args.cluster_by or None)
     msg = f"compacted {n} rows into {len(pool.committed_files())} file(s)"
     if args.vacuum:
         msg += f"; vacuumed {pool.vacuum()} superseded file(s)"
@@ -405,6 +427,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--config", default=None)
     p.set_defaults(fn=cmd_to_kafka)
 
+    p = sub.add_parser("profile", help="per-column stats for a pool (SUMMARIZE)")
+    p.add_argument("pool")
+    p.add_argument("--columns", nargs="*", default=None,
+                   help="restrict to these dotted leaf paths")
+    p.add_argument("--where", default=None,
+                   help="zed filter expression applied before profiling")
+    p.add_argument("--approx", action="store_true",
+                   help="HLL++ approximate distinct counts (the 100 TB path "
+                        "for very-high-cardinality columns)")
+    p.set_defaults(fn=cmd_profile)
+
     p = sub.add_parser("rollup", help="incremental materialized rollup")
     p.add_argument("action", choices=["sync", "view", "fold"])
     p.add_argument("spec", help="rollup spec YAML (see cmd_rollup docstring)")
@@ -419,6 +452,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--keep-latest-by-key", action="store_true",
                    help="Kafka log-compaction semantics: keep only the "
                         "highest-offset data record per (topic, key)")
+    p.add_argument("--cluster-by", nargs="*", default=None,
+                   help="range-cluster files on these dotted columns and "
+                        "record per-file min/max in the manifest "
+                        "(scan(bounds=...) then skips whole files)")
     p.set_defaults(fn=cmd_compact)
 
     p = sub.add_parser("info", help="kafka topic watermarks")

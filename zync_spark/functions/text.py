@@ -132,3 +132,16 @@ def bpe_token_count(col: Column | str) -> Column:
     is the standard cheap token estimate for corpus budgeting)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), F.lit(0))).cast("long")
+
+
+def repetition_ratio(tokens_col: Column, k: int = 3) -> Column:
+    """Duplicate word-k-gram fraction — the repetitiveness quality signal
+    (high values flag boilerplate/spam/generation loops; the Gopher-rules
+    family of corpus filters thresholds exactly this): 1 - distinct/total
+    k-grams. Null when the document has fewer than k tokens. Pure HOFs
+    over the token array — map-only, no shuffle, no Python."""
+    sh = word_shingles(tokens_col, k)
+    n = F.size(sh)
+    return F.when(n < 1, F.lit(None).cast("double")).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(sh)) / n
+    )

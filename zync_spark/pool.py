@@ -92,7 +92,8 @@ class Pool:
         return sorted(f for f in os.listdir(d) if f.endswith(".json"))
 
     def committed_files(self, lower_bounds: dict[str, int] | None = None,
-                        at: int | None = None) -> list[str]:
+                        at: int | None = None,
+                        bounds: dict[str, tuple] | None = None) -> list[str]:
         """Committed data files, optionally pruned by manifest offset stats.
 
         `lower_bounds` declares the caller's read contract: it will only
@@ -108,8 +109,16 @@ class Pool:
         time travel over the manifest log. A `base` manifest (written by
         compact()) supersedes everything before it, so the live view is
         "last base + later deltas", like a Delta checkpoint.
+
+        `bounds` prunes at FILE granularity using per-file column min/max
+        recorded by `compact(cluster_by=...)`: a file is skipped when, for
+        any bounded column, its recorded [min,max] cannot overlap the
+        requested (lo,hi). Files without recorded stats are always kept,
+        and the caller MUST still apply the row-level filter — this is
+        multi-dimensional data skipping (Z-order-style), not a filter.
         """
         files: list[str] = []
+        fstats: dict[str, dict] = {}
         for c in self.commits():
             if at is not None and int(c.split(".")[0]) > at:
                 break
@@ -127,6 +136,9 @@ class Pool:
                     if not keep:
                         continue
             files.extend(manifest["files"])
+            fstats.update(manifest.get("col_stats") or {})
+        if bounds:
+            files = [f for f in files if _may_overlap(fstats.get(f), bounds)]
         return files
 
     def seq_at_ts(self, ts: float) -> int | None:
@@ -145,7 +157,8 @@ class Pool:
     # -- I/O ---------------------------------------------------------------
 
     def scan(self, lower_bounds: dict[str, int] | None = None,
-             at: int | None = None, at_ts: float | None = None) -> DataFrame | None:
+             at: int | None = None, at_ts: float | None = None,
+             bounds: dict[str, tuple] | None = None) -> DataFrame | None:
         """Read the pool's committed state; None when the pool is empty.
 
         Schemas may widen across commits (the pool is heterogeneously
@@ -156,7 +169,9 @@ class Pool:
         accelerate, since files are offset-sorted at write time).
         `at` time-travels to a historical commit; `at_ts` to the last
         commit at or before a wall-clock timestamp (both valid until
-        vacuum() reclaims the files they reference).
+        vacuum() reclaims the files they reference). `bounds` applies
+        file-level column-range skipping (see committed_files) — again the
+        caller must still apply the matching row filter.
         """
         if at_ts is not None:
             if at is not None:
@@ -164,7 +179,7 @@ class Pool:
             at = self.seq_at_ts(at_ts)
             if at is None:
                 return None
-        files = self.committed_files(lower_bounds, at=at)
+        files = self.committed_files(lower_bounds, at=at, bounds=bounds)
         if not files:
             return None
         return (
@@ -237,7 +252,8 @@ class Pool:
 
     def compact(self, target_rows: int = 4_000_000, message: str = "compact",
                 keep_latest_by_key: bool = False,
-                transform=None) -> int:
+                transform=None,
+                cluster_by: list[str] | None = None) -> int:
         """Rewrite the live file set into few large, globally offset-
         clustered files and commit a `base` manifest that supersedes all
         prior commits.
@@ -311,9 +327,23 @@ class Pool:
         nfiles = max(1, (n + target_rows - 1) // target_rows)
         file_id = uuid.uuid4().hex
         data_path = os.path.join(self.path, "data", file_id)
+        # Clustering: default layout is (topic, offset) — optimal for the
+        # cursor/offset scans every sync does. `cluster_by` instead range-
+        # clusters on the given dotted columns (offset as the final tie
+        # key), so each output file covers a narrow range of those values;
+        # their per-file min/max land in the manifest and `scan(bounds=)`
+        # skips whole files — multi-dimensional data skipping for the
+        # secondary-predicate scans (by user, by key, by time) that offset
+        # order can't serve. At 100 TB this is the difference between
+        # reading one file and reading the pool.
+        ckeys = (
+            [F.col(c) for c in cluster_by] + [F.col("kafka.offset")]
+            if cluster_by
+            else [F.col("kafka.topic"), F.col("kafka.offset")]
+        )
         (
-            df.repartitionByRange(nfiles, F.col("kafka.topic"), F.col("kafka.offset"))
-            .sortWithinPartitions(F.col("kafka.topic"), F.col("kafka.offset"))
+            df.repartitionByRange(nfiles, *ckeys)
+            .sortWithinPartitions(*ckeys)
             .write.mode("overwrite")
             .parquet(data_path)
         )
@@ -322,6 +352,7 @@ class Pool:
             for f in os.listdir(data_path)
             if f.endswith(".parquet")
         ]
+        col_stats = _file_col_stats(parts, cluster_by) if cluster_by else None
         # Merge per-topic offset stats across the superseded manifests so
         # bounded scans keep pruning; carry cursors forward likewise.
         stats: dict[str, list[int]] | None = {}
@@ -343,6 +374,8 @@ class Pool:
                     "stats": stats, "base": True, "ts": time.time()}
         if cursors:
             manifest["cursors"] = cursors
+        if col_stats:
+            manifest["col_stats"] = col_stats
         try:
             _atomic_create_json(
                 os.path.join(self._commit_dir(), f"{seq:06d}.json"), manifest
@@ -474,3 +507,63 @@ def _atomic_create_json(path: str, obj: dict) -> None:
         os.link(tmp, path)
     finally:
         os.unlink(tmp)
+
+
+def _json_safe(v):
+    """Parquet footer stats → JSON-storable, order-preserving values.
+    Timestamps/dates become ISO strings (lexicographic == chronological);
+    bytes decode best-effort; numerics/strings pass through."""
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ")
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
+def _file_col_stats(paths: list[str], cols: list[str]) -> dict[str, dict]:
+    """Per-file [min, max] for the given dotted leaf columns, read from
+    the parquet footers of files this process just wrote (no data scan).
+    Columns whose footers lack min/max (e.g. unsupported physical types)
+    are simply omitted — absence of stats means 'never skip'."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        by_path = {md.schema.column(i).path: i for i in range(md.num_columns)}
+        st: dict[str, list] = {}
+        for c in cols:
+            i = by_path.get(c)
+            if i is None:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(i).statistics
+                if s is None or not s.has_min_max:
+                    ok = False
+                    break
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            if ok and lo is not None:
+                st[c] = [_json_safe(lo), _json_safe(hi)]
+        if st:
+            out[p] = st
+    return out
+
+
+def _may_overlap(file_stats: dict | None, bounds: dict[str, tuple]) -> bool:
+    """Conservative file-skip test: False only when some bounded column's
+    recorded [min,max] provably cannot intersect (lo, hi). Missing stats
+    (whole file or column) always keep the file."""
+    if not file_stats:
+        return True
+    for col, (lo, hi) in bounds.items():
+        s = file_stats.get(col)
+        if s is None:
+            continue
+        if (hi is not None and s[0] > hi) or (lo is not None and s[1] < lo):
+            return False
+    return True

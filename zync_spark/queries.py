@@ -2954,3 +2954,40 @@ def q_profile(spark, sf_dir):
              'o_orderdate',     n, nn_date,  nd_date,  min_date,  max_date
            ) AS (col, n_rows, n_nonnull, n_distinct, min_v, max_v)"""
     )
+
+
+@register(
+    "text_repetition",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             [array_to_string(toks[i:i+2], ' ')
+              for i in generate_series(1, len(toks)-2)] AS sh
+      FROM t WHERE len(toks) >= 3)
+    SELECT doc_id,
+           1 - len(list_distinct(sh)) / len(sh) AS rep3,
+           len(sh)::BIGINT AS n_grams
+    FROM s
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Per-document trigram repetition ratio (functions/text.py
+    repetition_ratio) — the boilerplate/loop-detection quality signal a
+    corpus-curation pipeline thresholds on. Map-only: shingle
+    construction and dedup are array HOFs inside whole-stage codegen;
+    zero shuffles, zero Python; at 100 TB this pipelines with the scan.
+    """
+    docs = T(spark, sf_dir, "documents")
+    toks = TX.tokens(F.lower(F.col("text")))
+    sh = TX.word_shingles(toks, 3)
+    return (
+        docs.select(
+            "doc_id",
+            TX.repetition_ratio(toks, 3).alias("rep3"),
+            F.size(sh).cast("long").alias("n_grams"),
+        )
+        .filter(F.col("n_grams") >= 1)
+    )
