@@ -246,3 +246,49 @@ def test_cli_profile(spark, tmp_path, capsys):
                  "--columns", "value.k", "--where", 'value.k=="a"']) == 0
     out = json.loads(capsys.readouterr().out.strip())
     assert out["n_rows"] == 2
+
+
+def test_cli_from_kafka_with_rollup(spark, tmp_path, capsys):
+    """from-kafka --rollup keeps a streaming materialized view in sync
+    with the ingest loop, queryable via the rollup CLI."""
+    import yaml as _yaml
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from zync_spark.sources import connectjson
+    from zync_spark.sources.filequeue import FileQueue
+
+    key_t = StructType([StructField("ID", LongType())])
+    val_t = StructType([StructField("name", StringType())])
+    lake = os.path.join(tmp_path, "lake3")
+    queue = FileQueue(os.path.join(tmp_path, "q3"))
+    spec_path = os.path.join(tmp_path, "by_name.yaml")
+    with open(spec_path, "w") as f:
+        _yaml.safe_dump(
+            {"name": "by_name", "source": "T", "dest": "summary",
+             "topics": ["T"], "keys": {"nm": "value.name"},
+             "aggs": [{"col": "n", "kind": "count"}]},
+            f,
+        )
+
+    typed = spark.createDataFrame(
+        [((i,), ("a" if i % 2 else "b",)) for i in range(6)],
+        StructType([StructField("key", key_t), StructField("value", val_t)]),
+    )
+    enc = typed.select(
+        connectjson.encode(F.col("key"), key_t).cast("binary").alias("k"),
+        connectjson.encode(F.col("value"), val_t).cast("binary").alias("v"),
+    )
+    queue.produce("T", [(r["k"], r["v"]) for r in enc.collect()])
+
+    assert main([
+        "--lake", lake, "from-kafka", "T",
+        "--key-schema", key_t.toDDL(), "--value-schema", val_t.toDDL(),
+        "--transport", f"file:{queue.root}", "--exitafter",
+        "--rollup", spec_path,
+    ]) == 0
+    capsys.readouterr()
+    assert main(["--lake", lake, "rollup", "view", spec_path]) == 0
+    got = {json.loads(l)["nm"]: json.loads(l)["n"]
+           for l in capsys.readouterr().out.strip().splitlines()}
+    assert got == {"a": 3, "b": 3}

@@ -112,3 +112,40 @@ def test_stream_run_loop_auto_compaction(spark, tmp_path):
     assert fk.resume_offsets() == {"T": 12}
     rows = pool.scan().select("key.ID").orderBy("ID").collect()
     assert [r["ID"] for r in rows] == list(range(12))
+
+
+def test_stream_run_loop_live_rollup(spark, tmp_path):
+    """Streaming materialized view: a rollup spec attached to the ingest
+    loop stays in sync with the pool after every micro-batch — and equals
+    the one-shot aggregate over everything ingested."""
+    from zync_spark.streaming import incremental as inc
+
+    queue = FileQueue(str(tmp_path / "q"))
+    ckpt = str(tmp_path / "ckpt")
+    pool = Pool.create(spark, str(tmp_path / "T"))
+    summary = Pool.create(spark, str(tmp_path / "S"))
+    spec = inc.RollupSpec(
+        "ops", keys={"op": "value.op"}, aggs=[("n", "count", None)]
+    )
+    fk = FromKafka(spark, {"T": pool}, KEY_T, VAL_T, format="json",
+                   rollups=[(spec, summary, ["T"])])
+
+    ops = ["c", "u", "c", "d", "u", "c"]
+    offset = 0
+    for batch in (ops[:3], ops[3:]):
+        queue.produce(
+            "T",
+            _records(spark, [(offset + i, op, f"n{offset+i}")
+                             for i, op in enumerate(batch)]),
+        )
+        offset += len(batch)
+        q = fk.run(frame=queue.stream_frame(spark), checkpoint=ckpt,
+                   exit_after=True)
+        q.awaitTermination(120)
+        got = {r["op"]: r["n"] for r in inc.view(summary, spec).collect()}
+        want = {}
+        for op in ops[:offset]:
+            want[op] = want.get(op, 0) + 1
+        assert got == want
+    # the view is cursor-consistent with the pool: one more sync is a no-op
+    assert inc.sync(pool, summary, spec, ["T"]) == 0

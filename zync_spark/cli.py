@@ -256,9 +256,24 @@ def cmd_from_kafka(args) -> int:
 
     pool = _pool(spark, args.lake, args.pool or args.topic, create=True)
     key_t, val_t = _schemas(args)
+    rollups = []
+    for spec_path in args.rollup or []:
+        import yaml
+
+        from zync_spark.streaming import incremental as inc
+
+        with open(spec_path) as f:
+            doc = yaml.safe_load(f)
+        spec = inc.RollupSpec(
+            doc["name"], keys=dict(doc["keys"]),
+            aggs=[(a["col"], a["kind"], a.get("expr")) for a in doc["aggs"]],
+        )
+        dest = _pool(spark, args.lake, doc["dest"], create=True)
+        rollups.append((spec, dest, list(doc.get("topics") or [args.topic])))
     fk = FromKafka(
         spark, {args.topic: pool}, key_t, val_t,
         format=args.format, shaper=args.shaper,
+        rollups=rollups,
     )
     if args.transport.startswith("file:"):
         from zync_spark.sources.filequeue import FileQueue
@@ -419,6 +434,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="drain what is available, then stop (reference -exitafter)")
     p.add_argument("--shaper", default=None, help="zed shaper snippet")
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--rollup", action="append", default=None,
+                   help="rollup spec YAML to keep in sync after every "
+                        "micro-batch (repeatable; streaming materialized "
+                        "view)")
     p.set_defaults(fn=cmd_from_kafka)
 
     p = sub.add_parser("to-kafka", help="pool -> topic egress from the HWM")

@@ -2991,3 +2991,47 @@ def text_repetition(spark, sf_dir):
         )
         .filter(F.col("n_grams") >= 1)
     )
+
+
+@register(
+    "q_mad_outliers",
+    """
+    WITH m AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1),
+    d AS (
+      SELECT e.event_id, e.event_type, e.value, abs(e.value - m.med) AS dev
+      FROM events e JOIN m USING (event_type)),
+    s AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+          FROM d GROUP BY 1)
+    SELECT d.event_id, d.event_type, d.value
+    FROM d JOIN s USING (event_type)
+    WHERE d.dev > 3 * s.mad
+    """,
+)
+def q_mad_outliers(spark, sf_dir):
+    """Robust outlier detection: flag rows whose deviation from their
+    group median exceeds 3x the median-absolute-deviation — the
+    heavy-tail-safe filter curation pipelines prefer over z-scores
+    (one wild value cannot move a median the way it moves a mean).
+
+    Shape: two grouped exact percentiles (group count is small), each
+    broadcast back over the corpus — the quality_filter pattern twice.
+    The corpus itself never shuffles: both joins are broadcast, the
+    filter is a map. Exact `percentile` matches DuckDB quantile_cont
+    bit-for-bit (q_percentiles); at 100 TB with high-cardinality groups
+    you'd swap approx_percentile and keep the identical plan shape.
+    """
+    ev = T(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    d = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = d.groupBy("event_type").agg(F.percentile("dev", F.lit(0.5)).alias("mad"))
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .filter(F.col("dev") > 3 * F.col("mad"))
+        .select("event_id", "event_type", "value")
+    )

@@ -47,6 +47,7 @@ class FromKafka:
         shaper: str | None = None,
         auto_compact_every: int | None = None,
         dead_letter_pool: Pool | None = None,
+        rollups: list[tuple] | None = None,
     ):
         self.spark = spark
         self.topic_pools = topic_pools
@@ -57,6 +58,12 @@ class FromKafka:
         self.shaper = shaper
         self.auto_compact_every = auto_compact_every
         self.dead_letter_pool = dead_letter_pool
+        # streaming materialized views: (RollupSpec, dest Pool, [topics])
+        # entries are sync()'d after each micro-batch commit — the rollup
+        # stays fresh to within one trigger interval, at O(new data) cost
+        # per batch (streaming/incremental.py). All topics of one entry
+        # must land in the same ingest pool.
+        self.rollups = rollups or []
 
     # -- resume ------------------------------------------------------------
 
@@ -185,6 +192,12 @@ class FromKafka:
                 and pool.commits_since_base() >= self.auto_compact_every
             ):
                 pool.compact(message="auto-compact")
+        if committed:
+            from zync_spark.streaming import incremental as inc
+
+            for spec, dest, topics in self.rollups:
+                if any(t in committed for t in topics):
+                    inc.sync(self.topic_pools[topics[0]], dest, spec, list(topics))
         return committed
 
     # -- streaming entry ---------------------------------------------------
