@@ -188,3 +188,78 @@ def test_done_markers_pass_through_fold(spark, lakes):
     assert _state(spark, dest) == before
     kept = dest.scan().filter(F.col("zed_type") == "done").collect()
     assert len(kept) == 1 and kept[0]["kafka"]["offset"] == 7
+
+
+# -- merge-algebra property tests -------------------------------------------
+# The whole incremental design rests on partial_agg/merge_agg forming a
+# commutative monoid: any split of the data into batches, in any order,
+# must merge to the state a one-shot aggregate produces. Hypothesis
+# drives random data + random splits through the algebra IN MEMORY (no
+# pools — the pool lifecycle is covered above; this isolates the math).
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F  # noqa: E402
+
+_PROPS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(min_value=-10_000, max_value=10_000),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _env_rows(rows):
+    return [
+        (("t", 0, i), "data", (k, cents / 100.0)) for i, (k, cents) in enumerate(rows)
+    ]
+
+
+def _collect(df):
+    out = {}
+    for r in df.collect():
+        out[r["k"]] = (
+            r["n"],
+            None if r["total"] is None else float(r["total"]),
+            r["mn"],
+            r["mx"],
+            None if r["sq"] is None else float(r["sq"]),
+        )
+    return out
+
+
+@_PROPS
+@given(rows=_rows, cut=st.integers(min_value=0, max_value=40))
+def test_split_merge_equals_one_shot(spark, rows, cut):
+    cut = min(cut, len(rows))
+    whole = spark.createDataFrame(_env_rows(rows), ROW)
+    one_shot = _collect(SPEC.merge_agg(SPEC.partial_agg(whole)))
+    parts = [rows[:cut], rows[cut:]]
+    partials = [
+        SPEC.partial_agg(spark.createDataFrame(_env_rows(p), ROW))
+        for p in parts
+        if p
+    ]
+    merged = partials[0]
+    for p in partials[1:]:
+        merged = merged.unionByName(p)
+    assert _collect(SPEC.merge_agg(merged)) == one_shot
+
+
+@_PROPS
+@given(rows=_rows)
+def test_merge_is_idempotent_under_refold(spark, rows):
+    # folding partials any number of times never changes the state
+    # (fold() safety): merge(merge(p)) == merge(p)
+    p = SPEC.partial_agg(spark.createDataFrame(_env_rows(rows), ROW))
+    once = SPEC.merge_agg(p)
+    twice = SPEC.merge_agg(once)
+    assert _collect(once) == _collect(twice)

@@ -1,0 +1,94 @@
+"""Catalog-wide physical-plan audit: builds the logical plan of EVERY
+catalog query (no execution) and asserts the fleet-level invariants that
+individual plan-shape tests spot-check:
+
+  1. No Python evaluation nodes anywhere except the explicitly-Python
+     operators (multimodal decode is Arrow-batched mapInPandas by design).
+  2. No query shuffles absurdly (exchange count bounded — a silent
+     de-optimization that doubles a query's shuffles fails here even if
+     nobody wrote a dedicated plan test for it).
+
+Procedural entries that materialize state when CALLED (pool builders,
+streaming runs) are excluded — their cost/shape is covered by their own
+lifecycle tests."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from zync_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+PY_NODES = r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
+
+# entries that RUN work (pools, streams) at call time — not plan-only
+PROCEDURAL = {
+    "etl_invoices",
+    "rollup_incremental",
+    "stream_window_counts",
+    "stream_dedup",
+    "stream_dedup_watermarked",
+    "stream_stream_join",
+    "stream_stateful_sessions",
+}
+# Python-by-design: binary decode must leave the JVM (Arrow-batched)
+PYTHON_OK = {"multimodal_features", "multimodal_resize", "multimodal_frames"}
+
+# loose fleet-wide ceiling; queries with legitimately many stages
+# (iterative k-means, multi-stage tf-idf / LM / curation composites)
+# declare their own budget here instead of weakening the global one
+SHUFFLE_BUDGET = 6
+CUSTOM_BUDGET = {
+    "kmeans_clusters": 40,      # unrolled Lloyd rounds, tiny exchanges
+    "dedup_curate": 20,         # pairs + components rounds + ranking
+    "dedup_components": 16,     # one exchange per propagation round
+    "text_tfidf_topk": 8,
+    "q_corr_subquery": 8,
+    "emb_neardup": 8,
+}
+
+
+def _audit_targets():
+    return sorted(set(QUERIES) - PROCEDURAL)
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name in _audit_targets():
+        df = QUERIES[name](spark, SF)
+        out[name] = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    return out
+
+
+def test_no_python_in_hot_paths(plans):
+    offenders = {
+        name
+        for name, p in plans.items()
+        if name not in PYTHON_OK and re.search(PY_NODES, p)
+    }
+    assert not offenders, f"Python eval nodes crept into: {sorted(offenders)}"
+
+
+def test_python_operators_are_arrow_batched(plans):
+    # the sanctioned Python operators must use Arrow batches (mapInPandas),
+    # never row-at-a-time BatchEvalPython
+    for name in sorted(PYTHON_OK & set(plans)):
+        assert re.search(r"MapInPandas|ArrowEvalPython", plans[name]), name
+        assert "BatchEvalPython" not in plans[name], name
+
+
+def test_shuffle_budgets(plans):
+    over = {}
+    for name, p in plans.items():
+        n = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+        if n > CUSTOM_BUDGET.get(name, SHUFFLE_BUDGET):
+            over[name] = n
+    assert not over, f"shuffle budget exceeded: {over}"

@@ -78,30 +78,41 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def _hashed_set(text_col: Column, k: int) -> Column:
+    """The doc's distinct shingle-hash set as ONE map-side expression:
+    tokenize → k-gram shingles → md5-hash each → array_distinct. The set
+    (and therefore its size, |A|) exists before anything leaves the task,
+    so Jaccard consumers never need a per-doc count shuffle or join."""
+    return F.array_distinct(
+        F.transform(word_shingles(tokens(text_col), k), md5_long)
+    )
+
+
 def doc_shingles(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, distinct: bool = True
 ) -> DataFrame:
-    """(doc_id, shingle-hash) inverted-index rows. Hashing the shingle to a
-    long before the explode keeps shuffle rows narrow. `distinct=False`
-    skips the dedup shuffle for consumers whose next step dedups anyway
-    (collect_set)."""
-    sh = (
-        _spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")))
-        .select(
-            "doc_id",
-            F.explode(word_shingles(tokens(F.col("__text")), k)).alias("shingle"),
-        )
-        .select("doc_id", md5_long(F.col("shingle")).alias("sh"))
+    """(doc_id, n_sh, sh) inverted-index rows, carrying the doc's distinct
+    shingle-set size on every row. Set construction and dedup happen
+    map-side (_hashed_set) — `distinct` costs nothing and is kept only for
+    signature compatibility; no shuffle either way. Hashing the shingle to
+    a long before the explode keeps shuffle rows narrow downstream."""
+    per_doc = _spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    ).select("doc_id", _hashed_set(F.col("__text"), k).alias("shs"))
+    return per_doc.select(
+        "doc_id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh")
     )
-    return sh.distinct() if distinct else sh
 
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(doc_id, sh_set: array<long>) — ONE shuffle: raw exploded shingle
-    rows go straight into collect_set (map-side partial sets dedup early);
-    no separate distinct pass."""
-    sh = doc_shingles(df, id_col, text_col, k, distinct=False)
-    return sh.groupBy("doc_id").agg(F.collect_set("sh").alias("sh_set"))
+    """(doc_id, sh_set: array<long>) — ZERO shuffles: the distinct set is
+    assembled inside the scan task (_hashed_set). Empty sets (docs with
+    fewer than k tokens) are dropped, matching the inverted-index path
+    where such docs simply have no rows."""
+    per_doc = _spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    ).select("doc_id", _hashed_set(F.col("__text"), k).alias("sh_set"))
+    return per_doc.filter(F.size("sh_set") > 0)
 
 
 def _minhash_sig_expr(num_hashes: int) -> Column:
@@ -124,10 +135,6 @@ def _minhash_sig_expr(num_hashes: int) -> Column:
     )
 
 
-def _shingle_counts(sh: DataFrame) -> DataFrame:
-    return sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-
-
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -140,39 +147,49 @@ def jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     `max_shingle_freq` (scale knob): drop shingles appearing in more than
-    this many docs before pairing — bounds the worst-case join fanout.
+    this many docs before pairing — bounds the worst-case join fanout
+    (Jaccard is then computed over the capped sets).
+
+    Shuffle inventory: set sizes ride the index rows from the map stage
+    (doc_shingles), so the ONLY exchanges are the index self-join on the
+    shingle hash and the pair aggregation — no distinct pass, no per-doc
+    count join.
     """
     sh = doc_shingles(df, id_col, text_col, k)
     if max_shingle_freq is not None:
+        from pyspark.sql import Window
+
         freq_ok = (
             sh.groupBy("sh").agg(F.count("*").alias("df_"))
             .filter(F.col("df_") <= max_shingle_freq)
             .select("sh")
         )
         sh = sh.join(freq_ok, "sh")
-    counts = _shingle_counts(sh)
-    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+        # set sizes must reflect the capped sets (what the join sees)
+        sh = sh.withColumn(
+            "n_sh", F.count("*").over(Window.partitionBy("doc_id"))
+        )
+    a = sh.select(F.col("doc_id").alias("id_a"), "sh", F.col("n_sh").alias("n_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), "sh", F.col("n_sh").alias("n_b"))
     inter = (
         a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    return (
-        inter.join(counts.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(counts.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            # Raw long/long division: bit-identical across engines (no
-            # round(): its half-way behavior is implementation-defined).
-            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias(
-                "jaccard"
-            ),
+        .agg(
+            F.count("*").alias("n_common"),
+            F.min("n_a").alias("n_a"),  # constant within the group
+            F.min("n_b").alias("n_b"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
+    return inter.select(
+        "id_a",
+        "id_b",
+        # Raw long/long division: bit-identical across engines (no
+        # round(): its half-way behavior is implementation-defined).
+        (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias(
+            "jaccard"
+        ),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def minhash_signatures(
@@ -205,10 +222,11 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard) with jaccard >= threshold.
     """
     rows_per_band = num_hashes // bands
-    # ONE shuffle over raw exploded shingles produces both the MinHash
-    # signature and the doc's (hashed) shingle set. Candidate verification
-    # then needs no join against exploded shingle rows — just
-    # array_intersect on the carried sets.
+    # ZERO shuffles up to here: the doc's hashed shingle set AND its
+    # MinHash signature are both map-side expressions (_shingle_sets,
+    # _minhash_sig_expr). Candidate verification then needs no join
+    # against exploded shingle rows — just array_intersect on the
+    # carried sets.
     sig = _shingle_sets(df, id_col, text_col, k).select(
         "doc_id", "sh_set", _minhash_sig_expr(num_hashes).alias("sig")
     )

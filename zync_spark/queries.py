@@ -3035,3 +3035,45 @@ def q_mad_outliers(spark, sf_dir):
         .filter(F.col("dev") > 3 * F.col("mad"))
         .select("event_id", "event_type", "value")
     )
+
+
+@register(
+    "text_decontaminate",
+    f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    tr AS (SELECT doc_id, unnest({_SHINGLES}) AS sh
+           FROM t WHERE source <> 'src1' AND len(toks) >= 3),
+    ev AS (SELECT DISTINCT unnest({_SHINGLES}) AS sh
+           FROM t WHERE source = 'src1' AND len(toks) >= 3)
+    SELECT tr.doc_id, count(*) AS n_shared
+    FROM tr JOIN ev USING (sh)
+    GROUP BY 1
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing word
+    n-grams with an evaluation set (here: source='src1' plays the eval
+    benchmark) — the hygiene pass every training corpus runs so test-set
+    text does not leak into training data. Returns (doc_id, n_shared) =
+    how many of the doc's distinct 3-grams appear anywhere in the eval
+    set; the curation policy thresholds or drops on it.
+
+    Scale: eval sets are tiny (benchmarks, ~MBs of text) next to a 100 TB
+    corpus — the eval shingle set BROADCASTS, making the check a map-side
+    semi join + per-doc count: the corpus never shuffles at all. Shingle
+    hashing reuses the dedup inverted-index machinery (functions/dedup).
+    """
+    from zync_spark.functions import dedup as D
+
+    docs = T(spark, sf_dir, "documents")
+    train_sh = D.doc_shingles(
+        docs.filter(F.col("source") != "src1"), "doc_id", "text", 3
+    ).select("doc_id", "sh")
+    eval_sh = D.doc_shingles(
+        docs.filter(F.col("source") == "src1"), "doc_id", "text", 3
+    ).select("sh")
+    return (
+        train_sh.join(F.broadcast(eval_sh), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
