@@ -292,3 +292,20 @@ def test_cli_from_kafka_with_rollup(spark, tmp_path, capsys):
     got = {json.loads(l)["nm"]: json.loads(l)["n"]
            for l in capsys.readouterr().out.strip().splitlines()}
     assert got == {"a": 3, "b": 3}
+
+
+def test_cli_log(spark, tmp_path, capsys):
+    from zync_spark.pool import Pool
+    from tests.test_incremental import BATCHES, ROW
+
+    lake = os.path.join(tmp_path, "lake4")
+    pool = Pool.create(spark, os.path.join(lake, "p"))
+    pool.load(spark.createDataFrame(BATCHES[0], ROW), "first")
+    pool.load(spark.createDataFrame(BATCHES[1], ROW), "second")
+    pool.compact(message="fold")
+    assert main(["--lake", lake, "log", "p"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [l["seq"] for l in lines] == [0, 1, 2]
+    assert [l["message"] for l in lines] == ["first", "second", "fold"]
+    assert lines[2]["base"] is True and lines[2]["rows"] == 5
+    assert lines[0]["stats"] == {"t": [0, 2]}

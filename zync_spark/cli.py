@@ -170,6 +170,32 @@ def cmd_rollup(args) -> int:
     return 0
 
 
+def cmd_log(args) -> int:
+    """Print a pool's commit log (one JSON line per manifest, newest
+    last): seq, message, rows, base flag, per-topic offset stats,
+    cursors, wall-clock ts — the lakehouse `DESCRIBE HISTORY` over the
+    manifest files (no Spark session needed)."""
+    import glob
+
+    commit_dir = os.path.join(args.lake, args.pool, "_commits")
+    if not os.path.isdir(commit_dir):
+        raise SystemExit(f"zync-spark: no such pool {args.pool!r} in {args.lake!r}")
+    for path in sorted(glob.glob(os.path.join(commit_dir, "*.json"))):
+        with open(path) as f:
+            m = json.load(f)
+        print(json.dumps({
+            "seq": int(os.path.basename(path).split(".")[0]),
+            "message": m.get("message", ""),
+            "rows": m.get("rows"),
+            "base": bool(m.get("base")),
+            "files": len(m.get("files", [])),
+            "stats": m.get("stats"),
+            "cursors": m.get("cursors"),
+            "ts": m.get("ts"),
+        }))
+    return 0
+
+
 def cmd_profile(args) -> int:
     """Profile a pool's columns (generic single-pass SUMMARIZE,
     functions/profile.py): one JSON line per leaf column with
@@ -445,6 +471,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--batch-size", type=int, default=200)
     p.add_argument("--config", default=None)
     p.set_defaults(fn=cmd_to_kafka)
+
+    p = sub.add_parser("log", help="pool commit history (DESCRIBE HISTORY)")
+    p.add_argument("pool")
+    p.set_defaults(fn=cmd_log)
 
     p = sub.add_parser("profile", help="per-column stats for a pool (SUMMARIZE)")
     p.add_argument("pool")

@@ -3077,3 +3077,166 @@ def text_decontaminate(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+@register(
+    "q_grouping_sets",
+    """
+    SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+           sum(o_totalprice::DECIMAL(14,2))::DOUBLE AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form behind cube/rollup,
+    SURVEY §2.4 beyond-reference row): three aggregation granularities in
+    one pass — Spark expands the sets and aggregates with map-side
+    partials, one shuffle total, instead of three scans + union."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderpriority", "o_orderstatus",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total"),
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    WITH rev AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             l.l_extendedprice::DECIMAL(12,2) * (1 - l.l_discount::DECIMAL(4,2)) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#13'
+    )
+    SELECT o_year,
+           sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)::DOUBLE
+             / sum(volume)::DOUBLE AS mkt_share
+    FROM rev GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a region's brand revenue per
+    year — conditional aggregation (a ratio of two sums computed in ONE
+    pass with a CASE partial) over a many-way star join.
+
+    Scale: region/nation/part filters broadcast and prune before the two
+    fact shuffles (lineitem⋈orders on orderkey, then ⋈customer on
+    custkey); the CASE-sum means nation share needs no second aggregation
+    or self-join. Ratio computed in decimal, ONE cast to double at the
+    end (cross-engine exact).
+    """
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    p = T(spark, sf_dir, "part")
+    america = (
+        n.join(F.broadcast(r.filter(F.col("r_name") == "AMERICA")),
+               n.n_regionkey == r.r_regionkey)
+        .select(F.col("n_nationkey").alias("cust_nk"))
+    )
+    cn = c.join(F.broadcast(america), c.c_nationkey == F.col("cust_nk")).select(
+        "c_custkey"
+    )
+    sn = s.join(n, s.s_nationkey == n.n_nationkey).select(
+        F.col("s_suppkey").alias("supp_sk"), F.col("n_name").alias("supp_nation")
+    )
+    brand = p.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    vol = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    rev = (
+        l.join(F.broadcast(brand), l.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(sn), l.l_suppkey == F.col("supp_sk"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(cn, o.o_custkey == F.col("c_custkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    # Each sum is exact decimal; ONE cast to double each, then IEEE
+    # division — Spark's decimal/decimal division would round to the
+    # result type's scale first and diverge from the oracle in the low
+    # bits.
+    return rev.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+                    F.lit(0).cast("decimal(14,2)")
+                )
+            ).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q_session_window",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           count(*) AS n_events,
+           sum(value::DECIMAL(14,2))::DOUBLE AS session_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark, sf_dir):
+    """Spark's NATIVE session_window in batch mode (the built-in the
+    stateful streaming sessionizer mirrors), pinned against a gap-islands
+    oracle: a 30-minute-gap session groups rows whose timestamp falls
+    strictly inside the previous event's [ts, ts+30min) window — i.e. a
+    gap >= 30min (exact microseconds) starts a new session.
+
+    Compare with q_sessionize (the lag/sum-islands formulation of the
+    same thing): this entry proves the built-in operator and the manual
+    construction agree with the same external oracle. One shuffle on
+    user_id; session merge happens inside the aggregation."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias(
+                "session_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+            "session_value",
+        )
+    )
