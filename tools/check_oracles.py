@@ -57,7 +57,17 @@ def main():
     from zync_spark.queries import ORACLE_SQL, QUERIES
     from zync_spark.session import get_spark
 
-    spark = get_spark("oracle-check", shuffle_partitions=16)
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # Driver-mimic mode: the external gate builds its OWN SparkSession
+        # with none of our confs (no UTC tz, no AQE tuning). Catching a
+        # query that only passes under get_spark() is the whole point.
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[16]").appName(
+            "oracle-check-vanilla"
+        ).getOrCreate()
+    else:
+        spark = get_spark("oracle-check", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
