@@ -308,4 +308,4 @@ def test_cli_log(spark, tmp_path, capsys):
     assert [l["seq"] for l in lines] == [0, 1, 2]
     assert [l["message"] for l in lines] == ["first", "second", "fold"]
     assert lines[2]["base"] is True and lines[2]["rows"] == 5
-    assert lines[0]["stats"] == {"t": [0, 2]}
+    assert lines[0]["stats"] == {"t": [0, 2], "t#0": [0, 2]}

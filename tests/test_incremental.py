@@ -115,7 +115,7 @@ def test_rerun_is_noop_and_cursor_advances(spark, lakes):
     src, dest = lakes
     src.load(spark.createDataFrame(BATCHES[0], ROW), "b1")
     inc.sync(src, dest, SPEC, ["t"])
-    assert dest.stored_cursors() == {"t": 3}
+    assert dest.stored_cursors() == {"rollup:t|t#0": 3}
     assert inc.sync(src, dest, SPEC, ["t"]) == 0  # no new data: no commit
     assert _state(spark, dest) == _expected(spark, BATCHES[:1])
 
@@ -127,7 +127,7 @@ def test_multi_commit_delta_in_one_sync(spark, lakes):
     src.load(spark.createDataFrame(BATCHES[1], ROW), "b2")
     inc.sync(src, dest, SPEC, ["t"])
     assert _state(spark, dest) == _expected(spark, BATCHES[:2])
-    assert dest.stored_cursors() == {"t": 5}
+    assert dest.stored_cursors() == {"rollup:t|t#0": 5}
 
 
 def test_fold_preserves_view_and_bounds_state(spark, lakes):
@@ -188,6 +188,72 @@ def test_done_markers_pass_through_fold(spark, lakes):
     assert _state(spark, dest) == before
     kept = dest.scan().filter(F.col("zed_type") == "done").collect()
     assert len(kept) == 1 and kept[0]["kafka"]["offset"] == 7
+
+
+def test_multi_partition_lagging_partition_not_dropped(spark, lakes):
+    # Kafka offsets are per-partition sequences: partition 1's offsets 9-10
+    # arriving AFTER partition 0 reached offset 10 must still be absorbed
+    src, dest = lakes
+    b1 = [(("t", 0, i), "data", ("a", 1.0)) for i in range(11)] + [
+        (("t", 1, i), "data", ("b", 1.0)) for i in range(9)
+    ]
+    src.load(spark.createDataFrame(b1, ROW), "b1")
+    inc.sync(src, dest, SPEC, ["t"])
+    b2 = [(("t", 1, 9), "data", ("b", 1.0)), (("t", 1, 10), "data", ("b", 1.0))]
+    src.load(spark.createDataFrame(b2, ROW), "b2")
+    inc.sync(src, dest, SPEC, ["t"])
+    got = {r["k"]: r["n"] for r in inc.view(dest, SPEC).collect()}
+    assert got == {"a": 11, "b": 11}
+    assert dest.stored_cursors() == {"rollup:t|t#0": 11, "rollup:t|t#1": 11}
+    # a brand-new partition appearing later starts at offset 0
+    b3 = [(("t", 2, 0), "data", ("c", 1.0))]
+    src.load(spark.createDataFrame(b3, ROW), "b3")
+    inc.sync(src, dest, SPEC, ["t"])
+    got = {r["k"]: r["n"] for r in inc.view(dest, SPEC).collect()}
+    assert got["c"] == 1
+
+
+def test_two_specs_share_dest_without_clobbering(spark, lakes):
+    src, dest = lakes
+    other = inc.RollupSpec(
+        "amts", keys={"k": "value.k"}, aggs=[("mx", "max", "value.amt")]
+    )
+    src.load(spark.createDataFrame(BATCHES[0], ROW), "b1")
+    inc.sync(src, dest, SPEC, ["t"])
+    # second spec syncs AFTER the first advanced its own cursor: it must
+    # still see everything from offset 0
+    assert inc.sync(src, dest, other, ["t"]) > 0
+    got = {r["k"]: r["mx"] for r in inc.view(dest, other).collect()}
+    assert got == {"a": 3.0, "b": 2.0}
+    # and the first spec's view is untouched
+    assert _state(spark, dest) == _expected(spark, BATCHES[:1])
+
+
+def test_concurrent_syncs_cannot_double_count(spark, lakes, monkeypatch):
+    # two racers read the same cursor; the loser's publish must abort
+    # (compare-and-set), not append a second copy of the same partials
+    from zync_spark.pool import ConcurrentWriteError, Pool
+
+    src, dest = lakes
+    src.load(spark.createDataFrame(BATCHES[0], ROW), "b1")
+
+    real_load = Pool.load
+    raced = {"done": False}
+
+    def interleaved(self, df, message="", cursors=None, occ_token=None):
+        if not raced["done"]:
+            raced["done"] = True
+            # racer B lands its commit between A's cursor read and publish
+            real_load(self, df, message + " (racer B)", cursors=cursors)
+        return real_load(self, df, message, cursors=cursors, occ_token=occ_token)
+
+    monkeypatch.setattr(Pool, "load", interleaved)
+    with pytest.raises(ConcurrentWriteError):
+        inc.sync(src, dest, SPEC, ["t"])
+    monkeypatch.setattr(Pool, "load", real_load)
+    # racer B's commit stands alone; state is correct, not doubled
+    assert _state(spark, dest) == _expected(spark, BATCHES[:1])
+    assert inc.sync(src, dest, SPEC, ["t"]) == 0  # loser's rerun: no-op
 
 
 # -- merge-algebra property tests -------------------------------------------

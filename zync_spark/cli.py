@@ -142,17 +142,9 @@ def cmd_rollup(args) -> int:
         - {col: n, kind: count}
         - {col: total, kind: sum, expr: "CAST(value.value AS DECIMAL(14,2))"}
     """
-    import yaml
-
     from zync_spark.streaming import incremental as inc
 
-    with open(args.spec) as f:
-        spec_doc = yaml.safe_load(f)
-    spec = inc.RollupSpec(
-        spec_doc["name"],
-        keys=dict(spec_doc["keys"]),
-        aggs=[(a["col"], a["kind"], a.get("expr")) for a in spec_doc["aggs"]],
-    )
+    spec, spec_doc = inc.load_rollup_spec(args.spec)
     spark = _spark()
     dest = _pool(spark, args.lake, spec_doc["dest"], create=True)
     if args.action == "sync":
@@ -284,16 +276,9 @@ def cmd_from_kafka(args) -> int:
     key_t, val_t = _schemas(args)
     rollups = []
     for spec_path in args.rollup or []:
-        import yaml
+        from zync_spark.streaming.incremental import load_rollup_spec
 
-        from zync_spark.streaming import incremental as inc
-
-        with open(spec_path) as f:
-            doc = yaml.safe_load(f)
-        spec = inc.RollupSpec(
-            doc["name"], keys=dict(doc["keys"]),
-            aggs=[(a["col"], a["kind"], a.get("expr")) for a in doc["aggs"]],
-        )
+        spec, doc = load_rollup_spec(spec_path)
         dest = _pool(spark, args.lake, doc["dest"], create=True)
         rollups.append((spec, dest, list(doc.get("topics") or [args.topic])))
     fk = FromKafka(

@@ -105,6 +105,14 @@ class Pool:
         scan the reference planned but never built (etl/build.go:9-18):
         incremental ETL cost goes with NEW data, not pool size.
 
+        A bound VALUE may also be a dict {partition: offset} (Kafka
+        offsets are per-partition sequences): the commit is kept if any
+        of its per-partition stats ("t#p" keys) can still qualify, with
+        unseen partitions defaulting to bound 0 (a new partition's rows
+        must never be pruned). Commits whose manifests predate the
+        per-partition stats cannot be partition-pruned and are kept
+        whenever they contain the topic at all.
+
         `at` (commit sequence number) reads the table as of that commit —
         time travel over the manifest log. A `base` manifest (written by
         compact()) supersedes everything before it, so the live view is
@@ -128,13 +136,8 @@ class Pool:
                 files = []  # compaction checkpoint: replaces prior commits
             if lower_bounds is not None:
                 stats = manifest.get("stats")
-                if stats is not None:
-                    keep = any(
-                        topic in stats and stats[topic][1] >= bound
-                        for topic, bound in lower_bounds.items()
-                    )
-                    if not keep:
-                        continue
+                if stats is not None and not _bounds_keep(stats, lower_bounds):
+                    continue
             files.extend(manifest["files"])
             fstats.update(manifest.get("col_stats") or {})
         if bounds:
@@ -187,13 +190,22 @@ class Pool:
         )
 
     def load(self, df: DataFrame, message: str = "",
-             cursors: dict[str, int] | None = None) -> int:
+             cursors: dict[str, int] | None = None,
+             occ_token: int | None = None) -> int:
         """Atomically commit a batch (reference Load, etl/pool.go:56-58).
 
         Data is sorted by the pool key within partitions before writing so
         parquet row-group stats enable offset-range data skipping.
         `cursors` (optional) persists per-topic scan cursors with the
         commit (see stored_cursors). Returns the number of committed rows.
+
+        `occ_token` (optional) = the commit-log length the caller's
+        read snapshot was taken at: the commit is published at EXACTLY
+        that sequence or fails with ConcurrentWriteError — compare-and-
+        set for read-modify-write writers (incremental rollup sync),
+        whose commits are NOT independent of interleaved commits the
+        way plain appends are. Without it, a seq collision just retries
+        at the next number (append semantics).
         """
         n = df.count()
         if n == 0:
@@ -216,24 +228,51 @@ class Pool:
             for f in os.listdir(data_path)
             if f.endswith(".parquet")
         ]
-        # Per-topic offset range stats → manifest-level commit pruning for
-        # bounded scans (committed_files). One tiny agg per commit.
+        # Per-topic AND per-(topic, partition) offset range stats →
+        # manifest-level commit pruning for bounded scans (committed_files).
+        # Kafka offsets are per-partition sequences, so partition-aware
+        # consumers (incremental rollups over multi-partition topics) need
+        # the "t#p" keys; topic-level consumers (ETL cursors) keep using
+        # the plain "t" keys. '#' cannot appear in a Kafka topic name, so
+        # the two key spaces cannot collide. One tiny agg per commit.
         try:
-            stats = {
-                r["t"]: [r["lo"], r["hi"]]
-                for r in df.groupBy(F.col("kafka.topic").alias("t"))
+            stats = {}
+            for r in (
+                df.groupBy(
+                    F.col("kafka.topic").alias("t"),
+                    F.col("kafka.partition").alias("p"),
+                )
                 .agg(
                     F.min(F.col("kafka.offset")).alias("lo"),
                     F.max(F.col("kafka.offset")).alias("hi"),
                 )
                 .collect()
-            }
+            ):
+                stats[f"{r['t']}#{r['p']}"] = [r["lo"], r["hi"]]
+                t = stats.get(r["t"])
+                stats[r["t"]] = (
+                    [r["lo"], r["hi"]]
+                    if t is None
+                    else [min(t[0], r["lo"]), max(t[1], r["hi"])]
+                )
         except Exception:
             stats = None  # non-envelope frame: no stats, commit never pruned
         manifest = {"files": sorted(parts), "message": message, "rows": n,
                     "stats": stats, "ts": time.time()}
         if cursors:
             manifest["cursors"] = cursors
+        if occ_token is not None:
+            try:
+                _atomic_create_json(
+                    os.path.join(self._commit_dir(), f"{occ_token:06d}.json"),
+                    manifest,
+                )
+                return n
+            except FileExistsError:
+                raise ConcurrentWriteError(
+                    f"pool {self.path} advanced past seq {occ_token} during a "
+                    "read-modify-write commit; re-run"
+                ) from None
         # optimistic concurrency: claim the next sequence number; on a
         # collision another writer won that seq — append after it instead
         # (this load's data files are independent of theirs).
@@ -507,6 +546,30 @@ def _atomic_create_json(path: str, obj: dict) -> None:
         os.link(tmp, path)
     finally:
         os.unlink(tmp)
+
+
+def _bounds_keep(stats: dict, lower_bounds: dict) -> bool:
+    """Can this commit still hold qualifying rows for any bounded topic?
+
+    int bound: topic-level (legacy ETL-cursor semantics). dict bound
+    {partition: offset}: judged against the commit's per-partition "t#p"
+    stats, unseen partitions defaulting to 0; a commit with only legacy
+    topic-level stats can't be partition-pruned, so it is kept whenever
+    the topic is present."""
+    for topic, bound in lower_bounds.items():
+        if isinstance(bound, dict):
+            pkeys = [k for k in stats if k.startswith(topic + "#")]
+            if not pkeys:
+                if topic in stats:
+                    return True
+                continue
+            for k in pkeys:
+                p = int(k.rsplit("#", 1)[1])
+                if stats[k][1] >= bound.get(p, 0):
+                    return True
+        elif topic in stats and stats[topic][1] >= bound:
+            return True
+    return False
 
 
 def _json_safe(v):

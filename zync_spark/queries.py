@@ -2782,7 +2782,7 @@ def rollup_incremental(spark, sf_dir):
     cents-precise, summed as DECIMAL (order-independent), one final cast
     to double.
     """
-    import tempfile
+    import shutil
 
     from zync_spark.pool import Pool
     from zync_spark.streaming import incremental as inc
@@ -2797,7 +2797,11 @@ def rollup_incremental(spark, sf_dir):
         F.lit("data").alias("zed_type"),
         F.struct("event_type", "value").alias("value"),
     )
-    lake = tempfile.mkdtemp(prefix="zs-rollup-")
+    # fixed per-scale path, rebuilt idempotently: repeated gate/bench runs
+    # must not accumulate event-table copies in /tmp (the returned frame
+    # reads these files lazily, so they cannot be deleted on exit instead)
+    lake = f"/tmp/zs-rollup-{sf_dir.rstrip('/').rsplit('/', 1)[-1]}"
+    shutil.rmtree(lake, ignore_errors=True)
     src = Pool.create(spark, f"{lake}/src")
     dest = Pool.create(spark, f"{lake}/summary")
     spec = inc.RollupSpec(
@@ -2820,7 +2824,8 @@ def rollup_incremental(spark, sf_dir):
             batch = batch.filter(F.col("kafka.offset") < hi_)
         src.load(batch, f"events [{lo},{hi_})")
         inc.sync(src, dest, spec, ["events"])
-    assert inc.sync(src, dest, spec, ["events"]) == 0  # rerun = no-op
+    if inc.sync(src, dest, spec, ["events"]) != 0:  # rerun must be a no-op
+        raise RuntimeError("rollup_incremental: rerun committed new partials")
     inc.fold(dest, spec)
     v = inc.view(dest, spec)
     return v.select(

@@ -62,8 +62,23 @@ class FromKafka:
         # entries are sync()'d after each micro-batch commit — the rollup
         # stays fresh to within one trigger interval, at O(new data) cost
         # per batch (streaming/incremental.py). All topics of one entry
-        # must land in the same ingest pool.
+        # must land in the same ingest pool — validated HERE so a bad
+        # spec fails at construction, not mid-stream after a batch
+        # committed (where the foreachBatch retry would then trip the
+        # monotonicity guard and wedge the query).
         self.rollups = rollups or []
+        for spec, _dest, topics in self.rollups:
+            missing = [t for t in topics if t not in topic_pools]
+            if missing:
+                raise ValueError(
+                    f"rollup {spec.name!r}: topics {missing} are not ingest "
+                    f"topics (have {sorted(topic_pools)})"
+                )
+            if len({id(topic_pools[t]) for t in topics}) > 1:
+                raise ValueError(
+                    f"rollup {spec.name!r}: its topics must share one ingest "
+                    "pool (cursors are tracked against a single source)"
+                )
 
     # -- resume ------------------------------------------------------------
 

@@ -10,11 +10,17 @@ cursor at the manifest level, parquet row-group stats prune within files
 (data is offset-sorted at write time), and the state appended per sync is
 bounded by the key cardinality, never the fact-data size.
 
-Crash safety / exactly-once: the partial rows and the advanced cursor are
+Crash safety / exactly-once: the partial rows and the advanced cursors are
 committed in ONE manifest (`Pool.load(cursors=...)`), the same durability
 argument as the reference's done markers (README.md:447-455). A sync that
 crashes before publishing leaves no partials and no cursor advance; the
-rerun re-reads the same delta.
+rerun re-reads the same delta. Against CONCURRENT syncs the publish is
+compare-and-set (`occ_token`): of two racers over the same delta exactly
+one commits, the other aborts with ConcurrentWriteError and re-runs —
+double-counting is impossible. Cursors are tracked per (spec, topic,
+partition): several rollups share one summary pool without interference,
+and multi-partition topics (per-partition offset sequences) resume each
+partition independently, new partitions starting at 0.
 
 At 100 TB: the summary pool holds one row per (key × sync); view() merges
 |keys| × |syncs| rows — millions at most — and never touches the fact
@@ -109,44 +115,81 @@ class RollupSpec:
         )
 
 
+def _ckey(spec: RollupSpec, topic: str, partition: int) -> str:
+    # Cursor keys are namespaced per spec (several rollups can share one
+    # summary pool without clobbering each other) and per partition
+    # (Kafka offsets are per-partition sequences — a topic-level max
+    # would silently drop rows from lagging partitions).
+    return f"{spec.topic}|{topic}#{partition}"
+
+
+def _spec_cursors(spec: RollupSpec, stored: dict[str, int],
+                  topics: list[str]) -> dict[str, dict[int, int]]:
+    out: dict[str, dict[int, int]] = {t: {} for t in topics}
+    prefix = f"{spec.topic}|"
+    for k, v in stored.items():
+        if not k.startswith(prefix):
+            continue
+        t, _, p = k[len(prefix):].rpartition("#")
+        if t in out:
+            out[t][int(p)] = int(v)
+    return out
+
+
 def sync(src: Pool, dest: Pool, spec: RollupSpec, topics: list[str],
          message: str | None = None) -> int:
     """One incremental maintenance pass: aggregate source rows at or above
-    the stored cursor and commit the partials + advanced cursors
-    atomically. Returns the number of partial rows appended (0 = no new
-    data; reruns are no-ops)."""
-    cursors = dest.stored_cursors()
-    bounds = {t: int(cursors.get(t, 0)) for t in topics}
-    df = src.scan(lower_bounds=bounds)
+    the stored per-(topic, partition) cursors and commit the partials +
+    advanced cursors atomically. Returns the number of partial rows
+    appended (0 = no new data; reruns are no-ops).
+
+    Concurrency: the commit is published compare-and-set at the commit-log
+    length this sync read its cursors at (Pool.load occ_token). Two
+    concurrent syncs over the same delta can therefore never BOTH commit
+    (which would double-count); the loser gets ConcurrentWriteError and
+    simply re-runs against the advanced cursor."""
+    snapshot = len(dest.commits())
+    cursors = _spec_cursors(spec, dest.stored_cursors(), topics)
+    df = src.scan(lower_bounds={t: parts for t, parts in cursors.items()})
     if df is None:
         return 0
-    pred = functools.reduce(
-        or_,
-        [
-            (F.col("kafka.topic") == t) & (F.col("kafka.offset") >= b)
-            for t, b in bounds.items()
-        ],
-    )
-    delta = df.filter(pred)
+    preds = []
+    for t in topics:
+        parts = cursors[t]
+        topic_pred = F.col("kafka.topic") == t
+        if parts:
+            bound_map = F.create_map(
+                *[x for p, b in parts.items()
+                  for x in (F.lit(p).cast("long"), F.lit(b).cast("long"))]
+            )
+            # known partitions resume at their cursor; NEW partitions
+            # (absent from the map) default to 0 — never dropped
+            topic_pred = topic_pred & (
+                F.col("kafka.offset")
+                >= F.coalesce(bound_map[F.col("kafka.partition")], F.lit(0))
+            )
+        preds.append(topic_pred)
+    delta = df.filter(functools.reduce(or_, preds))
     if "zed_type" in delta.columns:
         delta = delta.filter(F.col("zed_type") == "data")
     # Two small jobs share the delta scan (cursor hi-water + partials);
     # the delta is new-data-sized, so caching it is bounded by one batch.
     delta = delta.persist()
     try:
-        hi = {
-            r["t"]: int(r["mx"])
-            for r in delta.groupBy(F.col("kafka.topic").alias("t"))
+        new_cursors = {
+            _ckey(spec, r["t"], int(r["p"])): int(r["mx"]) + 1
+            for r in delta.groupBy(
+                F.col("kafka.topic").alias("t"),
+                F.col("kafka.partition").alias("p"),
+            )
             .agg(F.max(F.col("kafka.offset")).alias("mx"))
             .collect()
         }
-        if not hi:
+        if not new_cursors:
             return 0
-        new_cursors = {
-            t: (hi[t] + 1 if t in hi else bounds[t]) for t in topics
-        }
         env = spec._envelope(spec.partial_agg(delta))
-        return dest.load(env, message or f"{spec.topic} sync", cursors=new_cursors)
+        return dest.load(env, message or f"{spec.topic} sync",
+                         cursors=new_cursors, occ_token=snapshot)
     finally:
         delta.unpersist()
 
@@ -157,9 +200,7 @@ def view(dest: Pool, spec: RollupSpec) -> DataFrame | None:
     df = dest.scan()
     if df is None:
         return None
-    partials = df.filter(
-        (F.col("zed_type") == "partial") & (F.col("kafka.topic") == spec.topic)
-    )
+    partials = df.filter(_is_mine(spec))
     return spec.merge_agg(partials)
 
 
@@ -170,11 +211,35 @@ def fold(dest: Pool, spec: RollupSpec, **compact_kw) -> int:
     untouched. view() is invariant across fold()."""
 
     def _merge(df: DataFrame) -> DataFrame:
-        mine = (F.col("zed_type") == "partial") & (
-            F.col("kafka.topic") == spec.topic
-        )
+        mine = _is_mine(spec)
         merged = spec._envelope(spec.merge_agg(df.filter(mine)))
         return merged.unionByName(df.filter(~mine), allowMissingColumns=True)
 
     return dest.compact(transform=_merge,
                         message=f"{spec.topic} fold", **compact_kw)
+
+
+def _is_mine(spec: RollupSpec):
+    # Null-SAFE match: schema widening null-pads rows from commits that
+    # never had zed_type/topic columns; a null-unsafe `==` would make
+    # both filter(mine) and filter(~mine) drop such rows — data loss in
+    # fold()'s pass-through. eqNullSafe sends them down the ~mine leg.
+    return F.col("zed_type").eqNullSafe("partial") & F.col("kafka.topic").eqNullSafe(
+        spec.topic
+    )
+
+
+def load_rollup_spec(path: str) -> tuple[RollupSpec, dict]:
+    """Parse a rollup spec YAML (the CLI's one format for `rollup` and
+    `from-kafka --rollup`); returns (spec, raw_doc) — the doc carries the
+    routing fields (source/dest/topics) the caller resolves to pools."""
+    import yaml
+
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    spec = RollupSpec(
+        doc["name"],
+        keys=dict(doc["keys"]),
+        aggs=[(a["col"], a["kind"], a.get("expr")) for a in doc["aggs"]],
+    )
+    return spec, doc
