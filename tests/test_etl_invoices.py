@@ -258,3 +258,54 @@ def test_compiled_plan_shape(spark, tmp_path):
     if outputs2 is not None:
         plan2 = outputs2._jdf.queryExecution().executedPlan().toString()
         assert "LeftAnti" not in plan2
+
+
+def test_multipartition_input_fails_loudly(spark, tmp_path):
+    # markers key on (topic, offset): a partition-1 record with the same
+    # offset as a processed partition-0 record would be silently
+    # suppressed — the pipeline must refuse multi-partition input instead
+    raw = Pool.create(spark, os.path.join(tmp_path, "Raw"))
+    staging = Pool.create(spark, os.path.join(tmp_path, "Staging"))
+    pipeline = EtlPipeline(
+        spark, load_config(INVOICES_YAML), {"Raw": raw, "Staging": staging}
+    )
+    batch = [
+        (r[0], r[1], r[2], r[3]) for r in BATCHES[0]
+    ]
+    # clone one record onto partition 1 with a colliding offset
+    t, _p, o = batch[0][0]
+    bad = [((t, 1, o), *batch[0][1:])] + batch
+    raw.load(spark.createDataFrame(bad, ROW_SCHEMA), "bad")
+    with pytest.raises(ValueError, match="single-partition CDC contract"):
+        pipeline.run("etl")
+
+
+def test_concurrent_etl_commit_aborts(spark, tmp_path, monkeypatch):
+    # run() is read-modify-write on the output pool (markers, producer
+    # offsets, cursors): an interleaved commit must abort the pass, not
+    # let it land with stale reads (duplicate offsets / double process)
+    from zync_spark.pool import ConcurrentWriteError
+
+    raw = Pool.create(spark, os.path.join(tmp_path, "Raw"))
+    staging = Pool.create(spark, os.path.join(tmp_path, "Staging"))
+    pipeline = EtlPipeline(
+        spark, load_config(INVOICES_YAML), {"Raw": raw, "Staging": staging}
+    )
+    raw.load(spark.createDataFrame(BATCHES[0], ROW_SCHEMA), "b1")
+
+    real_load = Pool.load
+    raced = {"done": False}
+
+    def interleaved(self, df, message="", cursors=None, occ_token=None):
+        if occ_token is not None and not raced["done"]:
+            raced["done"] = True
+            # a competing writer lands a commit on the output pool first
+            real_load(self, df.limit(1), "racer")
+        return real_load(self, df, message, cursors=cursors, occ_token=occ_token)
+
+    monkeypatch.setattr(Pool, "load", interleaved)
+    with pytest.raises(ConcurrentWriteError):
+        pipeline.run("etl")
+    monkeypatch.setattr(Pool, "load", real_load)
+    # rerun from the advanced state completes normally
+    assert pipeline.run("etl-retry") > 0

@@ -273,3 +273,44 @@ def test_from_kafka_dead_letter_routing(spark, tmp_path):
     assert dead[0]["zed_type"] == "dlq"
     assert dead[0]["kafka"]["offset"] == 1
     assert bytes(dead[0]["raw_value"]) == b"this is not connect-json"
+
+
+def _env_schema():
+    return S(
+        [
+            Fld("kafka", S([Fld("topic", StringType()), Fld("partition", LongType()), Fld("offset", LongType())])),
+            Fld("key", KEY_T),
+            Fld("value", VAL_T),
+            Fld("zed_type", StringType()),
+        ]
+    )
+
+
+def test_to_kafka_offset_gaps_no_duplicates(spark, tmp_path):
+    # compacted/transactional topics leave offset gaps; the cursor must
+    # advance to max(page)+1, never by row count, or gapped records
+    # re-produce every page
+    pool = Pool.create(spark, str(tmp_path / "Gap"))
+    rows = [(("T", 0, o), (o,), ("c", f"r{o}"), "data") for o in (0, 5, 6, 9)]
+    pool.load(spark.createDataFrame(rows, _env_schema()))
+
+    seen = []
+    tk = ToKafka(pool, KEY_T, VAL_T, format="json", batch_size=2)
+    produced = tk.sync(
+        "T", hwm=0,
+        produce=lambda df: seen.extend(r["offset"] for r in df.collect()),
+    )
+    assert produced == 4
+    assert seen == [0, 5, 6, 9]  # each exactly once, in order
+
+
+def test_to_kafka_rejects_multipartition(spark, tmp_path):
+    # single-HWM egress cannot order multiple partitions' sequences —
+    # loud error, never silent interleave
+    pool = Pool.create(spark, str(tmp_path / "MP"))
+    rows = [(("T", 0, 0), (0,), ("c", "a"), "data"),
+            (("T", 1, 0), (1,), ("c", "b"), "data")]
+    pool.load(spark.createDataFrame(rows, _env_schema()))
+    tk = ToKafka(pool, KEY_T, VAL_T, format="json")
+    with pytest.raises(ValueError, match="partitions other than 0"):
+        tk.sync("T", hwm=0, produce=lambda df: None)

@@ -332,7 +332,9 @@ def cmd_to_kafka(args) -> int:
 
         row = frame.agg(F.max("offset").alias("mx")).collect()[0]
         hwm = 0 if row["mx"] is None else row["mx"] + 1
-        produced = tk.sync(args.topic, hwm, lambda df: write_batch(df, config))
+        produced = tk.sync(
+            args.topic, hwm, lambda df: write_batch(df, config, args.topic)
+        )
     print(f"produced {produced} records to topic {args.topic}")
     return 0
 

@@ -48,6 +48,7 @@ class EtlPipeline:
         # out-pool → cursor-advance plan for the latest build (see
         # _build_group); collected and committed by run().
         self._cursor_plans: dict[str, DataFrame] = {}
+        self._violation_plans: dict[str, DataFrame] = {}
 
     # -- plan construction -------------------------------------------------
 
@@ -146,6 +147,7 @@ class EtlPipeline:
                 F.lit(i).alias("__rule_idx"),
                 F.col("kafka.topic").alias("__src_topic"),
                 F.col("kafka.offset").alias("__src_offset"),
+                F.col("kafka.offset").alias("__tie"),
                 F.lit(rule.out).alias("__out_topic"),
             )
             consumed = mine.select(
@@ -185,6 +187,11 @@ class EtlPipeline:
             F.lit(i).alias("__rule_idx"),
             F.col("left.kafka.topic").alias("__src_topic"),
             F.col("left.kafka.offset").alias("__src_offset"),
+            # right-side offset breaks ties when one left row joins several
+            # right rows — without it the window order below has duplicate
+            # keys and row_number assignment is nondeterministic across
+            # plan re-executions (load() evaluates the batch more than once)
+            F.col("right.kafka.offset").alias("__tie"),
             F.lit(rule.out).alias("__out_topic"),
         )
         # both sides of a joined pair are consumed (etl/build.go:210-213);
@@ -257,6 +264,18 @@ class EtlPipeline:
         records = reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), scans
         )
+        # CDC ETL inherits the reference's single-partition ordering
+        # contract (README.md:198-199; the consumer pins partition 0,
+        # fifo/consumer.go:59-63): markers and the anti-join key on
+        # (topic, offset) alone, which is only unambiguous within one
+        # partition. Multi-partition input is a configuration error that
+        # must fail loudly (run() evaluates this plan), never silently
+        # suppress same-numbered offsets of sibling partitions.
+        self._violation_plans[out_pool] = (
+            records.filter(F.col("kafka.partition") != 0)
+            .select("kafka.topic", "kafka.partition", "kafka.offset")
+            .limit(1)
+        )
         routed = self._route(records, group)
 
         outs, consumed = [], []
@@ -296,7 +315,7 @@ class EtlPipeline:
             *[F.lit(x) for kv in base.items() for x in kv]
         ) if base else None
         w = Window.partitionBy("__out_topic").orderBy(
-            "__sort_offset", "__rule_idx", "__src_topic", "__src_offset"
+            "__sort_offset", "__rule_idx", "__src_topic", "__src_offset", "__tie"
         )
         start = (
             F.coalesce(base_map[F.col("__out_topic")], F.lit(0))
@@ -329,11 +348,35 @@ class EtlPipeline:
         """One transactional ETL pass: per output pool, outputs + markers
         in a single atomic pool commit (etl/pipeline.go:92-125). Returns
         total committed row count; rerunning with no new input commits 0
-        rows (idempotent, the anti-join backstop of README.md:447-455)."""
+        rows (idempotent, the anti-join backstop of README.md:447-455).
+
+        The commit is compare-and-set against the output pool's commit
+        log as of plan-build time (Pool.load occ_token): the pass reads
+        done markers, producer offsets, and cursors from that state, so a
+        concurrent commit to the SAME output pool must abort this one
+        (ConcurrentWriteError; just re-run) — otherwise two racers would
+        assign the same output offsets and double-process inputs. With
+        several output pools, a mid-run abort leaves earlier pools
+        committed; the rerun is a no-op for them (anti-join) and
+        completes the rest."""
+        # snapshot BEFORE build_all reads any output-pool state
+        snapshots = {name: len(pool.commits()) for name, pool in self.pools.items()}
         total = 0
         for pool_name, (outputs, markers) in self.build_all().items():
             if outputs is None:
                 continue
+            violation = self._violation_plans.get(pool_name)
+            if violation is not None:
+                bad = violation.collect()
+                if bad:
+                    r = bad[0]
+                    raise ValueError(
+                        f"etl: input record (topic={r['topic']!r}, "
+                        f"partition={r['partition']}, offset={r['offset']}) "
+                        "violates the single-partition CDC contract "
+                        "(README.md:198-199) — markers key on (topic, offset) "
+                        "and cannot disambiguate partitions"
+                    )
             pool = self.pools[pool_name]
             # Advance scan cursors monotonically; committed atomically with
             # outputs+markers so the bound is exactly as durable as the
@@ -344,7 +387,14 @@ class EtlPipeline:
                 for r in plan.collect():
                     nxt = r["pmin"] if r["pmin"] is not None else r["mx"] + 1
                     cursors[r["t"]] = max(int(nxt), cursors.get(r["t"], 0))
-            batch = outputs.unionByName(markers, allowMissingColumns=True)
-            total += pool.load(batch, message, cursors=cursors)
+            # one materialization: load() evaluates its frame for count,
+            # write, and stats — persist so the anti-join/route/window DAG
+            # (the most expensive plan here) runs once, not three times
+            batch = outputs.unionByName(markers, allowMissingColumns=True).persist()
+            try:
+                total += pool.load(batch, message, cursors=cursors,
+                                   occ_token=snapshots[pool_name])
+            finally:
+                batch.unpersist()
         return total
 

@@ -1554,8 +1554,8 @@ def etl_invoices(spark, sf_dir):
     idempotent reruns) in a temp lake and return the final staging state.
     Rows-only check (inputs are the reference's demo fixtures, not the
     sf tables; golden-asserted in tests/test_etl_invoices.py)."""
+    import shutil
     import sys
-    import tempfile
 
     sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/tests")
     from fixtures_invoices import BATCHES, INVOICES_YAML, ROW_SCHEMA
@@ -1563,7 +1563,10 @@ def etl_invoices(spark, sf_dir):
     from zync_spark.etl import EtlPipeline, load_config
     from zync_spark.pool import Pool
 
-    lake = tempfile.mkdtemp(prefix="zs-etl-")
+    # fixed path rebuilt per call: repeated gate runs must not accumulate
+    # temp lakes (the returned frame reads these files lazily)
+    lake = "/tmp/zs-etl-invoices"
+    shutil.rmtree(lake, ignore_errors=True)
     raw = Pool.create(spark, f"{lake}/Raw")
     staging = Pool.create(spark, f"{lake}/Staging")
     pipeline = EtlPipeline(spark, load_config(INVOICES_YAML), {"Raw": raw, "Staging": staging})

@@ -72,26 +72,50 @@ class ToKafka:
              produce: Callable[[DataFrame], None]) -> int:
         """Produce pool records of `topic` with offset >= hwm, in offset
         order, paged by batch_size; returns records produced. Exits when
-        the pool is drained (fifo/to.go:42-53)."""
+        the pool is drained (fifo/to.go:42-53).
+
+        Egress shares the reference's single-partition contract (the HWM
+        is one offset sequence, fifo/consumer.go:59-63); records from
+        other partitions in the page are an error, never silently
+        mis-ordered. Offsets may have gaps (compaction, transaction
+        markers), so the cursor advances to max(page offset)+1 — never by
+        row count. Each page is persisted so bookkeeping and produce see
+        the SAME rows even if the pool advances mid-page, and the scan is
+        manifest-pruned by the cursor (O(new data), not O(pool size))."""
+        from zync_spark.envelope import ZED_TYPE_DATA
+
         produced = 0
         offset = hwm
         while True:
-            df = self.pool.scan()
+            df = self.pool.scan(lower_bounds={topic: offset})
             if df is None:
                 return produced
             page = (
                 df.filter(
-                    (F.col("zed_type") == "data")
+                    (F.col("zed_type") == ZED_TYPE_DATA)
                     & (F.col("kafka.topic") == topic)
                     & (F.col("kafka.offset") >= offset)
                 )
                 .orderBy(F.col("kafka.offset"))
                 .limit(self.batch_size)
-            )
-            frame = self.encode_frame(page)
-            n = frame.count()
-            if n == 0:
-                return produced
-            produce(frame)
-            produced += n
-            offset += n
+            ).persist()
+            try:
+                stats = page.agg(
+                    F.count("*").alias("n"),
+                    F.max(F.col("kafka.offset")).alias("mx"),
+                    F.sum((F.col("kafka.partition") != 0).cast("long")).alias("np"),
+                ).collect()[0]
+                if stats["n"] == 0:
+                    return produced
+                if stats["np"]:
+                    raise ValueError(
+                        f"to-kafka {topic}: page contains records from "
+                        "partitions other than 0; single-HWM egress cannot "
+                        "order them (per-partition egress needs per-partition "
+                        "HWMs)"
+                    )
+                produce(self.encode_frame(page))
+                produced += stats["n"]
+                offset = int(stats["mx"]) + 1
+            finally:
+                page.unpersist()
