@@ -16,7 +16,7 @@ from pyspark.sql.types import (
 from zync_spark.pool import Pool
 from zync_spark.sources.avro import encode_column
 from zync_spark.sources.registry import MemoryRegistry
-from zync_spark.streaming.from_kafka import FromKafka, MonotonicityError, apply_shaper
+from zync_spark.streaming.from_kafka import FromKafka, apply_shaper
 from zync_spark.streaming.to_kafka import ToKafka
 
 S, Fld = StructType, StructField
@@ -69,12 +69,16 @@ def test_from_kafka_ingest_and_resume(spark, tmp_path):
     assert env[0]["key"]["ID"] == 1 and env[0]["value"]["name"] == "a"
     assert env[0]["zed_type"] == "data"
 
-    # redelivery below the resume offset → monotonicity guard trips
-    with pytest.raises(MonotonicityError):
-        fk.commit_batch(_wire_frame(spark, reg, [("T", 1, 2, "c", "b")]))
+    # redelivery below the resume offset (checkpoint replay after a
+    # partial commit) → duplicates filtered, replay is a no-op
+    assert fk.commit_batch(_wire_frame(spark, reg, [("T", 1, 2, "c", "b")])) == {}
+    assert pool.scan().count() == 2  # nothing double-committed
 
-    # next batch continues cleanly
-    fk.commit_batch(_wire_frame(spark, reg, [("T", 2, 3, "u", "c")]))
+    # a replayed batch MIXING old and new rows commits only the new ones
+    committed = fk.commit_batch(
+        _wire_frame(spark, reg, [("T", 1, 2, "c", "b"), ("T", 2, 3, "u", "c")])
+    )
+    assert committed == {"T": 1}
     assert fk.resume_offsets() == {"T": 3}
 
 
@@ -236,9 +240,9 @@ def test_from_kafka_multipartition_resume_and_guard(spark, tmp_path):
     # partition 1's — the guard must be per partition, not per topic
     assert fk.commit_batch(frame([(0, 2, 5, "u", "a2")])) == {"M": 1}
 
-    # redelivery below one partition's resume point trips the guard
-    with pytest.raises(MonotonicityError):
-        fk.commit_batch(frame([(1, 0, 3, "c", "x")]))
+    # redelivery below one partition's resume point is filtered as a
+    # duplicate — per partition, not per topic
+    assert fk.commit_batch(frame([(1, 0, 3, "c", "x")])) == {}
 
 
 def test_from_kafka_dead_letter_routing(spark, tmp_path):

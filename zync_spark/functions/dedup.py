@@ -321,19 +321,23 @@ def embedding_neardup_pairs(
     vec_col: str,
     threshold: float = 0.95,
     bucket_bits: int = 0,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
     bucket_bits=0: exact all-pairs via self-join (quadratic — only for
     verification scale). bucket_bits>0: random-hyperplane sign-bucket LSH —
-    pairs are only compared within a bucket, the scale path.
+    pairs are only compared within a bucket, the scale path (`dim` =
+    embedding dimensionality for the hyperplanes).
     Output: (id_a, id_b, cos) with cos >= threshold, id_a < id_b.
     """
     from zync_spark.functions.similarity import cosine_expr, hyperplane_bucket
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if bucket_bits > 0:
-        base = base.withColumn("bucket", hyperplane_bucket(F.col("v"), bucket_bits))
+        base = base.withColumn(
+            "bucket", hyperplane_bucket(F.col("v"), bucket_bits, dim)
+        )
         join_on = [F.col("a.bucket") == F.col("b.bucket"), F.col("a.id") < F.col("b.id")]
     else:
         join_on = [F.col("a.id") < F.col("b.id")]

@@ -64,4 +64,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # a silent non-converged return would split one component into
+        # several "canonical" ids — for dedup callers that means keeping
+        # duplicates and calling it clean. Fail loudly; diameter > 25 is
+        # pathological for near-dup graphs, and the caller can raise
+        # max_iter deliberately.
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     return labels

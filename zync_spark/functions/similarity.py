@@ -79,12 +79,17 @@ def _hyperplane(dim_idx: int, bit: int) -> float:
 
 
 def hyperplane_bucket(vec: Column, nbits: int, dim: int = 64) -> Column:
-    """Sign-bit LSH bucket id (int) from `nbits` fixed hyperplanes."""
+    """Sign-bit LSH bucket id (int) from `nbits` fixed hyperplanes.
+
+    `dim` must cover the embedding length; a shorter/longer vector uses
+    its first min(dim, len) components (null-padded products coalesce to
+    0 rather than poisoning the whole projection into bucket 0 — which
+    would silently degenerate the bucket join to a cross join)."""
     bucket = F.lit(0)
     for bit in range(nbits):
         plane = F.array(*[F.lit(_hyperplane(d, bit)) for d in range(dim)])
         proj = F.aggregate(
-            F.zip_with(vec, plane, lambda x, p: x.cast("double") * p),
+            F.zip_with(vec, plane, lambda x, p: F.coalesce(x.cast("double") * p, F.lit(0.0))),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -99,28 +104,34 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     k: int = 5,
     nbits: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: only candidates in the query's hyperplane bucket
     are scored. Recall < 1 by design; bucket count 2^nbits trades recall
-    for candidate-set size. Same output shape as cosine_topk.
+    for candidate-set size. `dim` = embedding dimensionality (the
+    hyperplanes are dim-long). Same output shape as cosine_topk.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        hyperplane_bucket(F.col(vec_col), nbits).alias("bucket"),
+        norm_expr(F.col(vec_col)).alias("qn"),
+        hyperplane_bucket(F.col(vec_col), nbits, dim).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        hyperplane_bucket(F.col(vec_col), nbits).alias("bucket"),
+        norm_expr(F.col(vec_col)).alias("cn"),
+        hyperplane_bucket(F.col(vec_col), nbits, dim).alias("bucket"),
     )
+    # norms once per SIDE (rows), not per candidate pair — the per-pair
+    # work is the single dot fold (same pattern as cosine_topk)
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_expr(F.col("qv"), F.col("cv")).alias("cos"),
+            (dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -253,27 +264,36 @@ def ivf_ann_topk(
     `nprobe` nearest cells and scores only those candidates.
 
     The coarse centroids here are sampled deterministically from the corpus
-    (every (N/n_cells)-th vector by id order) — at production scale you
-    would k-means them; assignment, probing, and candidate-join mechanics
-    (the scale-critical parts) are identical either way. Corpus rows
-    assign to 1 cell; queries probe `nprobe` cells (recall/cost knob).
-    Same output shape as cosine_topk.
+    (the n_cells smallest xxhash64(id) rows — id-space-agnostic, any ids
+    work) — at production scale you would k-means them; assignment,
+    probing, and candidate-join mechanics (the scale-critical parts) are
+    identical either way. Corpus rows assign to 1 cell; queries probe
+    `nprobe` cells (recall/cost knob). Same output shape as cosine_topk.
     """
-    n = corpus.count()
-    stride = max(n // n_cells, 1)
     cent_rows = (
         corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .filter((F.col("i") % stride == 0) & (F.col("i") / stride < n_cells))
+        .orderBy(F.xxhash64(F.col("i")), F.col("i"))
+        .limit(n_cells)
         .collect()
     )
-    centroids = [(int(r["i"] // stride), [float(x) for x in r["v"]]) for r in cent_rows]
+    if not cent_rows:
+        raise ValueError("ivf_ann_topk: empty corpus")
+    centroids = [(ci, [float(x) for x in r["v"]]) for ci, r in enumerate(cent_rows)]
 
     c = ivf_assign(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            norm_expr(F.col(vec_col)).alias("cn"),
+        ),
         centroids, "cv", nprobe=1,
     )
     q = ivf_assign(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm_expr(F.col(vec_col)).alias("qn"),
+        ),
         centroids, "qv", nprobe=nprobe,
     )
     scored = (
@@ -282,7 +302,7 @@ def ivf_ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_expr(F.col("qv"), F.col("cv")).alias("cos"),
+            (dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
         # a neighbor can appear via more than one probed cell
         .dropDuplicates(["query_id", "neighbor_id"])

@@ -69,10 +69,15 @@ def kafka_available(spark: SparkSession) -> bool:
 
 
 def read_stream(spark: SparkSession, config: dict, topics: list[str],
-                starting_offsets: dict | None = None) -> DataFrame:
+                starting_offsets: dict | None = None,
+                max_offsets_per_trigger: int | None = None) -> DataFrame:
     reader = spark.readStream.format("kafka")
     for k, v in kafka_options(config, topics, starting_offsets).items():
         reader = reader.option(k, v)
+    if max_offsets_per_trigger is not None:
+        # SOURCE option (the write side ignores it): bounds each
+        # micro-batch — the reference's -thresh commit-size cap
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     return reader.load()
 
 

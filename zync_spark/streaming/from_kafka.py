@@ -32,7 +32,9 @@ from zync_spark.zedexpr import Context, compile_assignments, compile_expr
 
 class MonotonicityError(RuntimeError):
     """Incoming offset below the pool's resume offset
-    (fifo/consumer.go:117-122)."""
+    (fifo/consumer.go:117-122). Retained for API compatibility: since
+    duplicate redelivery is expected under checkpoint replay, commit_batch
+    now FILTERS below-resume offsets idempotently instead of raising."""
 
 
 class FromKafka:
@@ -146,9 +148,14 @@ class FromKafka:
     def commit_batch(self, frame: DataFrame) -> dict[str, int]:
         """Decode + envelope + per-pool atomic append for one micro-batch.
 
-        Monotonicity guard: offsets below a pool's resume point mean
-        duplicate redelivery after an out-of-band reset — refuse, like the
-        reference (fifo/consumer.go:117-122). Returns rows per topic."""
+        Replay guard: offsets below a pool's per-(topic, partition) resume
+        point are duplicates — a checkpoint replay after a crash that
+        committed SOME topics' loads but not others redelivers the whole
+        batch. Unlike the reference (which errors, fifo/consumer.go:117-122
+        — it has no replaying checkpoint to be safe against), duplicates
+        are FILTERED so the replay completes the partial batch
+        idempotently instead of wedging the stream. Returns rows per
+        topic (post-filter)."""
         env = self.decode_frame(frame)
         if self.dead_letter_pool is not None:
             # decode-failure routing: a non-null wire value that decoded
@@ -170,43 +177,52 @@ class FromKafka:
             self.dead_letter_pool.load(dead, "from-kafka dead-letter")
             env = env.filter(~bad).drop("_raw_value")
         resume = self.resume_offsets_by_partition()
-        # ONE aggregation over the batch yields every (topic, partition)
-        # incoming low-water mark — not a driver loop of per-topic jobs.
-        lows = (
-            env.groupBy(
-                F.col("kafka.topic").alias("t"), F.col("kafka.partition").alias("p")
+        # drop already-committed offsets (checkpoint replay after a
+        # partial multi-topic commit): one map-side filter against the
+        # per-(topic, partition) resume points
+        bounds = [
+            x
+            for topic, parts in resume.items()
+            for p, saved in parts.items()
+            for x in (F.lit(f"{topic}#{p}"), F.lit(saved).cast("long"))
+        ]
+        if bounds:
+            saved_map = F.create_map(*bounds)
+            tp = F.concat_ws(
+                "#", F.col("kafka.topic"), F.col("kafka.partition").cast("string")
             )
-            .agg(F.min(F.col("kafka.offset")).alias("lo"))
-            .collect()
-        )
-        present: set[str] = set()
-        for r in lows:
-            topic, part, lo = r["t"], int(r["p"]), r["lo"]
-            if topic not in self.topic_pools:
-                continue
-            present.add(topic)
-            saved = resume[topic].get(part, 0)
-            if lo < saved:
-                raise MonotonicityError(
-                    f"topic {topic} partition {part}: received offset {lo} "
-                    f"< saved offset {saved}"
-                )
-        committed: dict[str, int] = {}
-        for topic, pool in self.topic_pools.items():
-            if topic not in present:
-                continue
-            part = env.filter(F.col("kafka.topic") == topic)
-            committed[topic] = pool.load(part, f"from-kafka {topic}")
-            # maintenance policy: every N delta commits, fold the pool
-            # into a base manifest so streaming ingest (one small commit
-            # per trigger) cannot accrete an unbounded small-file set.
-            # The loop is this pool's only writer, so the compaction's
-            # ConcurrentWriteError path cannot trip here.
-            if (
-                self.auto_compact_every
-                and pool.commits_since_base() >= self.auto_compact_every
-            ):
-                pool.compact(message="auto-compact")
+            env = env.filter(
+                F.col("kafka.offset") >= F.coalesce(saved_map[tp], F.lit(0))
+            )
+        # one materialization: the DLQ load, the presence aggregation, and
+        # each per-topic load all reuse the decoded batch instead of
+        # re-running decode+shaper per action
+        env = env.persist()
+        try:
+            present = {
+                r["t"]
+                for r in env.groupBy(F.col("kafka.topic").alias("t"))
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            committed: dict[str, int] = {}
+            for topic, pool in self.topic_pools.items():
+                if topic not in present:
+                    continue
+                part = env.filter(F.col("kafka.topic") == topic)
+                committed[topic] = pool.load(part, f"from-kafka {topic}")
+                # maintenance policy: every N delta commits, fold the pool
+                # into a base manifest so streaming ingest (one small commit
+                # per trigger) cannot accrete an unbounded small-file set.
+                # The loop is this pool's only writer, so the compaction's
+                # ConcurrentWriteError path cannot trip here.
+                if (
+                    self.auto_compact_every
+                    and pool.commits_since_base() >= self.auto_compact_every
+                ):
+                    pool.compact(message="auto-compact")
+        finally:
+            env.unpersist()
         if committed:
             from zync_spark.streaming import incremental as inc
 
@@ -254,13 +270,13 @@ class FromKafka:
             else:
                 resume = self.resume_offsets()
                 starting = {t: {"0": o} for t, o in resume.items()}
-            frame = read_stream(self.spark, config or {}, list(self.topic_pools), starting)
+            frame = read_stream(self.spark, config or {}, list(self.topic_pools),
+                                starting, max_offsets_per_trigger=thresh)
         frame = frame.selectExpr(
             "topic", "partition", "CAST(offset AS LONG) offset", "key", "value"
         )
-        writer = (
-            frame.writeStream.foreachBatch(lambda df, _id: self.commit_batch(df))
-            .option("maxOffsetsPerTrigger", str(thresh))
+        writer = frame.writeStream.foreachBatch(
+            lambda df, _id: self.commit_batch(df)
         )
         if checkpoint:
             writer = writer.option("checkpointLocation", checkpoint)
@@ -279,19 +295,23 @@ def apply_shaper(env: DataFrame, shaper_src: str) -> DataFrame:
     expression; this covers the documented shaper examples (README.md:78).
     """
     src = shaper_src.strip()
+    # Only the PARSE decides which form this is; application errors (bad
+    # field refs, type mismatches) must propagate as themselves — a
+    # blanket fallback would re-parse assignments as a filter and raise an
+    # unrelated syntax error while half the assignments were applied.
     try:
         assigns = compile_assignments(src, Context())
-        if assigns:
-            for path, col in assigns.items():
-                parts = path.split(".")
-                if len(parts) == 1:
-                    env = env.withColumn(parts[0], col)
-                else:
-                    # nested a.b := expr via withField
-                    top = parts[0]
-                    target = F.col(top)
-                    env = env.withColumn(top, target.withField(".".join(parts[1:]), col))
-            return env
     except Exception:
-        pass
+        assigns = None
+    if assigns:
+        for path, col in assigns.items():
+            parts = path.split(".")
+            if len(parts) == 1:
+                env = env.withColumn(parts[0], col)
+            else:
+                # nested a.b := expr via withField
+                top = parts[0]
+                target = F.col(top)
+                env = env.withColumn(top, target.withField(".".join(parts[1:]), col))
+        return env
     return env.filter(compile_expr(src, Context()))

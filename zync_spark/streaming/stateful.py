@@ -82,7 +82,11 @@ def sessionize_with_state(
                 cur = list(state.get)
             else:
                 cur = None
-            rows = pd.concat(list(pdfs))
+            # ignore_index: a key spanning several Arrow chunks would
+            # otherwise concat to duplicate index labels and the reindex
+            # below raises — exactly at the >maxRecordsPerBatch scale
+            # this operator targets
+            rows = pd.concat(list(pdfs), ignore_index=True)
             # micro-batch rows are unordered; sessions need time order
             ts_us = (
                 rows["ts"].astype("datetime64[us]").astype("int64").sort_values()
@@ -90,13 +94,21 @@ def sessionize_with_state(
             vals = rows["value"].reindex(ts_us.index)
             for t, v in zip(ts_us.to_list(), vals.to_list()):
                 if cur is None:
-                    cur = [t, t, 0, 0.0]
-                elif t - cur[1] > gap_us:
+                    cur = [t, t, 1, float(v)]
+                elif t > cur[1] + gap_us:
                     closed.append(tuple(cur))
-                    cur = [t, t, 0, 0.0]
-                cur[1] = max(cur[1], t)
-                cur[2] += 1
-                cur[3] += float(v)
+                    cur = [t, t, 1, float(v)]
+                elif t < cur[0] - gap_us:
+                    # cross-batch late event older than the open session
+                    # by more than the gap: its own already-complete
+                    # session (bounded-lateness tradeoff — merging it
+                    # forward would corrupt the open session's span)
+                    closed.append((t, t, 1, float(v)))
+                else:
+                    cur[0] = min(cur[0], t)
+                    cur[1] = max(cur[1], t)
+                    cur[2] += 1
+                    cur[3] += float(v)
             state.update(tuple(cur))
             # fire a timeout once the watermark passes the gap horizon so
             # the trailing session eventually closes without new input
