@@ -186,11 +186,11 @@ def test_compact_time_travel_and_vacuum(spark, tmp_path):
 
     # vacuum removes exactly the superseded small files
     live = set(pool.committed_files())
-    assert pool.vacuum() == n_small
+    assert pool.vacuum(retention_s=0) == n_small
     assert set(pool.committed_files()) == live
     assert pool.scan().count() == 8
     # rerun is a no-op
-    assert pool.vacuum() == 0
+    assert pool.vacuum(retention_s=0) == 0
 
 
 def test_compact_materializes_schema_fuse(spark, tmp_path):
@@ -212,7 +212,7 @@ def test_compact_materializes_schema_fuse(spark, tmp_path):
         "value struct<a:long,b:string>, zed_type string",
     ))
     pool.compact()
-    pool.vacuum()
+    pool.vacuum(retention_s=0)
     # every live file now carries the fused schema on its own
     for f in pool.committed_files():
         df = spark.read.parquet(f)  # no mergeSchema
@@ -280,7 +280,7 @@ def test_concurrent_commit_protocol(spark, tmp_path):
     # a clean re-run then succeeds and keeps every row
     assert pool.compact() == 5
     assert pool.scan().count() == 5
-    assert pool.vacuum() > 0
+    assert pool.vacuum(retention_s=0) > 0
     assert pool.scan().count() == 5
 
 
@@ -363,3 +363,83 @@ def test_concurrent_loads_thread_stress(spark, tmp_path):
     for r in rows:
         by_writer[r["value"]] = by_writer.get(r["value"], 0) + 1
     assert by_writer == {f"w{i}": 10 for i in range(N)}
+
+
+def test_commits_numeric_order_past_a_million(spark, tmp_path):
+    # lexicographic filename order breaks at seq 1,000,000 — commits()
+    # must sort numerically
+    p = Pool.create(spark, str(tmp_path / "big"))
+    cdir = os.path.join(str(tmp_path / "big"), "_commits")
+    for seq in (999999, 1000000):
+        with open(os.path.join(cdir, f"{seq}.json"), "w") as f:
+            json.dump({"files": [], "rows": 0, "stats": None}, f)
+    assert [int(c.split(".")[0]) for c in p.commits()] == [999999, 1000000]
+
+
+def test_vacuum_retention_protects_inflight_writers(spark, tmp_path):
+    # an unreferenced-but-fresh data dir may belong to a concurrent
+    # writer that has not published its manifest yet
+    p = Pool.create(spark, str(tmp_path / "v"))
+    p.load(spark.createDataFrame(BATCH_1, ROW_SCHEMA))
+    inflight = os.path.join(str(tmp_path / "v"), "data", "inflight")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-0.parquet"), "w") as f:
+        f.write("x")
+    assert p.vacuum() == 0              # default retention keeps it
+    assert os.path.exists(inflight)
+    assert p.vacuum(retention_s=0) == 1  # explicit 0 reclaims
+    assert not os.path.exists(inflight)
+
+
+def test_keep_latest_preserves_null_key_and_null_type_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    p = Pool.create(spark, str(tmp_path / "kl"))
+    # two updates for key 7, one NULL-key data row, one NULL-key second row
+    rows = [
+        (("t", 0, 0), (7,), None, "data"),
+        (("t", 0, 1), (7,), None, "data"),
+        (("t", 0, 2), None, None, "data"),
+        (("t", 0, 3), None, None, "data"),
+    ]
+    schema = (
+        "kafka struct<topic:string,partition:bigint,offset:bigint>, "
+        "key struct<ID:bigint>, value struct<name:string>, zed_type string"
+    )
+    p.load(spark.createDataFrame(rows, schema))
+    # plus a commit from a frame WITHOUT zed_type (schema-widened to null)
+    p.load(spark.createDataFrame(
+        [(("t", 0, 9), (1,), None)],
+        "kafka struct<topic:string,partition:bigint,offset:bigint>, "
+        "key struct<ID:bigint>, value struct<name:string>",
+    ))
+    p.compact(keep_latest_by_key=True)
+    got = p.scan().select(F.col("kafka.offset").alias("o")).orderBy("o").collect()
+    # key 7 deduped to its latest (offset 1); BOTH null-key rows survive;
+    # the null-zed_type row survives
+    assert [r["o"] for r in got] == [1, 2, 3, 9]
+
+
+def test_empty_lower_bounds_means_no_pruning(spark, tmp_path):
+    p = Pool.create(spark, str(tmp_path / "eb"))
+    p.load(spark.createDataFrame(BATCH_1, ROW_SCHEMA))
+    assert p.committed_files(lower_bounds={}) == p.committed_files()
+    assert p.scan(lower_bounds={}).count() == len(BATCH_1)
+
+
+def test_create_rejects_bad_key(spark, tmp_path):
+    with pytest.raises(PoolKeyError):
+        Pool.create(spark, str(tmp_path / "bad"), key="ts")
+
+
+def test_resume_served_from_manifest_stats(spark, tmp_path):
+    # when every live manifest has per-partition stats, resume queries
+    # fold manifests instead of scanning — verify by corrupting the data
+    # files after commit: a scan would fail, the manifest path cannot
+    import shutil as _sh
+
+    p = Pool.create(spark, str(tmp_path / "ms"))
+    p.load(spark.createDataFrame(BATCH_1, ROW_SCHEMA))
+    expect = p.next_consumer_offset("Invoices")
+    _sh.rmtree(os.path.join(str(tmp_path / "ms"), "data"))
+    assert p.next_consumer_offset("Invoices") == expect

@@ -350,7 +350,10 @@ def cmd_compact(args) -> int:
                      cluster_by=args.cluster_by or None)
     msg = f"compacted {n} rows into {len(pool.committed_files())} file(s)"
     if args.vacuum:
-        msg += f"; vacuumed {pool.vacuum()} superseded file(s)"
+        msg += (
+            f"; vacuumed {pool.vacuum(retention_s=args.vacuum_retention)} "
+            "superseded file(s)"
+        )
     print(msg)
     return 0
 
@@ -485,6 +488,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="rows per output file")
     p.add_argument("--vacuum", action="store_true",
                    help="also delete the superseded data files")
+    p.add_argument("--vacuum-retention", type=float, default=3600.0,
+                   help="seconds; unreferenced dirs younger than this are "
+                        "kept (in-flight concurrent writers). 0 = "
+                        "single-writer immediate reclaim")
     p.add_argument("--keep-latest-by-key", action="store_true",
                    help="Kafka log-compaction semantics: keep only the "
                         "highest-offset data record per (topic, key)")

@@ -59,6 +59,14 @@ class Pool:
     @classmethod
     def create(cls, spark: SparkSession, path: str, key: str = "kafka.offset",
                order: str = "asc") -> "Pool":
+        # enforce the same invariant open() checks: accepting another key
+        # here would create a pool that writes fine but can never be
+        # reopened (and load() sorts by kafka.offset regardless)
+        if key != "kafka.offset" or order != "asc":
+            raise PoolKeyError(
+                f"pools require key kafka.offset in ascending order, got "
+                f"key={key!r} order={order!r} (etl/pool.go:37-40)"
+            )
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         os.makedirs(os.path.join(path, "_commits"), exist_ok=True)
         cfg = os.path.join(path, "pool.json")
@@ -89,7 +97,14 @@ class Pool:
         d = self._commit_dir()
         if not os.path.isdir(d):
             return []
-        return sorted(f for f in os.listdir(d) if f.endswith(".json"))
+        # numeric sort: lexicographic order of %06d names silently breaks
+        # at seq 1,000,000 (~46 days of 5-second streaming commits), and
+        # every ordering-dependent reader (base supersede, at=, cursor
+        # last-wins) would go quietly wrong
+        return sorted(
+            (f for f in os.listdir(d) if f.endswith(".json")),
+            key=lambda f: int(f.split(".")[0]),
+        )
 
     def committed_files(self, lower_bounds: dict[str, int] | None = None,
                         at: int | None = None,
@@ -134,7 +149,9 @@ class Pool:
                 manifest = json.load(f)
             if manifest.get("base"):
                 files = []  # compaction checkpoint: replaces prior commits
-            if lower_bounds is not None:
+            # falsy {} means "no bounds declared" (a dynamically-built
+            # empty dict must not prune everything), same as None
+            if lower_bounds:
                 stats = manifest.get("stats")
                 if stats is not None and not _bounds_keep(stats, lower_bounds):
                     continue
@@ -234,29 +251,16 @@ class Pool:
         # consumers (incremental rollups over multi-partition topics) need
         # the "t#p" keys; topic-level consumers (ETL cursors) keep using
         # the plain "t" keys. '#' cannot appear in a Kafka topic name, so
-        # the two key spaces cannot collide. One tiny agg per commit.
-        try:
-            stats = {}
-            for r in (
-                df.groupBy(
-                    F.col("kafka.topic").alias("t"),
-                    F.col("kafka.partition").alias("p"),
-                )
-                .agg(
-                    F.min(F.col("kafka.offset")).alias("lo"),
-                    F.max(F.col("kafka.offset")).alias("hi"),
-                )
-                .collect()
-            ):
-                stats[f"{r['t']}#{r['p']}"] = [r["lo"], r["hi"]]
-                t = stats.get(r["t"])
-                stats[r["t"]] = (
-                    [r["lo"], r["hi"]]
-                    if t is None
-                    else [min(t[0], r["lo"]), max(t[1], r["hi"])]
-                )
-        except Exception:
-            stats = None  # non-envelope frame: no stats, commit never pruned
+        # the two key spaces cannot collide.
+        #
+        # Stats come from the files JUST WRITTEN (a cheap local read), not
+        # a re-evaluation of `df` — a source-backed frame could evaluate
+        # differently per action, and stats that under-state the written
+        # offset range would make bounded readers silently skip real data.
+        # Envelope-ness is a schema test, never a blanket except (which
+        # would let a transient stats failure permanently disable pruning
+        # for the pool once a base manifest merges the None through).
+        stats = _written_stats(self.spark, parts)
         manifest = {"files": sorted(parts), "message": message, "rows": n,
                     "stats": stats, "ts": time.time()}
         if cursors:
@@ -335,6 +339,10 @@ class Pool:
         for c in snapshot:
             with open(os.path.join(self._commit_dir(), c)) as f:
                 manifests.append(json.load(f))
+        # The base-supersedes fold is deliberately NOT committed_files():
+        # that would re-list the log and could see commits newer than
+        # `snapshot`, breaking the OCC invariant that a base manifest
+        # never supersedes a commit it did not read.
         files: list[str] = []
         for m in manifests:
             if m.get("base"):
@@ -344,17 +352,25 @@ class Pool:
         if keep_latest_by_key and "key" in df.columns and "zed_type" in df.columns:
             from pyspark.sql import Window
 
-            is_data = F.col("zed_type") == "data"
+            # Null-SAFE split: schema-widened rows from commits without a
+            # zed_type column are null here; a null-unsafe == would drop
+            # them from BOTH branches (data loss). Null-KEY data rows are
+            # exempt from keying entirely — they are not updates to any
+            # entity, and partitioning them together would collapse all of
+            # them to one survivor per topic.
+            is_keyed_data = F.col("zed_type").eqNullSafe("data") & F.col(
+                "key"
+            ).isNotNull()
             w = Window.partitionBy(F.col("kafka.topic"), F.col("key")).orderBy(
                 F.col("kafka.offset").desc()
             )
             data = (
-                df.filter(is_data)
+                df.filter(is_keyed_data)
                 .withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
-            df = data.unionByName(df.filter(~is_data))
+            df = data.unionByName(df.filter(~is_keyed_data))
         if transform is not None:
             # State-folding hook: maintenance policies can rewrite the live
             # row set during the compaction pass they were paying anyway
@@ -440,18 +456,31 @@ class Pool:
                     n += 1
         return n
 
-    def vacuum(self) -> int:
+    def vacuum(self, retention_s: float = 3600.0) -> int:
         """Delete data files not referenced by the LIVE view (everything a
         compaction superseded). Time travel to pre-compaction commits stops
         working — standard lakehouse VACUUM semantics. Returns the number
-        of files removed."""
+        of files removed.
+
+        `retention_s`: directories modified within this window are kept
+        even if unreferenced — they may belong to a CONCURRENT load()/
+        compact() that wrote data but has not published its manifest yet;
+        deleting them would let the in-flight publish commit a manifest of
+        vanished files (the reason Delta's VACUUM has a retention window).
+        0 disables the guard (single-writer maintenance only)."""
         live = set(self.committed_files())
+        now = time.time()
         removed = 0
         data_root = os.path.join(self.path, "data")
         for d in os.listdir(data_root):
             sub = os.path.join(data_root, d)
             parquets = [f for f in os.listdir(sub) if f.endswith(".parquet")]
             if any(os.path.join(sub, f) in live for f in parquets):
+                continue
+            try:
+                if now - os.path.getmtime(sub) < retention_s:
+                    continue  # possibly an in-flight writer's files
+            except OSError:
                 continue
             removed += len(parquets)
             shutil.rmtree(sub)  # whole load/compact dir is dead (incl. _SUCCESS)
@@ -491,9 +520,41 @@ class Pool:
                 cursors[t] = int(v)
         return cursors
 
+    def _manifest_partition_his(self, topic: str) -> dict[int, int] | None:
+        """Per-partition max offsets for `topic` folded from the live
+        manifest view's stats — the manifests already KNOW the answer, so
+        the per-trigger resume query costs a JSON fold, not a pool scan.
+        None when any live manifest can't attribute the topic's rows to
+        partitions (stat-less commit, or pre-per-partition stats) — the
+        caller falls back to scanning."""
+        his: dict[int, int] = {}
+        ok = True
+        prefix = topic + "#"
+        for c in self.commits():
+            with open(os.path.join(self._commit_dir(), c)) as f:
+                m = json.load(f)
+            if m.get("base"):
+                his, ok = {}, True  # base stats merged everything prior
+            s = m.get("stats")
+            if s is None:
+                ok = False
+                continue
+            if topic in s and not any(k.startswith(prefix) for k in s):
+                ok = False  # legacy topic-level stats: partition unknown
+                continue
+            for k, v in s.items():
+                if k.startswith(prefix):
+                    p = int(k.rsplit("#", 1)[1])
+                    his[p] = max(his.get(p, v[1]), v[1])
+        return his if ok else None
+
     def next_consumer_offset(self, topic: str) -> int:
         """max(offset)+1 over records of `topic` (ingest resume point,
-        fifo/lake.go:62-82); 0 for an empty pool."""
+        fifo/lake.go:62-82); 0 for an empty pool. Served from manifest
+        stats when possible (no scan)."""
+        his = self._manifest_partition_his(topic)
+        if his is not None:
+            return (max(his.values()) + 1) if his else 0
         df = self.scan()
         if df is None:
             return 0
@@ -510,7 +571,11 @@ class Pool:
         partition 0 for CDC ordering (fifo/consumer.go:59-63); ingest at
         scale wants one consumer per partition, each resuming from its own
         committed high-water mark. Offsets are per-partition sequences in
-        Kafka, so the max is taken per (topic, partition)."""
+        Kafka, so the max is taken per (topic, partition). Served from
+        manifest stats when possible (no scan)."""
+        his = self._manifest_partition_his(topic)
+        if his is not None:
+            return {p: hi + 1 for p, hi in his.items()}
         df = self.scan()
         if df is None:
             return {}
@@ -546,6 +611,49 @@ def _atomic_create_json(path: str, obj: dict) -> None:
         os.link(tmp, path)
     finally:
         os.unlink(tmp)
+
+
+def _written_stats(spark: SparkSession, parts: list[str]) -> dict | None:
+    """Per-topic and per-(topic, partition) offset ranges of the files a
+    load just wrote. None when the frame is not envelope-shaped (no
+    kafka.{topic,partition,offset} struct) — such commits are never
+    pruned. Rows with null kafka metadata are excluded from stats (they
+    cannot match a bounded reader's offset predicate anyway, and a
+    't#None' key would crash every later bounded scan)."""
+    wr = spark.read.parquet(*parts)
+    kafka = next((f for f in wr.schema.fields if f.name == "kafka"), None)
+    from pyspark.sql.types import StructType as _St
+
+    if kafka is None or not isinstance(kafka.dataType, _St):
+        return None
+    names = {f.name for f in kafka.dataType.fields}
+    if not {"topic", "partition", "offset"} <= names:
+        return None
+    stats: dict[str, list[int]] = {}
+    for r in (
+        wr.filter(
+            F.col("kafka.topic").isNotNull()
+            & F.col("kafka.partition").isNotNull()
+            & F.col("kafka.offset").isNotNull()
+        )
+        .groupBy(
+            F.col("kafka.topic").alias("t"),
+            F.col("kafka.partition").alias("p"),
+        )
+        .agg(
+            F.min(F.col("kafka.offset")).alias("lo"),
+            F.max(F.col("kafka.offset")).alias("hi"),
+        )
+        .collect()
+    ):
+        stats[f"{r['t']}#{r['p']}"] = [r["lo"], r["hi"]]
+        t = stats.get(r["t"])
+        stats[r["t"]] = (
+            [r["lo"], r["hi"]]
+            if t is None
+            else [min(t[0], r["lo"]), max(t[1], r["hi"])]
+        )
+    return stats
 
 
 def _bounds_keep(stats: dict, lower_bounds: dict) -> bool:

@@ -3248,3 +3248,33 @@ def q_session_window(spark, sf_dir):
             "session_value",
         )
     )
+
+
+@register(
+    "q_rank_metrics",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           percent_rank() OVER w AS prnk,
+           cume_dist()    OVER w AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_rank_metrics(spark, sf_dir):
+    """Full ranking-function family over one window (rank, dense_rank,
+    percent_rank, cume_dist) — rounding out SURVEY §2.5 beyond-reference
+    window coverage. One shuffle on the partition key; all four ranks
+    compute in a single window pass over the same sort. Deterministic
+    ordering via the (price, key) composite."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
