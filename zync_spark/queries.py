@@ -3278,3 +3278,28 @@ def q_rank_metrics(spark, sf_dir):
         F.percent_rank().over(w).alias("prnk"),
         F.cume_dist().over(w).alias("cdist"),
     )
+
+
+@register(
+    "q_string_agg",
+    """
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+             AS statuses,
+           count(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_string_agg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG/string_agg): the distinct
+    sorted set of statuses per priority, comma-joined — deterministic
+    under any partitioning because the join happens AFTER an explicit
+    array_sort (collect_set order is nondeterministic by itself; sorting
+    before joining is the only shuffle-stable formulation)."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+        F.count_distinct(F.col("o_orderstatus")).alias("n_statuses"),
+    )
