@@ -111,6 +111,77 @@ def test_codec_roundtrip(value):
         assert {k: (list(v) if isinstance(v, list) else v) for k, v in back.items()} == value
 
 
+def test_non_null_union_maps_to_tagged_struct():
+    """Multi-branch unions (reference: Zed union, zavro/schema.go:233-244)
+    map to a struct of nullable branches + raw-selector tag column."""
+    schema = {
+        "type": "record",
+        "name": "top",
+        "fields": [
+            {"name": "u", "type": ["null", "long", "string"], "default": None},
+            {"name": "plain", "type": ["null", "long"], "default": None},
+        ],
+    }
+    t = from_avro_schema(schema)
+    assert t == S(
+        [
+            Fld("u", S([Fld("tag", LongType()), Fld("b1_long", LongType()),
+                        Fld("b2_string", StringType())])),
+            Fld("plain", LongType()),  # null-union still collapses
+        ]
+    )
+
+
+@pytest.mark.parametrize(
+    "u",
+    [
+        {"tag": 1, "b1_long": 7, "b2_string": None},
+        {"tag": 2, "b1_long": None, "b2_string": "héllo"},
+        {"tag": 0, "b1_long": None, "b2_string": None},  # explicit null branch
+    ],
+)
+def test_non_null_union_codec_roundtrip(u):
+    """3-branch union round-trip in the reference's tagged-container
+    semantics (zavro/decoder.go:140-161): the selector survives decode,
+    null-branch values keep their tag rather than collapsing to null."""
+    schema = {
+        "type": "record",
+        "name": "top",
+        "fields": [{"name": "u", "type": ["null", "long", "string"], "default": None}],
+    }
+    wire = avro_codec.encode_record(schema, {"u": u}, schema_id=3)
+    back = avro_codec.decode_record(schema, wire)
+    assert back == {"u": u}
+
+
+def test_non_null_union_record_branch():
+    """A union carrying a named record branch: field name uses the record
+    name; nested null-union fields inside the branch still collapse."""
+    inner = {
+        "type": "record",
+        "name": "addr",
+        "fields": [{"name": "city", "type": ["null", "string"], "default": None}],
+    }
+    schema = {
+        "type": "record",
+        "name": "top",
+        "fields": [{"name": "u", "type": ["null", "string", inner], "default": None}],
+    }
+    t = from_avro_schema(schema)
+    assert t["u"].dataType == S(
+        [Fld("tag", LongType()), Fld("b1_string", StringType()),
+         Fld("b2_addr", S([Fld("city", StringType())]))]
+    )
+    val = {"u": {"tag": 2, "b1_string": None, "b2_addr": {"city": "Oslo"}}}
+    wire = avro_codec.encode_record(schema, val, schema_id=9)
+    assert avro_codec.decode_record(schema, wire) == val
+    # encoding plain None writes the null selector; decode keeps the tag
+    wire2 = avro_codec.encode_record(schema, {"u": None}, schema_id=9)
+    assert avro_codec.decode_record(schema, wire2) == {
+        "u": {"tag": 0, "b1_string": None, "b2_addr": None}
+    }
+
+
 def test_zigzag_edges():
     for n in [0, -1, 1, 63, -64, 2**62, -(2**62), 2**63 - 1, -(2**63)]:
         buf = bytearray()

@@ -9,6 +9,7 @@ import pytest
 
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     BooleanType,
     ByteType,
@@ -16,13 +17,19 @@ from pyspark.sql.types import (
     FloatType,
     IntegerType,
     LongType,
+    MapType,
     ShortType,
     StringType,
     StructField,
     StructType,
 )
 
-from zync_spark.sources.connectjson import connect_schema, decode, encode
+from zync_spark.sources.connectjson import (
+    connect_schema,
+    decode,
+    encode,
+    from_connect_schema,
+)
 
 S, Fld = StructType, StructField
 
@@ -88,6 +95,51 @@ def test_roundtrip(spark, schema, row):
     back = wire.select(decode(F.col("w"), schema).alias("v")).collect()[0]["v"]
     orig = df.collect()[0]["v"]
     assert back == orig
+
+
+ARRMAP = S(
+    [
+        Fld("tags", ArrayType(StringType())),
+        Fld("scores", ArrayType(DoubleType())),
+        Fld("attrs", MapType(StringType(), LongType())),
+        Fld("nested", ArrayType(S([Fld("k", StringType()), Fld("n", LongType())]))),
+    ]
+)
+
+
+@pytest.mark.parametrize(
+    "row",
+    [
+        (
+            ["a", "b"],
+            [1.5, -2.0],
+            {"x": 1, "y": 2},
+            [("k1", 10), ("k2", None)],
+        ),
+        ([], [], {}, []),
+        (None, None, None, None),
+    ],
+)
+def test_roundtrip_arrays_and_maps(spark, row):
+    """Beyond-reference: array- and map-bearing payloads decode instead of
+    raising (the reference errors, connectjson.go:252-255)."""
+    df = spark.createDataFrame([(row,)], S([Fld("v", ARRMAP)]))
+    wire = df.select(encode(F.col("v"), ARRMAP).alias("w"))
+    text = wire.collect()[0]["w"]
+    doc = json.loads(text)
+    types = {f["field"]: f["type"] for f in doc["schema"]["fields"]}
+    assert types == {"tags": "array", "scores": "array", "attrs": "map",
+                     "nested": "array"}
+    back = wire.select(decode(F.col("w"), ARRMAP).alias("v")).collect()[0]["v"]
+    assert back == df.collect()[0]["v"]
+    # schema-on-read: the embedded schema alone reconstructs the Spark type
+    assert from_connect_schema(doc["schema"]) == S(
+        [Fld(f.name, f.dataType) for f in ARRMAP.fields]
+    )
+
+
+def test_from_connect_schema_primitives():
+    assert from_connect_schema(connect_schema(PRIM_SCHEMA)) == PRIM_SCHEMA
 
 
 def test_schema_object_shape():

@@ -162,6 +162,41 @@ def test_to_kafka_paged_sync(spark, tmp_path):
     assert first["offset"] == 2 and first["value"][0] == 0
 
 
+def test_to_kafka_bulk_sync(spark, tmp_path):
+    """Offset-range bulk pages: same records/order/cursor semantics as the
+    row-count pager, one produce per span, gap-safe (offsets 0..6 with a
+    hole at 4, span 3 → pages [0,3) [3,6) [6,9))."""
+    pool = Pool.create(spark, str(tmp_path / "Bulk"))
+    rows = [
+        (("T", 0, i), (i,), ("c", f"r{i}"), "data") for i in range(7) if i != 4
+    ]
+    env_schema = S(
+        [
+            Fld("kafka", S([Fld("topic", StringType()), Fld("partition", LongType()), Fld("offset", LongType())])),
+            Fld("key", KEY_T),
+            Fld("value", VAL_T),
+            Fld("zed_type", StringType()),
+        ]
+    )
+    pool.load(spark.createDataFrame(rows, env_schema))
+
+    pages = []
+    tk = ToKafka(pool, KEY_T, VAL_T, format="json")
+    produced = tk.sync_bulk(
+        "T", hwm=1, produce=lambda df: pages.append(df.collect()), page_span=3
+    )
+    assert produced == 5                      # offsets 1,2,3,5,6
+    assert [[r["offset"] for r in p] for p in pages] == [[1, 2, 3], [5, 6]]
+    # records match what the row-count pager produces for the same hwm
+    rowpages = []
+    tk2 = ToKafka(pool, KEY_T, VAL_T, format="json", batch_size=2)
+    assert tk2.sync("T", hwm=1, produce=lambda df: rowpages.append(df.collect())) == 5
+    flat = [r["offset"] for p in rowpages for r in p]
+    assert flat == [r["offset"] for p in pages for r in p]
+    # empty pool / fully-synced short-circuit
+    assert tk.sync_bulk("T", hwm=100, produce=lambda df: None) == 0
+
+
 def test_to_kafka_already_synced(spark, tmp_path):
     pool = Pool.create(spark, str(tmp_path / "Out2"))
     tk = ToKafka(pool, KEY_T, VAL_T, format="json")

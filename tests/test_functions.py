@@ -233,8 +233,10 @@ def test_multimodal_resize_and_frames(spark):
 def test_ann_variants_beat_random_sampling(spark):
     """IVF and LSH are approximate, but on deterministic inputs their
     recall@5 must beat the fraction of the corpus they scan (else the
-    index adds nothing over random sampling). IVF probes 2/16 cells
-    (~12.5%); LSH nbits=4 buckets scan ~1/16 (~6%)."""
+    index adds nothing over random sampling). IVF probes 2/16
+    k-means-trained cells (~12.5% scanned; measured recall 0.30 on this
+    corpus — the bound asserts 2x the scanned fraction so a regression to
+    sampling-quality centroids fails); LSH nbits=4 buckets scan ~1/16."""
     from pyspark.sql import functions as F
 
     import zync_spark.functions.similarity as S
@@ -249,7 +251,7 @@ def test_ann_variants_beat_random_sampling(spark):
     }
     lsh = {(r["query_id"], r["neighbor_id"]) for r in S.lsh_ann_topk(emb, q, k=5, nbits=4).collect()}
     assert len(exact) == 50
-    assert len(ivf & exact) / len(exact) > 0.125
+    assert len(ivf & exact) / len(exact) >= 0.25
     assert len(lsh & exact) / len(exact) > 0.0625
 
 

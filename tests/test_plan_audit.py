@@ -85,6 +85,48 @@ def test_python_operators_are_arrow_batched(plans):
         assert "BatchEvalPython" not in plans[name], name
 
 
+def test_spread_is_conditional(spark):
+    """_spread must NOT round-robin-shuffle (id, full text) when the input
+    is already parallel enough — at 100 TB that reshuffle would be the
+    single most expensive byte movement in the dedup family. It must still
+    kick in when the scan under-splits (one-split small corpora)."""
+    from pyspark.sql import functions as F
+
+    from zync_spark.functions import dedup as D
+
+    target = spark.sparkContext.defaultParallelism
+
+    def docs(n_parts):
+        # spark.range with an explicit partition count: parallel WITHOUT
+        # introducing its own round-robin exchange into the plan
+        return spark.range(0, 256, 1, n_parts).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ", F.lit("alpha beta gamma delta epsilon"),
+                F.col("id").cast("string"),
+            ).alias("text"),
+        )
+
+    def plan(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    for build in (
+        lambda d: D.doc_shingles(d, "doc_id", "text"),
+        lambda d: D.simhash(d, "doc_id", "text"),
+        lambda d: D.minhash_signatures(d, "doc_id", "text"),
+    ):
+        assert "RoundRobinPartitioning" not in plan(build(docs(target))), (
+            "dedup plan reshuffles an already-parallel corpus"
+        )
+        assert "RoundRobinPartitioning" in plan(build(docs(1))), (
+            "under-split corpus no longer spreads to full parallelism"
+        )
+
+
 def test_shuffle_budgets(plans):
     over = {}
     for name, p in plans.items():

@@ -172,7 +172,10 @@ def cmd_log(args) -> int:
     commit_dir = os.path.join(args.lake, args.pool, "_commits")
     if not os.path.isdir(commit_dir):
         raise SystemExit(f"zync-spark: no such pool {args.pool!r} in {args.lake!r}")
-    for path in sorted(glob.glob(os.path.join(commit_dir, "*.json"))):
+    for path in sorted(
+        glob.glob(os.path.join(commit_dir, "*.json")),
+        key=lambda p: int(os.path.basename(p).split(".")[0]),
+    ):
         with open(path) as f:
             m = json.load(f)
         print(json.dumps({

@@ -66,15 +66,21 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition to full parallelism before CPU-heavy per-row expansion.
+    """Repartition to full parallelism before CPU-heavy per-row expansion —
+    but ONLY when the scan under-splits.
 
-    Small corpora arrive as one parquet split; without this, tokenize/
+    Small corpora arrive as one parquet split; without a spread, tokenize/
     md5/explode run on a single core. At real scale the scan already has
-    many splits and this extra round-robin shuffle of (id, text) rows is
-    noise relative to the expansion it parallelizes; tune
-    spark.sql.files.maxPartitionBytes downward instead if the shuffle ever
-    matters."""
+    >= defaultParallelism splits, and a round-robin reshuffle of
+    (id, full document text) would be the single most expensive byte
+    movement in the whole plan for zero semantic effect — so it must NOT
+    be unconditional. We probe the input's partition count (physical
+    planning only, no job) and pass the frame through untouched whenever
+    it is already parallel enough; tune spark.sql.files.maxPartitionBytes
+    downward if finer scan splits are ever needed instead."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
     return df.repartition(target)
 
 

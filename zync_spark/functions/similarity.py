@@ -48,7 +48,13 @@ def cosine_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         norm_expr(F.col(vec_col)).alias("qn"),
     )
-    c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism).select(
+    # Spread only when the scan under-splits (small corpora = one parquet
+    # split); an already-parallel corpus must NOT be round-robin-reshuffled
+    # just to score it (same rule as dedup._spread).
+    target = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < target:
+        corpus = corpus.repartition(target)
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         norm_expr(F.col(vec_col)).alias("cn"),
     )
@@ -225,6 +231,41 @@ def kmeans_assignments(
     return cur.select("vec_id", "cluster", "dist")
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Final k-means centroid vectors as driver-side literals, for coarse
+    quantizers (IVF). Runs the same unrolled Lloyd plan as
+    kmeans_assignments, then reduces each cluster to its float mean —
+    the collect is k rows of dim doubles (KBs), the corpus never moves.
+    Empty clusters simply produce no centroid (cell ids need not be
+    dense)."""
+    asg = kmeans_assignments(df, k, iterations, id_col, vec_col)
+    vecs = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    rows = (
+        vecs.join(asg.select("vec_id", "cluster"), "vec_id")
+        .select("cluster", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda st: st["c"],
+            ).alias("cv")
+        )
+        .collect()
+    )
+    return [
+        (int(r["cluster"]), [float(x) for x in r["cv"]])
+        for r in sorted(rows, key=lambda r: r["cluster"])
+    ]
+
+
 def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[float]]],
                vec_col: str, nprobe: int = 1) -> DataFrame:
     """Attach the `nprobe` nearest coarse-centroid cell ids to each row
@@ -260,25 +301,21 @@ def ivf_ann_topk(
     nprobe: int = 2,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a coarse quantizer of
-    `n_cells` centroids partitions the corpus; each query probes its
-    `nprobe` nearest cells and scores only those candidates.
+    `n_cells` k-means centroids partitions the corpus; each query probes
+    its `nprobe` nearest cells and scores only those candidates.
 
-    The coarse centroids here are sampled deterministically from the corpus
-    (the n_cells smallest xxhash64(id) rows — id-space-agnostic, any ids
-    work) — at production scale you would k-means them; assignment,
-    probing, and candidate-join mechanics (the scale-critical parts) are
-    identical either way. Corpus rows assign to 1 cell; queries probe
-    `nprobe` cells (recall/cost knob). Same output shape as cosine_topk.
+    The coarse centroids are trained with the in-engine Lloyd k-means
+    (kmeans_centroids: corpus never shuffles, only k*dim partial sums do) —
+    real cluster centers, not a hash sample, so cells are balanced and
+    recall doesn't hinge on sampling luck. Corpus rows assign to 1 cell;
+    queries probe `nprobe` cells (recall/cost knob). Same output shape as
+    cosine_topk.
     """
-    cent_rows = (
-        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col("i")), F.col("i"))
-        .limit(n_cells)
-        .collect()
+    centroids = kmeans_centroids(
+        corpus, k=n_cells, iterations=2, id_col=id_col, vec_col=vec_col
     )
-    if not cent_rows:
+    if not centroids:
         raise ValueError("ivf_ann_topk: empty corpus")
-    centroids = [(ci, [float(x) for x in r["v"]]) for ci, r in enumerate(cent_rows)]
 
     c = ivf_assign(
         corpus.select(

@@ -50,6 +50,31 @@ HEADLINE = [
 ]
 
 
+def _scratch_dir(tag: str) -> str:
+    """A /tmp scratch path unique to this process (`/tmp/<tag>.<pid>`), so
+    concurrent runs (e.g. the driver gate and bench on the same scale) never
+    clobber each other's lazily-read files. Stale siblings left by dead pids
+    are reaped here — live ones (pid still exists) are left alone."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+
+    for stale in _glob.glob(f"/tmp/{tag}.*"):
+        try:
+            pid = int(stale.rsplit(".", 1)[-1])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            _shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # pid exists under another uid: leave it
+    return f"/tmp/{tag}.{os.getpid()}"
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -1057,7 +1082,7 @@ def split_hashmod(spark, sf_dir):
                  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                                      ROWS UNBOUNDED PRECEDING) AS cum
           FROM n)
-    SELECT doc_id, shard, n_tokens, (cum - n_tokens) // 2048 AS pack_id
+    SELECT doc_id, shard, n_tokens, ((cum - n_tokens) // 2048)::BIGINT AS pack_id
     FROM c
     """,
 )
@@ -1281,7 +1306,7 @@ def q_funnel(spark, sf_dir):
                  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
           FROM e)
     SELECT vec_id, scale,
-           list_transform(v, x -> floor(x / scale + 0.5)::BIGINT) AS q
+           array_to_string(list_transform(v, x -> floor(x / scale + 0.5)::BIGINT), ',') AS q
     FROM s WHERE scale > 0
     """,
 )
@@ -1290,7 +1315,9 @@ def emb_quantize(spark, sf_dir):
     the standard storage/compute shrink for vector corpora (4x smaller,
     SIMD-friendly). Pure per-row HOFs: no shuffle at any scale. Integer
     outputs make the oracle exact: both engines do the same IEEE divide
-    then floor(x+0.5) half-up rounding (round() would diverge)."""
+    then floor(x+0.5) half-up rounding (round() would diverge). The
+    quantized vector is emitted as a canonical comma-joined string so the
+    result is hashable by any harness (list cells aren't)."""
     emb = T(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     s = emb.select(
@@ -1301,8 +1328,12 @@ def emb_quantize(spark, sf_dir):
     return s.select(
         "vec_id",
         "scale",
-        F.transform(
-            F.col("v"), lambda x: F.floor(x / F.col("scale") + 0.5).cast("long")
+        F.array_join(
+            F.transform(
+                F.col("v"),
+                lambda x: F.floor(x / F.col("scale") + 0.5).cast("long").cast("string"),
+            ),
+            ",",
         ).alias("q"),
     )
 
@@ -1563,9 +1594,10 @@ def etl_invoices(spark, sf_dir):
     from zync_spark.etl import EtlPipeline, load_config
     from zync_spark.pool import Pool
 
-    # fixed path rebuilt per call: repeated gate runs must not accumulate
-    # temp lakes (the returned frame reads these files lazily)
-    lake = "/tmp/zs-etl-invoices"
+    # pid-suffixed path: the returned frame reads these files lazily, so a
+    # concurrent run (gate + bench) must not clobber a live lake. Stale
+    # siblings from dead pids are reaped so repeated runs don't accumulate.
+    lake = _scratch_dir("zs-etl-invoices")
     shutil.rmtree(lake, ignore_errors=True)
     raw = Pool.create(spark, f"{lake}/Raw")
     staging = Pool.create(spark, f"{lake}/Staging")
@@ -1742,11 +1774,11 @@ def multimodal_frames(spark, sf_dir):
 
 @register("ann_ivf_topk")
 def ann_ivf_topk(spark, sf_dir):
-    """IVF approximate nearest neighbors: deterministic coarse quantizer
-    (16 cells), corpus assigned to 1 cell, queries probe 2 — the classic
-    inverted-file ANN layout (functions/similarity.py). Approximate by
-    construction → rows-only; ann_cosine_topk is the exact oracle-checked
-    twin."""
+    """IVF approximate nearest neighbors: k-means-trained coarse quantizer
+    (16 cells, in-engine Lloyd — corpus never shuffles), corpus assigned to
+    1 cell, queries probe 2 — the classic inverted-file ANN layout
+    (functions/similarity.py). Approximate by construction → rows-only;
+    ann_cosine_topk is the exact oracle-checked twin."""
     emb = T(spark, sf_dir, "embeddings")
     return S.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
                           n_cells=16, nprobe=2)
@@ -2800,10 +2832,10 @@ def rollup_incremental(spark, sf_dir):
         F.lit("data").alias("zed_type"),
         F.struct("event_type", "value").alias("value"),
     )
-    # fixed per-scale path, rebuilt idempotently: repeated gate/bench runs
-    # must not accumulate event-table copies in /tmp (the returned frame
-    # reads these files lazily, so they cannot be deleted on exit instead)
-    lake = f"/tmp/zs-rollup-{sf_dir.rstrip('/').rsplit('/', 1)[-1]}"
+    # pid-suffixed per-scale path: the returned frame reads these files
+    # lazily, so a concurrent run (gate + bench on the same scale) must not
+    # clobber a live lake; stale siblings from dead pids are reaped.
+    lake = _scratch_dir(f"zs-rollup-{sf_dir.rstrip('/').rsplit('/', 1)[-1]}")
     shutil.rmtree(lake, ignore_errors=True)
     src = Pool.create(spark, f"{lake}/src")
     dest = Pool.create(spark, f"{lake}/summary")

@@ -58,7 +58,27 @@ def read_long(data: bytes, pos: int) -> tuple[int, int]:
 
 
 def encode_value(buf: bytearray, schema, value) -> None:
-    if isinstance(schema, list):  # union — always ["null", T] here
+    if isinstance(schema, list):  # union
+        non_null = [s for s in schema if s != "null"]
+        if len(non_null) > 1:
+            # General union: `value` is the tagged-struct mapping
+            # (tag = raw union selector, b<i>_<label> = branch value) —
+            # see avro_schema.from_avro_schema / union_branch_label.
+            from zync_spark.sources.avro_schema import union_branch_label
+
+            if value is None:
+                write_long(buf, schema.index("null"))
+                return
+            branch = int(value["tag"])
+            if not 0 <= branch < len(schema):
+                raise ValueError(f"union tag {branch} out of range 0..{len(schema)-1}")
+            write_long(buf, branch)
+            sub = schema[branch]
+            if sub != "null":
+                encode_value(
+                    buf, sub, value.get(f"b{branch}_{union_branch_label(sub)}")
+                )
+            return
         if value is None:
             write_long(buf, schema.index("null"))
             return
@@ -111,6 +131,26 @@ def encode_value(buf: bytearray, schema, value) -> None:
 def decode_value(data: bytes, pos: int, schema):
     if isinstance(schema, list):
         branch, pos = read_long(data, pos)
+        if not 0 <= branch < len(schema):
+            raise ValueError(
+                f"bad union selector {branch} (union has {len(schema)} branches)"
+            )
+        non_null = [s for s in schema if s != "null"]
+        if len(non_null) > 1:
+            # General union → tagged struct, mirroring the reference's
+            # tagged container (zavro/decoder.go:140-161): the raw selector
+            # plus one nullable field per non-null branch.
+            from zync_spark.sources.avro_schema import union_branch_label
+
+            out = {"tag": branch}
+            for i, s in enumerate(schema):
+                if s != "null":
+                    out[f"b{i}_{union_branch_label(s)}"] = None
+            sub = schema[branch]
+            if sub != "null":
+                v, pos = decode_value(data, pos, sub)
+                out[f"b{branch}_{union_branch_label(sub)}"] = v
+            return out, pos
         return decode_value(data, pos, schema[branch])
     if isinstance(schema, dict):
         t = schema["type"]

@@ -78,6 +78,13 @@ def zed_type_string(dt: DataType) -> str:
         return "{" + inner + "}"
     if isinstance(dt, ArrayType):
         return "[" + zed_type_string(dt.elementType) + "]"
+    from pyspark.sql.types import MapType
+
+    if isinstance(dt, MapType):
+        return (
+            "|{" + zed_type_string(dt.keyType) + ":"
+            + zed_type_string(dt.valueType) + "}|"
+        )
     for typ, name in _ZED_PRIMITIVES:
         if isinstance(dt, typ):
             return name
@@ -145,9 +152,28 @@ def schema_json(dt: StructType, namespace: str = "") -> str:
     return json.dumps(to_avro_schema(dt, namespace), indent=4)
 
 
+def union_branch_label(schema) -> str:
+    """Deterministic field name for a union branch in the tagged-struct
+    mapping: the avro type name (records use their record name). Avro
+    forbids duplicate unnamed types and same-named records within one
+    union, so labels are unique; the raw union index is prefixed anyway
+    so the tag ↔ field correspondence is explicit."""
+    if isinstance(schema, str):
+        return schema
+    t = schema.get("type")
+    if t == "record":
+        return schema["name"]
+    return t
+
+
 def from_avro_schema(schema) -> DataType:
     """Avro schema (parsed JSON) → Spark type. Two-element null unions
-    collapse to the plain nullable type (zavro/schema.go:197-224)."""
+    collapse to the plain nullable type (zavro/schema.go:197-224); general
+    multi-branch unions — which the reference maps to Zed unions
+    (zavro/schema.go:233-244) and Spark has no native type for — map to a
+    struct of nullable branch fields plus a `tag` column holding the raw
+    union selector index (SURVEY §1.3), mirroring the reference decoder's
+    tagged container (zavro/decoder.go:140-161)."""
     from pyspark.sql.types import StructField
 
     if isinstance(schema, str):
@@ -168,7 +194,14 @@ def from_avro_schema(schema) -> DataType:
         branches = [s for s in schema if s != "null"]
         if len(branches) == 1:
             return from_avro_schema(branches[0])
-        raise TypeError("non-null unions map to variant records; not supported here")
+        fields = [StructField("tag", LongType())]
+        for i, s in enumerate(schema):
+            if s == "null":
+                continue
+            fields.append(
+                StructField(f"b{i}_{union_branch_label(s)}", from_avro_schema(s))
+            )
+        return StructType(fields)
     t = schema.get("type")
     if t == "record":
         return StructType(

@@ -11,6 +11,14 @@ into the schema's shape).
 Type mapping (connectjson/connectjson.go:102-155): int8..int64, float,
 double, boolean, string, bytes (base64 — Spark's to_json/from_json already
 base64-codes BinaryType), struct with named fields; all fields optional.
+
+Beyond the reference: arrays ({"type":"array","items":...}) and maps
+({"type":"map","keys":...,"values":...}) are supported on BOTH sides —
+the reference's schema decoder errors on them ("array type unimplemented",
+connectjson.go:252-255) even though its value walker can traverse maps
+(connectjson.go:402-418). Map payloads use the JSON-object form (keys
+serialized as strings, as Spark's to_json/from_json do); the Connect
+list-of-pairs form for non-string keys is not emitted.
 """
 
 from __future__ import annotations
@@ -20,6 +28,7 @@ import json
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     BooleanType,
     ByteType,
@@ -28,8 +37,10 @@ from pyspark.sql.types import (
     FloatType,
     IntegerType,
     LongType,
+    MapType,
     ShortType,
     StringType,
+    StructField,
     StructType,
     TimestampType,
 )
@@ -62,10 +73,60 @@ def connect_schema(dt: DataType, name: str | None = None) -> dict:
             "optional": True,
             **({"name": name} if name else {"name": "zng." + record_name(dt)}),
         }
+    if isinstance(dt, ArrayType):
+        return {
+            "type": "array",
+            "items": connect_schema(dt.elementType),
+            "optional": True,
+        }
+    if isinstance(dt, MapType):
+        return {
+            "type": "map",
+            "keys": connect_schema(dt.keyType),
+            "values": connect_schema(dt.valueType),
+            "optional": True,
+        }
     for typ, tname in _CONNECT_PRIMITIVES:
         if isinstance(dt, typ):
             return {"type": tname, "optional": True}
     raise TypeError(f"no connect mapping for {dt.simpleString()}")
+
+
+_CONNECT_TO_SPARK = {
+    "int8": ByteType(),
+    "int16": ShortType(),
+    "int32": IntegerType(),
+    "int64": LongType(),
+    "float": FloatType(),
+    "double": DoubleType(),
+    "boolean": BooleanType(),
+    "string": StringType(),
+    "bytes": BinaryType(),
+}
+
+
+def from_connect_schema(cs: dict) -> DataType:
+    """Connect schema object → Spark type, for schema-on-read of payloads
+    whose embedded schema is the only type source. Covers the reference's
+    decoder surface (connectjson.go:230-268) PLUS arrays and maps, which
+    the reference leaves unimplemented (connectjson.go:252-255)."""
+    t = cs.get("type")
+    if t == "struct":
+        return StructType(
+            [
+                StructField(f["field"], from_connect_schema(f))
+                for f in cs.get("fields") or []
+            ]
+        )
+    if t == "array":
+        return ArrayType(from_connect_schema(cs["items"]))
+    if t == "map":
+        return MapType(
+            from_connect_schema(cs["keys"]), from_connect_schema(cs["values"])
+        )
+    if t in _CONNECT_TO_SPARK:
+        return _CONNECT_TO_SPARK[t]
+    raise TypeError(f"unknown type {t!r} in Connect schema")
 
 
 def encode(col: Column, dt: StructType, name: str | None = None) -> Column:

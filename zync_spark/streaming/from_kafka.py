@@ -258,18 +258,19 @@ class FromKafka:
                     "spark-sql-kafka connector not on the classpath; "
                     "add org.apache.spark:spark-sql-kafka-0-10_2.13 to spark.jars.packages"
                 )
-            if partitions:
-                by_part = self.resume_offsets_by_partition()
-                starting = {
-                    t: {
-                        str(p): by_part.get(t, {}).get(p, -2)
-                        for p in range(partitions.get(t, 1))
-                    }
-                    for t in self.topic_pools
-                }
-            else:
-                resume = self.resume_offsets()
-                starting = {t: {"0": o} for t, o in resume.items()}
+            # Always build per-partition starting offsets: known partitions
+            # resume at their stored cursor, partitions we haven't seen yet
+            # (or beyond the declared count) start at -2 (earliest) and rely
+            # on the replay filter in commit_batch for dedup. The old
+            # partition-0-only shape made Spark's specific-offset
+            # startingOffsets reject or mis-start unlisted partitions.
+            by_part = self.resume_offsets_by_partition()
+            starting = {}
+            for t in self.topic_pools:
+                known = by_part.get(t, {})
+                n = max(partitions.get(t, 1) if partitions else 1,
+                        max(known, default=-1) + 1)
+                starting[t] = {str(p): known.get(p, -2) for p in range(n)}
             frame = read_stream(self.spark, config or {}, list(self.topic_pools),
                                 starting, max_offsets_per_trigger=thresh)
         frame = frame.selectExpr(

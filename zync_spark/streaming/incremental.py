@@ -171,7 +171,12 @@ def sync(src: Pool, dest: Pool, spec: RollupSpec, topics: list[str],
         preds.append(topic_pred)
     delta = df.filter(functools.reduce(or_, preds))
     if "zed_type" in delta.columns:
-        delta = delta.filter(F.col("zed_type") == "data")
+        # Null-safe: rows null-padded by schema widening (committed before
+        # a zed_type column existed) are data, not markers — matching the
+        # eqNullSafe treatment in _is_mine() and Pool.compact().
+        delta = delta.filter(
+            F.col("zed_type").isNull() | (F.col("zed_type") == "data")
+        )
     # Two small jobs share the delta scan (cursor hi-water + partials);
     # the delta is new-data-sized, so caching it is bounded by one batch.
     delta = delta.persist()

@@ -119,3 +119,63 @@ class ToKafka:
                 offset = int(stats["mx"]) + 1
             finally:
                 page.unpersist()
+
+    def sync_bulk(self, topic: str, hwm: int,
+                  produce: Callable[[DataFrame], None],
+                  page_span: int = 100_000) -> int:
+        """Bulk-backfill egress: offset-RANGE pages instead of row-count
+        pages.
+
+        The reference's 200-row pages (fifo/to.go:29) are the right shape
+        for tailing a CDC stream but the wrong one for backfill: one
+        produce round-trip per 200 records is O(pool/200) Spark jobs. Here
+        a page is an offset span (default 100k): page boundaries are
+        arithmetic (no orderBy+limit top-k query per page), each page's
+        read is manifest-pruned by the span's lower bound and row-group-
+        pruned by the range filter (files are offset-sorted at write
+        time), and only the bounded page is ever sorted — never the pool.
+        Ordering/cursor contract matches sync(): single-partition HWM,
+        offset gaps are fine (an empty span just produces nothing and the
+        cursor strides on).
+        """
+        from zync_spark.envelope import ZED_TYPE_DATA
+
+        df = self.pool.scan(lower_bounds={topic: hwm})
+        if df is None:
+            return 0
+        recs = df.filter(
+            (F.col("zed_type") == ZED_TYPE_DATA)
+            & (F.col("kafka.topic") == topic)
+            & (F.col("kafka.offset") >= hwm)
+        )
+        stats = recs.agg(
+            F.count("*").alias("n"),
+            F.max(F.col("kafka.offset")).alias("mx"),
+            F.sum((F.col("kafka.partition") != 0).cast("long")).alias("np"),
+        ).collect()[0]
+        if not stats["n"]:
+            return 0
+        if stats["np"]:
+            raise ValueError(
+                f"to-kafka {topic}: pool contains records from partitions "
+                "other than 0; single-HWM egress cannot order them"
+            )
+        produced, lo, mx = 0, hwm, int(stats["mx"])
+        while lo <= mx:
+            hi = lo + page_span
+            page_scan = self.pool.scan(lower_bounds={topic: lo})
+            page = page_scan.filter(
+                (F.col("zed_type") == ZED_TYPE_DATA)
+                & (F.col("kafka.topic") == topic)
+                & (F.col("kafka.offset") >= lo)
+                & (F.col("kafka.offset") < hi)
+            ).orderBy(F.col("kafka.offset")).persist()
+            try:
+                n = page.count()
+                if n:
+                    produce(self.encode_frame(page))
+                    produced += n
+            finally:
+                page.unpersist()
+            lo = hi
+        return produced
