@@ -25,12 +25,87 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from zync_spark.queries import HEADLINE, QUERIES
+from zync_spark.queries import HEADLINE, ORACLE_SQL, QUERIES
 from zync_spark.session import get_spark
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
 
 
 def _materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
+
+
+def _duckdb_headline(sf_dir: str) -> dict[str, float]:
+    """Min-of-4 DuckDB timings for every headline query that has an oracle
+    (same SQL the correctness gate runs) — the single-node baseline the
+    judge compares against, emitted here so every BENCH_r{N}.json is
+    self-contained and machine-diffable."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={os.cpu_count()}")
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        sql = ORACLE_SQL.get(name)
+        if sql is None:
+            continue
+        runs = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            con.sql(sql).fetchall()
+            runs.append(time.perf_counter() - t0)
+        out[name] = round(min(runs), 3)
+    return out
+
+
+def _egress_backfill(spark, sf_dir: str) -> dict[str, float]:
+    """Bulk-egress throughput: backfill the events table from a pool
+    through to_kafka.sync_bulk in 100k-offset pages (encode to
+    Connect-JSON wire bytes, materialize through the noop sink). Pool
+    build time is excluded — the metric is egress, not load."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from zync_spark.pool import Pool
+    from zync_spark.queries import T, _scratch_dir
+    from zync_spark.streaming.to_kafka import ToKafka
+
+    lake = _scratch_dir("zs-bench-egress")
+    shutil.rmtree(lake, ignore_errors=True)
+    pool = Pool.create(spark, f"{lake}/Out")
+    ev = T(spark, sf_dir, "events")
+    env = ev.select(
+        F.struct(
+            F.lit("events").alias("topic"),
+            F.lit(0).cast("long").alias("partition"),
+            F.col("event_id").cast("long").alias("offset"),
+        ).alias("kafka"),
+        F.struct(F.col("event_id").cast("long").alias("ID")).alias("key"),
+        F.struct(
+            F.col("event_type").alias("etype"),
+            F.col("value").cast("string").alias("v"),
+        ).alias("value"),
+        F.lit("data").alias("zed_type"),
+    )
+    pool.load(env, "backfill-src")
+    key_t = StructType([StructField("ID", LongType())])
+    val_t = StructType(
+        [StructField("etype", StringType()), StructField("v", StringType())]
+    )
+    tk = ToKafka(pool, key_t, val_t, format="json")
+    t0 = time.perf_counter()
+    n = tk.sync_bulk("events", hwm=0, produce=_materialize, page_span=100_000)
+    dt = time.perf_counter() - t0
+    shutil.rmtree(lake, ignore_errors=True)
+    return {"rows": n, "sec": round(dt, 3),
+            "rows_per_sec": round(n / dt) if dt else None}
 
 
 def main() -> None:
@@ -64,6 +139,12 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
+
+    duck = _duckdb_headline(sf_dir)
+    spark_subtotal = round(sum(timings[k] for k in duck), 3)
+    duck_subtotal = round(sum(duck.values()), 3)
+    egress = _egress_backfill(spark, sf_dir)
+
     print(
         json.dumps(
             {
@@ -73,6 +154,13 @@ def main() -> None:
                 "queries": timings,
                 "cold_queries": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # vs the DuckDB single-node baseline on the SAME oracle SQL,
+                # over the headline queries that have oracles: <1 = faster
+                "bench_vs_duck": (
+                    round(spark_subtotal / duck_subtotal, 3) if duck_subtotal else None
+                ),
+                "duck_queries": duck,
+                "egress_backfill_100k": egress,
             }
         )
     )
