@@ -1577,14 +1577,25 @@ def stream_dedup(spark, sf_dir):
     return run_to_memory(deduped, output_mode="append")
 
 
-@register("etl_invoices")
+@register(
+    "etl_invoices",
+    """
+    SELECT topic, "offset", zed_type, key_id, value_id, customer, item,
+           invoice_status
+    FROM '/root/repo/tests/golden/etl_invoices.parquet'
+    """,
+)
 def etl_invoices(spark, sf_dir):
     """The flagship reference scenario as a catalog entry: run the full
     4-batch Debezium invoices CDC ETL (anti-join dedup, switch routing,
     denorm join, typed-null cast, offset assignment, atomic commits,
     idempotent reruns) in a temp lake and return the final staging state.
-    Rows-only check (inputs are the reference's demo fixtures, not the
-    sf tables; golden-asserted in tests/test_etl_invoices.py)."""
+
+    The inputs are the reference's demo fixtures (ztests/etl-demo.yaml),
+    so the final Staging state is fully deterministic — the oracle is a
+    golden parquet of that state (regenerate with
+    tools/regen_goldens.py), making this a hash-checked row, not
+    rows-only. Also golden-asserted in tests/test_etl_invoices.py."""
     import shutil
     import sys
 
