@@ -1113,6 +1113,227 @@ def pack_sequences(spark, sf_dir):
 
 
 @register(
+    "mix_weighted",
+    """
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE WHEN source IN ('src0','src1','src2','src3') THEN 20000
+                  WHEN source IN ('src4','src5','src6','src7') THEN 12500
+                  WHEN source IN ('src8','src9') THEN 5000
+                  ELSE 1000 END AS wt_bp,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS h
+      FROM documents),
+    c AS (SELECT doc_id, source,
+                 wt_bp // 10000
+                 + CASE WHEN h < wt_bp % 10000 THEN 1 ELSE 0 END AS copies
+          FROM w),
+    e AS (SELECT doc_id, source,
+                 unnest(generate_series(1, copies)) AS ep FROM c)
+    SELECT doc_id, source, (ep - 1)::BIGINT AS epoch FROM e
+    """,
+)
+def mix_weighted(spark, sf_dir):
+    """Training-mixture construction: per-source sampling weights in basis
+    points (2.0x, 1.25x, 0.5x, 0.1x here) — integer part = whole-epoch
+    upsampling (the doc repeats with an epoch index), fractional part =
+    deterministic hash-threshold subsampling. This is the data-mixing
+    step every LLM pretraining run performs (downweight crawl, upsample
+    curated sources). All-integer arithmetic (basis points, md5-mod
+    threshold) so both engines agree exactly; pure map + explode — zero
+    shuffle at any scale, and reproducible under any partitioning (unlike
+    rand()-based sampling)."""
+    docs = T(spark, sf_dir, "documents")
+    wt_bp = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3"), 20000)
+        .when(F.col("source").isin("src4", "src5", "src6", "src7"), 12500)
+        .when(F.col("source").isin("src8", "src9"), 5000)
+        .otherwise(1000)
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 10000
+    )
+    copies = (
+        F.floor(wt_bp / F.lit(10000.0)).cast("int")
+        + F.when(h < wt_bp % 10000, 1).otherwise(0)
+    )
+    return (
+        docs.select("doc_id", "source", copies.alias("copies"))
+        .select(
+            "doc_id", "source",
+            F.posexplode(F.array_repeat(F.lit(1), F.col("copies"))).alias(
+                "epoch", "__one"
+            ),
+        )
+        .select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
+    )
+
+
+@register(
+    "text_ppl_unigram",
+    """
+    WITH t AS (SELECT doc_id,
+                      unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+               FROM documents),
+    n AS (SELECT count(*) AS total FROM t),
+    v AS (SELECT tok, count(*) AS df FROM t GROUP BY tok),
+    s AS (SELECT t.doc_id,
+                 floor(-ln(v.df::DOUBLE / n.total) * 1000000)::BIGINT AS unats
+          FROM t JOIN v USING (tok) CROSS JOIN n)
+    SELECT doc_id, count(*) AS n_tokens,
+           (sum(unats) // count(*))::BIGINT AS avg_surprisal_unats
+    FROM s GROUP BY doc_id
+    """,
+)
+def text_ppl_unigram(spark, sf_dir):
+    """Per-document cross-entropy under the corpus unigram LM — the
+    perplexity-style quality score used to filter training corpora (a doc
+    of globally-rare tokens scores high). Per-token surprisal is
+    quantized to integer micro-nats BEFORE aggregation, making the sums
+    exact and order-independent (double addition order is
+    nondeterministic under shuffling by design; ln() itself agrees across
+    engines far below the 1e-6 grain).
+
+    Scale: token rows combine map-side into the vocabulary (Zipf-bounded,
+    orders of magnitude smaller than the corpus); the token→df join
+    shuffles on the token string once; per-doc reduce is the second
+    exchange. The corpus total is a 1-row broadcast."""
+    docs = T(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    v = t.groupBy("tok").agg(F.count("*").alias("df"))
+    tot = t.agg(F.count("*").alias("total"))
+    s = (
+        t.join(v, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.floor(
+                -F.log(F.col("df").cast("double") / F.col("total")) * 1000000
+            ).cast("long").alias("unats"),
+        )
+    )
+    return s.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.expr("sum(unats) div count(*)").alias("avg_surprisal_unats"),
+    )
+
+
+@register(
+    "dedup_prefix",
+    """
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+               FROM documents),
+    p AS (SELECT doc_id, md5(array_to_string(toks[1:4], ' ')) AS pfx
+          FROM t WHERE len(toks) >= 4)
+    SELECT pfx, min(doc_id) AS canonical_id, count(*) AS n_docs
+    FROM p GROUP BY pfx HAVING count(*) >= 2
+    """,
+)
+def dedup_prefix(spark, sf_dir):
+    """Prefix-duplicate detection: group documents sharing their first 4
+    tokens (the boilerplate/header-dup heuristic crawl pipelines run
+    before expensive near-dup passes — identical openings flag template
+    pages). Hashing the prefix BEFORE the groupBy means only 16-byte
+    digests shuffle, never text — same posture as exact dedup."""
+    docs = T(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    p = docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(toks, 1, 4), " ")).alias("pfx"),
+        F.size(toks).alias("__n"),
+    ).filter(F.col("__n") >= 4)
+    return (
+        p.groupBy("pfx")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT sum(l_extendedprice::DECIMAL(12,2) * l_discount::DECIMAL(4,2))::DOUBLE
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: the pure filter-and-aggregate query — every
+    predicate pushes into the parquet scan (shipdate range, discount
+    band, quantity cap), zero joins, one scalar decimal-exact sum. The
+    canonical predicate-pushdown showcase: at 100 TB the scan reads only
+    row groups whose min/max stats overlap the filters."""
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            ).cast("double").alias("revenue")
+        )
+    )
+
+
+@register(
+    "q18_large_volume",
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity::DECIMAL(12,2)) > 250)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           sum(l.l_quantity::DECIMAL(12,2))::DOUBLE AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN big ON big.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): a HAVING-filtered
+    aggregate over the fact table semi-joins back onto itself, then
+    enriches with dims. Scale: the `big` order-key set is the output of a
+    map-side-combined sum (tiny — keys over threshold), so it BROADCASTS
+    into the fact join; lineitem shuffles once on l_orderkey for the
+    final group. Deterministic top-100 by (totalprice desc, orderkey)."""
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("__q"))
+        .filter(F.col("__q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(F.broadcast(big), "l_orderkey")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double").alias("total_qty")
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
     "q_gapfill",
     """
     WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, value FROM events),
@@ -1916,7 +2137,7 @@ def q_salted_join(spark, sf_dir):
     """
     SELECT event_type,
            count(*) AS n,
-           sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+           sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
            max(json_extract(props, '$.k')::BIGINT) AS max_k
     FROM events
     GROUP BY event_type
@@ -1940,11 +2161,11 @@ def q_json_extract(spark, sf_dir):
     "q_pivot",
     """
     SELECT user_id % 10 AS cohort,
-           sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
-           sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
-           sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-           sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup
+           sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END)::BIGINT AS n_click,
+           sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END)::BIGINT AS n_view,
+           sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END)::BIGINT AS n_error,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+           sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END)::BIGINT AS n_signup
     FROM events
     GROUP BY user_id % 10
     """,
@@ -2035,7 +2256,7 @@ def stream_dedup_watermarked(spark, sf_dir):
              floor(unnest(embedding)::DOUBLE * 1048576)::BIGINT AS xs
       FROM embeddings)
     SELECT cluster, pos,
-           sum(xs) AS sum_scaled,
+           sum(xs)::BIGINT AS sum_scaled,
            count(*) AS n,
            sum(xs) / (count(*) * 1048576.0) AS mean_x
     FROM pos GROUP BY cluster, pos
