@@ -197,6 +197,49 @@ def test_to_kafka_bulk_sync(spark, tmp_path):
     assert tk.sync_bulk("T", hwm=100, produce=lambda df: None) == 0
 
 
+def test_to_kafka_sync_partitions(spark, tmp_path):
+    """Per-partition egress: each partition resumes at its own HWM, pages
+    carry only that partition's offset sequence, and the legacy
+    single-partition pager still errors loudly on mixed pools."""
+    pool = Pool.create(spark, str(tmp_path / "Multi"))
+    rows = [
+        (("T", p, o), (o,), ("c", f"p{p}o{o}"), "data")
+        for p in (0, 1) for o in range(4)
+    ]
+    env_schema = S(
+        [
+            Fld("kafka", S([Fld("topic", StringType()), Fld("partition", LongType()), Fld("offset", LongType())])),
+            Fld("key", KEY_T),
+            Fld("value", VAL_T),
+            Fld("zed_type", StringType()),
+        ]
+    )
+    pool.load(spark.createDataFrame(rows, env_schema))
+
+    tk = ToKafka(pool, KEY_T, VAL_T, format="json", batch_size=3)
+    # legacy strict mode refuses the mixed pool
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="partitions other than 0"):
+        tk.sync("T", hwm=0, produce=lambda df: None)
+
+    pages = []
+    got = tk.sync_partitions(
+        "T", {0: 2, 1: 0}, produce=lambda df: pages.append(df.collect())
+    )
+    assert got == {0: 2, 1: 4}
+    flat = [(r["offset"]) for p in pages for r in p]
+    assert flat == [2, 3, 0, 1, 2, 3]  # partition 0 tail, then partition 1
+    # bulk variant produces the same record set
+    pages2 = []
+    got2 = tk.sync_partitions(
+        "T", {0: 2, 1: 0}, produce=lambda df: pages2.append(df.collect()),
+        bulk=True, page_span=10,
+    )
+    assert got2 == got
+    assert [r["offset"] for p in pages2 for r in p] == flat
+
+
 def test_to_kafka_already_synced(spark, tmp_path):
     pool = Pool.create(spark, str(tmp_path / "Out2"))
     tk = ToKafka(pool, KEY_T, VAL_T, format="json")

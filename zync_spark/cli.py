@@ -316,11 +316,18 @@ def cmd_to_kafka(args) -> int:
     pool = _pool(spark, args.lake, args.pool or args.topic)
     key_t, val_t = _schemas(args)
     tk = ToKafka(pool, key_t, val_t, format=args.format, batch_size=args.batch_size)
+    bulk = getattr(args, "bulk", False)
+
+    def _sync(topic, hwm, produce):
+        if bulk:
+            return tk.sync_bulk(topic, hwm, produce, page_span=args.page_span)
+        return tk.sync(topic, hwm, produce)
+
     if args.transport.startswith("file:"):
         from zync_spark.sources.filequeue import FileQueue
 
         queue = FileQueue(args.transport[len("file:"):])
-        produced = tk.sync(args.topic, queue.end_offset(args.topic), queue.produce_frame)
+        produced = _sync(args.topic, queue.end_offset(args.topic), queue.produce_frame)
     else:
         from zync_spark.sources.kafka import kafka_available
 
@@ -335,7 +342,7 @@ def cmd_to_kafka(args) -> int:
 
         row = frame.agg(F.max("offset").alias("mx")).collect()[0]
         hwm = 0 if row["mx"] is None else row["mx"] + 1
-        produced = tk.sync(
+        produced = _sync(
             args.topic, hwm, lambda df: write_batch(df, config, args.topic)
         )
     print(f"produced {produced} records to topic {args.topic}")
@@ -462,6 +469,10 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("to-kafka", help="pool -> topic egress from the HWM")
     _transport_args(p)
     p.add_argument("--batch-size", type=int, default=200)
+    p.add_argument("--bulk", action="store_true",
+                   help="backfill mode: offset-range pages (--page-span) "
+                        "instead of 200-row pages — one produce per span")
+    p.add_argument("--page-span", type=int, default=100_000)
     p.add_argument("--config", default=None)
     p.set_defaults(fn=cmd_to_kafka)
 

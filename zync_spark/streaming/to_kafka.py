@@ -69,19 +69,23 @@ class ToKafka:
         return frame
 
     def sync(self, topic: str, hwm: int,
-             produce: Callable[[DataFrame], None]) -> int:
+             produce: Callable[[DataFrame], None],
+             partition: int | None = None) -> int:
         """Produce pool records of `topic` with offset >= hwm, in offset
         order, paged by batch_size; returns records produced. Exits when
         the pool is drained (fifo/to.go:42-53).
 
-        Egress shares the reference's single-partition contract (the HWM
-        is one offset sequence, fifo/consumer.go:59-63); records from
-        other partitions in the page are an error, never silently
-        mis-ordered. Offsets may have gaps (compaction, transaction
-        markers), so the cursor advances to max(page offset)+1 — never by
-        row count. Each page is persisted so bookkeeping and produce see
-        the SAME rows even if the pool advances mid-page, and the scan is
-        manifest-pruned by the cursor (O(new data), not O(pool size))."""
+        With `partition=None` (default) egress keeps the reference's
+        single-partition contract (the HWM is one offset sequence,
+        fifo/consumer.go:59-63): records from other partitions in the
+        page are an error, never silently mis-ordered. With an explicit
+        `partition`, only that partition's sequence is produced (see
+        sync_partitions for the multi-partition driver). Offsets may have
+        gaps (compaction, transaction markers), so the cursor advances to
+        max(page offset)+1 — never by row count. Each page is persisted
+        so bookkeeping and produce see the SAME rows even if the pool
+        advances mid-page, and the scan is manifest-pruned by the cursor
+        (O(new data), not O(pool size))."""
         from zync_spark.envelope import ZED_TYPE_DATA
 
         produced = 0
@@ -90,14 +94,15 @@ class ToKafka:
             df = self.pool.scan(lower_bounds={topic: offset})
             if df is None:
                 return produced
+            pred = (
+                (F.col("zed_type") == ZED_TYPE_DATA)
+                & (F.col("kafka.topic") == topic)
+                & (F.col("kafka.offset") >= offset)
+            )
+            if partition is not None:
+                pred = pred & (F.col("kafka.partition") == partition)
             page = (
-                df.filter(
-                    (F.col("zed_type") == ZED_TYPE_DATA)
-                    & (F.col("kafka.topic") == topic)
-                    & (F.col("kafka.offset") >= offset)
-                )
-                .orderBy(F.col("kafka.offset"))
-                .limit(self.batch_size)
+                df.filter(pred).orderBy(F.col("kafka.offset")).limit(self.batch_size)
             ).persist()
             try:
                 stats = page.agg(
@@ -107,11 +112,11 @@ class ToKafka:
                 ).collect()[0]
                 if stats["n"] == 0:
                     return produced
-                if stats["np"]:
+                if partition is None and stats["np"]:
                     raise ValueError(
                         f"to-kafka {topic}: page contains records from "
                         "partitions other than 0; single-HWM egress cannot "
-                        "order them (per-partition egress needs per-partition "
+                        "order them (use sync_partitions with per-partition "
                         "HWMs)"
                     )
                 produce(self.encode_frame(page))
@@ -120,9 +125,36 @@ class ToKafka:
             finally:
                 page.unpersist()
 
+    def sync_partitions(
+        self,
+        topic: str,
+        hwms: dict[int, int],
+        produce: Callable[[DataFrame], None],
+        bulk: bool = False,
+        page_span: int = 100_000,
+    ) -> dict[int, int]:
+        """Multi-partition egress: each Kafka partition is an independent
+        offset sequence with its own high-water mark, exactly mirroring
+        from_kafka's per-(topic, partition) resume. The reference never
+        grew past partition 0 (fifo/consumer.go:59-63); this is the
+        completion of that contract. Partitions sync independently (order
+        only matters within a partition — Kafka's own guarantee), so at
+        scale the per-partition loops are embarrassingly parallel across
+        submitting threads if needed. Returns {partition: produced}."""
+        out: dict[int, int] = {}
+        for p, hwm in sorted(hwms.items()):
+            if bulk:
+                out[p] = self.sync_bulk(
+                    topic, hwm, produce, page_span=page_span, partition=p
+                )
+            else:
+                out[p] = self.sync(topic, hwm, produce, partition=p)
+        return out
+
     def sync_bulk(self, topic: str, hwm: int,
                   produce: Callable[[DataFrame], None],
-                  page_span: int = 100_000) -> int:
+                  page_span: int = 100_000,
+                  partition: int | None = None) -> int:
         """Bulk-backfill egress: offset-RANGE pages instead of row-count
         pages.
 
@@ -143,11 +175,13 @@ class ToKafka:
         df = self.pool.scan(lower_bounds={topic: hwm})
         if df is None:
             return 0
-        recs = df.filter(
+        base_pred = (
             (F.col("zed_type") == ZED_TYPE_DATA)
             & (F.col("kafka.topic") == topic)
-            & (F.col("kafka.offset") >= hwm)
         )
+        if partition is not None:
+            base_pred = base_pred & (F.col("kafka.partition") == partition)
+        recs = df.filter(base_pred & (F.col("kafka.offset") >= hwm))
         stats = recs.agg(
             F.count("*").alias("n"),
             F.max(F.col("kafka.offset")).alias("mx"),
@@ -155,18 +189,18 @@ class ToKafka:
         ).collect()[0]
         if not stats["n"]:
             return 0
-        if stats["np"]:
+        if partition is None and stats["np"]:
             raise ValueError(
                 f"to-kafka {topic}: pool contains records from partitions "
-                "other than 0; single-HWM egress cannot order them"
+                "other than 0; single-HWM egress cannot order them "
+                "(use sync_partitions with per-partition HWMs)"
             )
         produced, lo, mx = 0, hwm, int(stats["mx"])
         while lo <= mx:
             hi = lo + page_span
             page_scan = self.pool.scan(lower_bounds={topic: lo})
             page = page_scan.filter(
-                (F.col("zed_type") == ZED_TYPE_DATA)
-                & (F.col("kafka.topic") == topic)
+                base_pred
                 & (F.col("kafka.offset") >= lo)
                 & (F.col("kafka.offset") < hi)
             ).orderBy(F.col("kafka.offset")).persist()
