@@ -144,6 +144,36 @@ def test_q3_q10_pushdown_and_topk(spark):
     assert re.search(PY_NODES, p10) is None
 
 
+def test_q6_pure_pushdown_scan(spark):
+    # Q6 is the pushdown showcase: every predicate reaches the parquet
+    # scan, no join, and the only exchange is the scalar-agg gather
+    p = plan_of(spark, "q6_forecast_revenue")
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", p)
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(l_quantity", p)
+    assert count("BroadcastHashJoin", p) == 0 and count("SortMergeJoin", p) == 0
+    assert n_shuffles(p) <= 1
+    assert re.search(PY_NODES, p) is None
+
+
+def test_q18_broadcasts_having_set(spark):
+    # the HAVING-filtered order-key set and the customer dim broadcast;
+    # lineitem never sort-merge-joins; deterministic top-k is a TopK op
+    p = plan_of(spark, "q18_large_volume")
+    assert count("BroadcastHashJoin", p) >= 2
+    assert count("TakeOrderedAndProject", p) == 1
+    assert re.search(PY_NODES, p) is None
+
+
+def test_mix_and_ppl_shapes(spark):
+    # mixture sampling is a pure map+explode: zero exchanges
+    pm = plan_of(spark, "mix_weighted")
+    assert n_shuffles(pm) == 0 and count("Generate", pm) == 1
+    # unigram surprisal: vocab agg + token join + doc agg, nothing more
+    pp = plan_of(spark, "text_ppl_unigram")
+    assert n_shuffles(pp) <= 5
+    assert re.search(PY_NODES, pp) is None
+
+
 def test_scd2_single_shuffle_no_join(spark):
     # change-detect (lag) and interval-close (lead) share the user_id
     # partitioning: ONE exchange, no join anywhere, and the second window
