@@ -255,6 +255,34 @@ def test_ann_variants_beat_random_sampling(spark):
     assert len(lsh & exact) / len(exact) > 0.0625
 
 
+def test_emb_neardup_lsh_subset_of_exact(spark):
+    """The bucketed near-dup path may only MISS pairs (bucket boundary),
+    never invent them: its output must be a subset of the exact all-pairs
+    result with the same threshold, with nonzero recall, and its join
+    must be bucket-keyed (no full cross product)."""
+    from pyspark.sql import functions as F
+
+    from zync_spark.functions.dedup import embedding_neardup_pairs
+    from zync_spark.queries import T
+
+    emb = T(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, "vec_id", "embedding", 0.45).collect()
+    }
+    lsh_df = embedding_neardup_pairs(
+        emb, "vec_id", "embedding", 0.45, bucket_bits=4
+    )
+    lsh = {(r["id_a"], r["id_b"]) for r in lsh_df.collect()}
+    assert exact, "threshold yields no pairs — test is vacuous"
+    assert lsh <= exact
+    assert len(lsh) / len(exact) > 1 / 16  # beats random bucket assignment
+    plan = lsh_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_salted_join_equals_plain_join(spark):
     from pyspark.sql import functions as F
 

@@ -1601,6 +1601,19 @@ def emb_neardup(spark, sf_dir):
     return D.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45)
 
 
+@register("emb_neardup_lsh")
+def emb_neardup_lsh(spark, sf_dir):
+    """Hyperplane sign-bucket near-duplicate pairs — the scale path of
+    emb_neardup (candidates compared only within a bucket; 2^4 buckets
+    here). Recall < 1 by design → rows-only; the exact all-pairs twin
+    emb_neardup is the oracle-checked baseline, and the subset/recall
+    relation between the two is pinned in tests/test_functions.py."""
+    emb = T(spark, sf_dir, "embeddings")
+    return D.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.45, bucket_bits=4
+    )
+
+
 @register(
     "multimodal_features",
     """
