@@ -152,9 +152,14 @@ def resize_images(df: DataFrame, width: int, height: int,
                 )
             payloads, digests = [], []
             for payload in pdf["payload"]:
-                seed = hashlib.md5(bytes(payload)).digest()
-                # deterministic pseudo-pixels: repeat the md5 to the target size
-                buf = (seed * (width * height // len(seed) + 1))[: width * height]
+                seed = hashlib.md5(bytes(payload)).hexdigest()
+                # deterministic pseudo-pixels: repeat the md5 hex digest to
+                # the target byte size (hex-string form, not raw bytes, so
+                # an external SQL oracle can reproduce the digest chain —
+                # substring(repeat(md5(payload), ...)) — bit-for-bit)
+                buf = (
+                    seed * (width * height // len(seed) + 1)
+                )[: width * height].encode("ascii")
                 payloads.append(buf)
                 digests.append(hashlib.md5(buf).hexdigest())
             yield pd.DataFrame(
@@ -194,7 +199,10 @@ def sample_frames(df: DataFrame, n_frames: int = 4, frame_ms: int = 1000,
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 base = hashlib.md5(bytes(payload)).hexdigest()
                 for i in range(n_frames):
-                    frame = hashlib.md5(f"{base}:{i}".encode()).digest()
+                    # frame payload is the hex digest of (base, idx) — hex
+                    # form so the digest chain is SQL-reproducible:
+                    # md5(md5(payload) || ':' || idx)
+                    frame = hashlib.md5(f"{base}:{i}".encode()).hexdigest().encode("ascii")
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(i)
                     rows["frame_ts_ms"].append(i * frame_ms)

@@ -1994,25 +1994,53 @@ def text_bpe_tokens(spark, sf_dir):
     )
 
 
-@register("multimodal_resize")
+@register(
+    "multimodal_resize",
+    """
+    WITH m AS (SELECT doc_id AS media_id, md5(text) AS seed FROM documents
+               WHERE doc_id < 200),
+    r AS (SELECT media_id,
+                 substring(repeat(seed, (32*16) // 32 + 1), 1, 32*16) AS buf
+          FROM m)
+    SELECT media_id, strlen(buf)::BIGINT AS n_bytes, md5(buf) AS digest,
+           32::BIGINT AS width, 16::BIGINT AS height
+    FROM r
+    """,
+)
 def multimodal_resize(spark, sf_dir):
     """Image-resize stage shape: opaque binary payloads through an
     Arrow-batched mapInPandas resample (deterministic stub — real codecs
-    are deployment dependencies; functions/multimodal.py). Rows-only:
-    payload bytes are not SQL-reproducible."""
+    are deployment dependencies; functions/multimodal.py). The stub's
+    digest chain is hex-string-based, so the oracle reproduces it in SQL
+    and this is a hash-checked row despite the Python stage."""
     docs = T(spark, sf_dir, "documents")
-    media = M.attach_media(docs.limit(200), "doc_id", "text", "image/fake")
+    media = M.attach_media(
+        docs.filter(F.col("doc_id") < 200), "doc_id", "text", "image/fake"
+    )
     out = M.resize_images(media, width=32, height=16, fake=True)
     return out.select("media_id", "n_bytes", "digest", "width", "height")
 
 
-@register("multimodal_frames")
+@register(
+    "multimodal_frames",
+    """
+    WITH m AS (SELECT doc_id AS media_id, md5(text) AS base FROM documents
+               WHERE doc_id < 100),
+    f AS (SELECT media_id, unnest(generate_series(0, 3)) AS fi, base FROM m)
+    SELECT media_id, fi::BIGINT AS frame_idx, (fi * 250)::BIGINT AS frame_ts_ms,
+           md5(md5(base || ':' || fi::VARCHAR)) AS digest
+    FROM f
+    """,
+)
 def multimodal_frames(spark, sf_dir):
     """Video frame-sampling stage shape: each payload row explodes into
     n_frames frame rows (1→N mapInPandas batch contract; deterministic
-    stub). Rows-only: payload bytes are not SQL-reproducible."""
+    stub). Hex-digest frame payloads make the chain SQL-reproducible →
+    hash-checked row."""
     docs = T(spark, sf_dir, "documents")
-    media = M.attach_media(docs.limit(100), "doc_id", "text", "video/fake")
+    media = M.attach_media(
+        docs.filter(F.col("doc_id") < 100), "doc_id", "text", "video/fake"
+    )
     out = M.sample_frames(media, n_frames=4, frame_ms=250, fake=True)
     return out.select("media_id", "frame_idx", "frame_ts_ms", "digest")
 
