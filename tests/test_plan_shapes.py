@@ -199,3 +199,70 @@ def test_profile_single_pass(spark):
     p = plan_of(spark, "q_profile")
     assert count("Scan parquet", p) == 1
     assert re.search(PY_NODES, p) is None
+
+
+def test_q7_broadcast_nations_one_big_shuffle(spark):
+    p = plan_of(spark, "q7_nation_volume")
+    # nation maps and the pruned supplier side broadcast; the only
+    # shuffle join is lineitem x orders on orderkey
+    assert count("BroadcastHashJoin", p) >= 3
+    assert count("SortMergeJoin", p) + count("ShuffledHashJoin", p) <= 1
+    # the two-year shipdate window reaches the lineitem scan
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", p)
+    assert re.search(PY_NODES, p) is None
+
+
+def test_q9_part_filter_prunes_before_broadcast(spark):
+    p = plan_of(spark, "q9_profit_by_nation")
+    # p_size < 10 pushes into the part scan (prune BEFORE broadcast)
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(p_size,10\)", p)
+    assert count("BroadcastHashJoin", p) >= 3
+    # one big shuffle join (lineitem x orders)
+    assert count("SortMergeJoin", p) + count("ShuffledHashJoin", p) <= 1
+    assert re.search(PY_NODES, p) is None
+
+
+def test_q4_semi_join_prunes_orders_at_scan(spark):
+    p = plan_of(spark, "q4_priority_exists")
+    # the quarter window reaches the orders scan
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", p)
+    # EXISTS compiled to a semi join, not an aggregate-distinct-join
+    assert "LeftSemi" in p
+    assert re.search(PY_NODES, p) is None
+
+
+def test_q14_q19_broadcast_part_map_only(spark):
+    for name in ("q14_promo_revenue", "q19_disjunctive_revenue"):
+        p = plan_of(spark, name)
+        # part broadcasts; no shuffle joins at all
+        assert count("BroadcastHashJoin", p) >= 1, name
+        assert count("SortMergeJoin", p) + count("ShuffledHashJoin", p) == 0, name
+        assert re.search(PY_NODES, p) is None, name
+    # q14's month window reaches the lineitem scan
+    p14 = plan_of(spark, "q14_promo_revenue")
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", p14)
+
+
+def test_q22_threshold_broadcasts_back(spark):
+    p = plan_of(spark, "q22_idle_customers")
+    # the 1-row stats threshold is a broadcast nested loop (single row),
+    # the anti join stays a shuffle of pruned keys — never a cartesian of
+    # real data
+    assert "LeftAnti" in p
+    # recent-order date filter pushes into the orders scan
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", p)
+    assert re.search(PY_NODES, p) is None
+
+
+def test_zedpipe_queries_stay_jvm_side(spark):
+    for name in ("zed_shaper_yield", "zed_pipeline_topk", "zed_cut_sort",
+                 "zed_union_agg"):
+        p = plan_of(spark, name)
+        assert re.search(PY_NODES, p) is None, name
+    # the pipeline's sort -r | head 3 collapsed to a top-k
+    p = plan_of(spark, "zed_pipeline_topk")
+    assert "TakeOrderedAndProject" in p
+    # zed_cut_sort's cut prunes text/source out of the scan
+    p = plan_of(spark, "zed_cut_sort")
+    assert re.search(r"ReadSchema: [^\n]*doc_id", p) and "text" not in re.search(
+        r"ReadSchema: [^\n]*", p).group(0)

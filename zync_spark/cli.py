@@ -61,8 +61,14 @@ def cmd_etl(args) -> int:
 
 
 def cmd_query(args) -> int:
-    """Run SQL over the lake: every pool is registered as a view."""
+    """Run a query over the lake: every pool is registered as a view.
+
+    Default dialect is SQL; `--zed` runs a zed pipeline (`from pool | where
+    ... | cut ... | sort ...`) through zedpipe — the reference's own query
+    language (what its users feed the embedded engine, fifo/lake.go:94-106),
+    compiled to the same DataFrame plans."""
     spark = _spark()
+    tables = {}
     for name in sorted(os.listdir(args.lake)):
         # only pool directories (skips checkpoints and foreign files)
         if not os.path.exists(os.path.join(args.lake, name, "pool.json")):
@@ -70,7 +76,13 @@ def cmd_query(args) -> int:
         df = _pool(spark, args.lake, name).scan()
         if df is not None:
             df.createOrReplaceTempView(name)
-    result = spark.sql(args.sql)
+            tables[name] = df
+    if args.zed:
+        from zync_spark.zedpipe import compile_query
+
+        result = compile_query(args.sql, tables)
+    else:
+        result = spark.sql(args.sql)
     if args.explain:
         print(result._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
@@ -401,8 +413,11 @@ def main(argv: list[str] | None = None) -> int:
                         "(analog of `zync etl -zed`)")
     p.set_defaults(fn=cmd_etl)
 
-    p = sub.add_parser("query", help="SQL over lake pools (views per pool)")
+    p = sub.add_parser("query", help="SQL or zed pipeline over lake pools")
     p.add_argument("sql")
+    p.add_argument("--zed", action="store_true",
+                   help="treat the query as a zed pipeline "
+                        "(from pool | where ... | ...) instead of SQL")
     p.add_argument("--explain", action="store_true",
                    help="print the formatted physical plan instead of rows")
     p.set_defaults(fn=cmd_query)

@@ -3608,3 +3608,478 @@ def q_string_agg(spark, sf_dir):
         ),
         F.count_distinct(F.col("o_orderstatus")).alias("n_statuses"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zed pipeline-language queries: these run the reference's OWN query syntax
+# (the text its users put in shaper files and feed the embedded engine,
+# cli/shaper.go:8-22, fifo/lake.go:94-106) through zync_spark.zedpipe — so
+# the evidence here is "the same program text produces the same answer",
+# not just "an equivalent DataFrame plan does".
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "zed_shaper_yield",
+    """
+    SELECT doc_id,
+           upper(lang) AS upper,
+           string_split(text, ' ')[1] AS head_word
+    FROM documents
+    """,
+)
+def zed_shaper_yield(spark, sf_dir):
+    """The documented shaper shape (README.md:78: `yield {upper:
+    to_upper(...), words: split(...)}`) as a zedpipe program over the
+    documents table. Record-literal yield → its fields become the output
+    columns; everything compiles to JVM Columns (map-only, no shuffle)."""
+    from zync_spark.zedpipe import compile_pipeline
+
+    docs = T(spark, sf_dir, "documents")
+    return compile_pipeline(
+        docs,
+        'yield {doc_id: doc_id, upper: to_upper(lang),'
+        ' head_word: split(text, " ")[0]}',
+    )
+
+
+@register(
+    "zed_pipeline_topk",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           count(*) AS n
+    FROM events WHERE value > 100
+    GROUP BY event_type ORDER BY total_cents DESC LIMIT 3
+    """,
+)
+def zed_pipeline_topk(spark, sf_dir):
+    """Multi-stage zed pipeline: filter → summarize by → sort -r → head.
+    Doubles ride as exact cents (the q1 convention) so the aggregate is
+    order-independent. The `sort -r | head 3` tail collapses to Catalyst's
+    TakeOrderedAndProject — a top-k, never a global sort."""
+    from zync_spark.zedpipe import compile_pipeline
+
+    ev = T(spark, sf_dir, "events")
+    return compile_pipeline(
+        ev,
+        "where value > 100"
+        " | put cents := cast(round(value * 100), long)"
+        " | total_cents:=sum(cents), n:=count() by event_type"
+        " | sort -r total_cents"
+        " | head 3",
+    )
+
+
+@register(
+    "zed_cut_sort",
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE n_chars >= 500 ORDER BY n_chars DESC, doc_id LIMIT 20
+    """,
+)
+def zed_cut_sort(spark, sf_dir):
+    """cut → where → sort (multi-key, mixed direction via deterministic
+    tie-break) → head. The cut's column pruning reaches the parquet scan
+    (ReadSchema drops text/source before any byte is decoded)."""
+    from zync_spark.zedpipe import compile_pipeline
+
+    docs = T(spark, sf_dir, "documents")
+    # zed sort is single-direction; emulate DESC n_chars / ASC doc_id
+    # exactly with a negated numeric key, as a reference user would.
+    return compile_pipeline(
+        docs,
+        "cut doc_id, lang, n_chars | where n_chars >= 500"
+        " | put neg := 0 - n_chars | sort neg, doc_id | head 20 | drop neg",
+    )
+
+
+@register(
+    "zed_union_agg",
+    """
+    SELECT source,
+           array_to_string(list_sort(list_distinct(list(lang))), ',')
+             AS langs_csv,
+           count(*) AS n
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def zed_union_agg(spark, sf_dir):
+    """zed's set-valued union() aggregate + the join() stdlib fold, all in
+    pipeline text: union(lang) collects the distinct language set (sorted,
+    so deterministic under any partitioning), join() flattens it for the
+    engine-portable comparison. One shuffle of (source, lang) pairs."""
+    from zync_spark.zedpipe import compile_pipeline
+
+    docs = T(spark, sf_dir, "documents")
+    return compile_pipeline(
+        docs,
+        'summarize langs:=union(lang), n:=count() by source'
+        ' | put langs_csv := join(langs, ",")'
+        " | drop langs | sort source",
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shape breadth (round 2): the remaining classic join/agg shapes the
+# corpus supports (no partsupp / commitdate / receiptdate columns exist in
+# the testdata, so Q2/Q11/Q16/Q20/Q21 have no analog; Q4/Q9/Q17/Q19/Q22 are
+# adapted to the available columns and documented as such). All money math
+# rides exact decimals or integer cents — never raw double summation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_priority_exists",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape (EXISTS → semi join → grouped count); the reference's
+    corpus has no commit/receipt dates, so the late-line predicate is
+    l_shipdate > o_orderdate. Scale: the quarter filter prunes orders at
+    the scan BEFORE the semi join, and the semi join ships only
+    (l_orderkey, l_shipdate) — never full lineitems; the grouped count is
+    a tiny second shuffle."""
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q7_nation_volume",
+    """
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           sum(l.l_extendedprice::DECIMAL(12,2)
+               * (1 - l.l_discount::DECIMAL(4,2)))::DOUBLE AS revenue
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+    WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1998-01-01'
+      AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 (volume shipping between two nations, both directions, by
+    year). Scale: both nation maps broadcast; supplier and customer prune
+    to the two nations BEFORE touching the facts, so the disjunctive
+    nation-pair test runs on two already-tiny sides; lineitem⋈orders on
+    orderkey is the only big shuffle."""
+    l = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = T(spark, sf_dir, "orders")
+    n = T(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2"))
+    s = (T(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    c = (T(spark, sf_dir, "customer")
+         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+         .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    oc = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "cust_nation")
+    ls = l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey).select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount",
+        "supp_nation")
+    j = ls.join(oc, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1).cast("decimal(3,2)")
+               - F.col("l_discount").cast("decimal(4,2)"))
+        ).cast("double").alias("revenue")
+    )
+
+
+@register(
+    "q9_profit_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           year(o.o_orderdate) AS o_year,
+           sum(l.l_extendedprice::DECIMAL(12,2) * (1 - l.l_discount::DECIMAL(4,2))
+               - p.p_retailprice::DECIMAL(12,2) * l.l_quantity::DECIMAL(12,2)
+              )::DOUBLE AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_size < 10
+    GROUP BY nation, o_year
+    """,
+)
+def q9_profit_by_nation(spark, sf_dir):
+    """TPC-H Q9 shape (product profit by nation and year). The corpus has
+    no partsupp, so cost is p_retailprice*quantity instead of
+    ps_supplycost*quantity — same plan shape, same decimal-exact math.
+    Scale: the p_size filter prunes part BEFORE it broadcasts; the
+    part-join prunes lineitem to ~1/3 ahead of the one big orderkey
+    shuffle; nation/supplier broadcast."""
+    l = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").filter(F.col("p_size") < 10).select(
+        "p_partkey", "p_retailprice")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "n_name")
+    lp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    lps = lp.join(F.broadcast(sn), lp.l_suppkey == sn.s_suppkey)
+    j = lps.join(o, lps.l_orderkey == o.o_orderkey)
+    one = F.lit(1).cast("decimal(3,2)")
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    ).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (one - F.col("l_discount").cast("decimal(4,2)"))
+            - F.col("p_retailprice").cast("decimal(12,2)")
+            * F.col("l_quantity").cast("decimal(12,2)")
+        ).cast("double").alias("profit")
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT
+      CAST(sum(CASE WHEN p.p_type = 'PROMO'
+            THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
+      CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS total_cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= '1996-03-01' AND l.l_shipdate < '1996-04-01'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 (promotion revenue share). Emitted as exact integer cents
+    (numerator + denominator) rather than the divided percentage — the
+    division is trivially derivable and a double ratio would hash
+    engine-dependently. Scale: one month of lineitem (scan-pruned) ⋈
+    broadcast part; conditional sum combines map-side; zero big shuffles."""
+    l = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))
+              ).cast("long").alias("promo_cents"),
+        F.sum(cents).cast("long").alias("total_cents"),
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_cents
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_cents = (SELECT max(total_cents) FROM rev)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier by quarterly revenue; the view + scalar-max
+    subquery shape). Revenue is exact integer cents so the max comparison
+    is deterministic. Scale: one grouped shuffle of (suppkey, cents)
+    partials; the global max is a single broadcast row back over the
+    per-supplier aggregate (not a re-scan); supplier names arrive by
+    broadcast join at the very end, on the one surviving row."""
+    l = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = l.groupBy("l_suppkey").agg(F.sum(cents).cast("long").alias("total_cents"))
+    mx = rev.agg(F.max("total_cents").alias("mx"))
+    top = rev.join(F.broadcast(mx), rev.total_cents == F.col("mx")).select(
+        "l_suppkey", "total_cents")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name", "total_cents")
+
+
+@register(
+    "q17_small_qty_revenue",
+    """
+    WITH pavg AS (
+      SELECT l_partkey, 0.2 * avg(l_quantity) AS threshold
+      FROM lineitem GROUP BY l_partkey)
+    SELECT count(*) AS n_small,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#1'
+    JOIN pavg a ON l.l_partkey = a.l_partkey
+    WHERE l.l_quantity < a.threshold
+    """,
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity orders vs the part's average — the
+    correlated scalar subquery, decorrelated to an aggregate join). The
+    corpus has no p_container, so the part filter is brand-only. Scale:
+    the per-part averages are a (partkey, sum, count) partial shuffle —
+    tiny rows; the filtered brand join broadcasts; lineitem itself is
+    shuffled once on partkey to meet its own averages (the unavoidable
+    self-referential exchange), with column pruning down to 4 columns."""
+    l = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey")
+    pavg = l.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("threshold"))
+    lb = l.select("l_partkey", "l_quantity", "l_extendedprice").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    j = lb.join(pavg.withColumnRenamed("l_partkey", "a_partkey"),
+                F.col("l_partkey") == F.col("a_partkey")).filter(
+        F.col("l_quantity") < F.col("threshold"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long").alias("revenue_cents"),
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT sum(l.l_extendedprice::DECIMAL(12,2)
+               * (1 - l.l_discount::DECIMAL(4,2)))::DOUBLE AS revenue,
+           count(*) AS n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 30
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue under OR-of-AND bracket predicates;
+    p_container is absent so brackets use brand+size+quantity). Scale:
+    part is pre-filtered to the union of the three brand/size brackets
+    before broadcasting (3 brands of ~25 → ~12% of part ships), and the
+    residual disjunction evaluates inside the broadcast-join stage —
+    map-only, no shuffle beyond the final 1-row agg."""
+    l = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    b1 = ((F.col("p_brand") == "Brand#1")
+          & F.col("p_size").between(1, 15)
+          & F.col("l_quantity").between(1, 11))
+    b2 = ((F.col("p_brand") == "Brand#2")
+          & F.col("p_size").between(1, 10)
+          & F.col("l_quantity").between(10, 20))
+    b3 = ((F.col("p_brand") == "Brand#3")
+          & F.col("p_size").between(20, 30)
+          & F.col("l_quantity").between(20, 30))
+    pp = p.filter(
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 30))
+    )
+    j = l.join(F.broadcast(pp), l.l_partkey == pp.p_partkey).filter(
+        b1 | b2 | b3)
+    return j.agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1).cast("decimal(3,2)")
+               - F.col("l_discount").cast("decimal(4,2)"))
+        ).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q22_idle_customers",
+    """
+    WITH stats AS (
+      SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+             count(*) AS cnt
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c.c_mktsegment,
+           count(*) AS numcust,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS totacctbal_cents
+    FROM customer c, stats
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT)
+            > CAST(floor(stats.sum_cents / stats.cnt) AS BIGINT)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= '2000-01-01')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape (above-average-balance customers with no orders;
+    c_phone is absent so the report groups by market segment). The average
+    threshold is computed in exact integer cents (floor of the mean) so
+    the boundary test is bit-identical across engines. Scale: the
+    one-row stats aggregate broadcasts back over customer; the NOT EXISTS
+    (no orders since 2000 — every customer in this corpus has SOME order,
+    so 'idle' means recently idle) is a left_anti shuffle on custkey of an
+    already threshold-pruned customer set; the date filter prunes the
+    order side at its scan and keys prune to o_custkey only."""
+    c = T(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    stats = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).cast("long").alias("sum_cents"),
+        F.count(F.lit(1)).alias("cnt"))
+    thresh = stats.select(
+        F.floor(F.col("sum_cents") / F.col("cnt")).cast("long").alias("thr"))
+    rich = c.withColumn("bal_cents", cents).crossJoin(
+        F.broadcast(thresh)).filter(F.col("bal_cents") > F.col("thr"))
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("bal_cents").cast("long").alias("totacctbal_cents"),
+    )

@@ -27,7 +27,6 @@ from zync_spark.sources import connectjson
 from zync_spark.sources.avro import decode_column
 from zync_spark.sources.kafka import kafka_available, read_stream
 from zync_spark.sources.registry import BaseRegistry
-from zync_spark.zedexpr import Context, compile_assignments, compile_expr
 
 
 class MonotonicityError(RuntimeError):
@@ -289,30 +288,15 @@ class FromKafka:
 
 
 def apply_shaper(env: DataFrame, shaper_src: str) -> DataFrame:
-    """Apply a shaper snippet to each envelope row
-    (cli/shaper.go:8-22, fifo/lake.go:94-106).
+    """Apply a shaper to each envelope batch (cli/shaper.go:8-22, applied
+    through the embedded engine at fifo/lake.go:94-106).
 
-    Supported forms: assignments (`value.x := expr`) and a bare filter
-    expression; this covers the documented shaper examples (README.md:78).
+    The reference accepts an arbitrary Zed program here; `zedpipe` compiles
+    the full pipeline surface (where/yield/cut/put/drop/sort/head/summarize
+    …, SURVEY §2.2-§2.8) to a DataFrame plan, so bare filters, assignment
+    lists, and multi-stage programs like the documented README.md:78 example
+    all run unchanged — JVM-side, never per-row Python.
     """
-    src = shaper_src.strip()
-    # Only the PARSE decides which form this is; application errors (bad
-    # field refs, type mismatches) must propagate as themselves — a
-    # blanket fallback would re-parse assignments as a filter and raise an
-    # unrelated syntax error while half the assignments were applied.
-    try:
-        assigns = compile_assignments(src, Context())
-    except Exception:
-        assigns = None
-    if assigns:
-        for path, col in assigns.items():
-            parts = path.split(".")
-            if len(parts) == 1:
-                env = env.withColumn(parts[0], col)
-            else:
-                # nested a.b := expr via withField
-                top = parts[0]
-                target = F.col(top)
-                env = env.withColumn(top, target.withField(".".join(parts[1:]), col))
-        return env
-    return env.filter(compile_expr(src, Context()))
+    from zync_spark.zedpipe import compile_pipeline
+
+    return compile_pipeline(env, shaper_src.strip())
