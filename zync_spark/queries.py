@@ -1601,13 +1601,50 @@ def emb_neardup(spark, sf_dir):
     return D.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45)
 
 
+
+# -- deterministic-LSH oracle SQL generators -------------------------------
+# The hyperplane components are md5-derived constants
+# (functions/similarity._hyperplane), so the "approximate" LSH paths are
+# deterministic algorithms — reproducible verbatim in SQL by inlining the
+# same constants. These helpers build that SQL at import time.
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Left-to-right double fold — the exact evaluation order of Spark's
+    F.aggregate, so the doubles are bit-identical across engines."""
+    return (
+        "list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip("
+        f"{a}, {b}), s -> struct_extract(s,1)*struct_extract(s,2))), "
+        "(x,y) -> x+y)"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * "
+            f"sqrt({_dot_sql(b, b)})))")
+
+
+def _lsh_bucket_sql(v: str, nbits: int, dim: int = 64) -> str:
+    from zync_spark.functions.similarity import _hyperplane
+
+    parts = []
+    for bit in range(nbits):
+        arr = ("[" + ",".join(repr(_hyperplane(d, bit)) for d in range(dim))
+               + "]::DOUBLE[]")
+        parts.append(
+            f"(CASE WHEN {_dot_sql(v, arr)} >= 0 THEN {1 << bit} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
 @register("emb_neardup_lsh")
 def emb_neardup_lsh(spark, sf_dir):
     """Hyperplane sign-bucket near-duplicate pairs — the scale path of
     emb_neardup (candidates compared only within a bucket; 2^4 buckets
-    here). Recall < 1 by design → rows-only; the exact all-pairs twin
-    emb_neardup is the oracle-checked baseline, and the subset/recall
-    relation between the two is pinned in tests/test_functions.py."""
+    here). Recall < 1 vs the exact twin BY DESIGN, but the algorithm is
+    deterministic (md5-derived hyperplanes), so the oracle reproduces the
+    bucketing itself in SQL with the same inlined constants — the driver
+    hash-checks the LSH output exactly, and the subset/recall relation vs
+    emb_neardup stays pinned in tests/test_functions.py."""
     emb = T(spark, sf_dir, "embeddings")
     return D.embedding_neardup_pairs(
         emb, "vec_id", "embedding", threshold=0.45, bucket_bits=4
@@ -1867,8 +1904,10 @@ def etl_invoices(spark, sf_dir):
 @register("ann_lsh_topk")
 def ann_lsh_topk(spark, sf_dir):
     """Approximate nearest neighbors via random-hyperplane LSH bucketing —
-    the scale path for similarity search (recall < 1 by design, so no SQL
-    oracle; the exact baseline ann_cosine_topk is the oracle-checked twin)."""
+    the scale path for similarity search. Recall < 1 vs the exact baseline
+    (ann_cosine_topk) by design, but the bucketing is a deterministic
+    algorithm, so the oracle replays it in SQL with the same md5-derived
+    hyperplane constants and the driver hash-checks the output exactly."""
     emb = T(spark, sf_dir, "embeddings")
     return S.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, nbits=4)
 
@@ -1951,22 +1990,74 @@ def q_range_join(spark, sf_dir):
     )
 
 
-@register("stream_stateful_sessions")
+@register(
+    "stream_stateful_sessions",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    ),
+    agg AS (
+      SELECT user_id,
+             min(ts) AS s_start, max(ts) AS s_end,
+             count(*) AS n_events,
+             CAST(round(sum(value) * 100) AS BIGINT) AS total_cents
+      FROM sess GROUP BY user_id, sid
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY s_start DESC) AS rk
+      FROM agg
+    ),
+    mx AS (SELECT max(ts) AS m FROM events)
+    SELECT a.user_id,
+           strftime(a.s_start, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(a.s_end, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           a.n_events, a.total_cents
+    FROM ranked a, mx
+    WHERE a.s_end < mx.m - INTERVAL 30 MINUTE OR a.rk > 1
+    """,
+)
 def stream_stateful_sessions(spark, sf_dir):
     """Custom stateful streaming operator: gap-based sessionization via
     applyInPandasWithState (per-key state store + event-time timeouts,
-    zync_spark/streaming/stateful.py). Genuinely non-SQL-expressible
-    (stateful timeout semantics) → rows-only check; the golden test
-    cross-checks it against the batch gap-split sessions."""
+    zync_spark/streaming/stateful.py), run to completion with availableNow.
+
+    The TIMEOUT mechanics are non-SQL-expressible, but the FINAL output on
+    a bounded replay is: exactly the batch gap-islands sessions minus each
+    user's still-open trailing session (one whose end is within the gap of
+    the stream's max event time — its timeout never fires because the
+    watermark stops there). That equivalence is the oracle; money rides as
+    exact cents and session bounds as formatted strings per the catalog's
+    cross-engine conventions."""
     from zync_spark.streaming.batch_bridge import read_events_stream, run_to_memory
     from zync_spark.streaming.stateful import sessionize_with_state
 
     ev = read_events_stream(spark, f"{sf_dir}/events.parquet").select(
         "user_id", "ts", "value"
     )
-    return run_to_memory(
+    out = run_to_memory(
         sessionize_with_state(ev, gap_minutes=30, watermark="0 seconds"),
         output_mode="append",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"),
+        "n_events",
+        F.round(F.col("total_value") * 100).cast("long").alias("total_cents"),
     )
 
 
@@ -4083,3 +4174,32 @@ def q22_idle_customers(spark, sf_dir):
         F.count(F.lit(1)).alias("numcust"),
         F.sum("bal_cents").cast("long").alias("totacctbal_cents"),
     )
+
+
+
+# Deterministic-LSH oracles (generated SQL: inlined hyperplane constants;
+# see _lsh_bucket_sql above). Registered post-hoc so the generators sit
+# next to their queries while the SQL itself is built once at import.
+ORACLE_SQL["emb_neardup_lsh"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_lsh_bucket_sql('v', 4)} AS bucket FROM e)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b, {_cos_sql('a.v', 'c.v')} AS cos
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE {_cos_sql('a.v', 'c.v')} >= 0.45
+"""
+
+ORACLE_SQL["ann_lsh_topk"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_lsh_bucket_sql('v', 4)} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_cos_sql('q.qv', 'c.v')} AS cos
+      FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+"""
