@@ -231,3 +231,45 @@ def test_topk_plan_is_take_ordered(ev):
     out = compile_pipeline(ev, "sort -r amount | head 2")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_switch_first_match_exclusive_union(ev):
+    out = compile_pipeline(
+        ev,
+        'switch ('
+        '  case amount > 50 => bucket := "big" | cut id, bucket'
+        '  case kind == "click" => bucket := "click" | cut id, bucket'
+        '  default => bucket := "rest" | cut id, bucket'
+        ') | sort id')
+    got = dict(rows(out))
+    # id 3 (amount 100) matches case 1 ONLY (first-match exclusivity),
+    # ids 0/2 are clicks, 1/4 fall through
+    assert got == {0: "click", 1: "rest", 2: "click", 3: "big", 4: "rest"}
+    assert out.count() == ev.count()  # cases partition the input
+
+
+def test_switch_without_default_drops_nonmatching(ev):
+    out = compile_pipeline(
+        ev, 'switch ( case kind == "view" => cut id )')
+    assert out.count() == 2
+
+
+def test_fork_fanout_union(ev):
+    out = compile_pipeline(ev, "fork ( => count() => hi := max(amount) )")
+    assert out.count() == 2
+    assert set(out.columns) == {"count", "hi"}
+
+
+def test_switch_null_predicate_goes_to_default(spark):
+    df = spark.createDataFrame([(None,), (5,)], "x long")
+    out = compile_pipeline(
+        df, 'switch ( case x > 1 => tag := "gt" | cut tag'
+            '         default => tag := "def" | cut tag )')
+    assert sorted(r[0] for r in out.collect()) == ["def", "gt"]
+
+
+def test_switch_errors(ev):
+    with pytest.raises(ZedSyntaxError):
+        compile_pipeline(ev, "switch ( => cut id )")
+    with pytest.raises(ZedSyntaxError):
+        compile_pipeline(ev, "fork ( case kind == \"x\" => cut id )")

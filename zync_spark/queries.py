@@ -4203,3 +4203,40 @@ ORACLE_SQL["ann_lsh_topk"] = f"""
       FROM scored)
     WHERE rank <= 5
 """
+
+
+@register(
+    "zed_switch_route",
+    """
+    SELECT event_id, 'clicks' AS route, value * 2 AS routed_value FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, 'views' AS route, value AS routed_value FROM events WHERE event_type = 'view'
+    UNION ALL
+    SELECT event_id, 'other' AS route, 0.0 AS routed_value FROM events
+    WHERE event_type <> 'click' AND event_type <> 'view'
+    """,
+)
+def zed_switch_route(spark, sf_dir):
+    """The reference's switch routing (etl/build.go:92-107, first-match
+    exclusivity + implicit union) written as PIPELINE TEXT and compiled by
+    zedpipe — the same semantics q_switch_route builds programmatically,
+    proving the language front-end and the DataFrame construction agree.
+    Each case branch is a filter + projections over the same scan; the
+    union is append-only (no shuffle)."""
+    from zync_spark.zedpipe import compile_pipeline
+
+    ev = T(spark, sf_dir, "events")
+    return compile_pipeline(
+        ev,
+        'switch ('
+        '  case event_type == "click" =>'
+        '    route := "clicks", routed_value := value * 2'
+        '    | cut event_id, route, routed_value'
+        '  case event_type == "view" =>'
+        '    route := "views", routed_value := value'
+        '    | cut event_id, route, routed_value'
+        '  default =>'
+        '    route := "other", routed_value := 0.0'
+        '    | cut event_id, route, routed_value'
+        ')',
+    )

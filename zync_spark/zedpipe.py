@@ -24,6 +24,11 @@ reference user's shaper/pipeline text runs unchanged against Spark:
   fuse / pass                         → no-op (pools carry a unified schema;
                                         fuse is a union-schema concern only in
                                         the reference's per-value type model)
+  switch ( case <e> => ... default => ... )
+                                      → first-match filters + implicit union
+                                        (etl/build.go:92-107)
+  fork ( => ... => ... )              → every record down every branch,
+                                        union (etl/build.go:129-138)
 
 Every stage compiles to JVM Column expressions (whole-stage codegen);
 nothing here drops to Python per row. At scale the plan is exactly what a
@@ -309,6 +314,105 @@ def _looks_like_agg(toks: list[Token]) -> bool:
             and toks[j + 1].kind == "op" and toks[j + 1].text == "(")
 
 
+def _split_branches(toks: list[Token]) -> tuple[list[tuple[str, list[Token], list[Token]]], int]:
+    """Parse the body of ``switch ( case <expr> => <stages> ... [default =>
+    <stages>] )`` or ``fork ( => <stages> => <stages> )`` starting at the
+    opening paren. Returns ([(kind, expr_toks, branch_toks)], consumed_len);
+    kind is 'case', 'default', or 'fork'. ``=>`` arrives from the tokenizer
+    as two ops (`=`, `>`)."""
+    assert toks[0].kind == "op" and toks[0].text == "("
+    i = 1
+    branches: list[tuple[str, list[Token], list[Token]]] = []
+
+    def at_arrow(j: int) -> bool:
+        return (toks[j].kind == "op" and toks[j].text == "="
+                and toks[j + 1].kind == "op" and toks[j + 1].text == ">")
+
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "op" and t.text == ")":
+            i += 1
+            break
+        if t.kind == "ident" and t.text in ("case", "default"):
+            kind = t.text
+            i += 1
+            expr_toks: list[Token] = []
+            if kind == "case":
+                while not at_arrow(i):
+                    expr_toks.append(toks[i])
+                    i += 1
+            i += 2  # consume =>
+        elif at_arrow(i):
+            kind, expr_toks = "fork", []
+            i += 2
+        else:
+            raise ZedSyntaxError(
+                f"expected case/default/=> in branch block, got {t.text!r} "
+                f"at {t.pos}")
+        body: list[Token] = []
+        d = 0
+        while i < len(toks):
+            t = toks[i]
+            if t.kind == "op" and t.text in "([{":
+                d += 1
+            elif t.kind == "op" and t.text in ")]}":
+                if d == 0:
+                    break  # the switch/fork closing paren
+                d -= 1
+            if d == 0 and t.kind == "ident" and t.text in ("case", "default"):
+                break
+            if d == 0 and at_arrow(i):
+                break
+            body.append(t)
+            i += 1
+        pos = body[-1].pos if body else t.pos
+        branches.append((kind, expr_toks + [Token("eof", "", pos)],
+                         body + [Token("eof", "", pos)]))
+    return branches, i
+
+
+def _apply_branch_block(st: _State, toks: list[Token], word: str) -> None:
+    """switch: route each record to the FIRST matching case (declared-order
+    exclusivity, etl/build.go:92-107) — or default; fork: send every record
+    down every branch (etl/build.go:129-138). Branch outputs merge by
+    implicit union (etl/build.go:107), null-padding differing schemas the
+    way the reference's heterogeneous stream types do."""
+    ctx = _fresh_ctx(st.df, st.ctx)
+    branches, consumed = _split_branches(toks[1:])
+    end = toks[1 + consumed]
+    if end.kind != "eof":
+        raise ZedSyntaxError(f"unexpected {end.text!r} after {word} block")
+    outs: list[DataFrame] = []
+    prior = None  # OR of earlier case predicates (first-match exclusivity)
+    for kind, expr_toks, body in branches:
+        if word == "switch":
+            if kind == "fork":
+                raise ZedSyntaxError("bare => branch belongs to fork, not switch")
+            if kind == "case":
+                pred = _StageParser(expr_toks, ctx).parse_expr()
+                # null predicates are "no match" (zed truthiness), so fold
+                # them to false before negating for later branches
+                eff = pred if prior is None else pred & ~prior
+                safe = F.coalesce(pred, F.lit(False))
+                prior = safe if prior is None else prior | safe
+                branch_df = st.df.filter(eff)
+            else:  # default
+                branch_df = st.df if prior is None else st.df.filter(~prior)
+        else:
+            if kind != "fork":
+                raise ZedSyntaxError("case/default belongs to switch, not fork")
+            branch_df = st.df
+        sub = _State(df=branch_df, ctx=st.ctx)
+        for stage in _split_stages(body):
+            _apply_stage(sub, stage)
+        outs.append(sub.df)
+    out = outs[0]
+    for other in outs[1:]:
+        out = out.unionByName(other, allowMissingColumns=True)
+    st.df = out
+    st.last_sort = []
+
+
 def compile_pipeline(df: DataFrame, src: str,
                      ctx: Context | None = None) -> DataFrame:
     """Compile a zed pipeline over one input frame.
@@ -468,6 +572,10 @@ def _apply_stage(st: _State, toks: list[Token]) -> None:
         fwd = [e.desc_nulls_last() if st.last_sort_desc else e.asc_nulls_last()
                for e in st.last_sort]
         st.df = st.df.orderBy(*rev).limit(n).orderBy(*fwd)
+        return
+    if word in ("switch", "fork") and len(toks) > 1 \
+            and toks[1].kind == "op" and toks[1].text == "(":
+        _apply_branch_block(st, toks, word)
         return
     if _looks_like_agg(toks):
         if word == "summarize":
