@@ -396,3 +396,39 @@ def test_to_kafka_rejects_multipartition(spark, tmp_path):
     tk = ToKafka(pool, KEY_T, VAL_T, format="json")
     with pytest.raises(ValueError, match="partitions other than 0"):
         tk.sync("T", hwm=0, produce=lambda df: None)
+
+
+def test_to_kafka_egress_shaper(spark, tmp_path):
+    """Egress shaper (the reference's `| head N | shaper | sort` slot,
+    fifo/lake.go:84-92): applied per page before encode; a FILTERING shaper
+    must not under-advance the cursor (the pager books offsets pre-shaper,
+    unlike the reference's advance-by-batch-length)."""
+    pool = Pool.create(spark, str(tmp_path / "Shp"))
+    env_schema = S(
+        [
+            Fld("kafka", S([Fld("topic", StringType()), Fld("partition", LongType()), Fld("offset", LongType())])),
+            Fld("key", KEY_T),
+            Fld("value", VAL_T),
+            Fld("zed_type", StringType()),
+        ]
+    )
+    rows = [(("T", 0, i), (i,), ("c", f"r{i}"), "data") for i in range(6)]
+    pool.load(spark.createDataFrame(rows, env_schema))
+
+    # transforming shaper: rows keep flowing, values uppercased
+    pages = []
+    tk = ToKafka(pool, KEY_T, VAL_T, format="json", batch_size=4,
+                 shaper='value.name := to_upper(value.name)')
+    assert tk.sync("T", hwm=0, produce=lambda df: pages.append(df.collect())) == 6
+    payloads = [bytes(r["value"]).decode() for p in pages for r in p]
+    assert all('"R' in s for s in payloads)  # r0→R0 ...
+
+    # filtering shaper: only even offsets produced, but the cursor still
+    # drains the pool exactly once (no refetch loop, count = pre-shaper)
+    pages2 = []
+    tk2 = ToKafka(pool, KEY_T, VAL_T, format="json", batch_size=4,
+                  shaper='kafka.offset % 2 == 0')
+    n = tk2.sync("T", hwm=0, produce=lambda df: pages2.append(df.collect()))
+    assert n == 6  # bookkeeping counts scanned records (cursor integrity)
+    sent = [r["offset"] for p in pages2 for r in p]
+    assert sent == [0, 2, 4]

@@ -327,7 +327,9 @@ def cmd_to_kafka(args) -> int:
 
     pool = _pool(spark, args.lake, args.pool or args.topic)
     key_t, val_t = _schemas(args)
-    tk = ToKafka(pool, key_t, val_t, format=args.format, batch_size=args.batch_size)
+    tk = ToKafka(pool, key_t, val_t, format=args.format,
+                 batch_size=args.batch_size,
+                 shaper=getattr(args, "shaper", None))
     bulk = getattr(args, "bulk", False)
 
     def _sync(topic, hwm, produce):
@@ -484,6 +486,10 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("to-kafka", help="pool -> topic egress from the HWM")
     _transport_args(p)
     p.add_argument("--batch-size", type=int, default=200)
+    p.add_argument("--shaper", default=None,
+                   help="zed pipeline applied to each egress page "
+                        "(fifo/lake.go:84-92); must preserve the envelope "
+                        "columns")
     p.add_argument("--bulk", action="store_true",
                    help="backfill mode: offset-range pages (--page-span) "
                         "instead of 200-row pages — one produce per span")

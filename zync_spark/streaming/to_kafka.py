@@ -37,6 +37,7 @@ class ToKafka:
         registry: BaseRegistry | None = None,
         format: str = "avro",
         batch_size: int = BATCH_SIZE,
+        shaper: str | None = None,
     ):
         self.pool = pool
         self.key_schema = key_schema
@@ -44,6 +45,20 @@ class ToKafka:
         self.registry = registry
         self.format = format
         self.batch_size = batch_size
+        # Egress shaper (the reference's `... | head N | shaper | sort`
+        # lake-query slot, fifo/lake.go:84-92): a zed pipeline applied to
+        # each page AFTER cursor bookkeeping — so a filtering shaper can
+        # never under-advance the cursor and lose records (the reference's
+        # advance-by-batch-length would) — and BEFORE encode, so the shaped
+        # rows must still carry the envelope columns (kafka, key, value).
+        self.shaper = shaper
+
+    def _shaped(self, page: DataFrame) -> DataFrame:
+        if not self.shaper:
+            return page
+        from zync_spark.zedpipe import compile_pipeline
+
+        return compile_pipeline(page, self.shaper)
 
     def encode_frame(self, env: DataFrame) -> DataFrame:
         """envelope rows → kafka frame (topic, key bytes, value bytes)."""
@@ -119,7 +134,7 @@ class ToKafka:
                         "order them (use sync_partitions with per-partition "
                         "HWMs)"
                     )
-                produce(self.encode_frame(page))
+                produce(self.encode_frame(self._shaped(page)))
                 produced += stats["n"]
                 offset = int(stats["mx"]) + 1
             finally:
@@ -207,7 +222,7 @@ class ToKafka:
             try:
                 n = page.count()
                 if n:
-                    produce(self.encode_frame(page))
+                    produce(self.encode_frame(self._shaped(page)))
                     produced += n
             finally:
                 page.unpersist()
