@@ -108,6 +108,82 @@ def _egress_backfill(spark, sf_dir: str) -> dict[str, float]:
             "rows_per_sec": round(n / dt) if dt else None}
 
 
+def _pool_layout(spark, sf_dir: str) -> dict:
+    """Headline timings on the engine's NATIVE storage layout.
+
+    The driver testdata is one parquet row group per table, so every Spark
+    scan is a single task (a row group is the parallelism quantum for the
+    vectorized reader) while DuckDB parallelizes inside the row group —
+    measured as a 1.39x artifact on q5 (SCALING.md §5, tools/exp_layout.py).
+    No real deployment of this engine reads such files: ingest lands data
+    in pools, which are many offset-sorted parquet files. This section
+    re-times the SAME headline queries with BOTH engines on a multi-file
+    copy (conversion cost reported, primary metrics above remain on the
+    stock layout for round-over-round comparability).
+
+    Reading the numbers: Spark's total drops ~1.5x (the artifact removed).
+    DuckDB also gains (multi-file parallelism helps its regex-heavy dedup
+    oracles most), so the toy-scale RATIO can look worse here — what's
+    left of Spark's time is mostly the fixed ~0.1-0.2s/query scheduling
+    floor, which shrinks to nothing as per-query execution grows at real
+    scale. The ratio to watch round-over-round is the stock-layout
+    bench_vs_duck above; this section exists to quantify the layout
+    artifact, not to re-litigate the ratio."""
+    import shutil
+
+    import duckdb
+
+    from zync_spark.queries import T, _scratch_dir
+
+    out = _scratch_dir("zs-bench-pooled")
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    for t in TABLES:
+        df = T(spark, sf_dir, t)
+        n = 16 if t in ("lineitem", "orders", "events") else 4
+        df.repartition(n).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    convert_sec = round(time.perf_counter() - t0, 3)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        runs = []
+        for _ in range(4):
+            s = time.perf_counter()
+            _materialize(QUERIES[name](spark, out))
+            runs.append(time.perf_counter() - s)
+        timings[name] = round(min(runs), 3)
+
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={os.cpu_count()}")
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{out}/{t}.parquet/*.parquet'")
+    duck: dict[str, float] = {}
+    for name in HEADLINE:
+        sql = ORACLE_SQL.get(name)
+        if sql is None:
+            continue
+        runs = []
+        for _ in range(4):
+            s = time.perf_counter()
+            con.sql(sql).fetchall()
+            runs.append(time.perf_counter() - s)
+        duck[name] = round(min(runs), 3)
+    con.close()
+    shutil.rmtree(out, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    spark_sub = round(sum(timings[k] for k in duck), 3)
+    duck_sub = round(sum(duck.values()), 3)
+    return {
+        "convert_sec": convert_sec,
+        "total": total,
+        "queries": timings,
+        "duck_total": duck_sub,
+        "vs_duck": round(spark_sub / duck_sub, 3) if duck_sub else None,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -144,6 +220,7 @@ def main() -> None:
     spark_subtotal = round(sum(timings[k] for k in duck), 3)
     duck_subtotal = round(sum(duck.values()), 3)
     egress = _egress_backfill(spark, sf_dir)
+    pooled = _pool_layout(spark, sf_dir)
 
     print(
         json.dumps(
@@ -161,6 +238,9 @@ def main() -> None:
                 ),
                 "duck_queries": duck,
                 "egress_backfill_100k": egress,
+                # same queries, both engines, on the engine's native
+                # multi-file pool layout (see _pool_layout docstring)
+                "pool_layout": pooled,
             }
         )
     )
