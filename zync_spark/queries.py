@@ -4176,6 +4176,96 @@ def q22_idle_customers(spark, sf_dir):
     )
 
 
+@register(
+    "q13_order_distribution",
+    """
+    WITH co AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution; the o_comment
+    exclusion is dropped — this corpus has no comment column). The LEFT
+    join is load-bearing: customers with zero orders must survive into
+    the c_count=0 bucket, so a plain inner join (or counting o_custkey
+    groups alone) is wrong. Scale: orders pre-aggregates per custkey
+    map-side before one custkey shuffle; the second groupBy is over at
+    most |distinct counts| keys — a few dozen rows — so the distribution
+    re-agg is free. count(o_orderkey) skips nulls from the outer join in
+    both engines."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    co = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q21_late_suppliers",
+    """
+    WITH l AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             date_diff('day', o.o_orderdate, l.l_shipdate) > 1000 AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM l WHERE late)
+    SELECT s.s_name, count(*) AS numwait
+    FROM l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM l l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+    GROUP BY s.s_name
+    """,
+)
+def q21_late_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    this corpus: the reference schema's receipt-vs-commit lateness becomes
+    ship-vs-order lateness (>1000 days), since lineitem here carries only
+    l_shipdate. The skeleton is the faithful part: a fact-fact self
+    EXISTS (some OTHER supplier contributed to the same order) plus a
+    self NOT-EXISTS (no OTHER supplier was ALSO late) — the canonical
+    semi+anti self-join pair with a non-equi residual (suppkey <>).
+    Scale: the lateness flag needs only (orderkey, suppkey, late), so the
+    self-join sides are three-column projections of one shared lineitem⋈
+    orders plan; all three joins hash on l_orderkey — AQE coalesces them
+    into one exchange reuse — and supplier broadcasts for the final
+    decorate."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey",
+        (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 1000)
+        .alias("late"),
+    )
+    l1 = l.filter("late").select("l_orderkey", "l_suppkey").distinct()
+    l2 = l.select(F.col("l_orderkey").alias("ok2"),
+                  F.col("l_suppkey").alias("sk2"))
+    l3 = l.filter("late").select(F.col("l_orderkey").alias("ok3"),
+                                 F.col("l_suppkey").alias("sk3"))
+    s = T(spark, sf_dir, "supplier")
+    waited = (
+        l1.join(l2, (l1.l_orderkey == l2.ok2) & (l1.l_suppkey != l2.sk2),
+                "left_semi")
+        .join(l3, (l1.l_orderkey == l3.ok3) & (l1.l_suppkey != l3.sk3),
+              "left_anti")
+    )
+    return (
+        waited.join(F.broadcast(s), waited.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
 
 # Deterministic-LSH oracles (generated SQL: inlined hyperplane constants;
 # see _lsh_bucket_sql above). Registered post-hoc so the generators sit
