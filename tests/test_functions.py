@@ -402,3 +402,24 @@ def test_shape_crop_fill_order(spark):
     ordered = E.order_fields(df, target)
     assert [f.name for f in ordered.schema.fields] == ["rec", "id", "extra"]
     assert ordered.schema["id"].dataType == LongType()
+
+
+def test_semdedup_subset_of_exact_pairs(spark):
+    """Cluster blocking can only DROP pairs relative to the exact
+    quadratic scan, never invent them; and surviving pairs carry the
+    same cosine."""
+    import zync_spark.functions.dedup as D
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sem = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in D.semdedup_pairs(emb, k=4, threshold=0.45).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in D.embedding_neardup_pairs(
+            emb, "vec_id", "embedding", threshold=0.45).collect()
+    }
+    assert set(sem) <= set(exact)
+    for k_, v in sem.items():
+        assert v == exact[k_]

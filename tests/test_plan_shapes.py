@@ -266,3 +266,51 @@ def test_zedpipe_queries_stay_jvm_side(spark):
     p = plan_of(spark, "zed_cut_sort")
     assert re.search(r"ReadSchema: [^\n]*doc_id", p) and "text" not in re.search(
         r"ReadSchema: [^\n]*", p).group(0)
+
+
+def test_q13_left_join_single_custkey_exchange_chain(spark):
+    p = plan_of(spark, "q13_order_distribution")
+    # zero-order customers must survive: outer join, not inner
+    assert "LeftOuter" in p or "RightOuter" in p
+    # scans carry only the key columns they need
+    assert re.search(r"ReadSchema: [^\n]*o_custkey", p)
+    assert "o_totalprice" not in re.search(r"ReadSchema: struct<o[^\n]*", p).group(0)
+    assert re.search(PY_NODES, p) is None
+
+
+def test_q21_self_joins_share_orderkey_hash_supplier_broadcasts(spark):
+    p = plan_of(spark, "q21_late_suppliers")
+    # the EXISTS/NOT-EXISTS pair compiled to semi + anti joins
+    assert "LeftSemi" in p and "LeftAnti" in p
+    # supplier decorates via broadcast, never a shuffle join
+    assert count("BroadcastHashJoin", p) >= 1
+    assert re.search(PY_NODES, p) is None
+
+
+def test_zed_from_anti_join_topk_and_key_pruning(spark):
+    p = plan_of(spark, "zed_from_anti_join")
+    # `top 50` compiled to a top-k, not a global sort
+    assert "TakeOrderedAndProject" in p
+    assert "LeftAnti" in p
+    # the right leg was cut to the join key before moving
+    assert re.search(r"ReadSchema: struct<l_orderkey[^\n]*", p)
+    assert "l_quantity" in p  # filter exists...
+    m = re.search(r"ReadSchema: struct<l_orderkey:bigint,l_quantity:double>", p)
+    assert m, "lineitem scan should read only (l_orderkey, l_quantity)"
+    assert re.search(PY_NODES, p) is None
+
+
+def test_zed_ordered_collect_no_global_sort(spark):
+    # the `sort l_linenumber` collapses into the per-group sort_array; the
+    # plan must NOT contain a global Sort over the whole fact table before
+    # the aggregation (rangepartitioning = global sort marker)
+    p = plan_of(spark, "zed_ordered_collect")
+    assert "rangepartitioning" not in p.lower()
+    assert re.search(PY_NODES, p) is None
+
+
+def test_dedup_semantic_corpus_shuffles_by_cluster_only(spark):
+    p = plan_of(spark, "dedup_semantic")
+    # within-cluster equi-join (blocked), never a cartesian of the corpus
+    assert count("CartesianProduct", p) == 0
+    assert re.search(PY_NODES, p) is None

@@ -357,3 +357,53 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: k-means cluster
+    blocking + exact within-cluster cosine verification (the published
+    SemDeDup recipe — cluster the embedding space, then deduplicate only
+    inside each cluster, since cross-cluster pairs are far by
+    construction).
+
+    Scale: this is the semantic analog of LSH banding. The corpus shuffles
+    once by cluster id (k-means itself never shuffles the corpus — see
+    kmeans_assignments); pairwise work is Σ|cluster|², not |corpus|², and
+    shrinks as k grows. Verification is exact cosine on the candidate
+    pairs only. The k-means init/rounds are deterministic fixed-point
+    (identical assignments on every engine), so even the blocking is
+    reproducible — no seed drift between runs.
+
+    Output: (cluster, id_a, id_b, cos) with cos >= threshold, id_a < id_b.
+    """
+    from zync_spark.functions.similarity import cosine_expr, kmeans_assignments
+
+    assign = kmeans_assignments(
+        df, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
+    ).select("vec_id", "cluster")
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    clustered = assign.join(vecs, "vec_id")
+    a = clustered.select(
+        F.col("vec_id").alias("id_a"), "cluster", F.col("v").alias("va"))
+    b = clustered.select(
+        F.col("vec_id").alias("id_b"), F.col("cluster").alias("cluster_b"),
+        F.col("v").alias("vb"))
+    pairs = a.join(
+        b, (F.col("cluster") == F.col("cluster_b"))
+        & (F.col("id_a") < F.col("id_b")))
+    return (
+        pairs.select(
+            "cluster", "id_a", "id_b",
+            cosine_expr(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

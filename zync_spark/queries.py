@@ -2741,6 +2741,62 @@ def kmeans_clusters(spark, sf_dir):
     )
 
 
+# The k-means assignment CTE chain (identical fixed-point recipe to the
+# kmeans_clusters oracle above) — shared by the SemDeDup oracle below.
+_KMEANS_A2_CTE = """
+    scaled AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> floor(x::DOUBLE * 1048576)::BIGINT) AS xs
+      FROM embeddings),
+    e AS (SELECT vec_id, unnest(range(64)) AS pos, unnest(xs) AS x FROM scaled),
+    a0 AS (SELECT vec_id, vec_id % 8 AS cluster FROM scaled),
+    c1 AS (SELECT cluster, pos, (sum(x) // count(*))::BIGINT AS c
+           FROM e JOIN a0 USING (vec_id) GROUP BY cluster, pos),
+    d1 AS (SELECT e.vec_id, c1.cluster, sum((e.x - c1.c) * (e.x - c1.c)) AS dist
+           FROM e JOIN c1 USING (pos) GROUP BY e.vec_id, c1.cluster),
+    a1 AS (SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+             FROM d1) WHERE rn = 1),
+    c2 AS (SELECT cluster, pos, (sum(x) // count(*))::BIGINT AS c
+           FROM e JOIN a1 USING (vec_id) GROUP BY cluster, pos),
+    d2 AS (SELECT e.vec_id, c2.cluster, sum((e.x - c2.c) * (e.x - c2.c)) AS dist
+           FROM e JOIN c2 USING (pos) GROUP BY e.vec_id, c2.cluster),
+    a2 AS (SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+             FROM d2) WHERE rn = 1)
+"""
+
+
+@register(
+    "dedup_semantic",
+    f"""
+    WITH {_KMEANS_A2_CTE},
+    v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings)
+    SELECT * FROM (
+      SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+             {_cos_sql('va.v', 'vb.v')} AS cos
+      FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id)
+    WHERE cos >= 0.45
+    """,
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup (published recipe: cluster the
+    embedding space with k-means, deduplicate only within clusters):
+    deterministic fixed-point k-means blocking + exact within-cluster
+    cosine verification — the semantic analog of MinHash banding. The
+    oracle replays the identical clustering (unrolled CTEs) and the
+    identical sequential-fold cosine, so even the approximate blocking
+    hash-matches. Scale: one corpus shuffle by cluster id; pairwise work
+    is per-cluster, shrinking as k grows (see dedup.semdedup_pairs)."""
+    emb = T(spark, sf_dir, "embeddings")
+    return D.semdedup_pairs(emb, k=8, iterations=2, threshold=0.45)
+
+
 @register(
     "q_retention_cohorts",
     """
@@ -3814,10 +3870,10 @@ def zed_union_agg(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # TPC-H shape breadth (round 2): the remaining classic join/agg shapes the
-# corpus supports (no partsupp / commitdate / receiptdate columns exist in
-# the testdata, so Q2/Q11/Q16/Q20/Q21 have no analog; Q4/Q9/Q17/Q19/Q22 are
-# adapted to the available columns and documented as such). All money math
-# rides exact decimals or integer cents — never raw double summation.
+# corpus supports (no partsupp column family exists in the testdata, so
+# Q2/Q11/Q16/Q20 have no analog; Q4/Q9/Q17/Q19/Q21/Q22 are adapted to the
+# available columns and documented as such). All money math rides exact
+# decimals or integer cents — never raw double summation.
 # ---------------------------------------------------------------------------
 
 
@@ -4329,4 +4385,132 @@ def zed_switch_route(spark, sf_dir):
         '    route := "other", routed_value := 0.0'
         '    | cut event_id, route, routed_value'
         ')',
+    )
+
+
+@register(
+    "zed_from_anti_join",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 100
+      AND o_orderkey NOT IN
+          (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 30)
+    ORDER BY o_orderkey DESC LIMIT 50
+    """,
+)
+def zed_from_anti_join(spark, sf_dir):
+    """The reference's multi-source from block + anti join, as PIPELINE
+    TEXT (demo/update.zed:1-6, design.md:347-352): two pool legs with
+    their own sub-pipelines, subtracted on the key, topped. The right leg
+    is `cut` down to the join key before it ever moves — at scale only
+    keys shuffle for the subtraction, and `top` compiles to
+    TakeOrderedAndProject (per-partition heaps), never a global sort."""
+    from zync_spark.zedpipe import compile_query
+
+    return compile_query(
+        """
+        from (
+          pool orders => o_totalprice > 100.0 | sort o_orderkey
+          pool lineitem => l_quantity >= 30.0 | cut l_orderkey | sort l_orderkey
+        )
+        | anti join on o_orderkey=l_orderkey
+        | cut o_orderkey, o_custkey, o_totalprice
+        | top 50 o_orderkey
+        """,
+        {"orders": T(spark, sf_dir, "orders"),
+         "lineitem": T(spark, sf_dir, "lineitem")},
+    )
+
+
+@register(
+    "zed_join_graft",
+    """
+    SELECT c.c_name AS cname, count(*) AS n,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY cname
+    """,
+)
+def zed_join_graft(spark, sf_dir):
+    """zed inner join with a graft clause (`cname:=c_name` evaluates in the
+    right record's scope and lands on the left record — the reference's
+    `right:=right` denorm idiom, etl/compile parity) followed by a
+    summarize. Money in integer cents for exact cross-engine equality.
+    Scale: customer is the small side of the equi-join (broadcastable);
+    one shuffle on the group key."""
+    from zync_spark.zedpipe import compile_query
+
+    return compile_query(
+        """
+        from (
+          pool orders => pass
+          pool customer => pass
+        )
+        | join on o_custkey=c_custkey cname:=c_name
+        | put cents1 := cast(round(o_totalprice * 100.0), long)
+        | summarize n:=count(), cents:=sum(cents1) by cname
+        """,
+        {"orders": T(spark, sf_dir, "orders"),
+         "customer": T(spark, sf_dir, "customer")},
+    )
+
+
+@register(
+    "zed_ordered_collect",
+    """
+    SELECT l_orderkey,
+           array_to_string(
+             list(l_quantity::BIGINT::VARCHAR
+                  ORDER BY l_linenumber, l_quantity::BIGINT::VARCHAR), ',')
+             AS qty_csv
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def zed_ordered_collect(spark, sf_dir):
+    """Order-preserving collect(): the reference's collect sees the scan's
+    sort order (design.md:262 collects seqno-sorted bundles); after an
+    explicit `sort`, zedpipe compiles collect to a per-group sort_array
+    over (sort key, value) pairs — deterministic under ANY partitioning,
+    no global sort in the plan (the orderBy collapses into the per-group
+    array sort; l_linenumber ties break on the value, mirrored in the
+    oracle's ORDER BY)."""
+    from zync_spark.zedpipe import compile_query
+
+    return compile_query(
+        """
+        from lineitem
+        | sort l_linenumber
+        | qtys:=collect(cast(cast(l_quantity, long), string)) by l_orderkey
+        | put qty_csv := join(qtys, ",")
+        | drop qtys
+        """,
+        {"lineitem": T(spark, sf_dir, "lineitem")},
+    )
+
+
+@register(
+    "zed_over_unnest",
+    """
+    SELECT count(*) AS n, min(x::DOUBLE) AS mn, max(x::DOUBLE) AS mx
+    FROM (SELECT unnest(embedding) AS x FROM embeddings)
+    """,
+)
+def zed_over_unnest(spark, sf_dir):
+    """zed `over` — array traversal as a pipeline operator: each embedding
+    component becomes a top-level value (one explode generator, map-side
+    only), then a global min/max/count. Float components are widened to
+    double identically in both engines; min/max are order-independent so
+    the fold is deterministic at any parallelism."""
+    from zync_spark.zedpipe import compile_query
+
+    return compile_query(
+        """
+        from embeddings
+        | over embedding
+        | v := cast(embedding, double)
+        | n:=count(), mn:=min(v), mx:=max(v)
+        """,
+        {"embeddings": T(spark, sf_dir, "embeddings")},
     )

@@ -548,6 +548,23 @@ class Parser:
                 micros = (d * 1_000_000).cast("long")
             us = F.unix_micros(ts)
             return F.timestamp_micros(us - us % micros)
+        if name == "is":
+            # is(<T>) — zed named-type predicate (design.md:342,
+            # demo/pending.zed:4, demo/update.zed:3). In the envelope model
+            # a value's named type lives in the ``zed_type`` discriminator
+            # column (envelope.py), so the predicate compiles to a null-safe
+            # comparison (rows null-padded by schema widening are data, not
+            # markers). A frame with no discriminator column holds no
+            # named-typed values at all, so every is(<T>) there is
+            # statically false and Catalyst constant-folds the branch.
+            self.expect("op", "<")
+            tname = self.expect("ident").text
+            self.expect("op", ">")
+            self.expect("op", ")")
+            if (self.ctx.schema is not None
+                    and "zed_type" not in self.ctx.schema.names):
+                return F.lit(False)
+            return F.col("zed_type").eqNullSafe(F.lit(tname))
         if name == "strftime":
             # strftime(<format literal>, <time expr>) — format must be a
             # literal so the %-codes convert at compile time.
@@ -564,8 +581,6 @@ class Parser:
                 if self.accept("op", ")"):
                     break
                 self.expect("op", ",")
-        if name == "is":
-            raise ZedSyntaxError("is(<T>) must be used as a where predicate")
         if name not in _FUNCTIONS:
             raise ZedSyntaxError(f"unknown function {name!r}")
         return _FUNCTIONS[name](args)

@@ -29,6 +29,27 @@ reference user's shaper/pipeline text runs unchanged against Spark:
                                         (etl/build.go:92-107)
   fork ( => ... => ... )              → every record down every branch,
                                         union (etl/build.go:129-138)
+  from NAME / from ( pool A => ...    → table/pool scans; a multi-source
+       pool B => ... )                  block unions its legs and feeds a
+                                        following join (demo/update.zed:1-5,
+                                        design.md:347-352)
+  [anti|left|inner] join on lk=rk     → hash equi-join over the two from-
+       [f:=<right expr>, ...]           block legs; graft clauses evaluate
+                                        in the right record's scope
+                                        (demo/update.zed:6, pending.zed:5)
+  top N e1, e2                        → TakeOrderedAndProject top-k (desc)
+  grep "pat" [<expr>]                 → substring search (all string
+                                        columns when no expr)
+  over <expr>                         → array traversal (explode; struct
+                                        elements expand to records)
+  is(<T>)                             → named-type predicate on the
+                                        zed_type discriminator (update.zed:3)
+  e1 e2 (space-separated predicates)  → AND (zed search syntax,
+                                        pending.zed:4)
+  collect(x) after sort k             → order-preserving collect: per-group
+                                        sort_array over (k, x) pairs
+                                        (design.md:262's seqno-sorted
+                                        bundles, partition-independent)
 
 Every stage compiles to JVM Column expressions (whole-stage codegen);
 nothing here drops to Python per row. At scale the plan is exactly what a
@@ -144,12 +165,40 @@ def _has_toplevel(toks: list[Token], kind: str, text: str | None = None) -> bool
 
 @dataclass
 class _State:
-    df: DataFrame
+    df: DataFrame | None
     ctx: Context
-    # the most recent explicit sort keys as (expr tokens replayable) Columns —
-    # consulted by `tail N` to reverse deterministically.
-    last_sort: list[Column] = field(default_factory=list)
+    # table namespace for `from` / `from ( pool ... )` stages (the lake's
+    # pools, or any registered frames); None in pure-shaper pipelines.
+    tables: dict[str, DataFrame] | None = None
+    # the two legs of the most recent multi-source `from` block, consumed
+    # by a following `join` stage (demo/update.zed:6, demo/pending.zed:5).
+    legs: list[DataFrame] | None = None
+    # the most recent explicit sort keys as TOKEN slices, recompiled in the
+    # consuming stage's context — consulted by `tail N` (deterministic
+    # reverse) and by order-preserving collect() (the reference's collect
+    # sees the merged sort order of the pool scan; a distributed engine
+    # must re-establish it per group, so collect after sort compiles to a
+    # sort_array over the captured keys).
+    last_sort_toks: list[list[Token]] = field(default_factory=list)
     last_sort_desc: bool = False
+    # the frame as it was BEFORE the most recent sort stage — non-None only
+    # while sort is the latest stage applied. Consumers whose output order
+    # is undefined anyway (join legs, multi-leg unions) take this frame, so
+    # a `sort` that only exists to feed an ordered collect/tail never
+    # materializes a global range-partition sort.
+    pre_sort_df: DataFrame | None = None
+
+
+def _sort_key_cols(st: _State, ctx: Context) -> list[Column]:
+    """Recompile the captured sort-key token slices against `ctx` (the
+    consuming stage's frame may differ from the one that sorted)."""
+    cols: list[Column] = []
+    for kt in st.last_sort_toks:
+        pos = kt[-1].pos if kt else 0
+        p = _StageParser(kt + [Token("eof", "", pos)], ctx)
+        cols.append(p.parse_expr())
+        p.expect("eof")
+    return cols
 
 
 def _fresh_ctx(df: DataFrame, ctx: Context) -> Context:
@@ -245,8 +294,17 @@ def _cut_tree(items: list[tuple[list[str], Column | None]], ctx: Context):
     return build(tree)
 
 
-def _parse_agg_stage(p: _StageParser) -> tuple[list[Column], list[Column]]:
-    """`[summarize] [name:=]agg(expr)[, ...] [by [name:=]expr[, ...]]`"""
+def _parse_agg_stage(
+    p: _StageParser,
+    ordered: tuple[list[Column], bool] | None = None,
+) -> tuple[list[Column], list[Column]]:
+    """`[summarize] [name:=]agg(expr)[, ...] [by [name:=]expr[, ...]]`
+
+    `ordered` carries the upstream sort (keys, desc) when one is declared:
+    the reference's collect() sees records in the merged sort order of the
+    scan (design.md:262 collects seqno-sorted transaction bundles), so
+    collect after an explicit sort compiles to sort_array over (sort keys,
+    value) pairs — per-group deterministic regardless of partitioning."""
     aggs: list[Column] = []
     while True:
         name = None
@@ -272,7 +330,16 @@ def _parse_agg_stage(p: _StageParser) -> tuple[list[Column], list[Column]]:
                 if p.accept("op", ")"):
                     break
                 p.expect("op", ",")
-        col = _AGG_FUNCS[fn](args)
+        if fn == "collect" and ordered is not None and args:
+            okeys, odesc = ordered
+            pair = F.struct(
+                *[k.alias(f"_k{i}") for i, k in enumerate(okeys)],
+                args[0].alias("_v"))
+            col = F.transform(
+                F.sort_array(F.collect_list(pair), asc=not odesc),
+                lambda s: s["_v"])
+        else:
+            col = _AGG_FUNCS[fn](args)
         aggs.append(col.alias(name or fn))
         if not p.accept("op", ","):
             break
@@ -376,8 +443,12 @@ def _apply_branch_block(st: _State, toks: list[Token], word: str) -> None:
     exclusivity, etl/build.go:92-107) — or default; fork: send every record
     down every branch (etl/build.go:129-138). Branch outputs merge by
     implicit union (etl/build.go:107), null-padding differing schemas the
-    way the reference's heterogeneous stream types do."""
-    ctx = _fresh_ctx(st.df, st.ctx)
+    way the reference's heterogeneous stream types do. A fork over no
+    input frame is legal when every branch opens with its own `from`
+    (demo/pending.zed); switch always needs an input."""
+    if st.df is None and word == "switch":
+        raise ZedSyntaxError("switch needs an input frame (add a `from`)")
+    ctx = _fresh_ctx(st.df, st.ctx) if st.df is not None else st.ctx
     branches, consumed = _split_branches(toks[1:])
     end = toks[1 + consumed]
     if end.kind != "eof":
@@ -402,15 +473,17 @@ def _apply_branch_block(st: _State, toks: list[Token], word: str) -> None:
             if kind != "fork":
                 raise ZedSyntaxError("case/default belongs to switch, not fork")
             branch_df = st.df
-        sub = _State(df=branch_df, ctx=st.ctx)
-        for stage in _split_stages(body):
-            _apply_stage(sub, stage)
+        sub = _State(df=branch_df, ctx=st.ctx, tables=st.tables)
+        bstages = _split_stages(body)
+        for bi, stage in enumerate(bstages):
+            _apply_stage(sub, stage,
+                         bstages[bi + 1] if bi + 1 < len(bstages) else None)
         outs.append(sub.df)
     out = outs[0]
     for other in outs[1:]:
         out = out.unionByName(other, allowMissingColumns=True)
     st.df = out
-    st.last_sort = []
+    st.last_sort_toks = []
 
 
 def compile_pipeline(df: DataFrame, src: str,
@@ -425,19 +498,193 @@ def compile_pipeline(df: DataFrame, src: str,
     src = strip_const_prologue(src, base_ctx)
     stages = _split_stages(tokenize(src))
     st = _State(df=df, ctx=base_ctx)
-    for toks in stages:
-        _apply_stage(st, toks)
+    for i, toks in enumerate(stages):
+        _apply_stage(st, toks, stages[i + 1] if i + 1 < len(stages) else None)
     return st.df
 
 
-def _apply_stage(st: _State, toks: list[Token]) -> None:
+def _parse_pool_name(p: _StageParser) -> str:
+    """Pool names are quoted strings (`pool "Raw"`, demo/pending.zed:3) or
+    dotted identifiers (`pool raw`, demo/update.zed:2)."""
+    t = p.peek()
+    if t.kind == "string":
+        p.next()
+        return t.text[1:-1].encode().decode("unicode_escape")
+    path = p._parse_path_only()
+    return ".".join(path)
+
+
+def _apply_from_block(st: _State, p: _StageParser) -> None:
+    """``from ( pool NAME => stage | stage ... pool NAME2 => ... )`` —
+    the reference's multi-source scan block (demo/update.zed:1-5,
+    demo/pending.zed:2-5, design.md:347-352). Each pool's sub-pipeline
+    compiles independently over that pool's frame; the block emits the
+    union (zed's merged scan) and records the legs for a following `join`
+    stage. If every leg ends in the SAME sort, that ordering is carried
+    forward so a downstream ordered collect/tail can re-establish it."""
+    legs: list[DataFrame] = []
+    leg_sorts: list[tuple[tuple[str, ...], bool]] = []
+    leg_toks: list[list[list[Token]]] = []
+    while not p.accept("op", ")"):
+        t = p.next()
+        if not (t.kind == "ident" and t.text == "pool"):
+            raise ZedSyntaxError(
+                f"expected `pool` in from block, got {t.text!r} at {t.pos}")
+        name = _parse_pool_name(p)
+        if st.tables is None or name not in st.tables:
+            raise ZedSyntaxError(f"unknown pool {name!r} in from block")
+        body: list[Token] = []
+        depth = 0
+        t = p.peek()
+        has_body = t.kind == "op" and t.text == "="
+        if has_body:
+            p.expect("op", "=")
+            p.expect("op", ">")
+        # body: tokens until the next top-level `pool` or the closing `)`
+        while has_body:
+            t = p.peek()
+            if t.kind == "eof":
+                raise ZedSyntaxError("unterminated from block")
+            if depth == 0 and t.kind == "op" and t.text == ")":
+                break
+            if depth == 0 and t.kind == "ident" and t.text == "pool":
+                break
+            if t.kind == "op" and t.text in "([{":
+                depth += 1
+            elif t.kind == "op" and t.text in ")]}":
+                depth -= 1
+            body.append(p.next())
+        sub = _State(df=st.tables[name], ctx=st.ctx, tables=st.tables)
+        bstages = _split_stages(body + [Token("eof", "", t.pos)])
+        for bi, stg in enumerate(bstages):
+            _apply_stage(sub, stg,
+                         bstages[bi + 1] if bi + 1 < len(bstages) else None)
+        legs.append((sub.df, sub.pre_sort_df))
+        leg_sorts.append((tuple(" ".join(k.text for k in kt)
+                                for kt in sub.last_sort_toks),
+                          sub.last_sort_desc))
+        leg_toks.append(sub.last_sort_toks)
+    p.expect("eof")
+    if not legs:
+        raise ZedSyntaxError("empty from block")
+    if len(legs) == 1:
+        # single-source block: plain scan, the leg's sort (if any) is the
+        # user-visible output order — keep it
+        st.legs = None
+        st.df = legs[0][0]
+    else:
+        # multi-leg: join/union output order is undefined in a distributed
+        # engine anyway (the captured sort keys still flow to ordered
+        # collect / tail), so a leg whose FINAL stage is sort hands its
+        # PRE-sort frame onward — the global range-partition sort per leg
+        # would be pure wasted shuffle.
+        flat = [pre if pre is not None else df_ for df_, pre in legs]
+        st.legs = flat
+        out = flat[0]
+        for other in flat[1:]:
+            out = out.unionByName(other, allowMissingColumns=True)
+        st.df = out
+    if leg_sorts and all(s == leg_sorts[0] for s in leg_sorts) \
+            and leg_sorts[0][0]:
+        st.last_sort_toks = leg_toks[0]
+        st.last_sort_desc = leg_sorts[0][1]
+    else:
+        st.last_sort_toks = []
+
+
+def _apply_join(st: _State, p: _StageParser, jtype: str) -> None:
+    """``[anti|left|inner] join on <leftkey>=<rightkey> [f:=<expr>, ...]``
+    over the two legs of the preceding from block (demo/update.zed:6,
+    demo/pending.zed:5, design.md:351). The left leg survives; graft
+    clauses evaluate in the RIGHT record's scope (zed join semantics) and
+    assign onto the left record. Scale: compiles to a plain hash
+    equi-join on the key — broadcastable when the right leg is small,
+    AQE-planned otherwise; anti join is left_anti (the done-marker
+    subtraction idiom)."""
+    if st.legs is None or len(st.legs) != 2:
+        raise ZedSyntaxError(
+            "join needs a preceding two-source from block "
+            "(from ( pool a => ... pool b => ... ) | join on k=k)")
+    left, right = st.legs
+    t = p.next()
+    if not (t.kind == "ident" and t.text == "on"):
+        raise ZedSyntaxError(f"expected `on` after join, got {t.text!r}")
+    lk = p._parse_path_only()
+    p.expect("op", "=")
+    rk = p._parse_path_only()
+    lctx = Context(roots=dict(st.ctx.roots), schema=left.schema)
+    rctx = Context(roots=dict(st.ctx.roots), schema=right.schema)
+    lcol = lctx.resolve(lk)
+    rkey = rctx.resolve(rk)
+    if jtype == "anti":
+        p.expect("eof")
+        rdf = right.select(rkey.alias("__zjk"))
+        st.df = left.join(rdf, lcol == rdf["__zjk"], "left_anti")
+    else:
+        rdf = right.select(rkey.alias("__zjk"),
+                           F.struct("*").alias("__zright"))
+        joined = left.join(rdf, lcol == rdf["__zjk"],
+                           "inner" if jtype == "inner" else "left")
+        # graft clauses: expressions resolve against the right record
+        graft_ctx = Context(roots=dict(st.ctx.roots), schema=right.schema,
+                            default_root=F.col("__zright"))
+        gp = _StageParser(p.toks[p.i:], graft_ctx)
+        if gp.peek().kind != "eof":
+            for path, col in gp.parse_assign_list():
+                joined = _apply_assign(joined, path, col)
+        gp.expect("eof")
+        st.df = joined.drop("__zjk", "__zright")
+    st.legs = None
+
+
+def _apply_stage(st: _State, toks: list[Token],
+                 nxt: list[Token] | None = None) -> None:
     if not toks or toks[0].kind == "eof":
         return
-    ctx = _fresh_ctx(st.df, st.ctx)
-    p = _StageParser(toks, ctx)
     head = toks[0]
     word = head.text if head.kind == "ident" else None
+    if word != "sort":
+        # pre_sort_df is only meaningful while sort is the latest stage
+        st.pre_sort_df = None
 
+    if word == "from":
+        if st.tables is None:
+            raise ZedSyntaxError("`from` needs a table namespace (run via "
+                                 "compile_query over the lake's pools)")
+        p = _StageParser(toks, Context(roots=dict(st.ctx.roots)))
+        p.next()
+        if p.accept("op", "("):
+            _apply_from_block(st, p)
+            return
+        name = _parse_pool_name(p)
+        p.expect("eof")
+        if name not in st.tables:
+            raise ZedSyntaxError(f"unknown table {name!r} in from")
+        st.df = st.tables[name]
+        st.legs = None
+        st.last_sort_toks = []
+        return
+    if word in ("switch", "fork") and len(toks) > 1 \
+            and toks[1].kind == "op" and toks[1].text == "(":
+        # dispatched before the df-presence guard: a fork may open its own
+        # `from` per branch (demo/pending.zed:1-10)
+        _apply_branch_block(st, toks, word)
+        return
+    if st.df is None:
+        raise ZedSyntaxError("pipeline must start with a `from` stage")
+    ctx = _fresh_ctx(st.df, st.ctx)
+    p = _StageParser(toks, ctx)
+
+    if word in ("anti", "left", "inner") and len(toks) > 1 \
+            and toks[1].kind == "ident" and toks[1].text == "join":
+        p.next()
+        p.next()
+        _apply_join(st, p, word)
+        return
+    if word == "join":
+        p.next()
+        _apply_join(st, p, "inner")
+        return
     if word in ("fuse", "pass") and toks[1].kind == "eof":
         p.next()
         return
@@ -485,7 +732,7 @@ def _apply_stage(st: _State, toks: list[Token]) -> None:
         for other in outs[1:]:
             out = out.unionByName(other, allowMissingColumns=True)
         st.df = out
-        st.last_sort = []
+        st.last_sort_toks = []
         return
     if word == "cut":
         p.next()
@@ -537,17 +784,26 @@ def _apply_stage(st: _State, toks: list[Token]) -> None:
                 raise ZedSyntaxError(f"unknown sort flag -{flag.text}")
             desc = True
         keys: list[Column] = []
-        raw: list[Column] = []
+        key_toks: list[list[Token]] = []
         while True:
+            start = p.i
             e = p.parse_expr()
-            raw.append(e)
+            key_toks.append(p.toks[start:p.i])
             # zed sorts nulls last in both directions
             keys.append(e.desc_nulls_last() if desc else e.asc_nulls_last())
             if not p.accept("op", ","):
                 break
         p.expect("eof")
-        st.df = st.df.orderBy(*keys)
-        st.last_sort = raw
+        st.pre_sort_df = st.df
+        # Sort elision: when the NEXT stage is an aggregation, the only
+        # order-sensitive consumer is collect() — which re-establishes the
+        # order per group via sort_array over the captured keys. Skipping
+        # the physical orderBy here removes a global range-partition sort
+        # of the whole input from the plan (Catalyst keeps sorts under
+        # order-sensitive aggregates, so it cannot do this elision itself).
+        if nxt is None or not _looks_like_agg(nxt):
+            st.df = st.df.orderBy(*keys)
+        st.last_sort_toks = key_toks
         st.last_sort_desc = desc
         return
     if word in ("head", "tail"):
@@ -561,32 +817,103 @@ def _apply_stage(st: _State, toks: list[Token]) -> None:
         if word == "head":
             st.df = st.df.limit(n)
             return
-        if not st.last_sort:
+        if not st.last_sort_toks:
             raise ZedSyntaxError(
                 "tail requires a preceding sort: a distributed engine has no "
                 "stable input order to take the last N of (the reference's "
                 "tail rides the pool's offset order; sort kafka.offset first)")
+        raw = _sort_key_cols(st, ctx)
         desc = not st.last_sort_desc
         rev = [e.desc_nulls_last() if desc else e.asc_nulls_last()
-               for e in st.last_sort]
+               for e in raw]
         fwd = [e.desc_nulls_last() if st.last_sort_desc else e.asc_nulls_last()
-               for e in st.last_sort]
+               for e in raw]
         st.df = st.df.orderBy(*rev).limit(n).orderBy(*fwd)
         return
-    if word in ("switch", "fork") and len(toks) > 1 \
-            and toks[1].kind == "op" and toks[1].text == "(":
-        _apply_branch_block(st, toks, word)
+    if word == "top":
+        # zed `top N e1, e2` — the explicit top-k operator (descending by
+        # the keys). Compiles to orderBy(desc).limit, which Catalyst turns
+        # into TakeOrderedAndProject: per-partition heaps + one tiny
+        # driver merge, never a global sort — the formulation you want at
+        # any scale.
+        p.next()
+        t = p.peek()
+        n = 1
+        if t.kind == "int":
+            p.next()
+            n = int(t.text)
+        keys = []
+        key_toks = []
+        if p.peek().kind != "eof":
+            while True:
+                start = p.i
+                e = p.parse_expr()
+                key_toks.append(p.toks[start:p.i])
+                keys.append(e.desc_nulls_last())
+                if not p.accept("op", ","):
+                    break
+        p.expect("eof")
+        if not keys:
+            raise ZedSyntaxError("top needs at least one key expression")
+        st.df = st.df.orderBy(*keys).limit(n)
+        st.last_sort_toks = key_toks
+        st.last_sort_desc = True
+        return
+    if word == "grep":
+        # zed `grep <pattern> [<expr>]` — substring search over one
+        # expression, or over every top-level string column when no
+        # expression is given (the operator form of the grep() function;
+        # pattern-match filters push to the scan like any predicate).
+        p.next()
+        t = p.expect("string")
+        pat = t.text[1:-1].encode().decode("unicode_escape")
+        if p.peek().kind == "eof":
+            strs = [f.name for f in st.df.schema.fields
+                    if f.dataType.simpleString() == "string"]
+            if not strs:
+                raise ZedSyntaxError(
+                    "grep without an expression needs at least one string "
+                    "column in scope")
+            pred = F.lit(False)
+            for name_ in strs:
+                pred = pred | F.col(name_).contains(pat)
+        else:
+            pred = p.parse_expr().cast("string").contains(pat)
+            p.expect("eof")
+        st.df = st.df.filter(pred)
+        return
+    if word == "over":
+        # zed `over <expr>` — traverse an array: each element becomes a
+        # top-level output value (struct elements expand to records, like
+        # yield). One generator expression (explode), map-side only.
+        p.next()
+        start = p.i
+        expr = p.parse_expr()
+        segs = [t.text for t in p.toks[start:p.i] if t.kind == "ident"]
+        p.expect("eof")
+        exploded = st.df.select(F.explode(expr).alias("_ov"))
+        etype = exploded.schema["_ov"].dataType
+        if isinstance(etype, StructType):
+            st.df = exploded.select(
+                *[F.col("_ov")[f.name].alias(f.name) for f in etype.fields])
+        else:
+            name_ = segs[-1] if segs else "value"
+            st.df = exploded.select(F.col("_ov").alias(name_))
+        st.last_sort_toks = []
         return
     if _looks_like_agg(toks):
         if word == "summarize":
             p.next()
-        aggs, keys = _parse_agg_stage(p)
+        ordered = None
+        if st.last_sort_toks:
+            ordered = (_sort_key_cols(st, ctx), st.last_sort_desc)
+        aggs, keys = _parse_agg_stage(p, ordered)
         p.expect("eof")
         if keys:
             st.df = st.df.groupBy(*keys).agg(*aggs)
         else:
             st.df = st.df.agg(*aggs)
-        st.last_sort = []
+        st.last_sort_toks = []
         return
     # bare assignments (`a := e`) — the put-less form the ETL YAML uses
     if _has_toplevel(toks, "assign"):
@@ -598,7 +925,23 @@ def _apply_stage(st: _State, toks: list[Token]) -> None:
     # Parse fully (eof) BEFORE applying: a trailing token means this wasn't
     # an expression stage at all, and that must surface as a syntax error,
     # not an analysis error about a half-parsed column.
+    start = p.i
     pred = p.parse_expr()
+    # zed search syntax: space-separated predicates AND together
+    # (demo/pending.zed:4 `is(<done>) kafka.topic=="Invoices"`) — but ONLY
+    # when the first conjunct is predicate-shaped. A bare dotted path with
+    # trailing tokens (`explode tag`) is almost certainly a typo'd
+    # operator, and that must surface as a syntax error, not a silent AND.
+    if p.peek().kind != "eof":
+        first_is_bare_path = all(
+            t.kind == "ident" or (t.kind == "op" and t.text == ".")
+            for t in p.toks[start:p.i])
+        if first_is_bare_path:
+            t = p.peek()
+            raise ZedSyntaxError(
+                f"unknown operator or trailing token {t.text!r} at {t.pos}")
+        while p.peek().kind != "eof":
+            pred = pred & p.parse_expr()
     p.expect("eof")
     st.df = st.df.filter(pred)
 
@@ -612,20 +955,22 @@ def compile_query(src: str, tables: dict[str, DataFrame],
     src = strip_const_prologue(src, base_ctx)
     toks = tokenize(src)
     stages = _split_stages(toks)
-    if stages and stages[0] and stages[0][0].kind == "ident" \
-            and stages[0][0].text == "from":
-        name_toks = stages[0][1:-1]
-        name = ".".join(t.text for t in name_toks)
-        if name not in tables:
-            raise ZedSyntaxError(f"unknown table {name!r} in from")
-        df = tables[name]
-        rest_stages = stages[1:]
+    starts_with_from = (
+        stages and stages[0]
+        and stages[0][0].kind == "ident" and stages[0][0].text == "from"
+    )
+    # fork blocks may open their own `from` per branch (demo/pending.zed)
+    starts_with_fork = (
+        stages and stages[0]
+        and stages[0][0].kind == "ident" and stages[0][0].text == "fork"
+    )
+    if starts_with_from or starts_with_fork:
+        df = None
     else:
         if len(tables) != 1:
             raise ZedSyntaxError("pipeline without `from` needs exactly one table")
         df = next(iter(tables.values()))
-        rest_stages = stages
-    st = _State(df=df, ctx=base_ctx)
-    for s in rest_stages:
-        _apply_stage(st, s)
+    st = _State(df=df, ctx=base_ctx, tables=dict(tables))
+    for i, s in enumerate(stages):
+        _apply_stage(st, s, stages[i + 1] if i + 1 < len(stages) else None)
     return st.df
