@@ -140,6 +140,15 @@ def test_update_demo_end_to_end(spark, tmp_path, capsys):
              capsys.readouterr().out.strip().splitlines()]
     assert [x["seqno"] for x in lines] == [2, 4]
 
+    # same program from a file: `query -I update.zed` (zed query -I)
+    prog = os.path.join(lake, "update.zed")
+    with open(prog, "w") as f:
+        f.write(UPDATE_ZED)
+    assert main(["--lake", lake, "query", "-I", prog]) == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    assert [x["seqno"] for x in lines] == [2, 4]
+
     # -- zed query -I demo/update-etl.zed VERBATIM (design.md:362-366)
     out2 = compile_query(
         UPDATE_ETL_ZED, {"raw": raw.scan(), "staging": staging.scan()}

@@ -295,3 +295,25 @@ def test_update_etl_plan_has_no_global_sort(raw, staging):
     out = compile_query(UPDATE_ETL_ZED, {"raw": raw, "staging": staging})
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_ordered_collect_degrades_when_key_projected_away(spark):
+    """`sort x | cut y | collect` cannot re-establish x order (the key is
+    gone) — it must fall back to plain collect, not crash."""
+    df = spark.createDataFrame(
+        [(1, 10, 2), (1, 30, 2), (2, 5, 2)], "g long, x long, y long")
+    out = compile_pipeline(df, "sort x | cut g, y | ys:=collect(y) by g")
+    got = {r["g"]: sorted(r["ys"]) for r in out.collect()}
+    assert got == {1: [2, 2], 2: [2]}
+
+
+def test_every_time_bucket_grouping(spark):
+    """zed `count() by every(1h)` — time-bucket grouping sugar over `ts`."""
+    import datetime as dt
+
+    rows = [(dt.datetime(2024, 1, 1, 10, m),) for m in (5, 25, 45)] + [
+        (dt.datetime(2024, 1, 1, 11, 5),)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = compile_pipeline(df, "count() by every(1h) | sort ts")
+    got = [(r["ts"].hour, r["count"]) for r in out.collect()]
+    assert got == [(10, 3), (11, 1)]

@@ -67,6 +67,18 @@ def cmd_query(args) -> int:
     ... | cut ... | sort ...`) through zedpipe — the reference's own query
     language (what its users feed the embedded engine, fifo/lake.go:94-106),
     compiled to the same DataFrame plans."""
+    src = args.sql
+    use_zed = args.zed
+    if getattr(args, "include", None):
+        # `query -I FILE` — run a zed program from a file, the reference's
+        # `zed query -I demo/update.zed` form (design.md:353-356)
+        if src is not None:
+            raise SystemExit("zync-spark: give either a program string or -I FILE")
+        with open(args.include) as f:
+            src = f.read()
+        use_zed = True
+    if src is None:
+        raise SystemExit("zync-spark: query needs a program string or -I FILE")
     spark = _spark()
     tables = {}
     for name in sorted(os.listdir(args.lake)):
@@ -77,12 +89,12 @@ def cmd_query(args) -> int:
         if df is not None:
             df.createOrReplaceTempView(name)
             tables[name] = df
-    if args.zed:
+    if use_zed:
         from zync_spark.zedpipe import compile_query
 
-        result = compile_query(args.sql, tables)
+        result = compile_query(src, tables)
     else:
-        result = spark.sql(args.sql)
+        result = spark.sql(src)
     if args.explain:
         print(result._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
@@ -416,7 +428,10 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_etl)
 
     p = sub.add_parser("query", help="SQL or zed pipeline over lake pools")
-    p.add_argument("sql")
+    p.add_argument("sql", nargs="?", default=None)
+    p.add_argument("-I", "--include", default=None, metavar="FILE",
+                   help="read the program from FILE (the reference's "
+                        "`zed query -I demo/update.zed`); implies --zed")
     p.add_argument("--zed", action="store_true",
                    help="treat the query as a zed pipeline "
                         "(from pool | where ... | ...) instead of SQL")

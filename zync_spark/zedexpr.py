@@ -565,6 +565,17 @@ class Parser:
                     and "zed_type" not in self.ctx.schema.names):
                 return F.lit(False)
             return F.col("zed_type").eqNullSafe(F.lit(tname))
+        if name == "every":
+            # every(<duration>) — zed's time-bucket grouping sugar
+            # (`count() by every(1h)`): bucket(this.ts, d) on the
+            # conventional `ts` field.
+            d = self.parse_expr()
+            self.expect("op", ")")
+            if not isinstance(d, _Duration):
+                raise ZedSyntaxError("every() takes a duration literal (1h, 15m, ...)")
+            ts = self.ctx.resolve(["ts"])
+            us = F.unix_micros(ts)
+            return F.timestamp_micros(us - us % F.lit(d.micros))
         if name == "strftime":
             # strftime(<format literal>, <time expr>) — format must be a
             # literal so the %-codes convert at compile time.

@@ -189,6 +189,27 @@ class _State:
     pre_sort_df: DataFrame | None = None
 
 
+def _sort_keys_resolvable(st: _State, ctx: Context) -> bool:
+    """True when every captured sort key still resolves in the current
+    frame. A stage between the sort and the consumer may have projected
+    the key away (`sort x | cut y | collect(y) by k`); ordered collect
+    then degrades to plain collect (round-1 semantics) instead of an
+    unresolvable-column analysis error."""
+    if ctx.schema is None:
+        return True
+    names = set(ctx.schema.names)
+    for kt in st.last_sort_toks:
+        head = next((t for t in kt if t.kind in ("ident", "this")), None)
+        if head is None:
+            continue
+        if head.kind == "this":
+            continue
+        if head.text in ctx.roots or head.text in names:
+            continue
+        return False
+    return True
+
+
 def _sort_key_cols(st: _State, ctx: Context) -> list[Column]:
     """Recompile the captured sort-key token slices against `ctx` (the
     consuming stage's frame may differ from the one that sorted)."""
@@ -356,9 +377,13 @@ def _parse_agg_stage(
             expr = p.parse_expr()
             if name is None:
                 # default key name: the last path segment if the key is a
-                # bare path, else a positional name
+                # bare path, else a positional name; every(d) buckets the
+                # conventional `ts` field and keeps its name (zed sugar)
                 seg = [t.text for t in p.toks[start:p.i] if t.kind == "ident"]
-                name = seg[-1] if seg else f"key{len(keys)}"
+                if seg and seg[0] == "every":
+                    name = "ts"
+                else:
+                    name = seg[-1] if seg else f"key{len(keys)}"
             keys.append(expr.alias(name))
             if not p.accept("op", ","):
                 break
@@ -905,7 +930,7 @@ def _apply_stage(st: _State, toks: list[Token],
         if word == "summarize":
             p.next()
         ordered = None
-        if st.last_sort_toks:
+        if st.last_sort_toks and _sort_keys_resolvable(st, ctx):
             ordered = (_sort_key_cols(st, ctx), st.last_sort_desc)
         aggs, keys = _parse_agg_stage(p, ordered)
         p.expect("eof")
