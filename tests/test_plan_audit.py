@@ -43,6 +43,8 @@ PYTHON_OK = {"multimodal_features", "multimodal_resize", "multimodal_frames"}
 SHUFFLE_BUDGET = 6
 CUSTOM_BUDGET = {
     "kmeans_clusters": 40,      # unrolled Lloyd rounds, tiny exchanges
+    "dedup_semantic": 16,       # k-means rounds (k×dim-row exchanges) +
+                                # ONE corpus-by-cluster shuffle for pairs
     "dedup_curate": 20,         # pairs + components rounds + ranking
     "dedup_components": 16,     # one exchange per propagation round
     "text_tfidf_topk": 8,

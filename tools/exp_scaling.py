@@ -1,0 +1,73 @@
+"""Scale-curve experiment: how operator wall-clock grows with corpus size.
+
+Runs a representative operator set at every sf the testdata ships
+(sf0.001 → sf0.01 → sf0.1, a 100× span) in ONE warm session with the
+engine's default config, min-of-3 per point, and reports the 100× ratio:
+wall(sf0.1) / wall(sf0.001). A shuffle-light plan should grow far slower
+than the 100× data growth at these sizes because fixed per-query cost
+(scheduling, codegen reuse, driver round-trips) dominates small inputs —
+the measured ratio IS the evidence that the plans are data-bound, not
+structure-bound (a quadratic candidate generator or a driver-side loop
+would blow past 100× instead).
+
+Prints one JSON line: {op: {sf: sec, ..., "ratio_100x": r}}.
+Findings land in SCALING.md §5.
+
+Usage: python tools/exp_scaling.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from zync_spark.queries import QUERIES
+from zync_spark.session import get_spark
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+# A cross-section of plan shapes: two-phase agg, star join, inverted-index
+# dedup, map-side LSH, window analytics, text HOFs, vector fold.
+OPS = [
+    "q1_pricing_summary",
+    "q5_regional_revenue",
+    "dedup_minhash_lsh",
+    "dedup_jaccard_pairs",
+    "dedup_crossdoc_fraction",
+    "text_stats",
+    "q_scd2_intervals",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    spark = get_spark("zync-spark-exp-scaling", shuffle_partitions=8,
+                      adaptive=False)
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm codegen/JIT once
+    QUERIES["q1_pricing_summary"](spark, SFS[0]).write.mode(
+        "overwrite").format("noop").save()
+
+    out: dict[str, dict] = {}
+    for op in OPS:
+        row: dict[str, float] = {}
+        for sf_dir in SFS:
+            sf = sf_dir.rsplit("sf", 1)[-1]
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                QUERIES[op](spark, sf_dir).write.mode(
+                    "overwrite").format("noop").save()
+                runs.append(time.perf_counter() - t0)
+            row[sf] = round(min(runs), 3)
+        row["ratio_100x"] = round(row["0.1"] / max(row["0.001"], 1e-9), 2)
+        out[op] = row
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -65,6 +65,17 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _parse_bytes_conf(v: str) -> int:
+    """Spark size-conf string ("134217728b", "128MB", "1g") → bytes."""
+    v = v.strip().lower()
+    for suf, mult in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("b", 1)):
+        if v.endswith(suf):
+            return int(float(v[: -len(suf)])) * mult
+    return int(v)
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition to full parallelism before CPU-heavy per-row expansion —
     but ONLY when the scan under-splits.
@@ -74,11 +85,32 @@ def _spread(df: DataFrame) -> DataFrame:
     >= defaultParallelism splits, and a round-robin reshuffle of
     (id, full document text) would be the single most expensive byte
     movement in the whole plan for zero semantic effect — so it must NOT
-    be unconditional. We probe the input's partition count (physical
-    planning only, no job) and pass the frame through untouched whenever
-    it is already parallel enough; tune spark.sql.files.maxPartitionBytes
-    downward if finer scan splits are ever needed instead."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    be unconditional.
+
+    Probe order: for file-backed frames, estimate the scan's split count
+    from the file list + maxPartitionBytes (driver-side metadata the query
+    pays for anyway — no RDD conversion job, ~600 ms cheaper on a cold
+    session than df.rdd); only non-file frames fall back to the rdd
+    partition probe. Tune spark.sql.files.maxPartitionBytes downward if
+    finer scan splits are ever needed instead."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if files:
+        import os as _os
+        try:
+            total = sum(
+                _os.path.getsize(f[5:] if f.startswith("file:") else f)
+                for f in files
+            )
+        except OSError:
+            total = 0
+        if total:
+            mpb = _parse_bytes_conf(
+                spark.conf.get("spark.sql.files.maxPartitionBytes",
+                               "134217728b"))
+            est = max(len(files), (total + mpb - 1) // mpb)
+            return df if est >= target else df.repartition(target)
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
@@ -406,4 +438,41 @@ def semdedup_pairs(
             "cluster", "id_a", "id_b",
             cosine_expr(F.col("va"), F.col("vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
+    )
+
+
+def crossdoc_duplication(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document fraction of its distinct k-gram shingles that occur in
+    at least one OTHER document — the cross-corpus boilerplate signal
+    (RefinedWeb/Dolma-style duplicated-n-gram fraction). Distinct from
+    text.repetition_ratio, which measures repetition WITHIN a document:
+    a page is flagged here when its content is shared across the corpus
+    (templates, navigation chrome, licence footers), even if each copy is
+    locally clean.
+
+    Scale: pure inverted index — shingle-HASH rows (16 bytes) shuffle once
+    by shingle for the document-frequency window and once by doc_id for
+    the fraction; document text never leaves the scan task. No pairwise
+    join at all (unlike jaccard_pairs): cost is linear in total shingles.
+
+    Output: (doc_id, n_shingles, n_dup, dup_fraction) for docs with >= k
+    tokens.
+    """
+    from pyspark.sql import Window
+
+    sh = doc_shingles(df, id_col, text_col, k)
+    w = Window.partitionBy("sh")
+    tagged = sh.withColumn("df_", F.count("*").over(w))
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("df_") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            "doc_id", "n_shingles", "n_dup",
+            (F.col("n_dup") / F.col("n_shingles")).alias("dup_fraction"),
+        )
     )

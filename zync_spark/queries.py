@@ -876,6 +876,32 @@ def dedup_jaccard_pairs(spark, sf_dir):
 
 
 @register(
+    "dedup_crossdoc_fraction",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS sh FROM toks
+           WHERE len(toks) >= 3),
+    dfq AS (SELECT doc_id, count(*) OVER (PARTITION BY sh) AS df_ FROM sh)
+    SELECT doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN df_ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           (CAST(sum(CASE WHEN df_ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+              / count(*)) AS dup_fraction
+    FROM dfq GROUP BY doc_id
+    """,
+)
+def dedup_crossdoc_fraction(spark, sf_dir):
+    """Cross-document duplicated-shingle fraction (RefinedWeb/Dolma-style
+    boilerplate signal): the share of each doc's distinct 3-gram shingles
+    that appear in at least one OTHER document. Complements
+    text_repetition (within-doc) — a template page is flagged here even
+    when each copy is locally clean. Scale: inverted index only — 16-byte
+    shingle hashes shuffle for the document-frequency window, then one
+    doc_id re-agg; no pairwise join, cost linear in total shingles."""
+    docs = T(spark, sf_dir, "documents")
+    return D.crossdoc_duplication(docs, "doc_id", "text", k=3)
+
+
+@register(
     "dedup_components",
     _JACCARD_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """,
     edges AS (SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.5
