@@ -147,3 +147,48 @@ def test_head_tail_partition_sorted_frame(df, k, key):
         df, f"sort {key}, id | tail {len(ROWS) - k}").collect()
     whole = sorted(tuple(r) for r in asc.collect())
     assert sorted(tuple(r) for r in head + tail) == whole
+
+
+# ---- round-2 operators: ordered collect, top, from/anti join ------------
+
+
+@given(desc=st.booleans(), by_g=st.booleans(),
+       nparts=st.integers(1, 6))
+@_PROPS
+def test_ordered_collect_matches_pandas(df, desc, by_g, nparts):
+    """collect after sort == pandas sort+groupby-collect, under ANY input
+    partitioning (ties on the sort key break on the collected value)."""
+    flag = "-r " if desc else ""
+    key = "g" if by_g else "n"
+    out = compile_pipeline(
+        df.repartition(nparts), f"sort {flag}x, id | vs:=collect(id) by {key}")
+    got = {r[key]: list(r["vs"]) for r in out.collect()}
+    m = model().sort_values(["x", "id"], ascending=not desc)
+    want = m.groupby(key)["id"].apply(list).to_dict()
+    assert got == want
+
+
+@given(n=st.integers(1, 7))
+@_PROPS
+def test_top_selects_largest_key_multiset(df, n):
+    out = compile_pipeline(df, f"top {n} n")
+    got = sorted(r["n"] for r in out.collect())
+    want = sorted(model()["n"].nlargest(n).tolist())
+    assert got == want
+
+
+@given(left_keys=st.lists(st.integers(0, 5), max_size=6, unique=True),
+       right_keys=st.lists(st.integers(0, 5), max_size=6, unique=True))
+@_PROPS
+def test_anti_join_is_set_difference(spark, left_keys, right_keys):
+    from zync_spark.zedpipe import compile_query
+
+    a = spark.createDataFrame([(k, k * 10) for k in left_keys] or [(None, None)],
+                              "k long, v long").filter("k is not null")
+    b = spark.createDataFrame([(k,) for k in right_keys] or [(None,)],
+                              "k long").filter("k is not null")
+    out = compile_query(
+        "from ( pool a => pass  pool b => pass ) | anti join on k=k",
+        {"a": a, "b": b})
+    got = sorted(r["k"] for r in out.collect())
+    assert got == sorted(set(left_keys) - set(right_keys))
