@@ -55,7 +55,7 @@ def _duckdb_headline(sf_dir: str) -> dict[str, float]:
         if sql is None:
             continue
         runs = []
-        for _ in range(4):
+        for _ in range(5):
             t0 = time.perf_counter()
             con.sql(sql).fetchall()
             runs.append(time.perf_counter() - t0)
@@ -204,15 +204,17 @@ def main() -> None:
     _materialize(QUERIES["q_max_offsets"](spark, sf_dir))
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
         runs = []
-        for _ in range(4):
+        for _ in range(5):
             t0 = time.perf_counter()
             _materialize(QUERIES[name](spark, sf_dir))
             runs.append(time.perf_counter() - t0)
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
+        medians[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
 
@@ -229,6 +231,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # medians expose run-to-run noise (this host has external
+                # load; min-of-5 vs median spread IS the noise estimate)
+                "queries_median": medians,
                 "cold_queries": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # vs the DuckDB single-node baseline on the SAME oracle SQL,

@@ -317,3 +317,20 @@ def test_every_time_bucket_grouping(spark):
     out = compile_pipeline(df, "count() by every(1h) | sort ts")
     got = [(r["ts"].hour, r["count"]) for r in out.collect()]
     assert got == [(10, 3), (11, 1)]
+
+
+def test_any_aggregate_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "b"), (1, "a"), (2, "z")], "g long, s string")
+    out = compile_pipeline(df.repartition(5), "v:=any(s) by g | sort g")
+    assert [(r["g"], r["v"]) for r in out.collect()] == [(1, "a"), (2, "z")]
+
+
+def test_collect_map_merges_with_max_wins(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": 1, "b": 2}), (1, {"b": 9, "c": 3}), (2, {"x": 7})],
+        "g long, m map<string,int>")
+    out = compile_pipeline(
+        df.repartition(4), "mm:=collect_map(m) by g | sort g")
+    got = [(r["g"], dict(r["mm"])) for r in out.collect()]
+    assert got == [(1, {"a": 1, "b": 9, "c": 3}), (2, {"x": 7})]

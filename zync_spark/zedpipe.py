@@ -96,7 +96,28 @@ _AGG_FUNCS = {
     "or": lambda a: F.bool_or(a[0]),
     "dcount": lambda a: F.approx_count_distinct(a[0]),
     "countdistinct": lambda a: F.count_distinct(a[0]),
+    # zed any(): "one value from the group", unspecified which. min() is a
+    # deterministic refinement — same answer under every partitioning
+    # (F.first would be partition-order-dependent).
+    "any": lambda a: F.min(a[0]),
+    "collect_map": lambda a: _collect_map(a[0]),
 }
+
+
+def _collect_map(m: Column) -> Column:
+    """zed collect_map(): merge the group's map values into one map. Key
+    conflicts are unspecified in zed; here the MAX value per key wins —
+    a deterministic refinement (entries are sorted (key, value) and the
+    last entry per key is kept), safe under any partitioning and immune
+    to spark.sql.mapKeyDedupPolicy (keys are unique before
+    map_from_entries)."""
+    entries = F.array_sort(F.flatten(F.collect_list(F.map_entries(m))))
+    keep = F.filter(
+        entries,
+        lambda e, i: (i == F.size(entries) - 1)
+        | (e["key"] != F.element_at(entries, i + 2)["key"]),
+    )
+    return F.map_from_entries(keep)
 
 
 @dataclass
