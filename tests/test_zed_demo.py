@@ -334,3 +334,104 @@ def test_collect_map_merges_with_max_wins(spark):
         df.repartition(4), "mm:=collect_map(m) by g | sort g")
     got = [(r["g"], dict(r["mm"])) for r in out.collect()]
     assert got == [(1, {"a": 1, "b": 9, "c": 3}), (2, {"x": 7})]
+
+
+# ---- fragments of the reference's GENERATED ETL program, verbatim -------
+# (ztests/etl-zed.yaml is `zync etl -zed invoices.yaml` output: the full
+# program nests named types inside record literals ({left:done,right:done}),
+# which the unified-schema model encodes differently — but each update
+# branch and the denorm fork+join fragment run unchanged.)
+
+UPDATE_STATUS_BRANCH = """
+type done = {kafka:{topic:string,offset:int64}}
+fork (
+  =>
+    yield {in:this}
+
+// === user-defined ETL ===
+    | out:={
+        key: {
+          ID: in.value.after.InvoiceID
+        },
+        value: {
+          ID: in.value.after.InvoiceID,
+          invoice_status: in.value.after.status
+        }
+      }
+
+    | out.kafka:=in.kafka
+    | yield out
+    | kafka.topic:="NewInvoices"
+
+  =>
+    yield cast({kafka:{topic:kafka.topic,offset:kafka.offset}},done)
+
+  )
+"""
+
+DENORM_FORK_JOIN = """
+fork (
+  => kafka.topic=="Invoices" | yield {left:this} | sort left.value.after.ID
+  => kafka.topic=="InvoiceStatus" | yield {right:this} | sort right.value.after.InvoiceID
+)
+| join on left.value.after.ID=right.value.after.InvoiceID right:=right
+"""
+
+
+@pytest.fixture(scope="module")
+def cdc(spark):
+    """batch-1.zson shape: Invoices + InvoiceStatus CDC envelopes."""
+    return spark.createDataFrame(
+        [
+            (("Invoices", 1), (100,), ("r", (100, "Alice", "taco", None, None, None))),
+            (("Invoices", 2), (101,), ("r", (101, "Bob", "burrito", None, None, None))),
+            (("InvoiceStatus", 1), (80,), ("u", (80, None, None, 101, "pending", None))),
+            (("InvoiceStatus", 2), (32,), ("u", (32, None, None, 100, "paid", None))),
+        ],
+        "kafka struct<topic:string,offset:long>, key struct<ID:long>, "
+        "value struct<op:string,after:struct<ID:long,customer:string,"
+        "item:string,InvoiceID:long,status:string,extra:string>>",
+    )
+
+
+def test_update_branch_verbatim_with_named_type(cdc):
+    """ztests/etl-zed.yaml:52-73: the InvoiceStatus update branch — ETL'd
+    record + done marker from one fork, the marker tagged via
+    cast(..., done) with a `type` prologue declaration."""
+    status = cdc.filter('kafka.topic = "InvoiceStatus"')
+    out = compile_pipeline(status, UPDATE_STATUS_BRANCH)
+    rows = out.collect()
+    data = [r for r in rows if r["zed_type"] is None]
+    done = [r for r in rows if r["zed_type"] == "done"]
+    assert len(data) == 2 and len(done) == 2
+    by_id = {r["key"]["ID"]: r["value"]["invoice_status"] for r in data}
+    assert by_id == {101: "pending", 100: "paid"}
+    # rerouted topic on data rows; markers carry the ORIGINAL offsets
+    assert {r["kafka"]["topic"] for r in data} == {"NewInvoices"}
+    assert sorted((r["kafka"]["topic"], r["kafka"]["offset"]) for r in done) \
+        == [("InvoiceStatus", 1), ("InvoiceStatus", 2)]
+
+
+def test_denorm_fork_join_verbatim(cdc):
+    """ztests/etl-zed.yaml:27-31: per-side yield+sort fork branches feeding
+    `join on left...=right... right:=right` — the denorm graft."""
+    out = compile_pipeline(cdc, DENORM_FORK_JOIN)
+    rows = out.collect()
+    assert len(rows) == 2
+    pairs = sorted(
+        (r["left"]["value"]["after"]["ID"],
+         r["right"]["value"]["after"]["status"]) for r in rows)
+    assert pairs == [(100, "paid"), (101, "pending")]
+    # the fork's sorts are elided: no global range-partition sort executes
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_is_predicate_sees_declared_types(spark):
+    """is(<done>) after a `type done = ...` declaration still routes on the
+    zed_type discriminator."""
+    df = spark.createDataFrame(
+        [(1, "done"), (2, "data")], "x long, zed_type string")
+    out = compile_pipeline(
+        df, "type done = {x:int64} is(<done>)")
+    assert [r["x"] for r in out.collect()] == [1]

@@ -218,10 +218,13 @@ class Context:
 
     def __init__(self, roots: dict[str, Column] | None = None,
                  schema: StructType | None = None,
-                 default_root: Column | None = None):
+                 default_root: Column | None = None,
+                 named_types: dict[str, DataType] | None = None):
         self.roots = roots or {}
         self.schema = schema
         self.default_root = default_root
+        # `type NAME = {...}` prologue declarations (ztests/etl-zed.yaml:10)
+        self.named_types = named_types or {}
 
     def resolve(self, path: list[str]) -> Column:
         head, rest = path[0], path[1:]
@@ -466,7 +469,10 @@ class Parser:
                     raise ZedSyntaxError(f"expected field name, got {nt.text!r} at {nt.pos}")
                 name = nt.text
                 self.expect("op", ":")
-                fields.append(self.parse_expr().alias(name))
+                v = self.parse_expr()
+                if isinstance(v, _TaggedRecord):
+                    v = v.col  # value position: keep the shape, drop the tag
+                fields.append(v.alias(name))
                 if self.accept("op", "}"):
                     break
                 self.expect("op", ",")
@@ -517,6 +523,13 @@ class Parser:
                 return arg.cast(target.dtype)
             type_name = self.expect("ident").text
             self.expect("op", ")")
+            if type_name in self.ctx.named_types:
+                # cast to a DECLARED named type (type done = {...};
+                # etl/build.go:181 `cast({kafka:...}, done)`): coerce to the
+                # declared shape and remember the name — a top-level yield
+                # turns the name into the zed_type discriminator column.
+                dtype = self.ctx.named_types[type_name]
+                return _TaggedRecord(arg.cast(dtype), dtype, type_name)
             return arg.cast(type_name)
         if name in ("has", "missing"):
             # zed has(<path>)/missing(<path>): field-presence predicates.
@@ -604,6 +617,82 @@ class _TypeOf:
         self.dtype = dtype
 
 
+class _TaggedRecord:
+    """Sentinel produced by cast(expr, <declared named type>): the value
+    coerced to the declared shape, remembering the type NAME. Exactly two
+    sinks understand the tag: a top-level ``yield`` (fields expand to
+    columns + a zed_type discriminator, envelope model) and value
+    positions (record-literal fields, assignments), which keep the coerced
+    value and DROP the tag — nested named types cannot exist in the
+    unified-schema model (SURVEY §1.2), matching the documented envelope
+    substitution. Arithmetic/comparison on a named-type value is a syntax
+    error, as in zed."""
+
+    def __init__(self, col: Column, dtype: DataType, name: str):
+        self.col = col
+        self.dtype = dtype
+        self.name = name
+
+    def _bad(self, *_a, **_k):
+        raise ZedSyntaxError(
+            "a named-type cast is only valid as a yield target or a value")
+
+    __add__ = __radd__ = __sub__ = __rsub__ = __mul__ = __rmul__ = _bad
+    __truediv__ = __rtruediv__ = __mod__ = __rmod__ = __neg__ = _bad
+    __and__ = __rand__ = __or__ = __ror__ = __invert__ = _bad
+    __eq__ = __ne__ = __lt__ = __le__ = __gt__ = __ge__ = _bad  # type: ignore[assignment]
+    __hash__ = None  # type: ignore[assignment]
+
+
+# zed primitive type names → Spark types (SURVEY §1.3 bridge table; the
+# subset declarable in `type` prologues).
+def _zed_prim_types():
+    from pyspark.sql import types as T
+
+    return {
+        "string": T.StringType(), "bool": T.BooleanType(),
+        "int8": T.ByteType(), "int16": T.ShortType(),
+        "int32": T.IntegerType(), "int64": T.LongType(),
+        "uint8": T.ShortType(), "uint16": T.IntegerType(),
+        "uint32": T.LongType(), "uint64": T.LongType(),
+        "float16": T.FloatType(), "float32": T.FloatType(),
+        "float64": T.DoubleType(), "time": T.TimestampType(),
+        "duration": T.LongType(), "bytes": T.BinaryType(),
+    }
+
+
+def parse_type_literal(p: Parser) -> DataType:
+    """Parse a zed type literal: `{f:T,...}`, `[T]`, a primitive name, or
+    a previously declared named type."""
+    from pyspark.sql import types as T
+
+    t = p.next()
+    if t.kind == "op" and t.text == "{":
+        fields = []
+        if not p.accept("op", "}"):
+            while True:
+                nt = p.next()
+                if not nt.text.isidentifier():
+                    raise ZedSyntaxError(
+                        f"expected field name in type, got {nt.text!r} at {nt.pos}")
+                p.expect("op", ":")
+                fields.append(T.StructField(nt.text, parse_type_literal(p)))
+                if p.accept("op", "}"):
+                    break
+                p.expect("op", ",")
+        return T.StructType(fields)
+    if t.kind == "op" and t.text == "[":
+        elem = parse_type_literal(p)
+        p.expect("op", "]")
+        return T.ArrayType(elem)
+    prims = _zed_prim_types()
+    if t.kind == "ident" and t.text in prims:
+        return prims[t.text]
+    if t.kind == "ident" and t.text in p.ctx.named_types:
+        return p.ctx.named_types[t.text]
+    raise ZedSyntaxError(f"unknown type {t.text!r} at {t.pos}")
+
+
 class _Duration:
     """Sentinel for a zed duration literal (1h, 30m, …) — valid only as the
     second argument of bucket(); anywhere else is a syntax error."""
@@ -621,18 +710,23 @@ class _Duration:
 
 
 def strip_const_prologue(src: str, ctx: Context) -> str:
-    """Parse a leading ``const name = expr[;]`` prologue (demo/etl.zed:1-9,
-    demo/update-etl.zed:1-8), binding each constant as a root Column in
-    `ctx`, and return the remaining source. Lookups like
+    """Parse a leading ``const name = expr[;]`` / ``type name = <type>[;]``
+    prologue (demo/etl.zed:1-9, ztests/etl-zed.yaml:10), binding constants
+    as root Columns and type declarations as named types in `ctx`, and
+    return the remaining source. Lookups like
     ``customerIDs[records[0].value.row.customer]`` then resolve through the
-    normal path machinery."""
+    normal path machinery; ``cast(x, name)`` / ``is(<name>)`` see the
+    declared types."""
     toks = tokenize(src)
     p = Parser(toks, ctx)
-    while p.peek().kind == "ident" and p.peek().text == "const":
-        p.next()
+    while p.peek().kind == "ident" and p.peek().text in ("const", "type"):
+        kind = p.next().text
         name = p.expect("ident").text
         p.expect("op", "=")
-        ctx.roots[name] = p.parse_expr()
+        if kind == "const":
+            ctx.roots[name] = p.parse_expr()
+        else:
+            ctx.named_types[name] = parse_type_literal(p)
         while p.accept("op", ";"):
             pass
     return src[p.peek().pos:]
@@ -648,6 +742,8 @@ def compile_expr(src: str, ctx: Context) -> Column:
         raise ZedSyntaxError("typeof() is only valid inside cast()")
     if isinstance(col, _Duration):
         raise ZedSyntaxError("duration literal is only valid inside bucket()")
+    if isinstance(col, _TaggedRecord):
+        col = col.col  # expression position: coerced value, tag dropped
     return col
 
 
@@ -669,7 +765,10 @@ def compile_assignments(src: str, ctx: Context) -> dict[str, Column]:
     while p.peek().kind != "eof":
         path = p._parse_path_only()
         p.expect("assign")
-        out[".".join(path)] = p.parse_expr()
+        v = p.parse_expr()
+        if isinstance(v, _TaggedRecord):
+            v = v.col  # value position: coerced value, tag dropped
+        out[".".join(path)] = v
         while p.accept("op", "|"):
             pass
     return out

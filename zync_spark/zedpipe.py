@@ -50,6 +50,15 @@ reference user's shaper/pipeline text runs unchanged against Spark:
                                         sort_array over (k, x) pairs
                                         (design.md:262's seqno-sorted
                                         bundles, partition-independent)
+  type NAME = {...} prologue          → declared named types; cast(x, NAME)
+                                        coerces and tags — a top-level
+                                        yield expands it to columns + the
+                                        zed_type discriminator
+                                        (ztests/etl-zed.yaml:10, :71)
+  fork ( => ... => ... ) | join ...   → a two-branch fork feeds the join
+                                        as its legs — the generated
+                                        denorm idiom (etl/build.go:198-216,
+                                        ztests/etl-zed.yaml:27-31)
 
 Every stage compiles to JVM Column expressions (whole-stage codegen);
 nothing here drops to Python per row. At scale the plan is exactly what a
@@ -71,6 +80,7 @@ from zync_spark.zedexpr import (
     Parser,
     Token,
     ZedSyntaxError,
+    _TaggedRecord,
     strip_const_prologue,
     tokenize,
 )
@@ -246,7 +256,8 @@ def _sort_key_cols(st: _State, ctx: Context) -> list[Column]:
 def _fresh_ctx(df: DataFrame, ctx: Context) -> Context:
     """Stage contexts resolve against the CURRENT frame's schema (typeof,
     has/missing); user-declared const roots carry through."""
-    return Context(roots=dict(ctx.roots), schema=df.schema)
+    return Context(roots=dict(ctx.roots), schema=df.schema,
+                   named_types=dict(ctx.named_types))
 
 
 def _expand_yield(df: DataFrame, col: Column, parser: Parser,
@@ -287,7 +298,10 @@ class _StageParser(Parser):
         while True:
             path = self._parse_path_only()
             self.expect("assign")
-            out.append((path, self.parse_expr()))
+            v = self.parse_expr()
+            if isinstance(v, _TaggedRecord):
+                v = v.col  # value position: keep the shape, drop the tag
+            out.append((path, v))
             if not self.accept("op", ","):
                 break
         return out
@@ -484,14 +498,31 @@ def _split_branches(toks: list[Token]) -> tuple[list[tuple[str, list[Token], lis
     return branches, i
 
 
-def _apply_branch_block(st: _State, toks: list[Token], word: str) -> None:
+def _is_join_stage(toks: list[Token] | None) -> bool:
+    if not toks or toks[0].kind != "ident":
+        return False
+    if toks[0].text == "join":
+        return True
+    return (toks[0].text in ("anti", "left", "inner") and len(toks) > 1
+            and toks[1].kind == "ident" and toks[1].text == "join")
+
+
+def _apply_branch_block(st: _State, toks: list[Token], word: str,
+                        nxt: list[Token] | None = None) -> None:
     """switch: route each record to the FIRST matching case (declared-order
     exclusivity, etl/build.go:92-107) — or default; fork: send every record
     down every branch (etl/build.go:129-138). Branch outputs merge by
     implicit union (etl/build.go:107), null-padding differing schemas the
     way the reference's heterogeneous stream types do. A fork over no
     input frame is legal when every branch opens with its own `from`
-    (demo/pending.zed); switch always needs an input."""
+    (demo/pending.zed); switch always needs an input.
+
+    A two-branch fork immediately followed by a `join` stage exposes its
+    branches as the join's legs — the reference's denorm idiom
+    (etl/build.go:198-216, ztests/etl-zed.yaml:27-31: per-side yield+sort
+    branches merged by `join on l=r right:=right`). Branch-final sorts
+    are elided from the legs in that case (a hash join neither needs nor
+    preserves input order)."""
     if st.df is None and word == "switch":
         raise ZedSyntaxError("switch needs an input frame (add a `from`)")
     ctx = _fresh_ctx(st.df, st.ctx) if st.df is not None else st.ctx
@@ -500,6 +531,7 @@ def _apply_branch_block(st: _State, toks: list[Token], word: str) -> None:
     if end.kind != "eof":
         raise ZedSyntaxError(f"unexpected {end.text!r} after {word} block")
     outs: list[DataFrame] = []
+    pres: list[DataFrame | None] = []
     prior = None  # OR of earlier case predicates (first-match exclusivity)
     for kind, expr_toks, body in branches:
         if word == "switch":
@@ -525,6 +557,11 @@ def _apply_branch_block(st: _State, toks: list[Token], word: str) -> None:
             _apply_stage(sub, stage,
                          bstages[bi + 1] if bi + 1 < len(bstages) else None)
         outs.append(sub.df)
+        pres.append(sub.pre_sort_df)
+    if word == "fork" and len(outs) == 2 and _is_join_stage(nxt):
+        st.legs = [p_ if p_ is not None else o for o, p_ in zip(outs, pres)]
+    else:
+        st.legs = None
     out = outs[0]
     for other in outs[1:]:
         out = out.unionByName(other, allowMissingColumns=True)
@@ -658,8 +695,10 @@ def _apply_join(st: _State, p: _StageParser, jtype: str) -> None:
     lk = p._parse_path_only()
     p.expect("op", "=")
     rk = p._parse_path_only()
-    lctx = Context(roots=dict(st.ctx.roots), schema=left.schema)
-    rctx = Context(roots=dict(st.ctx.roots), schema=right.schema)
+    lctx = Context(roots=dict(st.ctx.roots), schema=left.schema,
+                   named_types=dict(st.ctx.named_types))
+    rctx = Context(roots=dict(st.ctx.roots), schema=right.schema,
+                   named_types=dict(st.ctx.named_types))
     lcol = lctx.resolve(lk)
     rkey = rctx.resolve(rk)
     if jtype == "anti":
@@ -673,7 +712,8 @@ def _apply_join(st: _State, p: _StageParser, jtype: str) -> None:
                            "inner" if jtype == "inner" else "left")
         # graft clauses: expressions resolve against the right record
         graft_ctx = Context(roots=dict(st.ctx.roots), schema=right.schema,
-                            default_root=F.col("__zright"))
+                            default_root=F.col("__zright"),
+                            named_types=dict(st.ctx.named_types))
         gp = _StageParser(p.toks[p.i:], graft_ctx)
         if gp.peek().kind != "eof":
             for path, col in gp.parse_assign_list():
@@ -697,7 +737,8 @@ def _apply_stage(st: _State, toks: list[Token],
         if st.tables is None:
             raise ZedSyntaxError("`from` needs a table namespace (run via "
                                  "compile_query over the lake's pools)")
-        p = _StageParser(toks, Context(roots=dict(st.ctx.roots)))
+        p = _StageParser(toks, Context(roots=dict(st.ctx.roots),
+                                       named_types=dict(st.ctx.named_types)))
         p.next()
         if p.accept("op", "("):
             _apply_from_block(st, p)
@@ -714,7 +755,7 @@ def _apply_stage(st: _State, toks: list[Token],
             and toks[1].kind == "op" and toks[1].text == "(":
         # dispatched before the df-presence guard: a fork may open its own
         # `from` per branch (demo/pending.zed:1-10)
-        _apply_branch_block(st, toks, word)
+        _apply_branch_block(st, toks, word, nxt)
         return
     if st.df is None:
         raise ZedSyntaxError("pipeline must start with a `from` stage")
@@ -754,6 +795,19 @@ def _apply_stage(st: _State, toks: list[Token],
             else:
                 start = p.i
                 expr = p.parse_expr()
+                if isinstance(expr, _TaggedRecord):
+                    # yield cast({...}, done) — the record becomes the
+                    # output row, its declared name becomes the zed_type
+                    # discriminator (the envelope model's named-type
+                    # encoding; etl/build.go:181, ztests/etl-zed.yaml:71)
+                    tmp = st.df.select(expr.col.alias("_y"))
+                    outs.append(tmp.select(
+                        *[F.col("_y")[f.name].alias(f.name)
+                          for f in expr.dtype.fields],
+                        F.lit(expr.name).alias("zed_type")))
+                    if not p.accept("op", ","):
+                        break
+                    continue
                 # struct-typed path → expand its fields (yield kafka)
                 segs = [t.text for t in p.toks[start:p.i]]
                 expanded = False
