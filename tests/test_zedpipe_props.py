@@ -192,3 +192,38 @@ def test_anti_join_is_set_difference(spark, left_keys, right_keys):
         {"a": a, "b": b})
     got = sorted(r["k"] for r in out.collect())
     assert got == sorted(set(left_keys) - set(right_keys))
+
+
+def test_parser_fuzz_never_crashes_uncontrolled(spark):
+    """Random token soup must either compile, raise ZedSyntaxError, or
+    surface a Spark analysis error — never an uncontrolled Python
+    exception (IndexError/KeyError/AttributeError from parser internals).
+    Deterministic seed; the generator alphabet covers every operator
+    keyword and the sentinel-producing literals (durations, typeof)."""
+    import random
+
+    from zync_spark.zedexpr import ZedSyntaxError
+    from zync_spark.zedpipe import compile_pipeline
+
+    df = spark.createDataFrame([(1, "a", 2.0)], "id long, g string, x double")
+    pieces = [
+        "sort", "id", "|", "(", ")", "=>", "case", "switch", "fork", "from",
+        "pool", "join", "anti", "on", "=", ":=", "yield", "{", "}", ",",
+        "cut", "top", "over", "grep", '"s"', "collect", "by", "tail",
+        "is", "<", ">", "type", "const", "every", "1h", "3", "this", "put",
+        "cast", "typeof", "drop", "rename", "head", "uniq", "where", "-",
+        "[", "]", "in", "not", "and", "or", "null", "true", "0.5", "default",
+        "sum", "union", "count", "dcount", "any", "collect_map", "fuse",
+        "pass",
+    ]
+    rng = random.Random(20260814)
+    allowed = ("AnalysisException", "Py4JJavaError", "IllegalArgumentException")
+    for _ in range(400):
+        prog = " ".join(
+            rng.choice(pieces) for _ in range(rng.randint(1, 10)))
+        try:
+            compile_pipeline(df, prog)
+        except ZedSyntaxError:
+            pass
+        except Exception as e:  # noqa: BLE001
+            assert type(e).__name__ in allowed, (prog, type(e).__name__, e)

@@ -1050,6 +1050,70 @@ def quality_filter(spark, sf_dir):
 
 
 @register(
+    "quality_rule_filter",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    m AS (SELECT doc_id, toks, len(toks) AS n,
+            len(list_filter(toks, x -> x in ('the','a','of','and','to','in')))
+              AS n_stop,
+            len(list_filter(toks, x -> x = 'the')) AS n_the,
+            len(list_filter(toks, x -> x = 'a')) AS n_a
+          FROM t),
+    r AS (SELECT doc_id, n, n_stop, n_the, n_a,
+            CASE WHEN n >= 3 THEN
+              1 - len(list_distinct([array_to_string(toks[i:i+2], ' ')
+                                     for i in generate_series(1, len(toks)-2)]))
+                  / len([array_to_string(toks[i:i+2], ' ')
+                         for i in generate_series(1, len(toks)-2)])
+            END AS rep3
+          FROM m),
+    c AS (SELECT doc_id, n,
+            CASE WHEN n < 10 THEN 'too_short'
+                 WHEN rep3 > 0.5 THEN 'too_repetitive'
+                 WHEN n_stop / n < 0.01 THEN 'low_stopword'
+                 WHEN (CASE WHEN n_the > n_a THEN 'en'
+                            WHEN n_a > n_the THEN 'es'
+                            ELSE 'zh' END) != 'en' THEN 'non_english'
+                 ELSE 'keep' END AS reason
+          FROM r)
+    SELECT doc_id, n::BIGINT AS n_tokens, reason, reason = 'keep' AS keep
+    FROM c
+    """,
+)
+def quality_rule_filter(spark, sf_dir):
+    """FineWeb/Gopher-style rule-chain curation filter with drop REASONS:
+    length floor → trigram-repetition cap → stopword-fraction floor →
+    language gate, first failing rule recorded per document (the
+    auditable form every production corpus filter takes — reason
+    histograms are how filter regressions get caught). All four signals
+    are array HOFs over one tokenization, so the entire chain is map-only:
+    zero shuffles, zero Python, pipelines with the scan at any scale.
+    Thresholds are corpus-calibrated constants; the boundary comparisons
+    are exact across engines (integer-derived doubles)."""
+    docs = T(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    n = F.size(toks)
+    sh = TX.word_shingles(toks, 3)
+    rep = F.when(F.size(sh) < 1, F.lit(None).cast("double")).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(sh)) / F.size(sh))
+    stopf = TX.stopword_count(toks) / n
+    lang = TX.lang_id(F.col("text"))
+    reason = (
+        F.when(n < 10, "too_short")
+        .when(rep > 0.5, "too_repetitive")
+        .when(stopf < 0.01, "low_stopword")
+        .when(lang != "en", "non_english")
+        .otherwise("keep")
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        reason.alias("reason"),
+        (reason == "keep").alias("keep"),
+    )
+
+
+@register(
     "text_langid",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

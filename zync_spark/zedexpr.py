@@ -245,7 +245,11 @@ class Context:
         for p in path:
             if not isinstance(dt, StructType):
                 raise ZedSyntaxError(f"typeof: {'.'.join(path)} not a struct path")
-            dt = dt[p].dataType
+            try:
+                dt = dt[p].dataType
+            except KeyError:
+                raise ZedSyntaxError(
+                    f"no field {p!r} in path {'.'.join(path)}") from None
         return dt
 
 
@@ -285,18 +289,20 @@ class Parser:
     def parse_or(self) -> Column:
         left = self.parse_and()
         while self.accept("or") or self.accept("op", "||"):
-            left = left | self.parse_and()
+            left = ensure_column(left, "operand") \
+                | ensure_column(self.parse_and(), "operand")
         return left
 
     def parse_and(self) -> Column:
         left = self.parse_not()
         while self.accept("and") or self.accept("op", "&&"):
-            left = left & self.parse_not()
+            left = ensure_column(left, "operand") \
+                & ensure_column(self.parse_not(), "operand")
         return left
 
     def parse_not(self) -> Column:
         if self.accept("not"):
-            return ~self.parse_not()
+            return ~ensure_column(self.parse_not(), "operand")
         return self.parse_cmp()
 
     def parse_cmp(self) -> Column:
@@ -304,7 +310,9 @@ class Parser:
         t = self.peek()
         if t.kind == "op" and t.text in ("==", "!=", "<", "<=", ">", ">="):
             self.next()
-            right = self.parse_add()
+            # sentinels (durations, typeof) are not comparable values
+            left = ensure_column(left, "operand")
+            right = ensure_column(self.parse_add(), "operand")
             return {
                 "==": lambda: left == right,
                 "!=": lambda: left != right,
@@ -316,7 +324,7 @@ class Parser:
         if t.kind == "in":
             self.next()
             items = self.parse_list_literal()
-            return left.isin(*items)
+            return ensure_column(left, "operand").isin(*items)
         return left
 
     def parse_add(self) -> Column:
@@ -325,7 +333,8 @@ class Parser:
             t = self.peek()
             if t.kind == "op" and t.text in ("+", "-"):
                 self.next()
-                right = self.parse_mul()
+                left = ensure_column(left, "operand")
+                right = ensure_column(self.parse_mul(), "operand")
                 left = left + right if t.text == "+" else left - right
             else:
                 return left
@@ -336,7 +345,8 @@ class Parser:
             t = self.peek()
             if t.kind == "op" and t.text in ("*", "/", "%"):
                 self.next()
-                right = self.parse_unary()
+                left = ensure_column(left, "operand")
+                right = ensure_column(self.parse_unary(), "operand")
                 left = (
                     left * right if t.text == "*"
                     else left / right if t.text == "/"
@@ -347,21 +357,22 @@ class Parser:
 
     def parse_unary(self) -> Column:
         if self.accept("op", "-"):
-            return -self.parse_unary()
+            return -ensure_column(self.parse_unary(), "operand")
         return self.parse_postfix()
 
     def parse_postfix(self) -> Column:
         col = self.parse_primary()
         while True:
             if self.accept("op", "["):
-                idx = self.parse_expr()
+                col = ensure_column(col, "indexed value")
+                idx = ensure_column(self.parse_expr(), "index")
                 self.expect("op", "]")
                 col = col[idx]
             elif self.peek().kind == "op" and self.peek().text == ".":
                 # only valid after a path/record expression; Column[field]
                 self.next()
                 field = self.expect("ident").text
-                col = col[field]
+                col = ensure_column(col, "dereferenced value")[field]
             else:
                 return col
 
@@ -732,6 +743,22 @@ def strip_const_prologue(src: str, ctx: Context) -> str:
     return src[p.peek().pos:]
 
 
+def ensure_column(col, where: str = "expression") -> Column:
+    """Reject parser sentinels that escaped to a Column position (a bare
+    duration literal as a predicate, typeof() outside cast()) with a
+    syntax error instead of a deep PySpark type error; unwrap a
+    named-type cast to its coerced value."""
+    if isinstance(col, _TypeOf):
+        raise ZedSyntaxError("typeof() is only valid inside cast()")
+    if isinstance(col, _Duration):
+        raise ZedSyntaxError(
+            f"duration literal is only valid inside bucket()/every(), "
+            f"not as a {where}")
+    if isinstance(col, _TaggedRecord):
+        return col.col
+    return col
+
+
 def compile_expr(src: str, ctx: Context) -> Column:
     """Compile one zed expression to a Column (const prologue allowed)."""
     src = strip_const_prologue(src, ctx)
@@ -765,10 +792,9 @@ def compile_assignments(src: str, ctx: Context) -> dict[str, Column]:
     while p.peek().kind != "eof":
         path = p._parse_path_only()
         p.expect("assign")
-        v = p.parse_expr()
-        if isinstance(v, _TaggedRecord):
-            v = v.col  # value position: coerced value, tag dropped
-        out[".".join(path)] = v
+        # value position: named-type casts keep the coerced value (tag
+        # dropped); other sentinels are syntax errors
+        out[".".join(path)] = ensure_column(p.parse_expr(), "assigned value")
         while p.accept("op", "|"):
             pass
     return out

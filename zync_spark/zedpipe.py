@@ -81,6 +81,7 @@ from zync_spark.zedexpr import (
     Token,
     ZedSyntaxError,
     _TaggedRecord,
+    ensure_column,
     strip_const_prologue,
     tokenize,
 )
@@ -298,9 +299,9 @@ class _StageParser(Parser):
         while True:
             path = self._parse_path_only()
             self.expect("assign")
-            v = self.parse_expr()
-            if isinstance(v, _TaggedRecord):
-                v = v.col  # value position: keep the shape, drop the tag
+            # value position: named-type casts keep the shape (tag
+            # dropped); other sentinels are syntax errors
+            v = ensure_column(self.parse_expr(), "assigned value")
             out.append((path, v))
             if not self.accept("op", ","):
                 break
@@ -382,10 +383,12 @@ def _parse_agg_stage(
         args: list[Column] = []
         if not p.accept("op", ")"):
             while True:
-                args.append(p.parse_expr())
+                args.append(ensure_column(p.parse_expr(), "aggregate argument"))
                 if p.accept("op", ")"):
                     break
                 p.expect("op", ",")
+        if fn != "count" and not args:
+            raise ZedSyntaxError(f"{fn}() needs an argument at {t.pos}")
         if fn == "collect" and ordered is not None and args:
             okeys, odesc = ordered
             pair = F.struct(
@@ -409,7 +412,7 @@ def _parse_agg_stage(
                 name = p.next().text
                 p.next()
             start = p.i
-            expr = p.parse_expr()
+            expr = ensure_column(p.parse_expr(), "group key")
             if name is None:
                 # default key name: the last path segment if the key is a
                 # bare path, else a positional name; every(d) buckets the
@@ -452,11 +455,14 @@ def _split_branches(toks: list[Token]) -> tuple[list[tuple[str, list[Token], lis
     branches: list[tuple[str, list[Token], list[Token]]] = []
 
     def at_arrow(j: int) -> bool:
-        return (toks[j].kind == "op" and toks[j].text == "="
+        return (j + 1 < len(toks)
+                and toks[j].kind == "op" and toks[j].text == "="
                 and toks[j + 1].kind == "op" and toks[j + 1].text == ">")
 
     while i < len(toks):
         t = toks[i]
+        if t.kind == "eof":
+            raise ZedSyntaxError("unterminated switch/fork block")
         if t.kind == "op" and t.text == ")":
             i += 1
             break
@@ -466,6 +472,9 @@ def _split_branches(toks: list[Token]) -> tuple[list[tuple[str, list[Token], lis
             expr_toks: list[Token] = []
             if kind == "case":
                 while not at_arrow(i):
+                    if toks[i].kind == "eof":
+                        raise ZedSyntaxError(
+                            "unterminated case expression in switch block")
                     expr_toks.append(toks[i])
                     i += 1
             i += 2  # consume =>
@@ -527,6 +536,8 @@ def _apply_branch_block(st: _State, toks: list[Token], word: str,
         raise ZedSyntaxError("switch needs an input frame (add a `from`)")
     ctx = _fresh_ctx(st.df, st.ctx) if st.df is not None else st.ctx
     branches, consumed = _split_branches(toks[1:])
+    if 1 + consumed >= len(toks):
+        raise ZedSyntaxError(f"unterminated {word} block")
     end = toks[1 + consumed]
     if end.kind != "eof":
         raise ZedSyntaxError(f"unexpected {end.text!r} after {word} block")
@@ -538,7 +549,8 @@ def _apply_branch_block(st: _State, toks: list[Token], word: str,
             if kind == "fork":
                 raise ZedSyntaxError("bare => branch belongs to fork, not switch")
             if kind == "case":
-                pred = _StageParser(expr_toks, ctx).parse_expr()
+                pred = ensure_column(
+                    _StageParser(expr_toks, ctx).parse_expr(), "predicate")
                 # null predicates are "no match" (zed truthiness), so fold
                 # them to false before negating for later branches
                 eff = pred if prior is None else pred & ~prior
@@ -780,7 +792,7 @@ def _apply_stage(st: _State, toks: list[Token],
         return
     if word == "where":
         p.next()
-        st.df = st.df.filter(p.parse_expr())
+        st.df = st.df.filter(ensure_column(p.parse_expr(), "predicate"))
         p.expect("eof")
         return
     if word == "yield":
@@ -808,6 +820,7 @@ def _apply_stage(st: _State, toks: list[Token],
                     if not p.accept("op", ","):
                         break
                     continue
+                expr = ensure_column(expr, "yield value")
                 # struct-typed path → expand its fields (yield kafka)
                 segs = [t.text for t in p.toks[start:p.i]]
                 expanded = False
@@ -840,7 +853,7 @@ def _apply_stage(st: _State, toks: list[Token],
         while True:
             path = p._parse_path_only()
             if p.accept("assign"):
-                items.append((path, p.parse_expr()))
+                items.append((path, ensure_column(p.parse_expr(), "cut value")))
             else:
                 items.append((path, None))
             if not p.accept("op", ","):
@@ -887,7 +900,7 @@ def _apply_stage(st: _State, toks: list[Token],
         key_toks: list[list[Token]] = []
         while True:
             start = p.i
-            e = p.parse_expr()
+            e = ensure_column(p.parse_expr(), "sort key")
             key_toks.append(p.toks[start:p.i])
             # zed sorts nulls last in both directions
             keys.append(e.desc_nulls_last() if desc else e.asc_nulls_last())
@@ -947,7 +960,7 @@ def _apply_stage(st: _State, toks: list[Token],
         if p.peek().kind != "eof":
             while True:
                 start = p.i
-                e = p.parse_expr()
+                e = ensure_column(p.parse_expr(), "top key")
                 key_toks.append(p.toks[start:p.i])
                 keys.append(e.desc_nulls_last())
                 if not p.accept("op", ","):
@@ -978,7 +991,7 @@ def _apply_stage(st: _State, toks: list[Token],
             for name_ in strs:
                 pred = pred | F.col(name_).contains(pat)
         else:
-            pred = p.parse_expr().cast("string").contains(pat)
+            pred = ensure_column(p.parse_expr(), "grep target").cast("string").contains(pat)
             p.expect("eof")
         st.df = st.df.filter(pred)
         return
@@ -988,7 +1001,7 @@ def _apply_stage(st: _State, toks: list[Token],
         # yield). One generator expression (explode), map-side only.
         p.next()
         start = p.i
-        expr = p.parse_expr()
+        expr = ensure_column(p.parse_expr(), "over target")
         segs = [t.text for t in p.toks[start:p.i] if t.kind == "ident"]
         p.expect("eof")
         exploded = st.df.select(F.explode(expr).alias("_ov"))
@@ -1026,7 +1039,7 @@ def _apply_stage(st: _State, toks: list[Token],
     # an expression stage at all, and that must surface as a syntax error,
     # not an analysis error about a half-parsed column.
     start = p.i
-    pred = p.parse_expr()
+    pred = ensure_column(p.parse_expr(), "predicate")
     # zed search syntax: space-separated predicates AND together
     # (demo/pending.zed:4 `is(<done>) kafka.topic=="Invoices"`) — but ONLY
     # when the first conjunct is predicate-shaped. A bare dotted path with
@@ -1041,7 +1054,7 @@ def _apply_stage(st: _State, toks: list[Token],
             raise ZedSyntaxError(
                 f"unknown operator or trailing token {t.text!r} at {t.pos}")
         while p.peek().kind != "eof":
-            pred = pred & p.parse_expr()
+            pred = pred & ensure_column(p.parse_expr(), "predicate")
     p.expect("eof")
     st.df = st.df.filter(pred)
 
