@@ -131,11 +131,6 @@ def _collect_map(m: Column) -> Column:
     return F.map_from_entries(keep)
 
 
-@dataclass
-class _Stage:
-    toks: list[Token]
-
-
 def _split_stages(toks: list[Token]) -> list[list[Token]]:
     """Split a token stream on top-level ``|`` stage separators.
 
