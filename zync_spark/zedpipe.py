@@ -282,7 +282,12 @@ class _StageParser(Parser):
                         f"expected field name, got {nt.text!r} at {nt.pos}")
                 name = nt.text
                 self.expect("op", ":")
-                fields.append(self.parse_expr().alias(name))
+                # value position: named-type casts keep the coerced value
+                # (nested named types degrade, SURVEY §1.2); other
+                # sentinels are syntax errors
+                fields.append(
+                    ensure_column(self.parse_expr(), "field value")
+                    .alias(name))
                 names.append(name)
                 if self.accept("op", "}"):
                     break
