@@ -42,8 +42,17 @@ def _pool(spark, lake: str, name: str, create: bool = False):
 def cmd_etl(args) -> int:
     from zync_spark.etl import EtlPipeline, load_config
 
-    spark = _spark()
     transform = load_config(args.config)
+    if getattr(args, "zed", False):
+        # the reference's exact `zync etl -zed` behavior: print the zed
+        # program the spec compiles to (no Spark session needed; the text
+        # matches ztests/etl-zed.yaml token-for-token and zedpipe can run
+        # it — see etl/zedgen.py)
+        from zync_spark.etl.zedgen import generate_program
+
+        print(generate_program(transform), end="")
+        return 0
+    spark = _spark()
     pools = {n: _pool(spark, args.lake, n, create=True) for n in transform.pool_names()}
     pipeline = EtlPipeline(spark, transform, pools)
     if args.plan:
@@ -423,8 +432,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("config")
     p.add_argument("--message", default="etl")
     p.add_argument("--plan", action="store_true",
-                   help="print the compiled physical plan instead of running "
-                        "(analog of `zync etl -zed`)")
+                   help="print the compiled physical plan instead of running")
+    p.add_argument("--zed", action="store_true",
+                   help="print the generated zed program instead of running "
+                        "(the reference's `zync etl -zed`)")
     p.set_defaults(fn=cmd_etl)
 
     p = sub.add_parser("query", help="SQL or zed pipeline over lake pools")
