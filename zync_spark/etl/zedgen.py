@@ -59,6 +59,12 @@ def _snippet(zed: str) -> str:
 
 
 def generate_program(t: Transform) -> str:
+    for rule in t.rules:
+        if rule.zed is None:
+            raise ValueError(
+                "cannot generate a zed program for a spark_sql:-only rule "
+                "(the escape hatch has no zed text); run it through the "
+                "DataFrame compiler instead")
     out: list[str] = []
     w = out.append
     w("type done = {kafka:{topic:string,offset:int64}}")
