@@ -4581,6 +4581,68 @@ def zed_ordered_collect(spark, sf_dir):
 
 
 @register(
+    "zed_generated_etl",
+    """
+    SELECT o_custkey AS key_id, o_orderkey AS order_id,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           'out' AS topic
+    FROM orders
+    """,
+)
+def zed_generated_etl(spark, sf_dir):
+    """The full spec→program→execution loop under the hash gate: an ETL
+    YAML spec (stateless CDC projection) compiles through etl/zedgen.py
+    into the reference's program text ('zync etl -zed' output shape —
+    type prologue, from/anti-join ingest, switch routing, done-marker
+    cast), zedpipe RUNS that text over a CDC envelope built from the
+    orders table, and the data rows hash-match a plain SQL oracle. The
+    anti join subtracts an empty marker set (first pass); money in
+    integer cents. Scale: the program compiles to the same single-scan
+    map-only plan the hand-written DataFrame code would be."""
+    from zync_spark.etl.config import parse_config
+    from zync_spark.etl.zedgen import generate_program
+    from zync_spark.zedpipe import compile_query
+
+    spec = parse_config({
+        "inputs": [{"topic": "orders", "pool": "Raw"}],
+        "output": {"topic": "out", "pool": "Staging"},
+        "transforms": [{
+            "type": "stateless",
+            "in": "orders",
+            "where": 'value.op=="r"',
+            "zed": ('| out:={key:{ID:in.key.ID}, '
+                    'value:{ID:in.value.after.ID, '
+                    'cents:cast(round(in.value.after.total * 100.0), int64)}}'),
+        }],
+    })
+    prog = generate_program(spec)
+    o = T(spark, sf_dir, "orders")
+    raw = o.select(
+        F.struct(
+            F.lit("orders").alias("topic"),
+            F.col("o_orderkey").alias("offset"),
+        ).alias("kafka"),
+        F.struct(F.col("o_custkey").alias("ID")).alias("key"),
+        F.struct(
+            F.lit("r").alias("op"),
+            F.struct(
+                F.col("o_orderkey").alias("ID"),
+                F.col("o_totalprice").alias("total"),
+            ).alias("after"),
+        ).alias("value"),
+    )
+    staging = spark.createDataFrame(
+        [], "kafka struct<topic:string,offset:long>, zed_type string")
+    out = compile_query(prog, {"Raw": raw, "Staging": staging})
+    return out.filter(F.col("key").isNotNull()).select(
+        F.col("key.ID").alias("key_id"),
+        F.col("value.ID").alias("order_id"),
+        F.col("value.cents").alias("cents"),
+        F.col("kafka.topic").alias("topic"),
+    )
+
+
+@register(
     "zed_over_unnest",
     """
     SELECT count(*) AS n, min(x::DOUBLE) AS mn, max(x::DOUBLE) AS mx

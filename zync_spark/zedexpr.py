@@ -541,6 +541,10 @@ class Parser:
                 # turns the name into the zed_type discriminator column.
                 dtype = self.ctx.named_types[type_name]
                 return _TaggedRecord(arg.cast(dtype), dtype, type_name)
+            prims = _zed_prim_types()
+            if type_name in prims:
+                # zed primitive names (cast(x, int64), SURVEY §1.3 bridge)
+                return arg.cast(prims[type_name])
             return arg.cast(type_name)
         if name in ("has", "missing"):
             # zed has(<path>)/missing(<path>): field-presence predicates.
