@@ -237,31 +237,42 @@ def kmeans_centroids(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scale: int = 1 << 20,
 ) -> list[tuple[int, list[float]]]:
     """Final k-means centroid vectors as driver-side literals, for coarse
     quantizers (IVF). Runs the same unrolled Lloyd plan as
-    kmeans_assignments, then reduces each cluster to its float mean —
-    the collect is k rows of dim doubles (KBs), the corpus never moves.
-    Empty clusters simply produce no centroid (cell ids need not be
-    dense)."""
-    asg = kmeans_assignments(df, k, iterations, id_col, vec_col)
-    vecs = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    kmeans_assignments, then recomputes each cluster's centroid with the
+    SAME fixed-point recipe the rounds use (scaled-long sums, truncating
+    integer division) and converts back exactly (ci / 2^20 is exact in
+    double). That makes the centroids — and therefore every IVF cell
+    boundary — bit-identical on every engine and under every partitioning:
+    no last-ulp drift from a distributed float mean. The collect is k rows
+    of dim values (KBs); the corpus never moves. Empty clusters simply
+    produce no centroid (cell ids need not be dense)."""
+    asg = kmeans_assignments(df, k, iterations, id_col, vec_col, scale)
+    scaled = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.floor(x.cast("double") * scale).cast("long")
+        ).alias("xs"),
+    )
     rows = (
-        vecs.join(asg.select("vec_id", "cluster"), "vec_id")
-        .select("cluster", F.posexplode("v").alias("pos", "x"))
+        scaled.join(asg.select("vec_id", "cluster"), "vec_id")
+        .select("cluster", F.posexplode("xs").alias("pos", "x"))
         .groupBy("cluster", "pos")
-        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .select("cluster", "pos", F.expr("s div n").alias("ci"))
         .groupBy("cluster")
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda st: st["c"],
+                F.array_sort(F.collect_list(F.struct("pos", "ci"))),
+                lambda st: st["ci"],
             ).alias("cv")
         )
         .collect()
     )
     return [
-        (int(r["cluster"]), [float(x) for x in r["cv"]])
+        (int(r["cluster"]), [int(x) / scale for x in r["cv"]])
         for r in sorted(rows, key=lambda r: r["cluster"])
     ]
 

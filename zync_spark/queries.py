@@ -2231,8 +2231,12 @@ def ann_ivf_topk(spark, sf_dir):
     """IVF approximate nearest neighbors: k-means-trained coarse quantizer
     (16 cells, in-engine Lloyd — corpus never shuffles), corpus assigned to
     1 cell, queries probe 2 — the classic inverted-file ANN layout
-    (functions/similarity.py). Approximate by construction → rows-only;
-    ann_cosine_topk is the exact oracle-checked twin."""
+    (functions/similarity.py). The coarse centroids derive from the
+    fixed-point integer k-means (exact ci/2^20 doubles), so even this
+    APPROXIMATE path is fully deterministic and hash-checked: the oracle
+    (registered after _kmeans_cte below) replays the clustering, the cell
+    probing, and the candidate scoring in SQL. ann_cosine_topk is the
+    exact-scan twin."""
     emb = T(spark, sf_dir, "embeddings")
     return S.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
                           n_cells=16, nprobe=2)
@@ -2832,14 +2836,16 @@ def kmeans_clusters(spark, sf_dir):
 
 
 # The k-means assignment CTE chain (identical fixed-point recipe to the
-# kmeans_clusters oracle above) — shared by the SemDeDup oracle below.
-_KMEANS_A2_CTE = """
+# kmeans_clusters oracle above), parametrized by k — shared by the SemDeDup
+# and IVF oracles below.
+def _kmeans_cte(k: int) -> str:
+    return f"""
     scaled AS (
       SELECT vec_id,
              list_transform(embedding, x -> floor(x::DOUBLE * 1048576)::BIGINT) AS xs
       FROM embeddings),
     e AS (SELECT vec_id, unnest(range(64)) AS pos, unnest(xs) AS x FROM scaled),
-    a0 AS (SELECT vec_id, vec_id % 8 AS cluster FROM scaled),
+    a0 AS (SELECT vec_id, vec_id % {k} AS cluster FROM scaled),
     c1 AS (SELECT cluster, pos, (sum(x) // count(*))::BIGINT AS c
            FROM e JOIN a0 USING (vec_id) GROUP BY cluster, pos),
     d1 AS (SELECT e.vec_id, c1.cluster, sum((e.x - c1.c) * (e.x - c1.c)) AS dist
@@ -2856,6 +2862,47 @@ _KMEANS_A2_CTE = """
              SELECT vec_id, cluster,
                     row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
              FROM d2) WHERE rn = 1)
+"""
+
+
+_KMEANS_A2_CTE = _kmeans_cte(8)
+
+# IVF ANN oracle (registered post-hoc: the query function sits with the
+# other ANN entries, the CTE generator lives here): replay the 16-cell
+# fixed-point clustering, derive the exact ci/2^20 centroids, assign the
+# corpus to its nearest cell (cos desc, cluster tie-break — the same order
+# ivf_assign's array_sort produces), probe 2 cells per query, then exact
+# cosine + deterministic top-5.
+ORACLE_SQL["ann_ivf_topk"] = f"""
+    WITH {_kmeans_cte(16)},
+    c3 AS (SELECT cluster, pos, (sum(x) // count(*))::BIGINT AS c
+           FROM e JOIN a2 USING (vec_id) GROUP BY cluster, pos),
+    cents AS (SELECT cluster, list(c / 1048576.0 ORDER BY pos) AS cv
+              FROM c3 GROUP BY cluster),
+    v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings),
+    cscore AS (SELECT v.vec_id, v.v, c.cluster,
+                      {_cos_sql('v.v', 'c.cv')} AS cs
+               FROM v, cents c),
+    cassign AS (SELECT vec_id, v, cluster FROM (
+                  SELECT vec_id, v, cluster,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cs DESC, cluster) AS rn
+                  FROM cscore) WHERE rn = 1),
+    qprobe AS (SELECT vec_id, v, cluster FROM (
+                  SELECT vec_id, v, cluster,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cs DESC, cluster) AS rn
+                  FROM cscore WHERE vec_id < 10) WHERE rn <= 2),
+    cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    {_cos_sql('q.v', 'c.v')} AS cos
+             FROM qprobe q JOIN cassign c
+               ON c.cluster = q.cluster AND c.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM cand) WHERE rank <= 5
 """
 
 
