@@ -423,3 +423,14 @@ def test_semdedup_subset_of_exact_pairs(spark):
     assert set(sem) <= set(exact)
     for k_, v in sem.items():
         assert v == exact[k_]
+
+
+def test_kmeans_centroids_partition_independent(spark):
+    """Fixed-point centroids are bit-identical under any input
+    partitioning (the property that makes IVF hash-checkable)."""
+    import zync_spark.functions.similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = S.kmeans_centroids(emb, k=4, iterations=2)
+    b = S.kmeans_centroids(emb.repartition(13), k=4, iterations=2)
+    assert a == b
