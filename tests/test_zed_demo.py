@@ -486,3 +486,16 @@ def test_full_generated_etl_program_verbatim(spark):
         (r["left"]["kafka"]["offset"], r["right"]["kafka"]["offset"])
         for r in markers)
     assert pairs == [(1, 2), (2, 1)]  # ID 100↔status offset 2, 101↔1
+
+
+def test_count_by_typeof_this_shapes_idiom(spark, invoices_staging):
+    """design.md:160: `count() by typeof(this)` — per-type record counts
+    over a pool (the "shapes" report) via the zed_type discriminator."""
+    out = compile_pipeline(
+        invoices_staging, "count() by typeof(this) | sort typeof")
+    got = {r[0]: r["count"] for r in out.collect()}
+    assert got == {"data": 1, "done": 2}
+    # a frame without a discriminator is all plain records
+    df = spark.createDataFrame([(1,), (2,)], "x long")
+    out2 = compile_pipeline(df, "count() by typeof(this)")
+    assert [(r[0], r["count"]) for r in out2.collect()] == [("record", 2)]

@@ -519,6 +519,18 @@ class Parser:
     def parse_call(self, name: str) -> Column:
         self.expect("op", "(")
         if name == "typeof":
+            if self.peek().kind == "this":
+                # typeof(this) — the record's runtime type, used as a group
+                # key (`count() by typeof(this)`, design.md:160 — the
+                # "shapes" idiom). In the envelope model a row's named type
+                # IS the zed_type discriminator; untagged rows are plain
+                # records.
+                self.next()
+                self.expect("op", ")")
+                if (self.ctx.schema is not None
+                        and "zed_type" not in self.ctx.schema.names):
+                    return F.lit("record")
+                return F.coalesce(F.col("zed_type"), F.lit("record"))
             path = self._parse_path_only()
             self.expect("op", ")")
             # typeof() used inside cast(); return a sentinel carrying the type
