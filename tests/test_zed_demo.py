@@ -499,3 +499,22 @@ def test_count_by_typeof_this_shapes_idiom(spark, invoices_staging):
     df = spark.createDataFrame([(1,), (2,)], "x long")
     out2 = compile_pipeline(df, "count() by typeof(this)")
     assert [(r[0], r["count"]) for r in out2.collect()] == [("record", 2)]
+
+
+def test_uniq_c_counts_duplicates(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2)], "k string, v long")
+    out = compile_pipeline(df, "sort k, v | uniq -c | sort k")
+    assert [(r["k"], r["v"], r["count"]) for r in out.collect()] == [
+        ("a", 1, 2), ("b", 2, 1)]
+
+
+def test_nested_rename(spark):
+    df = spark.createDataFrame(
+        [((1, "x"),)], "rec struct<a:long,b:string>")
+    out = compile_pipeline(df, "rename rec.z := rec.a")
+    assert out.schema["rec"].dataType.names == ["b", "z"]
+    r = out.collect()[0]
+    assert r["rec"]["z"] == 1 and r["rec"]["b"] == "x"
+    with pytest.raises(ZedSyntaxError, match="across records"):
+        compile_pipeline(df, "rename top := rec.a")

@@ -790,6 +790,19 @@ def _apply_stage(st: _State, toks: list[Token],
     if word == "uniq" and toks[1].kind == "eof":
         st.df = st.df.distinct()
         return
+    if word == "uniq" and toks[1].kind == "op" and toks[1].text == "-" \
+            and len(toks) > 2 and toks[2].text == "c" \
+            and toks[3].kind == "eof":
+        # zed `uniq -c`: collapse duplicates with an occurrence count.
+        # The reference collapses ADJACENT duplicates (Unix uniq over the
+        # sorted scan); a distributed engine's equivalent over sorted-key
+        # semantics is group-all-columns + count — same result whenever
+        # the input was sorted, which is the only case adjacency is
+        # meaningful.
+        st.df = st.df.groupBy(*st.df.columns).agg(
+            F.count(F.lit(1)).alias("count"))
+        st.last_sort_toks = []
+        return
     if word == "where":
         p.next()
         st.df = st.df.filter(ensure_column(p.parse_expr(), "predicate"))
@@ -879,11 +892,19 @@ def _apply_stage(st: _State, toks: list[Token],
             new = p._parse_path_only()
             p.expect("assign")
             old = p._parse_path_only()
-            if len(new) != 1 or len(old) != 1:
-                raise ZedSyntaxError(
-                    "rename supports top-level fields (nested renames: use "
-                    "put+drop)")
-            st.df = st.df.withColumnRenamed(old[0], new[0])
+            if len(new) == 1 and len(old) == 1:
+                st.df = st.df.withColumnRenamed(old[0], new[0])
+            else:
+                # nested rename (zed renames within a record): the new and
+                # old paths must share the containing record — copy the
+                # field under the new name, drop the old (one withColumn,
+                # no data movement)
+                if new[:-1] != old[:-1]:
+                    raise ZedSyntaxError(
+                        "rename cannot move a field across records "
+                        f"({'.'.join(old)} -> {'.'.join(new)})")
+                st.df = _apply_drop(
+                    _apply_assign(st.df, new, ctx.resolve(old)), old)
             if not p.accept("op", ","):
                 break
         p.expect("eof")
