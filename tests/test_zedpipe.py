@@ -273,3 +273,55 @@ def test_switch_errors(ev):
         compile_pipeline(ev, "switch ( => cut id )")
     with pytest.raises(ZedSyntaxError):
         compile_pipeline(ev, "fork ( case kind == \"x\" => cut id )")
+
+
+def test_join_must_be_adjacent_to_from_block(ev):
+    # A stage between a two-source from block and `join` invalidates the
+    # legs (it transforms the union, not the legs) — the join raises
+    # instead of silently joining pre-stage legs and resurrecting rows the
+    # user filtered out.
+    tables = {"a": ev, "b": ev}
+    adjacent = compile_query(
+        'from ( pool a => cut id, kind pool b => cut id, amount )'
+        ' | join on id=id amt := amount', tables)
+    assert adjacent.count() == ev.count()
+    with pytest.raises(ZedSyntaxError, match="two-source from block"):
+        compile_query(
+            'from ( pool a => cut id, kind pool b => cut id, amount )'
+            ' | where id > 1 | join on id=id amt := amount', tables)
+
+
+def test_fork_first_over_implicit_single_table(ev):
+    # compile_query without a `from` head: a leading fork still gets the
+    # single registered table as its implicit input
+    out = compile_query(
+        "fork ( => count() => hi := max(amount) )", {"events": ev})
+    assert out.count() == 2
+    # multi-table namespace + fork whose branches open their own `from`
+    out2 = compile_query(
+        "fork ( => from a | count() => from b | count() )",
+        {"a": ev, "b": ev})
+    assert [r[0] for r in out2.collect()] == [5, 5]
+
+
+def test_ordered_collect_with_expression_sort_key(spark):
+    # `sort lower(name)` is an expression key: the resolvability check must
+    # recompile it (a head-identifier heuristic would see `lower` and drop
+    # the declared order entirely)
+    df = spark.createDataFrame(
+        [("B", 1, "g"), ("a", 2, "g"), ("C", 3, "g")],
+        "name string, v long, k string")
+    out = compile_pipeline(df, "sort lower(name) | vs := collect(v) by k")
+    assert [tuple(r) for r in out.collect()] == [("g", [2, 1, 3])]
+    # and the physical global sort is still elided before the aggregate
+    assert "Sort [" not in out._jdf.queryExecution().executedPlan().toString() \
+        or "SortAggregate" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ordered_collect_degrades_when_key_projected_away(spark):
+    df = spark.createDataFrame(
+        [("x", 1, "g"), ("y", 2, "g")], "name string, v long, k string")
+    # `cut v, k` drops `name`; ordered collect degrades to plain collect
+    # rather than raising an unresolvable-column analysis error
+    out = compile_pipeline(df, "sort name | cut v, k | vs := collect(v) by k")
+    assert sorted(out.collect()[0][1]) == [1, 2]

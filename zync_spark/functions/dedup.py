@@ -99,18 +99,36 @@ def _spread(df: DataFrame) -> DataFrame:
     if files:
         import os as _os
         try:
-            total = sum(
+            sizes = [
                 _os.path.getsize(f[5:] if f.startswith("file:") else f)
                 for f in files
-            )
+            ]
         except OSError:
-            total = 0
+            sizes = []
+        total = sum(sizes)
         if total:
+            # Spark's own split math (FilePartition.maxSplitBytes):
+            # maxSplit = min(maxPartitionBytes,
+            #                max(openCostInBytes, bytesPerCore)) with
+            # bytesPerCore = (totalBytes + files*openCost)/parallelism,
+            # then per-file ceil(size/maxSplit). The earlier coarse
+            # estimate max(len(files), total/mpb) UNDERcounted splits, so
+            # an already-parallel scan could still get the round-robin
+            # full-corpus reshuffle this guard exists to avoid.
             mpb = _parse_bytes_conf(
                 spark.conf.get("spark.sql.files.maxPartitionBytes",
                                "134217728b"))
-            est = max(len(files), (total + mpb - 1) // mpb)
-            return df if est >= target else df.repartition(target)
+            open_cost = _parse_bytes_conf(
+                spark.conf.get("spark.sql.files.openCostInBytes",
+                               "4194304b"))
+            bytes_per_core = (total + len(files) * open_cost) // max(target, 1)
+            max_split = max(1, min(mpb, max(open_cost, bytes_per_core)))
+            est = sum((s + max_split - 1) // max_split for s in sizes)
+            if est >= target:
+                return df
+            # estimate says under-split: confirm with the authoritative
+            # partition probe before paying the shuffle (the estimate is a
+            # lower bound — bucketed/cached frames can exceed it)
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -216,25 +216,24 @@ class _State:
     pre_sort_df: DataFrame | None = None
 
 
-def _sort_keys_resolvable(st: _State, ctx: Context) -> bool:
-    """True when every captured sort key still resolves in the current
-    frame. A stage between the sort and the consumer may have projected
-    the key away (`sort x | cut y | collect(y) by k`); ordered collect
-    then degrades to plain collect (round-1 semantics) instead of an
-    unresolvable-column analysis error."""
-    if ctx.schema is None:
+def _sort_keys_resolvable(st: _State, ctx: Context,
+                          df: DataFrame | None = None) -> bool:
+    """True when every captured sort key still compiles AND resolves in the
+    current frame. A stage between the sort and the consumer may have
+    projected the key away (`sort x | cut y | collect(y) by k`); ordered
+    collect then degrades to plain collect (round-1 semantics) instead of
+    an unresolvable-column analysis error. Resolution is checked by
+    recompiling the captured tokens and running them through Spark's eager
+    analysis (df.select) — a head-identifier heuristic would misjudge
+    expression keys like `sort lower(name)` (whose first identifier is the
+    function name) and silently drop the declared order."""
+    try:
+        cols = _sort_key_cols(st, ctx)
+        if df is not None:
+            df.select(*cols)
         return True
-    names = set(ctx.schema.names)
-    for kt in st.last_sort_toks:
-        head = next((t for t in kt if t.kind in ("ident", "this")), None)
-        if head is None:
-            continue
-        if head.kind == "this":
-            continue
-        if head.text in ctx.roots or head.text in names:
-            continue
+    except Exception:
         return False
-    return True
 
 
 def _sort_key_cols(st: _State, ctx: Context) -> list[Column]:
@@ -744,6 +743,14 @@ def _apply_stage(st: _State, toks: list[Token],
     if word != "sort":
         # pre_sort_df is only meaningful while sort is the latest stage
         st.pre_sort_df = None
+    if not _is_join_stage(toks):
+        # join legs are only valid for the stage IMMEDIATELY after the
+        # two-source from block / fork that produced them. Any intervening
+        # stage (where, yield, sort, ...) transforms the UNION frame, not
+        # the legs — a join after it would silently discard that stage's
+        # effect, so the legs are invalidated here and such a join raises
+        # "join needs a preceding two-source from block" instead.
+        st.legs = None
 
     if word == "from":
         if st.tables is None:
@@ -795,10 +802,14 @@ def _apply_stage(st: _State, toks: list[Token],
             and toks[3].kind == "eof":
         # zed `uniq -c`: collapse duplicates with an occurrence count.
         # The reference collapses ADJACENT duplicates (Unix uniq over the
-        # sorted scan); a distributed engine's equivalent over sorted-key
-        # semantics is group-all-columns + count — same result whenever
-        # the input was sorted, which is the only case adjacency is
-        # meaningful.
+        # sorted scan); this compiles to group-all-columns + count, which
+        # matches adjacency semantics ONLY when the input is sorted by ALL
+        # columns (then equal records are necessarily adjacent). Input
+        # sorted on a strict prefix key with other columns interleaved
+        # would give different counts than Unix-style adjacency — a
+        # documented divergence: distributed frames have no stable row
+        # adjacency to collapse over, and the grouped form is the
+        # partition-independent refinement.
         st.df = st.df.groupBy(*st.df.columns).agg(
             F.count(F.lit(1)).alias("count"))
         st.last_sort_toks = []
@@ -1039,7 +1050,7 @@ def _apply_stage(st: _State, toks: list[Token],
         if word == "summarize":
             p.next()
         ordered = None
-        if st.last_sort_toks and _sort_keys_resolvable(st, ctx):
+        if st.last_sort_toks and _sort_keys_resolvable(st, ctx, st.df):
             ordered = (_sort_key_cols(st, ctx), st.last_sort_desc)
         aggs, keys = _parse_agg_stage(p, ordered)
         p.expect("eof")
@@ -1098,12 +1109,19 @@ def compile_query(src: str, tables: dict[str, DataFrame],
         stages and stages[0]
         and stages[0][0].kind == "ident" and stages[0][0].text == "fork"
     )
-    if starts_with_from or starts_with_fork:
+    if starts_with_from:
+        df = None
+    elif len(tables) == 1:
+        # fork-first pipelines over the single implicit table keep the
+        # fallback: the fork's branches transform that frame (branches
+        # that open their own `from` simply replace it per branch)
+        df = next(iter(tables.values()))
+    elif starts_with_fork:
+        # multi-table namespace: a leading fork must open a `from` in
+        # every branch (demo/pending.zed) — no implicit input exists
         df = None
     else:
-        if len(tables) != 1:
-            raise ZedSyntaxError("pipeline without `from` needs exactly one table")
-        df = next(iter(tables.values()))
+        raise ZedSyntaxError("pipeline without `from` needs exactly one table")
     st = _State(df=df, ctx=base_ctx, tables=dict(tables))
     for i, s in enumerate(stages):
         _apply_stage(st, s, stages[i + 1] if i + 1 < len(stages) else None)
