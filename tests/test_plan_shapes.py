@@ -314,3 +314,28 @@ def test_dedup_semantic_corpus_shuffles_by_cluster_only(spark):
     # within-cluster equi-join (blocked), never a cartesian of the corpus
     assert count("CartesianProduct", p) == 0
     assert re.search(PY_NODES, p) is None
+
+
+def test_partsupp_family_broadcasts_dims_bounded_shuffles(spark):
+    # Synthesized partsupp (map-side explode of part + one broadcast count
+    # scalar) with every dim broadcast. Per-query shuffle budgets: q2's
+    # min-window keys one ps_partkey exchange; q11's global-share HAVING
+    # broadcasts the 1-row total back; q16's count(DISTINCT) is the one
+    # grouping exchange; q20 pre-aggregates lineitem then broadcasts.
+    import re as _re
+    # q11's budget of 4 counts two SINGLE-ROW scalar exchanges (the
+    # supplier-count aggregate, evaluated once per branch) beside the real
+    # per-part shuffle and the 1-row global total — data-proportional
+    # shuffles stay at one.
+    budgets = {
+        "q2_min_cost_supplier": 2,
+        "q11_important_stock": 4,
+        "q16_supplier_relationship": 3,
+        "q20_potential_promotion": 3,
+    }
+    for name, budget in budgets.items():
+        p = plan_of(spark, name)
+        assert count("BroadcastHashJoin", p) >= 2, name
+        assert count("CartesianProduct", p) == 0, name
+        assert n_shuffles(p) <= budget, (name, n_shuffles(p))
+        assert _re.search(PY_NODES, p) is None, name

@@ -4460,6 +4460,251 @@ def q21_late_suppliers(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H partsupp family (Q2/Q11/Q16/Q20). The corpus ships no partsupp
+# table, so it is synthesized DETERMINISTICALLY from part x supplier the way
+# dbgen does: each part gets 4 suppliers via the spec's
+# (partkey + i*(S/4 + (partkey-1)/S)) % S + 1 stride (TPC-H v3 clause
+# 4.2.3), with availqty/supplycost as pure integer-arithmetic functions of
+# the keys so both engines derive bit-identical rows. Supply cost is carried
+# in integer CENTS end-to-end: int64 sums are exact and order-independent,
+# and the single /100.0 at output is the only float op — cross-engine hash
+# parity without decimal-type gymnastics. Scale posture: partsupp is a
+# map-side explode of part (4 rows/part, no shuffle) plus one broadcast of
+# the supplier-count scalar; it is never materialized.
+# ---------------------------------------------------------------------------
+
+# Shared oracle prologue (DuckDB `//` = Spark `div` for the positive
+# operands used here).
+_PARTSUPP_CTE = """
+WITH scnt AS (SELECT count(*)::BIGINT AS s FROM supplier),
+partsupp AS (
+  SELECT p_partkey AS ps_partkey,
+         ((p_partkey + i * (s // 4 + (p_partkey - 1) // s)) % s) + 1
+           AS ps_suppkey,
+         ((p_partkey * 7 + i * 13) % 9999) + 1 AS ps_availqty,
+         ((p_partkey * 31
+           + (((p_partkey + i * (s // 4 + (p_partkey - 1) // s)) % s) + 1)
+             * 17) % 99900) + 100 AS ps_cost_cents
+  FROM part CROSS JOIN scnt CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) gen
+)
+"""
+
+
+def _partsupp(spark, sf_dir) -> DataFrame:
+    """Synthesized partsupp: (ps_partkey, ps_suppkey, ps_availqty,
+    ps_cost_cents), 4 rows per part. One broadcast scalar (supplier count)
+    + a map-side explode over part — zero shuffles, any scale."""
+    part = T(spark, sf_dir, "part").select("p_partkey")
+    scnt = T(spark, sf_dir, "supplier").agg(
+        F.count(F.lit(1)).cast("long").alias("s"))
+    return (
+        part.crossJoin(F.broadcast(scnt))
+        .select(
+            "p_partkey", "s",
+            F.explode(F.array(*[F.lit(i).cast("long")
+                                for i in range(4)])).alias("i"))
+        .selectExpr(
+            "p_partkey AS ps_partkey",
+            "((p_partkey + i * (s div 4 + (p_partkey - 1) div s)) % s) + 1"
+            " AS ps_suppkey",
+            "((p_partkey * 7 + i * 13) % 9999) + 1 AS ps_availqty",
+            "((p_partkey * 31"
+            " + (((p_partkey + i * (s div 4 + (p_partkey - 1) div s)) % s)"
+            "    + 1) * 17) % 99900) + 100 AS ps_cost_cents",
+        )
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    _PARTSUPP_CTE + """
+    , eur AS (
+      SELECT ps_partkey, ps_cost_cents, s_acctbal, s_name, n_name
+      FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    cheap AS (SELECT ps_partkey AS ck, min(ps_cost_cents) AS min_cents
+              FROM eur GROUP BY ps_partkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           ps_cost_cents / 100.0 AS supplycost
+    FROM eur JOIN cheap ON ps_partkey = ck AND ps_cost_cents = min_cents
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_size <= 15 AND p_type = 'PROMO'
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
+    the EUROPE supplier(s) whose supply cost equals the region-wide minimum
+    for that part — the canonical correlated-min scalar subquery
+    (decorrelated here as a min window over the region-filtered frame; the
+    inner min deliberately ignores the outer p_size/p_type filters, as in
+    the spec). Scale: supplier/nation/region broadcast onto the map-side
+    partsupp explode; the min-per-part window is the single ps_partkey
+    shuffle; part broadcasts for the final filter+decorate. Ties on the
+    min (possible, spec-faithful) keep all minimal suppliers."""
+    ps = _partsupp(spark, sf_dir)
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = T(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "PROMO"))
+    # join conditions use bare column names: _partsupp's supplier-count
+    # scalar shares the supplier relation's lineage, so dataset-qualified
+    # refs (s.s_nationkey) trip Spark's ambiguous-self-join check
+    eur = (
+        ps.join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("ps_partkey", "ps_cost_cents", "s_acctbal", "s_name", "n_name")
+    )
+    w = Window.partitionBy("ps_partkey")
+    cheapest = eur.withColumn(
+        "min_cents", F.min("ps_cost_cents").over(w)
+    ).filter(F.col("ps_cost_cents") == F.col("min_cents"))
+    return (
+        cheapest.join(F.broadcast(part),
+                      cheapest.ps_partkey == part.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                (F.col("ps_cost_cents") / 100.0).alias("supplycost"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    _PARTSUPP_CTE + """
+    , contrib AS (
+      SELECT ps_partkey, ps_cost_cents * ps_availqty AS v
+      FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_7','NATION_3','NATION_19'))
+    SELECT ps_partkey, sum(v) / 100.0 AS val
+    FROM contrib GROUP BY ps_partkey
+    HAVING sum(v) > (SELECT sum(v) * 0.002 FROM contrib)
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): per-part inventory value held by
+    one nation's suppliers, keeping parts whose value exceeds a fraction of
+    the nation-wide TOTAL — a group-share HAVING against a global scalar,
+    the decorrelation pattern nothing else in the catalog exercises. The
+    value is summed in integer cents (exact, order-independent) and divided
+    once at output. Scale: the contrib frame is computed ONCE and reused by
+    both branches (self-reuse of one map-side plan); the global total is a
+    1-row broadcast cross-join onto the per-part aggregate — no second scan
+    of the fact."""
+    ps = _partsupp(spark, sf_dir)
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_7", "NATION_3", "NATION_19"))
+    # bare-name join conditions: see q2 (supplier lineage is shared with
+    # _partsupp's count scalar)
+    contrib = (
+        ps.join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("ps_partkey",
+                (F.col("ps_cost_cents") * F.col("ps_availqty")).alias("v"))
+    )
+    per_part = contrib.groupBy("ps_partkey").agg(F.sum("v").alias("pv"))
+    total = contrib.agg((F.sum("v") * F.lit(0.002)).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("pv") > F.col("threshold"))
+        .select("ps_partkey", (F.col("pv") / 100.0).alias("val"))
+    )
+
+
+@register(
+    "q16_supplier_relationship",
+    _PARTSUPP_CTE + """
+    SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+      AND p_size IN (1,4,7,10,15,23,45,49)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                             WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_relationship(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    count per (brand, type, size) bucket with a NOT-IN supplier exclusion —
+    the corpus has no s_comment, so the spec's complaints filter becomes
+    the negative-balance suppliers (same anti-join decorrelation). Scale:
+    part broadcasts onto the partsupp explode; the exclusion is a broadcast
+    left-anti; count(DISTINCT) is the one (brand,type,size) shuffle, and
+    Spark plans it as the standard two-phase partial-distinct expand."""
+    ps = _partsupp(spark, sf_dir)
+    part = T(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45") & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 7, 10, 15, 23, 45, 49))
+    bad = T(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey,
+                "left_anti")
+        .join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    _PARTSUPP_CTE + """
+    , qty AS (
+      SELECT l_partkey, sum(l_quantity) AS q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1996-01-01'
+      GROUP BY l_partkey)
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3','NATION_7','NATION_11')
+    AND s_suppkey IN (
+      SELECT ps_suppkey FROM partsupp
+      JOIN part ON p_partkey = ps_partkey AND p_name LIKE 'small%'
+      JOIN qty ON l_partkey = ps_partkey
+      WHERE ps_availqty > 0.05 * q)
+    """,
+)
+def q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion): suppliers in a nation
+    group whose stock of 'small%' parts exceeds a fraction of that part's
+    shipped quantity in a one-year window — the correlated-aggregate-over-
+    lineitem subquery, decorrelated as a pre-aggregate + join. (The spec
+    correlates on (partkey, suppkey); this corpus's lineitem suppliers are
+    independent of the synthesized partsupp stride, so the correlation is
+    per part — same decorrelation skeleton, non-degenerate output.) Scale:
+    lineitem pre-aggregates map-side behind the shipdate filter (pushed to
+    the scan) into a per-part frame that is small enough to broadcast; the
+    IN becomes a left-semi join; supplier/nation broadcast."""
+    li = T(spark, sf_dir, "lineitem")
+    qty = (
+        li.filter((F.col("l_shipdate") >= "1995-01-01")
+                  & (F.col("l_shipdate") < "1996-01-01"))
+        .groupBy("l_partkey").agg(F.sum("l_quantity").alias("q"))
+    )
+    part = T(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    ps = _partsupp(spark, sf_dir)
+    ok_supp = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(F.broadcast(qty), ps.ps_partkey == qty.l_partkey)
+        .filter(F.col("ps_availqty") > 0.05 * F.col("q"))
+        .select("ps_suppkey")
+    )
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(ok_supp), s.s_suppkey == ok_supp.ps_suppkey,
+              "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
 # Deterministic-LSH oracles (generated SQL: inlined hyperplane constants;
 # see _lsh_bucket_sql above). Registered post-hoc so the generators sit
 # next to their queries while the SQL itself is built once at import.
