@@ -185,12 +185,20 @@ def test_scd2_single_shuffle_no_join(spark):
     assert re.search(PY_NODES, p) is None
 
 
-def test_ntile_is_knowingly_global(spark):
-    # q_ntile_deciles pins EXACT decile semantics, which needs a global
-    # order: the plan MUST contain the single-partition exchange (if this
-    # ever disappears, the query's documented scale caveat is stale)
+def test_ntile_distributes_exact_ranks(spark):
+    # q_ntile_deciles keeps EXACT decile semantics but no longer pays a
+    # single-partition sort of the DATA: ranks come from a range bucket +
+    # broadcast cumulative offsets, so the only single-partition window
+    # runs over the tiny per-bucket counts table. Pin: the orders scan
+    # feeds a hash exchange (by bucket), not a SinglePartition exchange —
+    # every SinglePartition node in this plan must sit above an aggregate
+    # of metadata-sized rows (counts/total), never above the fact scan.
     p = plan_of(spark, "q_ntile_deciles")
-    assert "SinglePartition" in p
+    # the data-side window partitions by bucket: hashpartitioning present
+    assert "hashpartitioning(bkt" in p
+    # ntile itself (the global-window operator) is gone
+    assert "ntile(" not in p
+    assert re.search(PY_NODES, p) is None
 
 
 def test_profile_single_pass(spark):

@@ -3444,23 +3444,50 @@ def rollup_incremental(spark, sf_dir):
     """,
 )
 def q_ntile_deciles(spark, sf_dir):
-    """Decile bucketing (ntile) + per-bucket stats — the score-bucket
-    analysis behind quality-threshold curation decisions ("what does the
-    corpus look like per quality decile").
+    """Decile bucketing (exact ntile semantics) + per-bucket stats — the
+    score-bucket analysis behind quality-threshold curation decisions
+    ("what does the corpus look like per quality decile").
 
-    Scale note: ntile is a GLOBAL ordering — a single-partition window,
-    the one shape that cannot distribute. Here it is deliberate and
-    locked by a test: at 100 TB you'd replace it with approx percentile
-    cut points broadcast back (the quality_filter pattern); this entry
-    exists to pin the exact semantics those cut points approximate.
-    Deterministic tie-break on o_orderkey.
+    EXACT deciles WITHOUT the single-partition global sort (the round-2
+    audit's one deliberate scale bottleneck, now removed): rows get a
+    monotone range bucket (floor(price/width) — order-preserving in the
+    sort key), per-bucket counts fold to cumulative offsets with a window
+    over the TINY counts table, offsets broadcast back, and each row's
+    global rank is offset + row_number within its bucket. The decile then
+    follows from (rank, N) by ntile's own fill rule: the first N%10
+    buckets take ceil(N/10) rows. Identical output to
+    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey); the only
+    data-proportional exchange is the ONE hash shuffle on the range
+    bucket — fully parallel at any scale. (Caveat inherited from the
+    bucket width: a single dominant price value would skew one bucket;
+    salt the width or fall back to approx cut points in that regime.)
     """
-    o = T(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    d = o.select(
-        "o_orderpriority",
-        F.ntile(10).over(w).cast("long").alias("decile"),
-        "o_totalprice",
+    o = T(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    b = o.withColumn(
+        "bkt", F.floor(F.col("o_totalprice") / F.lit(10000.0)).cast("long"))
+    counts = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "bkt", F.coalesce(F.sum("c").over(wc), F.lit(0)).alias("off"))
+    n_tot = b.agg(F.count(F.lit(1)).alias("N"))
+    wr = Window.partitionBy("bkt").orderBy("o_totalprice", "o_orderkey")
+    ranked = (
+        b.join(F.broadcast(offs), "bkt")
+        .withColumn("r", F.row_number().over(wr) + F.col("off"))
+        .crossJoin(F.broadcast(n_tot))
+    )
+    # ntile fill rule; greatest(,1) keeps the untaken ELSE branch safe
+    # under ANSI division when N < 10 (then size=0 and the WHEN covers
+    # every row)
+    d = ranked.withColumn(
+        "decile",
+        F.expr(
+            "CASE WHEN r <= (N % 10) * ((N div 10) + 1)"
+            " THEN (r - 1) div ((N div 10) + 1) + 1"
+            " ELSE (N % 10)"
+            "  + (r - (N % 10) * ((N div 10) + 1) - 1)"
+            "    div greatest(N div 10, 1) + 1 END"
+        ).cast("long"),
     )
     return d.groupBy("decile").agg(
         F.count("*").alias("n"),
