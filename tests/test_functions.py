@@ -434,3 +434,32 @@ def test_kmeans_centroids_partition_independent(spark):
     a = S.kmeans_centroids(emb, k=4, iterations=2)
     b = S.kmeans_centroids(emb.repartition(13), k=4, iterations=2)
     assert a == b
+
+
+def test_ivf_assign_broadcast_path_matches_literals_and_bounds_plan(spark):
+    """Above literal_threshold, centroids ship as a broadcast one-row
+    relation instead of plan literals: (a) cell assignment is identical to
+    the literal path, (b) serialized-plan size stays O(1) in k — 1024
+    centroids must NOT produce a plan ~64x the size of a 16-centroid one
+    (the literal path's failure mode)."""
+    import zync_spark.functions.similarity as S
+    from pyspark.sql import functions as F
+    from zync_spark.queries import T
+
+    emb = T(spark, "/root/testdata/sf0.001", "embeddings").limit(40)
+    dim = len(emb.select("embedding").first()[0])
+    cents = [
+        (cid, [((cid * 31 + j * 7) % 97) / 97.0 - 0.5 for j in range(dim)])
+        for cid in range(1024)
+    ]
+    lit = S.ivf_assign(emb, cents, "embedding", nprobe=2,
+                       literal_threshold=2048)
+    bc = S.ivf_assign(emb, cents, "embedding", nprobe=2,
+                      literal_threshold=256)
+    got_lit = sorted(tuple(r) for r in lit.select("vec_id", "__cell").collect())
+    got_bc = sorted(tuple(r) for r in bc.select("vec_id", "__cell").collect())
+    assert got_lit == got_bc and len(got_bc) == 80
+    plan_small = S.ivf_assign(emb, cents[:16], "embedding", nprobe=2) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    plan_big = bc._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan_big) < 8 * len(plan_small)

@@ -278,19 +278,41 @@ def kmeans_centroids(
 
 
 def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[float]]],
-               vec_col: str, nprobe: int = 1) -> DataFrame:
+               vec_col: str, nprobe: int = 1,
+               literal_threshold: int = 256) -> DataFrame:
     """Attach the `nprobe` nearest coarse-centroid cell ids to each row
-    (exploded, one row per probed cell). Centroids ship as literal arrays
-    inside the plan — broadcast with the closure, no join."""
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
-            )
-            for cid, vec in centroids
-        ]
-    )
+    (exploded, one row per probed cell).
+
+    Two centroid-shipping strategies, same semantics:
+    - k <= literal_threshold: centroids ship as literal arrays inside the
+      plan — broadcast with the closure, no join. Cheapest at small k, but
+      each centroid value is a Catalyst Literal NODE, so analysis/codegen
+      cost and serialized-plan size grow with k*dim.
+    - k > literal_threshold: centroids become a ONE-ROW local relation
+      (the whole table as one array<struct> value) broadcast-cross-joined
+      onto the frame. The values travel as DATA through one
+      BroadcastExchange — plan size and codegen stay O(1) in k, and the
+      per-row scoring expression is identical. No extra shuffle either
+      way."""
+    if len(centroids) <= literal_threshold:
+        cents = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+                )
+                for cid, vec in centroids
+            ]
+        )
+        base = df
+    else:
+        cents_df = df.sparkSession.createDataFrame(
+            [([(int(cid), [float(x) for x in vec])
+               for cid, vec in centroids],)],
+            "__cents array<struct<cid:bigint,cv:array<double>>>",
+        )
+        base = df.crossJoin(F.broadcast(cents_df))
+        cents = F.col("__cents")
     scored = F.transform(
         cents,
         lambda c: F.struct(
@@ -299,7 +321,9 @@ def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[float]]],
         ),
     )
     probed = F.slice(F.array_sort(scored), 1, nprobe)
-    return df.withColumn("__cell", F.explode(F.transform(probed, lambda s: s["cid"])))
+    out = base.withColumn(
+        "__cell", F.explode(F.transform(probed, lambda s: s["cid"])))
+    return out.drop("__cents")
 
 
 def ivf_ann_topk(
