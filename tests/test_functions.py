@@ -463,3 +463,39 @@ def test_ivf_assign_broadcast_path_matches_literals_and_bounds_plan(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     plan_big = bc._jdf.queryExecution().optimizedPlan().toString()
     assert len(plan_big) < 8 * len(plan_small)
+
+
+def test_decode_media_real_path_with_pillow(spark):
+    """Activates only where pillow exists (skipped in this container):
+    the real decode path emits true width/height and pixel stats."""
+    import pytest as _pytest
+    Image = _pytest.importorskip("PIL.Image")
+    import io
+    from zync_spark.functions.multimodal import MEDIA_SCHEMA, decode_media
+
+    buf = io.BytesIO()
+    Image.new("L", (6, 3), color=128).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "image/png", png, len(png), "x")], MEDIA_SCHEMA)
+    row = decode_media(media).collect()[0]
+    assert (row["feat0"], row["feat1"]) == (6.0, 3.0)
+    assert abs(row["feat2"] - 128 / 255.0) < 1e-9 and row["feat3"] == 0.0
+
+
+def test_resize_images_real_path_with_pillow(spark):
+    import pytest as _pytest
+    Image = _pytest.importorskip("PIL.Image")
+    import io
+    from zync_spark.functions.multimodal import MEDIA_SCHEMA, resize_images
+
+    buf = io.BytesIO()
+    Image.new("RGB", (10, 4), color=(255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "image/png", png, len(png), "x")], MEDIA_SCHEMA)
+    row = resize_images(media, width=5, height=2).collect()[0]
+    assert (row["width"], row["height"]) == (5, 2)
+    # raw RGB bytes: exactly w*h*3, red everywhere
+    assert row["n_bytes"] == 5 * 2 * 3
+    assert bytes(row["payload"])[:3] == b"\xff\x00\x00"

@@ -6,11 +6,15 @@ resize / frame-sampling run as Arrow-batched `mapInPandas` stages so each
 executor processes whole record batches without per-row Python overhead —
 the pattern a real pipeline uses with PIL/ffmpeg on the executors.
 
-The actual codecs are NOT available in this environment, so `decode_media`
-is a clearly marked stub: it raises NotImplementedError unless
-`fake_features=True`, in which case it derives deterministic pseudo-features
-from the payload's md5 (keeping the Spark-side schema, batching, and
-partitioning behavior fully real and testable).
+Codec strategy: each stage probes its codec library at STAGE-BUILD time
+(on the driver) behind an optional import — pillow for images, PyAV for
+video demux. When the library is present the real path runs inside the
+same Arrow-batched mapInPandas stage; when absent (as in this container,
+where PIL/ffmpeg do not exist) the stage raises NotImplementedError with
+install guidance unless the deterministic fake path is requested
+(`fake_features=True` / `fake=True`), which derives payload-md5-seeded
+outputs so the schema, batching, and partitioning behavior stay fully
+real, testable, and SQL-oracle-reproducible.
 """
 
 from __future__ import annotations
@@ -19,6 +23,25 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
+
+
+def _pil_image():
+    """Optional pillow import, resolved once per stage build (driver side;
+    executors re-import inside the UDF)."""
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
+def _pyav():
+    """Optional PyAV import (ffmpeg bindings) for video demux."""
+    try:
+        import av
+        return av
+    except ImportError:
+        return None
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -72,29 +95,50 @@ def attach_media(df: DataFrame, id_col: str, payload_col: str,
 def decode_media(df: DataFrame, fake_features: bool = False) -> DataFrame:
     """Decode payloads and emit fixed-width feature vectors via mapInPandas.
 
-    Real decode (PIL/librosa/ffmpeg) is unavailable in this container —
-    stubbed behind NotImplementedError. With fake_features=True the stage
-    derives 4 deterministic doubles from the payload digest, exercising the
-    identical Arrow batch path, schema contract, and partitioning.
+    Real image decode runs when pillow is importable: feat0/feat1 are the
+    decoded width/height and feat2/feat3 the grayscale mean/stddev in
+    [0,1] — deterministic functions of the pixels, engine-independent.
+    Without pillow (this container) the stage raises NotImplementedError
+    unless fake_features=True, which derives 4 deterministic doubles from
+    the payload digest — identical Arrow batch path, schema contract, and
+    partitioning either way.
     """
+    use_real = not fake_features and _pil_image() is not None
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        Image = _pil_image() if use_real else None
         for pdf in it:
-            if not fake_features:
+            if not fake_features and Image is None:
                 raise NotImplementedError(
-                    "media codecs (PIL/ffmpeg) not available in this environment; "
-                    "run with fake_features=True for the deterministic stub"
+                    "media codecs not available (pip install pillow for "
+                    "images); run with fake_features=True for the "
+                    "deterministic stub"
                 )
             feats = {f"feat{i}": [] for i in range(4)}
             digests = []
             for payload in pdf["payload"]:
-                digest = hashlib.md5(bytes(payload)).hexdigest()
+                raw = bytes(payload)
+                digest = hashlib.md5(raw).hexdigest()
                 digests.append(digest)
-                for i in range(4):
-                    # 4 doubles from successive 8-hex-digit md5 windows, scaled to [0,1).
-                    feats[f"feat{i}"].append(
-                        int(digest[i * 8:(i + 1) * 8], 16) / float(1 << 32)
-                    )
+                if Image is not None:
+                    img = Image.open(io.BytesIO(raw)).convert("L")
+                    px = list(img.getdata())
+                    n = max(len(px), 1)
+                    mean = sum(px) / n / 255.0
+                    var = sum((p / 255.0 - mean) ** 2 for p in px) / n
+                    feats["feat0"].append(float(img.width))
+                    feats["feat1"].append(float(img.height))
+                    feats["feat2"].append(mean)
+                    feats["feat3"].append(var ** 0.5)
+                else:
+                    for i in range(4):
+                        # 4 doubles from successive 8-hex-digit md5
+                        # windows, scaled to [0,1).
+                        feats[f"feat{i}"].append(
+                            int(digest[i * 8:(i + 1) * 8], 16) / float(1 << 32)
+                        )
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -137,19 +181,47 @@ def resize_images(df: DataFrame, width: int, height: int,
     """Resize image payloads to width×height via mapInPandas (1 row in →
     1 row out, payload replaced, metadata updated).
 
-    Real decode+resample (PIL) is unavailable here — stubbed behind
-    NotImplementedError. With fake=True the stage emits a deterministic
-    payload (md5-seeded bytes, length width*height) so the Arrow batch
-    path, schema contract, and size accounting stay real and testable.
+    Real decode+resample runs when pillow is importable: the payload is
+    decoded, resized with bilinear resampling, and re-emitted as raw RGB
+    bytes (`tobytes()` — deterministic, no encoder entropy). Without
+    pillow the stage raises NotImplementedError unless fake=True, which
+    emits a deterministic payload (md5-seeded bytes, length width*height)
+    so the Arrow batch path, schema contract, and size accounting stay
+    real and testable.
     """
+    use_real = not fake and _pil_image() is not None
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        Image = _pil_image() if use_real else None
         for pdf in it:
-            if not fake:
+            if not fake and Image is None:
                 raise NotImplementedError(
-                    "image codecs (PIL) not available in this environment; "
+                    "image codecs not available (pip install pillow); "
                     "run with fake=True for the deterministic stub"
                 )
+            if Image is not None:
+                payloads, digests = [], []
+                for payload in pdf["payload"]:
+                    img = Image.open(io.BytesIO(bytes(payload)))
+                    buf = img.resize((width, height),
+                                     Image.BILINEAR).convert("RGB").tobytes()
+                    payloads.append(buf)
+                    digests.append(hashlib.md5(buf).hexdigest())
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "media_type": pdf["media_type"],
+                        "payload": payloads,
+                        "n_bytes": pd.Series([len(p) for p in payloads],
+                                             dtype="int64"),
+                        "digest": digests,
+                        "width": pd.Series([width] * len(pdf), dtype="int64"),
+                        "height": pd.Series([height] * len(pdf), dtype="int64"),
+                    }
+                )
+                continue
             payloads, digests = [], []
             for payload in pdf["payload"]:
                 seed = hashlib.md5(bytes(payload)).hexdigest()
@@ -182,18 +254,62 @@ def sample_frames(df: DataFrame, n_frames: int = 4, frame_ms: int = 1000,
     """Sample n_frames frames per video payload via mapInPandas — the 1→N
     batch shape (each input row explodes into frame rows).
 
-    Real demux (ffmpeg) is unavailable here — stubbed behind
-    NotImplementedError. With fake=True each frame payload derives
-    deterministically from (digest, frame_idx).
+    Real demux runs when PyAV (ffmpeg bindings) is importable: frames are
+    decoded at frame_ms intervals and emitted as raw RGB bytes. Without
+    PyAV the stage raises NotImplementedError unless fake=True, where
+    each frame payload derives deterministically from (digest, frame_idx).
     """
+    use_real = not fake and _pyav() is not None
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        av = _pyav() if use_real else None
         for pdf in it:
-            if not fake:
+            if not fake and av is None:
                 raise NotImplementedError(
-                    "video demux (ffmpeg) not available in this environment; "
-                    "run with fake=True for the deterministic stub"
+                    "video demux not available (pip install av for the "
+                    "ffmpeg bindings); run with fake=True for the "
+                    "deterministic stub"
                 )
+            if av is not None:
+                rows = {k: [] for k in ("media_id", "frame_idx",
+                                        "frame_ts_ms", "payload", "digest")}
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    with av.open(io.BytesIO(bytes(payload))) as container:
+                        stream = container.streams.video[0]
+                        step = frame_ms / 1000.0
+                        next_t, idx = 0.0, 0
+                        for frame in container.decode(stream):
+                            if idx >= n_frames:
+                                break
+                            t = float(frame.pts * stream.time_base) \
+                                if frame.pts is not None else next_t
+                            if t + 1e-9 < next_t:
+                                continue
+                            buf = frame.to_ndarray(
+                                format="rgb24").tobytes()
+                            rows["media_id"].append(mid)
+                            rows["frame_idx"].append(idx)
+                            rows["frame_ts_ms"].append(int(t * 1000))
+                            rows["payload"].append(buf)
+                            rows["digest"].append(
+                                hashlib.md5(buf).hexdigest())
+                            idx += 1
+                            next_t += step
+                yield pd.DataFrame(
+                    {
+                        "media_id": pd.Series(rows["media_id"],
+                                              dtype="int64"),
+                        "frame_idx": pd.Series(rows["frame_idx"],
+                                               dtype="int64"),
+                        "frame_ts_ms": pd.Series(rows["frame_ts_ms"],
+                                                 dtype="int64"),
+                        "payload": rows["payload"],
+                        "digest": rows["digest"],
+                    }
+                )
+                continue
             rows = {k: [] for k in ("media_id", "frame_idx", "frame_ts_ms",
                                     "payload", "digest")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
