@@ -91,7 +91,8 @@ def test_cosine_topk(vectors):
 
 def test_embedding_neardup(vectors):
     pairs = {(r["id_a"], r["id_b"]) for r in
-             D.embedding_neardup_pairs(vectors, "vec_id", "embedding", threshold=0.95).collect()}
+             D.embedding_neardup_pairs(vectors, "vec_id", "embedding",
+                                       threshold=0.95, bucket_bits=0).collect()}
     assert (0, 1) in pairs and (2, 3) in pairs
     assert (0, 2) not in pairs
 
@@ -268,7 +269,8 @@ def test_emb_neardup_lsh_subset_of_exact(spark):
     emb = T(spark, "/root/testdata/sf0.001", "embeddings")
     exact = {
         (r["id_a"], r["id_b"])
-        for r in embedding_neardup_pairs(emb, "vec_id", "embedding", 0.45).collect()
+        for r in embedding_neardup_pairs(
+            emb, "vec_id", "embedding", 0.45, bucket_bits=0).collect()
     }
     lsh_df = embedding_neardup_pairs(
         emb, "vec_id", "embedding", 0.45, bucket_bits=4
@@ -418,7 +420,8 @@ def test_semdedup_subset_of_exact_pairs(spark):
     exact = {
         (r["id_a"], r["id_b"]): r["cos"]
         for r in D.embedding_neardup_pairs(
-            emb, "vec_id", "embedding", threshold=0.45).collect()
+            emb, "vec_id", "embedding", threshold=0.45,
+            bucket_bits=0).collect()
     }
     assert set(sem) <= set(exact)
     for k_, v in sem.items():
@@ -499,3 +502,9 @@ def test_resize_images_real_path_with_pillow(spark):
     # raw RGB bytes: exactly w*h*3, red everywhere
     assert row["n_bytes"] == 5 * 2 * 3
     assert bytes(row["payload"])[:3] == b"\xff\x00\x00"
+
+
+def test_embedding_neardup_requires_explicit_bucket_bits(vectors):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bucket_bits"):
+        D.embedding_neardup_pairs(vectors, "vec_id", "embedding")

@@ -376,19 +376,28 @@ def embedding_neardup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    bucket_bits: int = 0,
+    bucket_bits: int | None = None,
     dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
-    bucket_bits=0: exact all-pairs via self-join (quadratic — only for
-    verification scale). bucket_bits>0: random-hyperplane sign-bucket LSH —
-    pairs are only compared within a bucket, the scale path (`dim` =
-    embedding dimensionality for the hyperplanes).
+    bucket_bits is REQUIRED: >0 selects random-hyperplane sign-bucket LSH
+    — pairs are only compared within a bucket, the scale path (`dim` =
+    embedding dimensionality for the hyperplanes). bucket_bits=0 is the
+    exact all-pairs self-join — QUADRATIC, verification scale only, and
+    therefore an explicit opt-in rather than a default a caller can fall
+    into silently (round-2 audit finding).
     Output: (id_a, id_b, cos) with cos >= threshold, id_a < id_b.
     """
     from zync_spark.functions.similarity import cosine_expr, hyperplane_bucket
 
+    if bucket_bits is None:
+        raise ValueError(
+            "embedding_neardup_pairs: pass bucket_bits explicitly — "
+            "bucket_bits>0 for the LSH-bucketed scale path, or "
+            "bucket_bits=0 to opt in to the QUADRATIC exact all-pairs "
+            "join (verification scale only)"
+        )
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if bucket_bits > 0:
         base = base.withColumn(

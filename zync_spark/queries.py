@@ -1688,7 +1688,8 @@ def emb_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (exact all-pairs form for the
     oracle; hyperplane-bucketed form available via bucket_bits>0)."""
     emb = T(spark, sf_dir, "embeddings")
-    return D.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    return D.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.45, bucket_bits=0)
 
 
 
