@@ -176,18 +176,21 @@ def _minhash_sig_expr(num_hashes: int) -> Column:
     transform over a literal (a,b) permutation array, array_min over the
     permuted set. A single compact expression tree — 64 separate min()
     aggregate buffers (the obvious formulation) cost multiple seconds of
-    Catalyst analysis + codegen per query, dominating small-batch runs."""
-    p = F.lit(MINHASH_PRIME).cast("long")
+    Catalyst analysis + codegen per query, dominating small-batch runs.
+
+    Built as ONE SQL string through F.expr: the Column-API formulation
+    spent ~0.2s per query on 2*num_hashes F.lit py4j round-trips alone
+    (measured round 3); a single parse of a ~1 KB expression is ~10x
+    cheaper and yields the identical resolved expression."""
+    p = MINHASH_PRIME
     params = _perm_params(num_hashes)
-    perms = F.arrays_zip(
-        F.array(*[F.lit(a).cast("long") for a, _ in params]).alias("a"),
-        F.array(*[F.lit(b).cast("long") for _, b in params]).alias("b"),
-    )
-    return F.transform(
-        perms,
-        lambda pr: F.array_min(
-            F.transform("sh_set", lambda s: ((s % p) * pr["a"] + pr["b"]) % p)
-        ),
+    a_list = ",".join(f"{a}L" for a, _ in params)
+    b_list = ",".join(f"{b}L" for _, b in params)
+    return F.expr(
+        f"transform("
+        f"  zip_with(array({a_list}), array({b_list}), (a, b) -> struct(a, b)),"
+        f"  pr -> array_min(transform(sh_set,"
+        f"    s -> ((s % {p}L) * pr.a + pr.b) % {p}L)))"
     )
 
 

@@ -93,7 +93,10 @@ def hyperplane_bucket(vec: Column, nbits: int, dim: int = 64) -> Column:
     would silently degenerate the bucket join to a cross join)."""
     bucket = F.lit(0)
     for bit in range(nbits):
-        plane = F.array(*[F.lit(_hyperplane(d, bit)) for d in range(dim)])
+        # one py4j call per plane (F.lit on a list), not one per component:
+        # nbits*dim individual F.lit round-trips cost ~1.5ms each and
+        # dominated query-build time (round-3 profiling)
+        plane = F.lit([_hyperplane(d, bit) for d in range(dim)])
         proj = F.aggregate(
             F.zip_with(vec, plane, lambda x, p: F.coalesce(x.cast("double") * p, F.lit(0.0))),
             F.lit(0.0),
@@ -299,7 +302,8 @@ def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[float]]],
             *[
                 F.struct(
                     F.lit(cid).alias("cid"),
-                    F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+                    # one py4j call per centroid, not one per component
+                    F.lit([float(x) for x in vec]).alias("cv"),
                 )
                 for cid, vec in centroids
             ]
