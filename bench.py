@@ -38,29 +38,14 @@ def _materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def _duckdb_headline(sf_dir: str) -> dict[str, float]:
-    """Min-of-4 DuckDB timings for every headline query that has an oracle
-    (same SQL the correctness gate runs) — the single-node baseline the
-    judge compares against, emitted here so every BENCH_r{N}.json is
-    self-contained and machine-diffable."""
+def _duck_connect(sf_dir: str):
     import duckdb
 
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={os.cpu_count()}")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    out: dict[str, float] = {}
-    for name in HEADLINE:
-        sql = ORACLE_SQL.get(name)
-        if sql is None:
-            continue
-        runs = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            con.sql(sql).fetchall()
-            runs.append(time.perf_counter() - t0)
-        out[name] = round(min(runs), 3)
-    return out
+    return con
 
 
 def _egress_backfill(spark, sf_dir: str) -> dict[str, float]:
@@ -211,22 +196,37 @@ def main() -> None:
     # Warmup: JVM + whole-stage-codegen machinery.
     _materialize(QUERIES["q_max_offsets"](spark, sf_dir))
 
+    # Spark and DuckDB runs INTERLEAVE per attempt (spark, duck, spark,
+    # duck, ...): this shared noisy host drifts on a seconds timescale, so
+    # timing all Spark runs first and all DuckDB runs minutes later biased
+    # bench_vs_duck by whichever phase caught the load spike (observed
+    # ±0.3 swings on byte-identical code). Interleaving gives both engines
+    # the same load profile; min-of-5 then discards the spikes for each.
+    con = _duck_connect(sf_dir)
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     cold: dict[str, float] = {}
+    duck: dict[str, float] = {}
     for name in HEADLINE:
-        runs = []
+        sql = ORACLE_SQL.get(name)
+        runs: list[float] = []
+        druns: list[float] = []
         for _ in range(5):
             t0 = time.perf_counter()
             _materialize(QUERIES[name](spark, sf_dir))
             runs.append(time.perf_counter() - t0)
+            if sql is not None:
+                t0 = time.perf_counter()
+                con.sql(sql).fetchall()
+                druns.append(time.perf_counter() - t0)
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
         medians[name] = round(sorted(runs)[len(runs) // 2], 3)
+        if druns:
+            duck[name] = round(min(druns), 3)
+    con.close()
 
     total = round(sum(timings.values()), 3)
-
-    duck = _duckdb_headline(sf_dir)
     spark_subtotal = round(sum(timings[k] for k in duck), 3)
     duck_subtotal = round(sum(duck.values()), 3)
     egress = _egress_backfill(spark, sf_dir)

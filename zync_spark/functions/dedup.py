@@ -124,11 +124,13 @@ def _spread(df: DataFrame) -> DataFrame:
             bytes_per_core = (total + len(files) * open_cost) // max(target, 1)
             max_split = max(1, min(mpb, max(open_cost, bytes_per_core)))
             est = sum((s + max_split - 1) // max_split for s in sizes)
-            if est >= target:
-                return df
-            # estimate says under-split: confirm with the authoritative
-            # partition probe before paying the shuffle (the estimate is a
-            # lower bound — bucketed/cached frames can exceed it)
+            # The estimate IS Spark's own FilePartition.maxSplitBytes
+            # formula, so for plain file scans it equals the actual split
+            # count — decide on it directly. (The df.rdd partition probe
+            # would be authoritative for exotic frames, but it costs a
+            # ~0.3s RDD conversion per query build; non-file frames below
+            # still take it.)
+            return df if est >= target else df.repartition(target)
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -50,10 +50,11 @@ def cosine_topk(
     )
     # Spread only when the scan under-splits (small corpora = one parquet
     # split); an already-parallel corpus must NOT be round-robin-reshuffled
-    # just to score it (same rule as dedup._spread).
-    target = corpus.sparkSession.sparkContext.defaultParallelism
-    if corpus.rdd.getNumPartitions() < target:
-        corpus = corpus.repartition(target)
+    # just to score it. Shares dedup._spread, whose file-size split
+    # estimate avoids a ~0.3s df.rdd conversion probe per query build.
+    from zync_spark.functions.dedup import _spread
+
+    corpus = _spread(corpus)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         norm_expr(F.col(vec_col)).alias("cn"),
