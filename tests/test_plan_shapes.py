@@ -347,3 +347,22 @@ def test_partsupp_family_broadcasts_dims_bounded_shuffles(spark):
         assert count("CartesianProduct", p) == 0, name
         assert n_shuffles(p) <= budget, (name, n_shuffles(p))
         assert _re.search(PY_NODES, p) is None, name
+
+
+def test_chunking_and_bloom_scale_posture(spark):
+    # text_chunks: pure map-side generator — zero exchanges.
+    p = plan_of(spark, "text_chunks")
+    assert n_shuffles(p) == 0
+    assert re.search(PY_NODES, p) is None
+    # text_bloom_decontaminate: the corpus side never shuffles — the only
+    # exchange feeds the 1-row Bloom bit-set aggregate, which broadcasts
+    # back (BroadcastNestedLoopJoin on the single row).
+    p = plan_of(spark, "text_bloom_decontaminate")
+    assert n_shuffles(p) <= 1
+    assert count("BroadcastNestedLoopJoin", p) == 1
+    assert re.search(PY_NODES, p) is None
+    # dedup_passages: exactly two data-proportional shuffles (hash
+    # arbitration window + per-doc reassembly).
+    p = plan_of(spark, "dedup_passages")
+    assert n_shuffles(p) <= 2
+    assert re.search(PY_NODES, p) is None

@@ -5000,3 +5000,196 @@ def zed_over_unnest(spark, sf_dir):
         """,
         {"embeddings": T(spark, sf_dir, "embeddings")},
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 training-pipeline additions: passage-granular operators (this
+# corpus has no sentence punctuation, so the paragraph unit is a fixed
+# token window) and a Bloom-filter decontamination path that broadcasts a
+# bit-position set instead of the benchmark strings themselves.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    starts AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 32 + 1, 1), 24))
+               AS start
+      FROM t)
+    SELECT doc_id,
+           ((start - 1) // 24)::BIGINT AS chunk_idx,
+           len(toks[start:start+31])::BIGINT AS n_tokens,
+           array_to_string(toks[start:start+31], ' ') AS chunk
+    FROM starts
+    """,
+)
+def text_chunks(spark, sf_dir):
+    """Fixed-size token chunking with overlap (size 32, stride 24) — the
+    RAG/pretraining passage splitter. Each document yields
+    ceil((n-32)/24)+1 chunks; the final chunk is short rather than padded,
+    and documents shorter than one chunk still yield one. Pure map-side
+    generator (sequence + posexplode + slice) — zero shuffles, chunks
+    never leave their scan task, any scale."""
+    docs = T(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    C, S = 32, 24
+    n = F.size("toks")
+    starts = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id", "toks",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(n - C + 1, F.lit(1)),
+                           F.lit(S))).alias("start"),
+        )
+    )
+    return starts.select(
+        "doc_id",
+        (((F.col("start") - 1) / S).cast("long")).alias("chunk_idx"),
+        F.size(F.slice("toks", F.col("start"), C)).cast("long")
+        .alias("n_tokens"),
+        F.concat_ws(" ", F.slice("toks", F.col("start"), C)).alias("chunk"),
+    )
+
+
+@register(
+    "dedup_passages",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ch AS (
+      SELECT doc_id,
+             ((start - 1) // 16)::BIGINT AS chunk_idx,
+             array_to_string(toks[start:start+15], ' ') AS chunk
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 16 + 1, 1),
+                                          16)) AS start
+            FROM t)),
+    ranked AS (
+      SELECT doc_id, chunk_idx, chunk,
+             row_number() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM ch)
+    SELECT doc_id,
+           count(*) FILTER (WHERE rn = 1) AS n_kept,
+           count(*) FILTER (WHERE rn > 1) AS n_dropped,
+           coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                      FILTER (WHERE rn = 1), '') AS clean_text
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def dedup_passages(spark, sf_dir):
+    """Passage-level dedup (the paragraph dedup of C4/RefinedWeb, at
+    16-token passage granularity since this corpus has no sentence
+    punctuation): a passage keeps only its GLOBAL first occurrence —
+    ordered by (doc_id, chunk_idx) — and later repeats are dropped from
+    their documents; each document is then reassembled from its surviving
+    passages in order. Scale: chunking is map-side; the first-occurrence
+    choice is one row_number window partitioned BY PASSAGE HASH (shuffle
+    keys are 32-char digests, not text... the passage text rides only to
+    its arbitration group); reassembly is one groupBy(doc_id) with an
+    order-reconstructing sort_array — both shuffles are data-proportional
+    and partition-count-independent."""
+    docs = T(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    P = 16
+    n = F.size("toks")
+    ch = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(n - P + 1, F.lit(1)),
+                           F.lit(P))).alias("start"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            (((F.col("start") - 1) / P).cast("long")).alias("chunk_idx"),
+            F.concat_ws(" ", F.slice("toks", F.col("start"), P))
+            .alias("chunk"),
+        )
+    )
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_idx")
+    ranked = ch.withColumn("rn", F.row_number().over(w))
+    kept_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("rn") == 1,
+                           F.struct("chunk_idx", "chunk")))),
+            lambda s: s["chunk"],
+        ),
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+        F.count(F.when(F.col("rn") > 1, 1)).alias("n_dropped"),
+        kept_text.alias("clean_text"),
+    )
+
+
+@register(
+    "text_bloom_decontaminate",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    fp AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(toks,
+                   t -> ('0x' || substr(md5(t),1,15))::BIGINT % 2147483647)),
+               (acc, h) -> (acc * 131 + h) % 2147483647) AS fp
+      FROM t),
+    pos AS (
+      SELECT doc_id, fp,
+             list_transform([0,1,2],
+               j -> ('0x' || substr(md5(fp::VARCHAR || ':' || j), 1, 15))
+                      ::BIGINT % 65536) AS ps
+      FROM fp),
+    bloom AS (
+      SELECT list_distinct(flatten(list(ps))) AS bits
+      FROM pos WHERE doc_id % 10 = 0)
+    SELECT doc_id,
+           len(list_filter(ps, p -> list_contains(bits, p))) = 3
+             AS contaminated
+    FROM pos CROSS JOIN bloom
+    WHERE doc_id % 10 <> 0
+    """,
+)
+def text_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination: the benchmark split (doc_id % 10 = 0
+    here) folds to a 2^16-bit Bloom filter — k=3 md5-derived bit
+    positions per document fingerprint — and a corpus document is flagged
+    contaminated iff ALL its positions are set (Bloom semantics: no false
+    negatives, deterministic false positives). Scale: this is the
+    decontamination shape for a LARGE benchmark set — the broadcast is a
+    bounded bit-position set (<= 65536 longs regardless of benchmark
+    size), not the benchmark text, and the corpus never shuffles (the
+    1-row bit set cross-broadcasts onto the scan). The exact-match
+    text_decontaminate entry is the small-benchmark sibling."""
+    docs = T(spark, sf_dir, "documents")
+    fp = TX.fingerprint(TX.tokens(F.col("text")))
+    ps = F.transform(
+        F.array(F.lit(0), F.lit(1), F.lit(2)),
+        lambda j: TX.md5_long(
+            F.concat_ws(":", F.col("fp").cast("string"), j.cast("string")))
+        % 65536,
+    )
+    base = docs.select("doc_id", fp.alias("fp")).select(
+        "doc_id", ps.alias("ps"))
+    bloom = (
+        base.filter(F.col("doc_id") % 10 == 0)
+        .select(F.explode("ps").alias("p"))
+        .agg(F.array_sort(F.collect_set("p")).alias("bits"))
+    )
+    return (
+        base.filter(F.col("doc_id") % 10 != 0)
+        .crossJoin(F.broadcast(bloom))
+        .select(
+            "doc_id",
+            (F.size(F.array_intersect(F.array_distinct("ps"), "bits"))
+             == F.size(F.array_distinct("ps"))).alias("contaminated"),
+        )
+    )
