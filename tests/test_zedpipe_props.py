@@ -227,3 +227,41 @@ def test_parser_fuzz_never_crashes_uncontrolled(spark):
             pass
         except Exception as e:  # noqa: BLE001
             assert type(e).__name__ in allowed, (prog, type(e).__name__, e)
+
+
+# ---- round-3 semantics: leg invalidation, expression sort keys ----------
+
+
+@given(mid=st.sampled_from(["where k >= 0", "head 9", "uniq",
+                            "k2 := k + 1", "sort k"]))
+@_PROPS
+def test_join_after_intervening_stage_raises(spark, mid):
+    """ANY stage between a two-source from block and a join invalidates
+    the legs: the join must raise (round-3 fix — previously the stage was
+    silently ignored and the join consumed pre-stage legs)."""
+    from zync_spark.zedexpr import ZedSyntaxError
+    from zync_spark.zedpipe import compile_query
+
+    a = spark.createDataFrame([(1, 10)], "k long, v long")
+    b = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ZedSyntaxError, match="two-source from block"):
+        compile_query(
+            f"from ( pool a => pass  pool b => pass ) | {mid} "
+            "| join on k=k", {"a": a, "b": b})
+
+
+@given(desc=st.booleans(), nparts=st.integers(1, 6))
+@_PROPS
+def test_ordered_collect_expression_key(df, desc, nparts):
+    """Expression sort keys (`0 - x`) keep ordered-collect semantics —
+    the round-3 resolvability fix recompiles the captured tokens instead
+    of guessing from the head identifier (which silently dropped the
+    order for non-column keys)."""
+    flag = "-r " if desc else ""
+    out = compile_pipeline(
+        df.repartition(nparts), f"sort {flag}0 - x, id | vs:=collect(id) by g")
+    got = {r["g"]: list(r["vs"]) for r in out.collect()}
+    m = model().assign(negx=-model()["x"]).sort_values(
+        ["negx", "id"], ascending=not desc)
+    want = m.groupby("g")["id"].apply(list).to_dict()
+    assert got == want
