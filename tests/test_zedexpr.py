@@ -226,3 +226,19 @@ def test_stdlib_functions(df):
     ]
     # as a filter predicate, the idiomatic zed use
     assert df.filter(compile_expr('grep("co$", name)', Context())).count() == 1
+
+
+def test_array_stdlib_functions(spark):
+    # compact / flatten / sort (function form; the operator form only
+    # binds at stage-head position)
+    from zync_spark.zedpipe import compile_pipeline
+
+    df = spark.createDataFrame(
+        [([3, None, 1], [[1, 2], [3]]),],
+        "xs array<int>, nested array<array<int>>")
+    out = compile_pipeline(
+        df, "c := compact(xs) | f := flatten(nested) | s := sort(compact(xs))"
+            " | cut c, f, s").collect()[0]
+    assert list(out["c"]) == [3, 1]
+    assert list(out["f"]) == [1, 2, 3]
+    assert list(out["s"]) == [1, 3]

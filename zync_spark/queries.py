@@ -4693,6 +4693,51 @@ def q16_supplier_relationship(spark, sf_dir):
 
 
 @register(
+    "q12_shipmode_priority",
+    """
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      AND l.l_shipdate > o.o_orderdate
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-mode priority counts), adapted to this
+    corpus: l_linestatus stands in for l_shipmode and ship-after-order
+    for the receipt/commit lateness chain (the corpus carries only
+    l_shipdate). The skeleton is the faithful part: a date-windowed fact⋈
+    fact join with a NON-EQUI residual (l_shipdate > o_orderdate — a
+    cross-table comparison no scan filter can absorb) feeding disjoint
+    conditional counts. Completes the TPC-H shape family: q1-q22 all
+    present. Scale: the ship-year window pushes to the lineitem scan;
+    orders broadcasts at bench scale and becomes the one l_orderkey
+    shuffle beyond the threshold; the CASE-sum aggregate is two-phase on
+    a 2-value key."""
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+        .join(o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
     "q20_potential_promotion",
     _PARTSUPP_CTE + """
     , qty AS (

@@ -101,6 +101,13 @@ _FUNCTIONS = {
     # pure Column arithmetic, stays in whole-stage codegen.
     "cidr_match": lambda a: _cidr_match(a[0], a[1]),
     "network_of": lambda a: _network_of(a[0], a[1]),
+    # arrays (zed stdlib): compact strips nulls, flatten concatenates one
+    # nesting level, sort() is the FUNCTION form (ascending, nulls last —
+    # distinct from the sort OPERATOR, which only wins at stage-head
+    # position)
+    "compact": lambda a: F.filter(a[0], lambda x: x.isNotNull()),
+    "flatten": lambda a: F.flatten(a[0]),
+    "sort": lambda a: F.sort_array(a[0]),
 }
 
 
