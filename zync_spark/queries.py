@@ -5238,3 +5238,67 @@ def text_bloom_decontaminate(spark, sf_dir):
              == F.size(F.array_distinct("ps"))).alias("contaminated"),
         )
     )
+
+
+@register(
+    "text_ngram_decontaminate",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 4),
+               i -> ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')),
+                                    1, 15))::BIGINT))) AS g
+      FROM t WHERE len(toks) >= 5),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+    hits AS (
+      SELECT c.doc_id, count(DISTINCT c.g) AS n_overlap
+      FROM grams c JOIN bench USING (g)
+      WHERE c.doc_id % 10 <> 0
+      GROUP BY c.doc_id)
+    SELECT d.doc_id,
+           coalesce(h.n_overlap, 0) AS n_overlap,
+           coalesce(h.n_overlap, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def text_ngram_decontaminate(spark, sf_dir):
+    """N-gram-overlap decontamination (the GPT-3 appendix-C method, at
+    5-gram granularity for this short-doc corpus): a corpus document is
+    contaminated if ANY of its token 5-grams appears in the benchmark
+    split (doc_id % 10 = 0). Third decontamination shape in the catalog,
+    for the regime where the benchmark's n-gram set is TOO BIG to
+    broadcast (exact text_decontaminate) and false positives are
+    unacceptable (text_bloom_decontaminate): an inverted-index SEMI join
+    on 60-bit gram hashes. Scale: gram sets build map-side (distinct
+    within the scan task, longs only — text never shuffles); the hash
+    join keys on the gram hash with the benchmark side as build; the
+    per-doc overlap count is one doc_id shuffle; zero-overlap docs
+    rejoin via a doc-id-only left join."""
+    docs = T(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    grams5 = F.array_distinct(
+        F.transform(TX.word_shingles(toks, 5), TX.md5_long))
+    base = (
+        docs.select("doc_id", grams5.alias("gs"))
+        .filter(F.size("gs") > 0)
+        .select("doc_id", F.explode("gs").alias("g"))
+    )
+    bench = base.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
+    corpus = base.filter(F.col("doc_id") % 10 != 0)
+    hits = (
+        corpus.join(bench, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_overlap"))
+    )
+    ids = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id")
+    return (
+        ids.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
