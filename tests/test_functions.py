@@ -508,3 +508,25 @@ def test_embedding_neardup_requires_explicit_bucket_bits(vectors):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="bucket_bits"):
         D.embedding_neardup_pairs(vectors, "vec_id", "embedding")
+
+
+def test_partsupp_synthesis_partition_independent(spark):
+    """The synthesized partsupp is a pure function of (part, supplier
+    count): identical rows under any input partitioning — the property
+    that makes the Q2/Q11/Q16/Q20 oracles hash-stable."""
+    from zync_spark.queries import _partsupp
+
+    from zync_spark.queries import T
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(tuple(r) for r in _partsupp(spark, sf).collect())
+    n_parts = T(spark, sf, "part").count()
+    assert len(a) == 4 * n_parts
+    b = sorted(tuple(r) for r in _partsupp(spark, sf).collect())
+    assert a == b
+    # (partkey, suppkey) is a key at the gate scale (S=100: the dbgen
+    # stride is collision-free mod S there, as in real TPC-H; S=10 at
+    # sf0.001 is below the formula's design range and may repeat a
+    # supplier — deterministic in both engines either way)
+    big = _partsupp(spark, "/root/testdata/sf0.01")
+    assert big.count() == big.select("ps_partkey", "ps_suppkey").distinct().count()
