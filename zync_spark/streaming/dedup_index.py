@@ -1,0 +1,208 @@
+"""Incrementally maintained MinHash-LSH dedup index over a document pool.
+
+The batch operator (`functions.dedup.minhash_lsh_pairs`) recomputes
+shingle sets, signatures, and the banded self-join for the WHOLE corpus on
+every run — O(corpus) per invocation. A training-data pipeline ingesting
+continuously needs the incremental formulation: each maintenance pass
+costs O(new documents):
+
+- signatures/band keys are computed for the DELTA only (cursor-bounded
+  scan, the same manifest-pruned resume as streaming/incremental.py);
+- candidate pairs are (new x index) via a band-key join against the
+  stored index plus (new x new) within the batch — a document pair is
+  discovered exactly once, when its LATER member arrives, and the
+  incremental pair set over any batch split is IDENTICAL to the batch
+  operator's output on the full corpus (LSH banding is deterministic;
+  differential-tested);
+- the new index rows, the verified pairs, and the advanced cursors
+  commit in ONE atomic manifest (`Pool.load(cursors=, occ_token=)`):
+  a crashed pass leaves nothing and the rerun is a no-op-safe replay,
+  concurrent passes race compare-and-set and exactly one commits — the
+  same durability argument as rollup sync.
+
+At 100 TB: the per-pass work is delta-sized (signatures map-side over the
+new docs, the band join probes only colliding buckets). The index scan is
+column-pruned to (doc_id, band key, shingle set); partitioning the index
+pool by band-key prefix would bound even that read — noted as the next
+step, not needed at current corpus sizes. Reference parity: the reference
+has no dedup surface at all (this module is beyond-reference); the
+commit/cursor machinery mirrors its done-marker design (README.md:447-455).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from zync_spark.pool import Pool
+from zync_spark.streaming.incremental import _spec_cursors, scan_delta
+
+
+class DedupIndexSpec:
+    """Declarative index definition.
+
+    `id_expr` / `text_expr`: SQL expressions over the source pool's rows
+    producing the document id (long) and text. k/num_hashes/bands/
+    threshold mirror functions.dedup.minhash_lsh_pairs.
+    """
+
+    def __init__(self, name: str, id_expr: str, text_expr: str,
+                 k: int = 3, num_hashes: int = 64, bands: int = 16,
+                 threshold: float = 0.5):
+        if num_hashes % bands:
+            raise ValueError("num_hashes must divide into bands")
+        self.name = name
+        self.topic = f"dedupindex:{name}"
+        self.id_expr = id_expr
+        self.text_expr = text_expr
+        self.k = k
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.threshold = threshold
+
+    # `keys` duck-types RollupSpec for _spec_cursors' key namespace
+    @property
+    def keys(self):  # pragma: no cover - structural only
+        return {"doc_id": self.id_expr}
+
+
+def _sig_frame(spec: DedupIndexSpec, delta: DataFrame) -> DataFrame:
+    """(doc_id, sh_set, bkeys) for the delta — all map-side (the same
+    zero-shuffle construction as the batch operator)."""
+    from zync_spark.functions.dedup import _hashed_set, _minhash_sig_expr
+
+    rows_per_band = spec.num_hashes // spec.bands
+    sets = (
+        delta.select(
+            F.expr(spec.id_expr).cast("long").alias("doc_id"),
+            F.expr(spec.text_expr).alias("__text"),
+        )
+        .select("doc_id", _hashed_set(F.col("__text"), spec.k).alias("sh_set"))
+        .filter(F.size("sh_set") > 0)
+    )
+    sig = sets.select("doc_id", "sh_set",
+                      _minhash_sig_expr(spec.num_hashes).alias("sig"))
+    bkeys = F.transform(
+        F.sequence(F.lit(0), F.lit(spec.bands - 1)),
+        lambda bb: F.md5(
+            F.concat_ws(",", bb,
+                        F.slice("sig", bb * rows_per_band + 1, rows_per_band))
+        ),
+    )
+    return sig.select("doc_id", "sh_set", bkeys.alias("bkeys"))
+
+
+def _is_index(spec: DedupIndexSpec):
+    return (F.col("zed_type").eqNullSafe("index")
+            & F.col("kafka.topic").eqNullSafe(spec.topic))
+
+
+def _is_pair(spec: DedupIndexSpec):
+    return (F.col("zed_type").eqNullSafe("duppair")
+            & F.col("kafka.topic").eqNullSafe(spec.topic))
+
+
+def _envelope(spec: DedupIndexSpec, df: DataFrame, zed_type: str,
+              order_cols: list[str]) -> DataFrame:
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return df.select(
+        F.struct(
+            F.lit(spec.topic).alias("topic"),
+            F.lit(0).cast("long").alias("partition"),
+            (F.row_number().over(w) - 1).cast("long").alias("offset"),
+        ).alias("kafka"),
+        F.lit(zed_type).alias("zed_type"),
+        *[F.col(c) for c in df.columns],
+    )
+
+
+def sync_index(src: Pool, dest: Pool, spec: DedupIndexSpec,
+               topics: list[str], message: str | None = None) -> int:
+    """One incremental maintenance pass. Returns rows appended (index +
+    pair rows; 0 = no new documents, reruns are no-ops)."""
+    snapshot = len(dest.commits())
+    cursors = _spec_cursors(spec, dest.stored_cursors(), topics)
+    delta = scan_delta(src, cursors, topics)
+    if delta is None:
+        return 0
+    delta = delta.persist()
+    try:
+        new_cursors = {
+            f"{spec.topic}|{r['t']}#{int(r['p'])}": int(r["mx"]) + 1
+            for r in delta.groupBy(
+                F.col("kafka.topic").alias("t"),
+                F.col("kafka.partition").alias("p"),
+            ).agg(F.max(F.col("kafka.offset")).alias("mx")).collect()
+        }
+        if not new_cursors:
+            return 0
+        sigs = _sig_frame(spec, delta).persist()
+        try:
+            new_bands = sigs.select(
+                "doc_id", F.explode("bkeys").alias("bkey"))
+            # new x new (within-batch): canonical id_a < id_b
+            nb_a = new_bands.select(F.col("doc_id").alias("id_a"), "bkey")
+            nb_b = new_bands.select(F.col("doc_id").alias("id_b"), "bkey")
+            nn = (nb_a.join(nb_b, "bkey")
+                  .filter(F.col("id_a") < F.col("id_b"))
+                  .select("id_a", "id_b"))
+            # new x index (cross-batch): the pair is discovered when the
+            # LATER doc arrives; ids are canonicalized
+            stored = dest.scan()
+            cand = nn
+            old_sets = None
+            if stored is not None and "zed_type" in stored.columns:
+                idx = stored.filter(_is_index(spec))
+                old_bands = idx.select(
+                    F.col("doc_id").alias("old_id"),
+                    F.explode("bkeys").alias("bkey"))
+                no = (new_bands.join(old_bands, "bkey")
+                      .filter(F.col("doc_id") != F.col("old_id"))
+                      .select(
+                          F.least("doc_id", "old_id").alias("id_a"),
+                          F.greatest("doc_id", "old_id").alias("id_b")))
+                cand = nn.unionByName(no)
+                old_sets = idx.select("doc_id", "sh_set")
+            cand = cand.distinct()
+            all_sets = sigs.select("doc_id", "sh_set")
+            if old_sets is not None:
+                all_sets = all_sets.unionByName(old_sets)
+            inter = F.size(F.array_intersect("set_a", "set_b"))
+            pairs = (
+                cand.join(all_sets.select(F.col("doc_id").alias("id_a"),
+                                          F.col("sh_set").alias("set_a")),
+                          "id_a")
+                .join(all_sets.select(F.col("doc_id").alias("id_b"),
+                                      F.col("sh_set").alias("set_b")), "id_b")
+                .select(
+                    "id_a", "id_b",
+                    (inter / (F.size("set_a") + F.size("set_b") - inter))
+                    .alias("jaccard"))
+                .filter(F.col("jaccard") >= spec.threshold)
+            )
+            out = _envelope(spec, sigs, "index", ["doc_id"]).unionByName(
+                _envelope(spec, pairs, "duppair", ["id_a", "id_b"]),
+                allowMissingColumns=True,
+            )
+            return dest.load(out, message or f"{spec.topic} sync",
+                             cursors=new_cursors, occ_token=snapshot)
+        finally:
+            sigs.unpersist()
+    finally:
+        delta.unpersist()
+
+
+def pairs_view(dest: Pool, spec: DedupIndexSpec) -> DataFrame | None:
+    """All duplicate pairs discovered so far: (id_a, id_b, jaccard)."""
+    df = dest.scan()
+    if df is None or "zed_type" not in df.columns:
+        return None
+    return df.filter(_is_pair(spec)).select("id_a", "id_b", "jaccard")
+
+
+def index_view(dest: Pool, spec: DedupIndexSpec) -> DataFrame | None:
+    """The stored index: (doc_id, sh_set, bkeys)."""
+    df = dest.scan()
+    if df is None or "zed_type" not in df.columns:
+        return None
+    return df.filter(_is_index(spec)).select("doc_id", "sh_set", "bkeys")

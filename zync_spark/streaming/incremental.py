@@ -136,6 +136,42 @@ def _spec_cursors(spec: RollupSpec, stored: dict[str, int],
     return out
 
 
+def scan_delta(src: Pool, cursors: dict[str, dict[int, int]],
+               topics: list[str]) -> DataFrame | None:
+    """Cursor-bounded delta: data rows at or above the per-(topic,
+    partition) cursors. Manifest-level pruning happens in Pool.scan
+    (lower_bounds); the residual predicate resumes known partitions at
+    their cursor and defaults NEW partitions (absent from the map) to 0 —
+    never dropped. Shared by every incremental maintainer (rollups,
+    dedup index)."""
+    df = src.scan(lower_bounds={t: parts for t, parts in cursors.items()})
+    if df is None:
+        return None
+    preds = []
+    for t in topics:
+        parts = cursors.get(t, {})
+        topic_pred = F.col("kafka.topic") == t
+        if parts:
+            bound_map = F.create_map(
+                *[x for p, b in parts.items()
+                  for x in (F.lit(p).cast("long"), F.lit(b).cast("long"))]
+            )
+            topic_pred = topic_pred & (
+                F.col("kafka.offset")
+                >= F.coalesce(bound_map[F.col("kafka.partition")], F.lit(0))
+            )
+        preds.append(topic_pred)
+    delta = df.filter(functools.reduce(or_, preds))
+    if "zed_type" in delta.columns:
+        # Null-safe: rows null-padded by schema widening (committed before
+        # a zed_type column existed) are data, not markers — matching the
+        # eqNullSafe treatment in _is_mine() and Pool.compact().
+        delta = delta.filter(
+            F.col("zed_type").isNull() | (F.col("zed_type") == "data")
+        )
+    return delta
+
+
 def sync(src: Pool, dest: Pool, spec: RollupSpec, topics: list[str],
          message: str | None = None) -> int:
     """One incremental maintenance pass: aggregate source rows at or above
@@ -150,33 +186,9 @@ def sync(src: Pool, dest: Pool, spec: RollupSpec, topics: list[str],
     simply re-runs against the advanced cursor."""
     snapshot = len(dest.commits())
     cursors = _spec_cursors(spec, dest.stored_cursors(), topics)
-    df = src.scan(lower_bounds={t: parts for t, parts in cursors.items()})
-    if df is None:
+    delta = scan_delta(src, cursors, topics)
+    if delta is None:
         return 0
-    preds = []
-    for t in topics:
-        parts = cursors[t]
-        topic_pred = F.col("kafka.topic") == t
-        if parts:
-            bound_map = F.create_map(
-                *[x for p, b in parts.items()
-                  for x in (F.lit(p).cast("long"), F.lit(b).cast("long"))]
-            )
-            # known partitions resume at their cursor; NEW partitions
-            # (absent from the map) default to 0 — never dropped
-            topic_pred = topic_pred & (
-                F.col("kafka.offset")
-                >= F.coalesce(bound_map[F.col("kafka.partition")], F.lit(0))
-            )
-        preds.append(topic_pred)
-    delta = df.filter(functools.reduce(or_, preds))
-    if "zed_type" in delta.columns:
-        # Null-safe: rows null-padded by schema widening (committed before
-        # a zed_type column existed) are data, not markers — matching the
-        # eqNullSafe treatment in _is_mine() and Pool.compact().
-        delta = delta.filter(
-            F.col("zed_type").isNull() | (F.col("zed_type") == "data")
-        )
     # Two small jobs share the delta scan (cursor hi-water + partials);
     # the delta is new-data-sized, so caching it is bounded by one batch.
     delta = delta.persist()
