@@ -3224,22 +3224,29 @@ def q3_shipping_priority(spark, sf_dir):
     o = T(spark, sf_dir, "orders")
     l = T(spark, sf_dir, "lineitem")
     cut = F.lit("1997-06-30").cast("timestamp")
-    oc = (
-        o.filter(F.col("o_orderdate") < cut)
-        .join(
-            c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"),
-            o.o_custkey == F.col("c_custkey"),
-        )
-        .select("o_orderkey", "o_orderdate", "o_orderpriority")
-    )
     # q1's integer-cents recipe, single-phase: groups are per-ORDER
     # (<= 7 lineitems each at every TPC-H scale), so a long accumulator
     # cannot overflow; the one decimal op is the final exact downscale.
+    # The fact probes RAW filtered build sides (orders, then customer):
+    # a pre-joined orders⋈customer build side carries Catalyst's inflated
+    # join-output estimate and can silently lose its static broadcast
+    # (the q5 round-3 lesson).
     ep = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc = F.round(F.col("l_discount") * 100).cast("long")
     return (
         l.filter(F.col("l_shipdate") > cut)
-        .join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            o.filter(F.col("o_orderdate") < cut)
+            .select("o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            c.filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             (F.sum(ep * (100 - disc)).cast("decimal(38,0)") / 10000)
