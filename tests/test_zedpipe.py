@@ -325,3 +325,29 @@ def test_ordered_collect_degrades_when_key_projected_away(spark):
     # rather than raising an unresolvable-column analysis error
     out = compile_pipeline(df, "sort name | cut v, k | vs := collect(v) by k")
     assert sorted(out.collect()[0][1]) == [1, 2]
+
+
+def test_over_lateral_subpipeline(spark):
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3]), (2, [10, 20])], "id long, xs array<long>")
+    # plain over is unchanged
+    out = compile_pipeline(df, "over xs | sum(xs)")
+    assert out.collect()[0][0] == 36
+    # lateral: sub-pipeline runs in element scope
+    out = compile_pipeline(
+        df, "over xs => ( where xs > 1 | big := xs * 10 ) | sort big")
+    assert [r["big"] for r in out.collect()] == [20, 30, 100, 200]
+    # with-bindings carry parent values into element scope
+    out = compile_pipeline(
+        df, "over xs with id = id * 100 => ( y := id + xs ) | sort y | cut y")
+    assert [r["y"] for r in out.collect()] == [101, 102, 103, 210, 220]
+    # `with x` sugar binds the parent field of that name
+    out = compile_pipeline(
+        df, "over xs with id => ( count() by id ) | sort id")
+    assert [(r["id"], r["count"]) for r in out.collect()] == [(1, 3), (2, 2)]
+
+
+def test_over_lateral_errors(spark):
+    df = spark.createDataFrame([(1, [1])], "id long, xs array<long>")
+    with pytest.raises(ZedSyntaxError, match="unterminated over"):
+        compile_pipeline(df, "over xs => ( where xs > 1")

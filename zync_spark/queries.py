@@ -5370,3 +5370,35 @@ def dedup_index_incremental(spark, sf_dir):
         F.col("id_b").cast("long").alias("id_b"),
         "jaccard",
     )
+
+
+@register(
+    "zed_over_lateral",
+    """
+    WITH x AS (
+      SELECT vec_id, unnest(embedding) AS v
+      FROM embeddings WHERE vec_id < 50)
+    SELECT vec_id, count(*) AS n_pos, max(v::DOUBLE) AS hi
+    FROM x WHERE v > 0 GROUP BY vec_id
+    """,
+)
+def zed_over_lateral(spark, sf_dir):
+    """zed lateral sub-pipeline: `over e with b => ( stages )` runs the
+    stages in ELEMENT scope with parent bindings carried in — the
+    explode + per-element pipeline form (public zed lateral subqueries;
+    beyond the reference's own program surface). Compiles to one
+    generator + ordinary stages: map-side except the final grouped
+    aggregate."""
+    from zync_spark.zedpipe import compile_query
+
+    return compile_query(
+        """
+        from embeddings
+        | where vec_id < 50
+        | over embedding with vec_id
+          => ( v := cast(embedding, double)
+             | where v > 0
+             | n_pos := count(), hi := max(v) by vec_id )
+        """,
+        {"embeddings": T(spark, sf_dir, "embeddings")},
+    )

@@ -1028,23 +1028,84 @@ def _apply_stage(st: _State, toks: list[Token],
         st.df = st.df.filter(pred)
         return
     if word == "over":
-        # zed `over <expr>` — traverse an array: each element becomes a
-        # top-level output value (struct elements expand to records, like
-        # yield). One generator expression (explode), map-side only.
+        # zed `over <expr> [with n=<expr>, ...] [=> ( stages )]` — array
+        # traversal: each element becomes a top-level value (struct
+        # elements expand to records, like yield). The lateral form runs
+        # a sub-pipeline in element scope, `with` bindings carrying
+        # parent-scope values in as columns (zed lateral subqueries,
+        # public zed docs). One generator expression (explode) + ordinary
+        # stages — map-side unless the sub-pipeline itself shuffles.
         p.next()
         start = p.i
         expr = ensure_column(p.parse_expr(), "over target")
         segs = [t.text for t in p.toks[start:p.i] if t.kind == "ident"]
+        binds: list[tuple[str, Column]] = []
+        if p.peek().kind == "ident" and p.peek().text == "with":
+            p.next()
+            while True:
+                nt = p.next()
+                if not (nt.kind == "ident" and nt.text.isidentifier()):
+                    raise ZedSyntaxError(
+                        f"expected binding name after with, got {nt.text!r} "
+                        f"at {nt.pos}")
+                nxt2 = p.toks[p.i + 1] if p.i + 1 < len(p.toks) else None
+                is_arrow = (nxt2 is not None and nxt2.kind == "op"
+                            and nxt2.text == ">")
+                if (p.peek().kind == "op" and p.peek().text == "="
+                        and not is_arrow):
+                    p.next()
+                    val = ensure_column(p.parse_expr(), "with binding")
+                else:
+                    # `with x` sugar: bind the parent field of that name
+                    # (a following `=` belongs to the `=>` arrow)
+                    val = ctx.resolve([nt.text])
+                binds.append((nt.text, val))
+                if not p.accept("op", ","):
+                    break
+        body: list[Token] | None = None
+        if (p.peek().kind == "op" and p.peek().text == "="
+                and p.i + 1 < len(p.toks)
+                and p.toks[p.i + 1].kind == "op"
+                and p.toks[p.i + 1].text == ">"):
+            p.next()
+            p.next()
+            p.expect("op", "(")
+            body = []
+            depth = 0
+            while True:
+                t = p.peek()
+                if t.kind == "eof":
+                    raise ZedSyntaxError("unterminated over sub-pipeline")
+                if t.kind == "op" and t.text in "([{":
+                    depth += 1
+                elif t.kind == "op" and t.text in ")]}":
+                    if depth == 0:
+                        p.next()
+                        break
+                    depth -= 1
+                body.append(p.next())
         p.expect("eof")
-        exploded = st.df.select(F.explode(expr).alias("_ov"))
+        bound = [col.alias(nm) for nm, col in binds]
+        exploded = st.df.select(*bound, F.explode(expr).alias("_ov"))
         etype = exploded.schema["_ov"].dataType
+        bind_names = [nm for nm, _ in binds]
         if isinstance(etype, StructType):
             st.df = exploded.select(
+                *bind_names,
                 *[F.col("_ov")[f.name].alias(f.name) for f in etype.fields])
         else:
             name_ = segs[-1] if segs else "value"
-            st.df = exploded.select(F.col("_ov").alias(name_))
+            st.df = exploded.select(*bind_names, F.col("_ov").alias(name_))
         st.last_sort_toks = []
+        if body:
+            sub = _State(df=st.df, ctx=st.ctx, tables=st.tables)
+            bstages = _split_stages(body + [Token("eof", "", p.toks[-1].pos)])
+            for bi, stage in enumerate(bstages):
+                _apply_stage(sub, stage,
+                             bstages[bi + 1] if bi + 1 < len(bstages) else None)
+            st.df = sub.df
+            st.last_sort_toks = sub.last_sort_toks
+            st.last_sort_desc = sub.last_sort_desc
         return
     if _looks_like_agg(toks):
         if word == "summarize":
