@@ -530,3 +530,24 @@ def test_partsupp_synthesis_partition_independent(spark):
     # supplier — deterministic in both engines either way)
     big = _partsupp(spark, "/root/testdata/sf0.01")
     assert big.count() == big.select("ps_partkey", "ps_suppkey").distinct().count()
+
+
+def test_pq_ann_recall_beats_random(spark):
+    """PQ reconstructions are lossy, but top-5 recall vs the exact scan
+    must beat random ranking by a wide margin (8 subspaces x 16 codes
+    keeps plenty of signal on this corpus)."""
+    from pyspark.sql import functions as F
+
+    import zync_spark.functions.similarity as S
+    from zync_spark.queries import T
+
+    emb = T(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in S.cosine_topk(emb, q, k=5).collect()}
+    pq = {(r["query_id"], r["neighbor_id"])
+          for r in S.pq_ann_topk(emb, q, k=5).collect()}
+    n = emb.count()
+    assert len(exact) == 50
+    # random top-5 would overlap ~5/(n-1) per query
+    assert len(pq & exact) / len(exact) >= 3 * 5.0 / (n - 1)

@@ -390,3 +390,129 @@ def ivf_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+# -- Product quantization (PQ) ANN ------------------------------------------
+
+
+def pq_codebook(df: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding", ks: int = 16,
+                scale: int = 1 << 20) -> dict[int, list[float]]:
+    """One-step PQ codebook: full-dimension fixed-point centroids of the
+    deterministic init partition (vec_id % ks); subspace codewords are
+    SLICES of these. One averaging step (not iterated Lloyd) keeps the
+    codebook a closed-form GROUP BY — reproducible verbatim in the SQL
+    oracle with no recursion — while still being data-driven. The same
+    fixed-point recipe as kmeans_centroids (floor-scaled longs,
+    truncating div, /2^20 exact in double) makes every codeword
+    bit-identical across engines and partitionings. Collect is ks rows
+    of dim doubles (KBs); the corpus never shuffles — only ks*dim
+    partial sums do."""
+    scaled = df.select(
+        (F.col(id_col) % ks).cast("long").alias("c"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * scale).cast("long"))
+        ).alias("pos", "x"),
+    )
+    rows = (
+        scaled.groupBy("c", "pos")
+        .agg(F.expr("sum(x) div count(1)").alias("ci"))
+        .groupBy("c")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "ci"))),
+            lambda s: s["ci"]).alias("cv"))
+        .collect()
+    )
+    return {int(r["c"]): [int(v) / scale for v in r["cv"]] for r in rows}
+
+
+def _dlit(x: float) -> str:
+    """Round-trip double literal for Spark SQL (D suffix forces DOUBLE —
+    a bare decimal literal would parse as DECIMAL)."""
+    return f"{x!r}D"
+
+
+def _pq_reconstruct_expr(codebook: dict[int, list[float]], m: int) -> str:
+    """SQL expression (over a bound array<double> column `__v`)
+    reconstructing the PQ quantization of __v: per subspace, the L2
+    argmin codeword (ties break on the smaller code, matching the
+    oracle's ORDER BY dist, c), concatenated back to full dimension.
+    Built as ONE expr string — the codebook is m*ks*subdim literals, and
+    per-literal Column construction would pay thousands of py4j
+    round-trips (round-3 lesson)."""
+    dim = len(next(iter(codebook.values())))
+    subdim = dim // m
+    segs = []
+    for s in range(m):
+        cands = []
+        for c in sorted(codebook):
+            cv = codebook[c][s * subdim:(s + 1) * subdim]
+            arr = "array(" + ",".join(_dlit(x) for x in cv) + ")"
+            dist = (
+                f"aggregate(zip_with(slice(__v, {s * subdim + 1}, {subdim}),"
+                f" {arr}, (a, b) -> (a - b) * (a - b)),"
+                f" cast(0.0 as double), (acc, x) -> acc + x)")
+            cands.append(f"struct({dist} as d, {c} as c, {arr} as cv)")
+        segs.append(
+            f"element_at(array_sort(array({','.join(cands)})), 1).cv")
+    return f"flatten(array({','.join(segs)}))"
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    ks: int = 16,
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """PQ approximate top-k (asymmetric distance): the corpus is encoded
+    to m subspace codewords from a ks-entry-per-subspace codebook; each
+    query scores the RECONSTRUCTED corpus vectors exactly — ADC, where
+    the quantization error is on the corpus side only. Same output shape
+    as cosine_topk.
+
+    Scale posture: the codebook is KBs (broadcast with the plan); encode
+    + reconstruction is a pure map over the corpus scan (the stored form
+    of an encoded corpus is m SMALL codes per vector — 8 bytes here vs
+    512 for the raw vector, the whole point of PQ); scoring is the
+    broadcast-queries pattern of cosine_topk. Fully deterministic
+    (fixed-point codebook, left-fold float arithmetic, code tie-breaks)
+    — hash-checked against a self-contained SQL oracle."""
+    from zync_spark.functions.dedup import _spread
+
+    codebook = pq_codebook(corpus, id_col, vec_col, ks, scale)
+    if not codebook:
+        raise ValueError("pq_ann_topk: empty corpus")
+    xq = _pq_reconstruct_expr(codebook, m)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("qv"),
+    ).select("query_id", "qv", norm_expr(F.col("qv")).alias("qn"))
+    c = (
+        _spread(corpus)
+        .select(F.col(id_col).alias("neighbor_id"),
+                F.expr(f"transform({vec_col}, x -> cast(x as double))")
+                .alias("__v"))
+        .select("neighbor_id", F.expr(xq).alias("cv"))
+        .select("neighbor_id", "cv", norm_expr(F.col("cv")).alias("cn"))
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            (dot_expr(F.col("qv"), F.col("cv"))
+             / (F.col("qn") * F.col("cn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

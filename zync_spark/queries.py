@@ -5402,3 +5402,60 @@ def zed_over_lateral(spark, sf_dir):
         """,
         {"embeddings": T(spark, sf_dir, "embeddings")},
     )
+
+
+ORACLE_SQL["ann_pq_topk"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scaled AS (
+      SELECT vec_id, vec_id % 16 AS c0,
+             list_transform(v, x -> floor(x * 1048576)::BIGINT) AS xs
+      FROM e),
+    comp AS (SELECT c0, unnest(range(64)) AS pos, unnest(xs) AS x
+             FROM scaled),
+    cents AS (SELECT c0 AS c, pos, (sum(x) // count(*)) / 1048576.0 AS ci
+              FROM comp GROUP BY c, pos),
+    cvec AS (SELECT c, list(ci ORDER BY pos) AS cv FROM cents GROUP BY c),
+    enc AS (
+      SELECT e.vec_id, sg.s, cvec.c,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(
+                 list_zip(e.v[sg.s*8+1 : sg.s*8+8],
+                          cvec.cv[sg.s*8+1 : sg.s*8+8]),
+                 p -> (struct_extract(p,1) - struct_extract(p,2))
+                      * (struct_extract(p,1) - struct_extract(p,2)))),
+               (a, b) -> a + b) AS dist
+      FROM e CROSS JOIN (SELECT unnest(range(8)) AS s) sg CROSS JOIN cvec),
+    pick AS (SELECT vec_id, s, c FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                            ORDER BY dist, c) AS rn
+               FROM enc) WHERE rn = 1),
+    xq AS (SELECT p.vec_id,
+                  flatten(list(cvec.cv[p.s*8+1 : p.s*8+8] ORDER BY p.s))
+                    AS xq
+           FROM pick p JOIN cvec ON cvec.c = p.c GROUP BY p.vec_id),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, x.vec_id AS neighbor_id,
+             {_cos_sql('q.qv', 'x.xq')} AS cos
+      FROM q JOIN xq x ON x.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+"""
+
+
+@register("ann_pq_topk", ORACLE_SQL["ann_pq_topk"])
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (asymmetric distance): the corpus encodes
+    to 8 subspace codewords from a 16-entry one-step fixed-point codebook
+    (functions/similarity.pq_ann_topk) and queries score the
+    reconstructions. Fourth ANN family beside exact / hyperplane-LSH /
+    IVF — the one whose STORED form is 8 bytes per vector. Fully
+    deterministic: the oracle replays codebook, encode (ORDER BY dist, c
+    tie-break), reconstruction, and scoring in self-contained SQL."""
+    emb = T(spark, sf_dir, "embeddings")
+    return S.pq_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                         m=8, ks=16)
