@@ -5459,3 +5459,71 @@ def ann_pq_topk(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings")
     return S.pq_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
                          m=8, ks=16)
+
+
+@register(
+    "mix_temperature",
+    """
+    WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    s AS (SELECT source, n,
+                 floor(sqrt(n::DOUBLE) * 1024)::BIGINT AS sq FROM cnt),
+    tot AS (SELECT sum(n)::BIGINT AS nt, sum(sq)::BIGINT AS sqt FROM s),
+    w AS (SELECT source, (sq * nt * 10000) // (sqt * n) AS wt_bp
+          FROM s CROSS JOIN tot),
+    d AS (SELECT doc_id, d.source, wt_bp,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':t'), 1, 15))::BIGINT
+                   % 10000 AS h
+          FROM documents d JOIN w USING (source)),
+    c AS (SELECT doc_id, source,
+                 wt_bp // 10000
+                 + CASE WHEN h < wt_bp % 10000 THEN 1 ELSE 0 END AS copies
+          FROM d),
+    e AS (SELECT doc_id, source,
+                 unnest(generate_series(1, copies)) AS ep FROM c)
+    SELECT doc_id, source, (ep - 1)::BIGINT AS epoch FROM e
+    """,
+)
+def mix_temperature(spark, sf_dir):
+    """Temperature-based mixture resampling (T=2, i.e. alpha=1/2): target
+    source shares proportional to n_s^alpha, realized as per-source
+    sampling rates r_s = q_s * N / n_s — the standard multilingual /
+    multi-source rebalancing (upsample small sources, downsample
+    dominant ones) at constant total token budget. Unlike mix_weighted
+    (fixed weights) the weights here are DATA-DERIVED: the per-source
+    counts fold to one tiny frame, sqrt goes through a floor(sqrt*1024)
+    fixed-point so the share computation is all-integer (exact in both
+    engines regardless of summation order), and the rate applies via the
+    same integer-bp + md5-threshold machinery as mix_weighted. Scale:
+    counts are one tiny shuffle, the weight table broadcasts back, the
+    corpus itself is pure map + explode. (The bp product sq*nt*10000
+    needs ~2^84 past ~1e12 rows/source — switch the oracle pair to
+    DECIMAL(38) arithmetic at that regime.)"""
+    docs = T(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    s = cnt.select(
+        "source", "n",
+        F.floor(F.sqrt(F.col("n").cast("double")) * 1024).cast("long")
+        .alias("sq"))
+    tot = s.agg(F.sum("n").cast("long").alias("nt"),
+                F.sum("sq").cast("long").alias("sqt"))
+    w = s.crossJoin(F.broadcast(tot)).select(
+        "source", F.expr("(sq * nt * 10000) div (sqt * n)").alias("wt_bp"))
+    h = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":t"))),
+            1, 15), 16, 10).cast("long") % 10000
+    )
+    copies = (
+        F.floor(F.col("wt_bp") / F.lit(10000.0)).cast("int")
+        + F.when(h < F.col("wt_bp") % 10000, 1).otherwise(0)
+    )
+    return (
+        docs.join(F.broadcast(w), "source")
+        .select("doc_id", "source", copies.alias("copies"))
+        .select(
+            "doc_id", "source",
+            F.posexplode(F.array_repeat(F.lit(1), F.col("copies"))).alias(
+                "epoch", "__one"),
+        )
+        .select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
+    )
