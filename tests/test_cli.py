@@ -309,3 +309,37 @@ def test_cli_log(spark, tmp_path, capsys):
     assert [l["message"] for l in lines] == ["first", "second", "fold"]
     assert lines[2]["base"] is True and lines[2]["rows"] == 5
     assert lines[0]["stats"] == {"t": [0, 2], "t#0": [0, 2]}
+
+
+def test_cli_dedup_index_sync_pairs(spark, tmp_path, capsys):
+    import yaml as _yaml
+
+    from zync_spark.pool import Pool
+    from tests.test_dedup_index import BATCHES, DOCS, ROW, _load_batch
+
+    lake = os.path.join(tmp_path, "lake")
+    src = Pool.create(spark, os.path.join(lake, "src"))
+    spec_path = os.path.join(tmp_path, "didx.yaml")
+    with open(spec_path, "w") as f:
+        _yaml.safe_dump(
+            {
+                "name": "docs", "source": "src", "dest": "idx",
+                "topics": ["docs"], "id": "value.doc_id",
+                "text": "value.text",
+            },
+            f,
+        )
+    start = 0
+    for batch in BATCHES:
+        start = _load_batch(spark, src, batch, start)
+        assert main(["--lake", lake, "dedup-index", "sync", spec_path]) == 0
+        assert "rows committed" in capsys.readouterr().out
+    assert main(["--lake", lake, "dedup-index", "pairs", spec_path]) == 0
+    pairs = {
+        (json.loads(l)["id_a"], json.loads(l)["id_b"])
+        for l in capsys.readouterr().out.strip().splitlines()
+    }
+    assert (2, 4) in pairs  # the engineered cross-batch near-dup
+    assert main(["--lake", lake, "dedup-index", "index", spec_path]) == 0
+    idx = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [r["doc_id"] for r in idx] == [d for d, _ in DOCS]

@@ -195,6 +195,52 @@ def cmd_rollup(args) -> int:
     return 0
 
 
+def cmd_dedup_index(args) -> int:
+    """Maintain an incremental MinHash-LSH dedup index from a YAML spec
+    (streaming/dedup_index.py). Actions:
+
+      sync   one maintenance pass: signatures for the cursor-bounded
+             delta, banded probe of the stored index, exact-Jaccard
+             verify; index rows + pairs + cursor commit atomically
+             (rerun = no-op)
+      pairs  print all discovered duplicate pairs as JSON lines
+      index  print the stored index rows (doc_id + band keys)
+
+    Spec YAML:
+      name: docs
+      source: src_pool
+      dest: index_pool
+      topics: [documents]
+      id: value.doc_id
+      text: value.text
+      k: 3            # optional (shingle size)
+      num_hashes: 64  # optional
+      bands: 16       # optional
+      threshold: 0.5  # optional (Jaccard)
+    """
+    from zync_spark.streaming import dedup_index as di
+
+    spec, doc = di.load_index_spec(args.spec)
+    spark = _spark()
+    dest = _pool(spark, args.lake, doc["dest"], create=True)
+    if args.action == "sync":
+        src = _pool(spark, args.lake, doc["source"])
+        n = di.sync_index(src, dest, spec, list(doc["topics"]))
+        print(f"dedup-index {spec.name}: {n} rows committed")
+    elif args.action == "pairs":
+        v = di.pairs_view(dest, spec)
+        if v is not None:
+            for line in v.orderBy("id_a", "id_b").toJSON().collect():
+                print(line)
+    else:
+        v = di.index_view(dest, spec)
+        if v is not None:
+            for line in (v.select("doc_id", "bkeys").orderBy("doc_id")
+                         .toJSON().collect()):
+                print(line)
+    return 0
+
+
 def cmd_log(args) -> int:
     """Print a pool's commit log (one JSON line per manifest, newest
     last): seq, message, rows, base flag, per-topic offset stats,
@@ -542,6 +588,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("action", choices=["sync", "view", "fold"])
     p.add_argument("spec", help="rollup spec YAML (see cmd_rollup docstring)")
     p.set_defaults(fn=cmd_rollup)
+
+    p = sub.add_parser("dedup-index",
+                       help="incremental MinHash-LSH dedup index")
+    p.add_argument("action", choices=["sync", "pairs", "index"])
+    p.add_argument("spec",
+                   help="index spec YAML (see cmd_dedup_index docstring)")
+    p.set_defaults(fn=cmd_dedup_index)
 
     p = sub.add_parser("compact", help="compact a pool's small commits")
     p.add_argument("pool")

@@ -206,3 +206,23 @@ def index_view(dest: Pool, spec: DedupIndexSpec) -> DataFrame | None:
     if df is None or "zed_type" not in df.columns:
         return None
     return df.filter(_is_index(spec)).select("doc_id", "sh_set", "bkeys")
+
+
+def load_index_spec(path: str) -> tuple[DedupIndexSpec, dict]:
+    """Parse a dedup-index spec YAML (the CLI's format for `dedup-index`);
+    returns (spec, raw_doc) — the doc carries the routing fields
+    (source/dest/topics) the caller resolves to pools."""
+    import yaml
+
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    spec = DedupIndexSpec(
+        doc["name"],
+        id_expr=doc["id"],
+        text_expr=doc["text"],
+        k=int(doc.get("k", 3)),
+        num_hashes=int(doc.get("num_hashes", 64)),
+        bands=int(doc.get("bands", 16)),
+        threshold=float(doc.get("threshold", 0.5)),
+    )
+    return spec, doc
