@@ -242,3 +242,32 @@ def test_array_stdlib_functions(spark):
     assert list(out["c"]) == [3, 1]
     assert list(out["f"]) == [1, 2, 3]
     assert list(out["s"]) == [1, 3]
+
+
+def test_shaper_trio_shape_fill_crop_order(spark):
+    from zync_spark.zedpipe import compile_pipeline
+
+    df = spark.createDataFrame(
+        [(7, "x", 2.9, ("a", 5))],
+        "b long, extra string, a double, nest struct<p:string,q:long>")
+    prologue = (
+        "type T = {a: int64, b: string, nest: {q: string, r: int64},"
+        " missing: float64} | ")
+    # shape: exactly T's fields in T's order, by-name casts (incl. nested
+    # by-name recursion), absent -> null, value tagged with T
+    out = compile_pipeline(df, prologue + "yield shape(this, T)")
+    r = out.collect()[0]
+    assert out.columns == ["a", "b", "nest", "missing", "zed_type"]
+    assert (r["a"], r["b"], r["missing"], r["zed_type"]) == (2, "7", None, "T")
+    assert (r["nest"]["q"], r["nest"]["r"]) == ("5", None)
+    # fill: source fields + T-only fields appended as nulls
+    out = compile_pipeline(df, prologue + "f := fill(this, T) | cut f")
+    r = out.collect()[0]["f"]
+    assert r["b"] == 7 and r["extra"] == "x" and r["missing"] is None
+    # crop: only fields present in T, source types kept
+    out = compile_pipeline(df, prologue + "c := crop(this, T) | cut c")
+    row = out.collect()[0]["c"]
+    assert set(row.asDict()) == {"b", "a", "nest"} and row["a"] == 2.9
+    # order: T-order first, then the rest
+    out = compile_pipeline(df, prologue + "o := order(this, T) | cut o")
+    assert list(out.collect()[0]["o"].asDict()) == ["a", "b", "nest", "extra"]

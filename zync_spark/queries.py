@@ -5527,3 +5527,26 @@ def mix_temperature(spark, sf_dir):
         )
         .select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
     )
+
+
+@register(
+    "zed_shape_type",
+    """
+    SELECT event_id, event_type,
+           CAST(NULL AS VARCHAR) AS note, 'E' AS zed_type
+    FROM events
+    """,
+)
+def zed_shape_type(spark, sf_dir):
+    """zed shape(): by-name reshape of every record to a declared type —
+    present fields cast by name, absent fields null, value tagged with
+    the type name (the shaper-trio flagship; fill/crop/order are the
+    component operations, unit-tested). Pure projection: collapses into
+    the scan."""
+    from zync_spark.zedpipe import compile_pipeline
+
+    ev = T(spark, sf_dir, "events").select("event_id", "event_type")
+    return compile_pipeline(
+        ev,
+        "type E = {event_id: int64, event_type: string, note: string}"
+        " | yield shape(this, E)")

@@ -565,6 +565,46 @@ class Parser:
                 # zed primitive names (cast(x, int64), SURVEY §1.3 bridge)
                 return arg.cast(prims[type_name])
             return arg.cast(type_name)
+        if name in ("shape", "fill", "crop", "order"):
+            # zed's shaper trio + shape (public zed shaping docs): BY-NAME
+            # record reshaping against a declared type — distinct from
+            # cast(), whose struct→struct coercion is POSITIONAL.
+            #   shape(e, T): exactly T's fields in T's order; present
+            #     source fields cast by name (recursing into nested
+            #     records), absent ones null — and the value is TAGGED
+            #     with T (a top-level yield expands it + zed_type).
+            #   fill(e, T):  source fields, then T-only fields as nulls.
+            #   crop(e, T):  source fields that exist in T, source types.
+            #   order(e, T): T∩source in T's order, then the rest.
+            # The record argument must be `this` or a record path (the
+            # source shape must be known at compile time).
+            if self.peek().kind == "this":
+                self.next()
+                src_path: list[str] = []
+            else:
+                src_path = self._parse_path_only()
+            self.expect("op", ",")
+            tname = self.expect("ident").text
+            self.expect("op", ")")
+            if tname not in self.ctx.named_types:
+                raise ZedSyntaxError(
+                    f"{name}(): unknown type {tname!r} (declare it with "
+                    f"`type {tname} = {{...}}`)")
+            dtype = self.ctx.named_types[tname]
+            if not isinstance(dtype, StructType):
+                raise ZedSyntaxError(f"{name}(): {tname} is not a record type")
+            src_type = self.ctx.resolve_type(src_path)
+            if not isinstance(src_type, StructType):
+                raise ZedSyntaxError(
+                    f"{name}(): {'.'.join(src_path) or 'this'} is not a record")
+
+            def get(fname: str) -> Column:
+                return self.ctx.resolve(src_path + [fname])
+
+            col = F.struct(*_shape_cols(name, src_type, dtype, get))
+            if name == "shape":
+                return _TaggedRecord(col, dtype, tname)
+            return col
         if name in ("has", "missing"):
             # zed has(<path>)/missing(<path>): field-presence predicates.
             # Zed evaluates them per-value over heterogeneous data; in the
@@ -649,6 +689,44 @@ class _TypeOf:
 
     def __init__(self, dtype: DataType):
         self.dtype = dtype
+
+
+def _shape_coerce(col: Column, src_t, tgt_t) -> Column:
+    """Field-level coercion for shape(): recurse BY NAME into nested
+    records (a bare struct cast is positional and silently misaligns);
+    everything else is a plain cast."""
+    if isinstance(src_t, StructType) and isinstance(tgt_t, StructType):
+        src_names = {f.name: f.dataType for f in src_t.fields}
+        return F.struct(*[
+            (_shape_coerce(col[f.name], src_names[f.name], f.dataType)
+             if f.name in src_names
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in tgt_t.fields
+        ])
+    return col.cast(tgt_t)
+
+
+def _shape_cols(kind: str, src_type: StructType, dtype: StructType,
+                get) -> list[Column]:
+    src_names = {f.name: f.dataType for f in src_type.fields}
+    tgt = {f.name: f.dataType for f in dtype.fields}
+    if kind == "shape":
+        return [
+            (_shape_coerce(get(f.name), src_names[f.name], f.dataType)
+             if f.name in src_names
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in dtype.fields
+        ]
+    if kind == "fill":
+        return ([get(n).alias(n) for n in src_names]
+                + [F.lit(None).cast(t).alias(n)
+                   for n, t in tgt.items() if n not in src_names])
+    if kind == "crop":
+        return [get(n).alias(n) for n in src_names if n in tgt]
+    # order
+    return ([get(f.name).alias(f.name) for f in dtype.fields
+             if f.name in src_names]
+            + [get(n).alias(n) for n in src_names if n not in tgt])
 
 
 class _TaggedRecord:
