@@ -41,6 +41,12 @@ OPS = [
     "text_stats",
     "q_scd2_intervals",
     "ann_cosine_topk",
+    # round-3 additions: synthesized-partsupp star, range-distributed
+    # exact ranks, passage dedup, PQ encode+score
+    "q2_min_cost_supplier",
+    "q_ntile_deciles",
+    "dedup_passages",
+    "ann_pq_topk",
 ]
 
 
