@@ -351,3 +351,46 @@ def test_over_lateral_errors(spark):
     df = spark.createDataFrame([(1, [1])], "id long, xs array<long>")
     with pytest.raises(ZedSyntaxError, match="unterminated over"):
         compile_pipeline(df, "over xs => ( where xs > 1")
+
+
+def test_assert_operator(ev):
+    # passing assert: records flow through unchanged
+    assert compile_pipeline(ev, "assert amount >= 0").count() == 5
+    # violating assert: the query FAILS (not a silent drop)
+    with pytest.raises(Exception, match="assert failed"):
+        compile_pipeline(ev, "assert amount > 1").collect()
+    # null predicate counts as violation
+    df = ev.sparkSession.createDataFrame([(None,)], "x double")
+    with pytest.raises(Exception, match="assert failed"):
+        compile_pipeline(df, "assert x > 0").collect()
+
+
+def test_switch_on_subject_value(ev):
+    out = compile_pipeline(
+        ev,
+        'switch kind ('
+        '  case "click" => tag := "c" | cut id, tag'
+        '  case "view" => tag := "v" | cut id, tag'
+        '  default => tag := "other" | cut id, tag'
+        ') | sort id')
+    got = dict(rows(out))
+    assert got == {0: "c", 1: "v", 2: "c", 3: "other", 4: "v"}
+    # subject may be an expression
+    out2 = compile_pipeline(
+        ev, 'switch amount > 4 ( case true => cut id default => drop id )')
+    assert out2.count() == 5
+
+
+def test_aggregate_where_filter_clause(ev):
+    out = compile_pipeline(
+        ev,
+        'n_click := count() where kind == "click",'
+        ' hi := sum(amount) where amount > 4,'
+        ' all_n := count()')
+    r = out.collect()[0]
+    assert (r["n_click"], r["hi"], r["all_n"]) == (2, 112.0, 5)
+    # with grouping keys
+    out2 = compile_pipeline(
+        ev, 'n := count() where amount > 1 by kind | sort kind')
+    assert [(r["kind"], r["n"]) for r in out2.collect()] == [
+        ("click", 2), ("purchase", 1), ("view", 1)]

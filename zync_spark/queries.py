@@ -5550,3 +5550,29 @@ def zed_shape_type(spark, sf_dir):
         ev,
         "type E = {event_id: int64, event_type: string, note: string}"
         " | yield shape(this, E)")
+
+
+@register(
+    "zed_agg_where",
+    """
+    SELECT event_type,
+           count(*) FILTER (WHERE value > 50) AS n_big,
+           min(value) FILTER (WHERE value > 50) AS mn_big,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def zed_agg_where(spark, sf_dir):
+    """zed per-aggregate filter clauses (`agg(e) where <pred>`): only
+    matching rows feed that aggregate — SQL's FILTER (WHERE ...), inside
+    the same partial-aggregation plan (a when() wrap over null-skipping
+    aggregates; no extra pass, no second shuffle)."""
+    from zync_spark.zedpipe import compile_pipeline
+
+    ev = T(spark, sf_dir, "events").select("event_type", "value")
+    return compile_pipeline(
+        ev,
+        "n_big := count() where value > 50,"
+        " mn_big := min(value) where value > 50,"
+        " n := count() by event_type",
+    )

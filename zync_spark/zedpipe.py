@@ -388,6 +388,18 @@ def _parse_agg_stage(
                 p.expect("op", ",")
         if fn != "count" and not args:
             raise ZedSyntaxError(f"{fn}() needs an argument at {t.pos}")
+        # `agg(e) where <pred>` — zed's per-aggregate filter clause: only
+        # rows satisfying the predicate contribute to THIS aggregate.
+        # Compiles to a when(pred, arg) wrap: every aggregate here skips
+        # nulls, so the filtered semantics come for free inside the same
+        # partial-aggregation plan (no extra pass, no shuffle change).
+        if p.peek().kind == "ident" and p.peek().text == "where":
+            p.next()
+            wpred = ensure_column(p.parse_expr(), "aggregate filter")
+            if args:
+                args = [F.when(wpred, args[0])] + args[1:]
+            else:  # count() where pred -> count of non-null when()
+                args = [F.when(wpred, F.lit(1))]
         if fn == "collect" and ordered is not None and args:
             okeys, odesc = ordered
             pair = F.struct(
@@ -516,7 +528,8 @@ def _is_join_stage(toks: list[Token] | None) -> bool:
 
 
 def _apply_branch_block(st: _State, toks: list[Token], word: str,
-                        nxt: list[Token] | None = None) -> None:
+                        nxt: list[Token] | None = None,
+                        subject: Column | None = None) -> None:
     """switch: route each record to the FIRST matching case (declared-order
     exclusivity, etl/build.go:92-107) — or default; fork: send every record
     down every branch (etl/build.go:129-138). Branch outputs merge by
@@ -550,6 +563,10 @@ def _apply_branch_block(st: _State, toks: list[Token], word: str,
             if kind == "case":
                 pred = ensure_column(
                     _StageParser(expr_toks, ctx).parse_expr(), "predicate")
+                if subject is not None:
+                    # value form: case expressions are VALUES compared
+                    # against the subject
+                    pred = subject == pred
                 # null predicates are "no match" (zed truthiness), so fold
                 # them to false before negating for later branches
                 eff = pred if prior is None else pred & ~prior
@@ -776,6 +793,39 @@ def _apply_stage(st: _State, toks: list[Token],
         # `from` per branch (demo/pending.zed:1-10)
         _apply_branch_block(st, toks, word, nxt)
         return
+    if word == "switch" and len(toks) > 1 and st.df is not None:
+        # `switch <expr> ( case <value> => ... )` — switch ON a subject
+        # value (zed's second switch form): each case value compares
+        # against the subject, first match wins, default catches the rest.
+        # The block paren is found STRUCTURALLY (the top-level "(" whose
+        # first token is case/default) — parsing the subject greedily
+        # would read `kind (` as a call on the subject.
+        depth = 0
+        idx = None
+        for i in range(1, len(toks)):
+            t = toks[i]
+            if t.kind != "op":
+                continue
+            if t.text == "(":
+                nt = toks[i + 1] if i + 1 < len(toks) else None
+                if depth == 0 and nt is not None and nt.kind == "ident" \
+                        and nt.text in ("case", "default"):
+                    idx = i
+                    break
+                depth += 1
+            elif t.text in "[{":
+                depth += 1
+            elif t.text in ")]}":
+                depth -= 1
+        if idx is None:
+            raise ZedSyntaxError(
+                "expected `( case ... )` block after switch subject")
+        subj_toks = toks[1:idx] + [Token("eof", "", toks[idx].pos)]
+        sp = _StageParser(subj_toks, _fresh_ctx(st.df, st.ctx))
+        subject = ensure_column(sp.parse_expr(), "switch subject")
+        sp.expect("eof")
+        _apply_branch_block(st, [toks[0]] + toks[idx:], word, nxt, subject)
+        return
     if st.df is None:
         raise ZedSyntaxError("pipeline must start with a `from` stage")
     ctx = _fresh_ctx(st.df, st.ctx)
@@ -818,6 +868,21 @@ def _apply_stage(st: _State, toks: list[Token],
         p.next()
         st.df = st.df.filter(ensure_column(p.parse_expr(), "predicate"))
         p.expect("eof")
+        return
+    if word == "assert":
+        # zed `assert <expr>` — every record must satisfy the predicate;
+        # the first violating record FAILS the query (raise_error inside
+        # the filter), rather than being silently dropped. Records pass
+        # through unchanged. Null predicates count as violations (zed
+        # truthiness).
+        p.next()
+        start = p.i
+        pred = ensure_column(p.parse_expr(), "assert predicate")
+        text = " ".join(t.text for t in p.toks[start:p.i])
+        p.expect("eof")
+        st.df = st.df.filter(
+            F.when(F.coalesce(pred, F.lit(False)), F.lit(True)).otherwise(
+                F.raise_error(F.lit(f"assert failed: {text}"))))
         return
     if word == "yield":
         p.next()
