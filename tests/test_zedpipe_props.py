@@ -214,7 +214,8 @@ def test_parser_fuzz_never_crashes_uncontrolled(spark):
         "cast", "typeof", "drop", "rename", "head", "uniq", "where", "-",
         "[", "]", "in", "not", "and", "or", "null", "true", "0.5", "default",
         "sum", "union", "count", "dcount", "any", "collect_map", "fuse",
-        "pass", "with", "over", "compact", "flatten",
+        "pass", "with", "over", "compact", "flatten", "assert", "shape",
+        "fill", "crop", "order",
     ]
     rng = random.Random(20260814)
     allowed = ("AnalysisException", "Py4JJavaError", "IllegalArgumentException")
