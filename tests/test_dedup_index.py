@@ -110,3 +110,29 @@ def test_rerun_is_noop_and_single_batch_equivalent(spark, tmp_path):
     assert {
         (r["id_a"], r["id_b"]) for r in DI.pairs_view(dest, SPEC).collect()
     } == got
+
+
+def test_unindexable_batch_still_advances_cursor(spark, tmp_path):
+    """A batch whose documents are all shorter than the shingle size
+    yields no index rows — the cursor must STILL advance (via the
+    tombstone commit), or every later pass re-scans the batch forever."""
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    rows = [(("docs", 0, 0), "data", (90, "hi")),
+            (("docs", 0, 1), "data", (91, "yo"))]
+    src.load(spark.createDataFrame(rows, ROW), "short")
+    assert DI.sync_index(src, dest, SPEC, ["docs"]) > 0  # tombstone commit
+    assert dest.stored_cursors()  # cursor advanced
+    assert DI.sync_index(src, dest, SPEC, ["docs"]) == 0  # true no-op now
+    # views are unaffected by the tombstone
+    assert DI.pairs_view(dest, SPEC).count() == 0
+    assert DI.index_view(dest, SPEC).count() == 0
+    # and a later REAL batch indexes normally on top of it
+    start = 2
+    for d in (0, 1):
+        src.load(spark.createDataFrame(
+            [(("docs", 0, start + d), "data", (d, DOCS[d][1]))], ROW), "b")
+    assert DI.sync_index(src, dest, SPEC, ["docs"]) > 0
+    pairs = {(r["id_a"], r["id_b"])
+             for r in DI.pairs_view(dest, SPEC).collect()}
+    assert (0, 1) in pairs

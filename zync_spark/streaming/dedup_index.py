@@ -151,7 +151,10 @@ def sync_index(src: Pool, dest: Pool, spec: DedupIndexSpec,
             stored = dest.scan()
             cand = nn
             old_sets = None
-            if stored is not None and "zed_type" in stored.columns:
+            if stored is not None and "zed_type" in stored.columns \
+                    and "doc_id" in stored.columns:
+                # (a pool holding only cursor tombstones has no index
+                # columns yet — nothing to probe)
                 idx = stored.filter(_is_index(spec))
                 old_bands = idx.select(
                     F.col("doc_id").alias("old_id"),
@@ -184,8 +187,22 @@ def sync_index(src: Pool, dest: Pool, spec: DedupIndexSpec,
                 _envelope(spec, pairs, "duppair", ["id_a", "id_b"]),
                 allowMissingColumns=True,
             )
-            return dest.load(out, message or f"{spec.topic} sync",
-                             cursors=new_cursors, occ_token=snapshot)
+            n = dest.load(out, message or f"{spec.topic} sync",
+                          cursors=new_cursors, occ_token=snapshot)
+            if n == 0:
+                # Delta had documents but none were indexable (all shorter
+                # than the shingle size): Pool.load skips empty frames, so
+                # the cursor advance must ride a 1-row tombstone — without
+                # it every later pass would re-scan this delta forever.
+                # The tombstone's zed_type matches no view filter.
+                tomb = delta.sparkSession.createDataFrame(
+                    [((spec.topic, 0, 0), "cursors")],
+                    "kafka struct<topic:string,partition:long,offset:long>,"
+                    " zed_type string",
+                )
+                return dest.load(tomb, message or f"{spec.topic} sync",
+                                 cursors=new_cursors, occ_token=snapshot)
+            return n
         finally:
             sigs.unpersist()
     finally:
@@ -197,6 +214,10 @@ def pairs_view(dest: Pool, spec: DedupIndexSpec) -> DataFrame | None:
     df = dest.scan()
     if df is None or "zed_type" not in df.columns:
         return None
+    if "id_a" not in df.columns:
+        # only cursor tombstones committed so far: empty typed frame
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, jaccard double")
     return df.filter(_is_pair(spec)).select("id_a", "id_b", "jaccard")
 
 
@@ -205,6 +226,9 @@ def index_view(dest: Pool, spec: DedupIndexSpec) -> DataFrame | None:
     df = dest.scan()
     if df is None or "zed_type" not in df.columns:
         return None
+    if "doc_id" not in df.columns:
+        return df.sparkSession.createDataFrame(
+            [], "doc_id long, sh_set array<long>, bkeys array<string>")
     return df.filter(_is_index(spec)).select("doc_id", "sh_set", "bkeys")
 
 
