@@ -123,13 +123,15 @@ def _spread(df: DataFrame) -> DataFrame:
                                "4194304b"))
             bytes_per_core = (total + len(files) * open_cost) // max(target, 1)
             max_split = max(1, min(mpb, max(open_cost, bytes_per_core)))
-            est = sum((s + max_split - 1) // max_split for s in sizes)
-            # The estimate IS Spark's own FilePartition.maxSplitBytes
-            # formula, so for plain file scans it equals the actual split
-            # count — decide on it directly. (The df.rdd partition probe
-            # would be authoritative for exotic frames, but it costs a
-            # ~0.3s RDD conversion per query build; non-file frames below
-            # still take it.)
+            # Spark BIN-PACKS splits into FilePartitions (each file costs
+            # openCost on top of its bytes, partitions close at maxSplit),
+            # so the raw split count (per-file ceil) OVERcounts partitions
+            # for many-small-file layouts — thousands of tiny files pack
+            # into few partitions. The packing bound
+            # ceil((total + files*openCost)/maxSplit) never exceeds the
+            # actual partition count, so deciding on it can at worst add a
+            # redundant repartition, never skip a needed one.
+            est = (total + len(files) * open_cost + max_split - 1) // max_split
             return df if est >= target else df.repartition(target)
     if df.rdd.getNumPartitions() >= target:
         return df

@@ -227,10 +227,13 @@ def q5_regional_revenue(spark, sf_dir):
     not reorder joins without table stats, so selectivity ordering is
     declared. The FACT STAYS PUT: lineitem is the probe side of every
     join, so its rows never leave their scan tasks while orders/customer/
-    supplier build-sides stream past (size-based auto-broadcast picks
-    broadcast for every build side at bench scale; at 100 TB orders
-    exceeds the threshold and the same shape becomes the one l_orderkey
-    shuffle join — no replanning needed). Round-3 change from the
+    supplier build-sides stream past. Only the nation⋈region dim (always
+    tiny: 25 rows at any scale factor) carries a broadcast HINT;
+    orders/customer/supplier are left to the size-based threshold, so at
+    bench scale they broadcast and at 100 TB (supplier ~1B rows) the same
+    shape degrades to shuffle joins on the fact keys — a forced hint
+    would pin a multi-GB broadcast at exactly the scale where it OOMs
+    the executors. Round-3 change from the
     build-oc-first formulation: joining orders⋈customer eagerly
     materialized an intermediate the fact join didn't need; probing the
     fact through per-dim build sides measured ~1.6x faster at bench scale
@@ -263,7 +266,7 @@ def q5_regional_revenue(spark, sf_dir):
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(asia_n),
               F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(s),
+        .join(s,
               (l.l_suppkey == s.s_suppkey)
               & (s.s_nationkey == F.col("c_nationkey")))
         .groupBy(F.col("n_name").alias("nation"),
