@@ -112,6 +112,127 @@ def test_rerun_is_noop_and_single_batch_equivalent(spark, tmp_path):
     } == got
 
 
+def _many_docs(n):
+    """n documents with distinct vocabularies (no near-dups) so their
+    band keys spread across prefix buckets."""
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet", "kilo", "lima"]
+    return [
+        (i, " ".join(f"{w}{i}x{j}" for j, w in enumerate(words)))
+        for i in range(n)
+    ]
+
+
+def test_probe_reads_bounded_file_subset(spark, tmp_path):
+    """The round-4 scale contract: once the index pool is compacted with
+    ckey clustering, a small delta's maintenance pass must read only the
+    band/signature buckets it can collide with — NOT the whole stored
+    index. Pinned via manifest file counts (committed_files bounds)."""
+    docs = _many_docs(60)
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    rows = [(("docs", 0, i), "data", (i, t)) for i, t in docs]
+    src.load(spark.createDataFrame(rows, ROW), "corpus")
+    assert DI.sync_index(src, dest, SPEC, ["docs"]) > 0
+    # small files: each covers a narrow ckey range, so skipping can bite
+    DI.compact_index(dest, target_rows=64)
+    live = len(dest.committed_files())
+    assert live >= 8  # the pin is vacuous on a one-file pool
+    # delta: one near-dup of doc 7 (forces a real cross-batch collision)
+    src.load(spark.createDataFrame(
+        [(("docs", 0, 60), "data", (60, docs[7][1] + " extra"))], ROW), "d")
+    stats = {}
+    assert DI.sync_index(src, dest, SPEC, ["docs"], stats_out=stats) > 0
+    assert stats["live_files"] == live
+    # band probe read a strict subset of the files
+    assert 0 < stats["probe_files"] < live
+    # the colliding doc's signature fetch read a strict subset too
+    assert 0 < stats["set_files"] < live
+    # and the collision was actually found through the bounded path
+    pairs = {(r["id_a"], r["id_b"])
+             for r in DI.pairs_view(dest, SPEC).collect()}
+    assert (7, 60) in pairs
+
+
+def test_envelope_is_distributed_and_labels_unique(spark, tmp_path):
+    """Round-4 fix of the r3 envelope: no global-window offset
+    assignment (one task serializing every row of a pass — fatal for an
+    initial backfill over an existing corpus). The commit plan must
+    contain no SinglePartition exchange and no row_number; and the
+    (topic, partition, offset) labels must be unique across the whole
+    pool (partition = OCC commit seq, offset = map-side monotonic id)."""
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    plans = []
+    orig_load = Pool.load
+
+    def spy_load(self, df, message="", **kw):
+        if self.path == dest.path:
+            plans.append(df._jdf.queryExecution().executedPlan().toString())
+        return orig_load(self, df, message, **kw)
+
+    start = 0
+    try:
+        Pool.load = spy_load
+        for batch in BATCHES:
+            start = _load_batch(spark, src, batch, start)
+            assert DI.sync_index(src, dest, SPEC, ["docs"]) > 0
+    finally:
+        Pool.load = orig_load
+    assert plans
+    for p in plans:
+        assert "SinglePartition" not in p
+        assert "row_number" not in p
+    # labels unique pool-wide (tombstones excluded: fixed (0,0) label)
+    env = dest.scan().filter(~F.col("zed_type").eqNullSafe("cursors"))
+    n = env.count()
+    assert n == env.select("kafka.partition", "kafka.offset").distinct().count()
+    # pairs are still exactly the batch operator's
+    got = {(r["id_a"], r["id_b"]) for r in DI.pairs_view(dest, SPEC).collect()}
+    assert got == set(_batch_pairs(spark))
+
+
+def test_legacy_pool_fallback_and_migration(spark, tmp_path):
+    """Pools written before the band-row format (index rows only, no
+    ckey) must still sync correctly via the full-scan fallback, and
+    migrate_band_rows + compact_index upgrades them to bounded probes."""
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    # hand-write a legacy-format index commit for docs 0 and 2
+    legacy_docs = spark.createDataFrame(
+        [(("docs", 0, i), "data", (d, DOCS[d][1]))
+         for i, d in enumerate([0, 2])], ROW)
+    sigs = DI._sig_frame(SPEC, legacy_docs)
+    legacy = sigs.select(
+        F.struct(F.lit(SPEC.topic).alias("topic"),
+                 F.lit(0).cast("long").alias("partition"),
+                 F.col("doc_id").alias("offset")).alias("kafka"),
+        F.lit("index").alias("zed_type"), "doc_id", "sh_set", "bkeys")
+    dest.load(legacy, "legacy index",
+              cursors={f"{SPEC.topic}|docs#0": 2})
+    # docs 0,2 already consumed (cursor=2); new docs 1 and 4 arrive
+    src.load(spark.createDataFrame(
+        [(("docs", 0, i), "data", (d, DOCS[d][1]))
+         for i, d in enumerate([0, 2, 1, 4])], ROW), "all")
+    assert DI.sync_index(src, dest, SPEC, ["docs"]) > 0
+    got = {(r["id_a"], r["id_b"]) for r in DI.pairs_view(dest, SPEC).collect()}
+    assert got == {(0, 1), (2, 4)}  # cross-format collisions found
+    # migration adds band rows exactly once, then becomes a no-op
+    assert DI.migrate_band_rows(dest, SPEC) > 0
+    assert DI.migrate_band_rows(dest, SPEC) == 0
+    DI.compact_index(dest, target_rows=8)  # fine files: skipping can bite
+    # post-migration syncs probe band rows and stay correct
+    src.load(spark.createDataFrame(
+        [(("docs", 0, 4), "data", (3, DOCS[3][1]))], ROW), "more")
+    stats = {}
+    assert DI.sync_index(src, dest, SPEC, ["docs"], stats_out=stats) > 0
+    assert stats["probe_files"] < stats["live_files"]
+    got = {(r["id_a"], r["id_b"]) for r in DI.pairs_view(dest, SPEC).collect()}
+    assert got == {(0, 1), (2, 4)}  # doc 3 is unrelated — no new pairs
+    idx = sorted(r["doc_id"] for r in DI.index_view(dest, SPEC).collect())
+    assert idx == [0, 1, 2, 3, 4]
+
+
 def test_unindexable_batch_still_advances_cursor(spark, tmp_path):
     """A batch whose documents are all shorter than the shingle size
     yields no index rows — the cursor must STILL advance (via the

@@ -199,12 +199,17 @@ def cmd_dedup_index(args) -> int:
     """Maintain an incremental MinHash-LSH dedup index from a YAML spec
     (streaming/dedup_index.py). Actions:
 
-      sync   one maintenance pass: signatures for the cursor-bounded
-             delta, banded probe of the stored index, exact-Jaccard
-             verify; index rows + pairs + cursor commit atomically
-             (rerun = no-op)
-      pairs  print all discovered duplicate pairs as JSON lines
-      index  print the stored index rows (doc_id + band keys)
+      sync     one maintenance pass: signatures for the cursor-bounded
+               delta, BOUNDED banded probe of the stored index (only
+               colliding ckey buckets are read once the pool is
+               compacted), exact-Jaccard verify; index + band rows +
+               pairs + cursor commit atomically (rerun = no-op)
+      pairs    print all discovered duplicate pairs as JSON lines
+      index    print the stored index rows (doc_id + band keys)
+      compact  range-cluster the index pool by ckey so sync's probes
+               skip non-colliding files (run on small-files cadence)
+      migrate  upgrade a pre-band-row pool (one commit; see
+               streaming/dedup_index.py migrate_band_rows)
 
     Spec YAML:
       name: docs
@@ -225,8 +230,19 @@ def cmd_dedup_index(args) -> int:
     dest = _pool(spark, args.lake, doc["dest"], create=True)
     if args.action == "sync":
         src = _pool(spark, args.lake, doc["source"])
-        n = di.sync_index(src, dest, spec, list(doc["topics"]))
-        print(f"dedup-index {spec.name}: {n} rows committed")
+        stats: dict = {}
+        n = di.sync_index(src, dest, spec, list(doc["topics"]),
+                          stats_out=stats)
+        probe = (f" (probe read {stats['probe_files']}/"
+                 f"{stats['live_files']} files)"
+                 if "probe_files" in stats else "")
+        print(f"dedup-index {spec.name}: {n} rows committed{probe}")
+    elif args.action == "compact":
+        n = di.compact_index(dest)
+        print(f"dedup-index {spec.name}: compacted {n} rows")
+    elif args.action == "migrate":
+        n = di.migrate_band_rows(dest, spec)
+        print(f"dedup-index {spec.name}: {n} band rows migrated")
     elif args.action == "pairs":
         v = di.pairs_view(dest, spec)
         if v is not None:
@@ -591,7 +607,8 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("dedup-index",
                        help="incremental MinHash-LSH dedup index")
-    p.add_argument("action", choices=["sync", "pairs", "index"])
+    p.add_argument("action",
+                   choices=["sync", "pairs", "index", "compact", "migrate"])
     p.add_argument("spec",
                    help="index spec YAML (see cmd_dedup_index docstring)")
     p.set_defaults(fn=cmd_dedup_index)

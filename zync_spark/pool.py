@@ -136,9 +136,13 @@ class Pool:
         `bounds` prunes at FILE granularity using per-file column min/max
         recorded by `compact(cluster_by=...)`: a file is skipped when, for
         any bounded column, its recorded [min,max] cannot overlap the
-        requested (lo,hi). Files without recorded stats are always kept,
-        and the caller MUST still apply the row-level filter — this is
-        multi-dimensional data skipping (Z-order-style), not a filter.
+        requested bound. A bound is either a `(lo, hi)` range tuple or a
+        LIST of admissible values (point-set skipping: the file is kept
+        iff some value falls inside its [min,max] — the `IN`-predicate
+        analog of range skipping, what a bucketed probe needs). Files
+        without recorded stats are always kept, and the caller MUST still
+        apply the row-level filter — this is multi-dimensional data
+        skipping (Z-order-style), not a filter.
         """
         files: list[str] = []
         fstats: dict[str, dict] = {}
@@ -725,16 +729,29 @@ def _file_col_stats(paths: list[str], cols: list[str]) -> dict[str, dict]:
     return out
 
 
-def _may_overlap(file_stats: dict | None, bounds: dict[str, tuple]) -> bool:
+def _may_overlap(file_stats: dict | None, bounds: dict[str, tuple | list]) -> bool:
     """Conservative file-skip test: False only when some bounded column's
-    recorded [min,max] provably cannot intersect (lo, hi). Missing stats
-    (whole file or column) always keep the file."""
+    recorded [min,max] provably cannot intersect the bound — a (lo, hi)
+    range tuple, or a list of admissible values (keep iff any value lies
+    within [min,max]; binary search, so a 256-bucket probe set costs
+    log n per file). Missing stats (whole file or column) always keep
+    the file."""
+    import bisect
+
     if not file_stats:
         return True
-    for col, (lo, hi) in bounds.items():
+    for col, bound in bounds.items():
         s = file_stats.get(col)
         if s is None:
             continue
+        if isinstance(bound, (list, set, frozenset)):
+            vals = sorted(bound)
+            # first value >= file min; in range iff it is also <= file max
+            i = bisect.bisect_left(vals, s[0])
+            if i >= len(vals) or vals[i] > s[1]:
+                return False
+            continue
+        lo, hi = bound
         if (hi is not None and s[0] > hi) or (lo is not None and s[1] < lo):
             return False
     return True

@@ -20,22 +20,55 @@ costs O(new documents):
   concurrent passes race compare-and-set and exactly one commits — the
   same durability argument as rollup sync.
 
-At 100 TB: the per-pass work is delta-sized (signatures map-side over the
-new docs, the band join probes only colliding buckets). The index scan is
-column-pruned to (doc_id, band key, shingle set); partitioning the index
-pool by band-key prefix would bound even that read — noted as the next
-step, not needed at current corpus sizes. Reference parity: the reference
-has no dedup surface at all (this module is beyond-reference); the
-commit/cursor machinery mirrors its done-marker design (README.md:447-455).
+Bounded probe (the 100 TB posture): the index is stored in BUCKETED form.
+Every row carries a cluster key `ckey` partitioning the pool into three
+key spaces — `b:<xx>` exploded band rows (doc_id, bkey) bucketed by the
+band key's first two hex chars (256 buckets), `s:<xx>` signature rows
+(doc_id, sh_set, bkeys) bucketed by pmod(doc_id, 256), `p:` pair rows.
+`compact_index()` range-clusters the pool by ckey (Pool.compact
+cluster_by), recording per-file ckey min/max in the manifest, and a
+maintenance pass probes with `scan(bounds={"ckey": [values...]})` — it
+reads ONLY the band buckets its delta can collide with, then ONLY the
+signature buckets of the colliding documents (plus not-yet-compacted
+commits, which carry no file stats and are always read). Per-pass read
+cost is O(delta + colliding buckets), not O(index) — the same bounded
+resume the cursor machinery gives the source scan (etl/build.go:9-18 is
+the reference's planned-but-unbuilt analog). Pools written before the
+band-row format get a full-scan fallback; `migrate_band_rows()` upgrades
+them in one commit. Reference parity: the reference has no dedup surface
+at all (this module is beyond-reference); the commit/cursor machinery
+mirrors its done-marker design (README.md:447-455).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from zync_spark.pool import Pool
 from zync_spark.streaming.incremental import _spec_cursors, scan_delta
+
+# ckey bucket fan-out: 2 hex chars = 256 buckets per key space. Fixed so
+# that stored buckets and probe buckets always agree; at 100 TB each
+# band bucket holds ~1/256 of the band rows — coarse enough that file
+# skipping works on modest file counts, fine enough that a small delta
+# (which touches few prefixes) skips most of the index.
+_PREFIX_LEN = 2
+
+
+def _band_ckey(bkey) -> F.Column:
+    """Cluster key of a band row: 'b:' + first hex chars of the band key
+    (band keys are md5 hex, so prefixes are uniform)."""
+    return F.concat(F.lit("b:"), F.substring(bkey, 1, _PREFIX_LEN))
+
+
+def _doc_ckey(doc_id) -> F.Column:
+    """Cluster key of a signature row: 's:' + zero-padded hex of
+    pmod(doc_id, 256) — uniform for sequential and hashed ids alike."""
+    return F.concat(
+        F.lit("s:"),
+        F.lower(F.lpad(F.hex(F.pmod(doc_id, F.lit(256))), _PREFIX_LEN, "0")),
+    )
 
 
 class DedupIndexSpec:
@@ -97,29 +130,119 @@ def _is_index(spec: DedupIndexSpec):
             & F.col("kafka.topic").eqNullSafe(spec.topic))
 
 
+def _is_band(spec: DedupIndexSpec):
+    return (F.col("zed_type").eqNullSafe("band")
+            & F.col("kafka.topic").eqNullSafe(spec.topic))
+
+
 def _is_pair(spec: DedupIndexSpec):
     return (F.col("zed_type").eqNullSafe("duppair")
             & F.col("kafka.topic").eqNullSafe(spec.topic))
 
 
-def _envelope(spec: DedupIndexSpec, df: DataFrame, zed_type: str,
-              order_cols: list[str]) -> DataFrame:
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
+def _stamp(zed_type: str, ckey, df: DataFrame) -> DataFrame:
+    return df.select(F.lit(zed_type).alias("zed_type"), ckey.alias("ckey"),
+                     *[F.col(c) for c in df.columns])
+
+
+def _envelope(spec: DedupIndexSpec, df: DataFrame, seq: int) -> DataFrame:
+    """Stamp the kafka envelope WITHOUT a global window. The round-3
+    formulation assigned offsets with Window.orderBy row_number — a
+    single-partition sort funnelling EVERY row of a pass through one
+    task, O(pass size) serialized (an initial backfill over an existing
+    corpus is the whole index). Index rows need UNIQUE labels, not a
+    dense global sequence: partition = the OCC commit sequence this pass
+    publishes at (compare-and-set guarantees exactly one pass commits
+    per seq, so labels never collide across passes), offset =
+    monotonically_increasing_id() (unique within the frame, assigned
+    map-side — no exchange at all). Consumers (pairs_view/index_view)
+    filter by zed_type and never order by offset."""
     return df.select(
         F.struct(
             F.lit(spec.topic).alias("topic"),
-            F.lit(0).cast("long").alias("partition"),
-            (F.row_number().over(w) - 1).cast("long").alias("offset"),
+            F.lit(seq).cast("long").alias("partition"),
+            F.monotonically_increasing_id().alias("offset"),
         ).alias("kafka"),
-        F.lit(zed_type).alias("zed_type"),
         *[F.col(c) for c in df.columns],
     )
 
 
+def _probe_old_bands(dest: Pool, spec: DedupIndexSpec,
+                     prefixes: list[str],
+                     stats_out: dict | None) -> DataFrame | None:
+    """(old_id, bkey) rows of the stored index that can collide with the
+    delta — read through `scan(bounds=)` so compacted band buckets
+    outside the delta's prefixes are skipped at FILE granularity (the
+    row-level ckey filter then lets parquet row-group stats prune within
+    kept files). Legacy pools (no band rows) fall back to exploding the
+    index rows' bkeys arrays — correct but O(index); migrate_band_rows()
+    upgrades them."""
+    if stats_out is not None:
+        stats_out["live_files"] = len(dest.committed_files())
+        stats_out["probe_files"] = len(
+            dest.committed_files(bounds={"ckey": prefixes}))
+    stored = dest.scan(bounds={"ckey": prefixes})
+    if stored is None or "zed_type" not in stored.columns \
+            or "doc_id" not in stored.columns:
+        # empty pool, cursor tombstones only, or every band bucket
+        # provably disjoint from the delta: nothing can collide
+        return None
+    if "bkey" in stored.columns:
+        ob = (
+            stored.filter(_is_band(spec) & F.col("ckey").isin(prefixes))
+            .select(F.col("doc_id").alias("old_id"), "bkey")
+        )
+        if "bkeys" in stored.columns and "ckey" in stored.columns:
+            # MIXED pool: index rows committed before the band-row format
+            # have a null ckey (schema widening) and no band rows — they
+            # must still be probed, via the legacy explode. Disappears
+            # after migrate_band_rows + compact_index (which backfills
+            # ckey); until then duplicates with the band rows are
+            # possible and cand.distinct() absorbs them.
+            legacy = stored.filter(_is_index(spec) & F.col("ckey").isNull())
+            ob = ob.unionByName(legacy.select(
+                F.col("doc_id").alias("old_id"),
+                F.explode("bkeys").alias("bkey")))
+        return ob
+    if "bkeys" in stored.columns:  # legacy layout: bands live in arrays
+        return stored.filter(_is_index(spec)).select(
+            F.col("doc_id").alias("old_id"), F.explode("bkeys").alias("bkey"))
+    return None
+
+
+def _fetch_old_sets(dest: Pool, spec: DedupIndexSpec,
+                    dbuckets: list[str],
+                    stats_out: dict | None) -> DataFrame | None:
+    """(doc_id, sh_set) for previously indexed documents in the given
+    signature buckets — the exact-Jaccard verification needs the old
+    side's shingle set, and only colliding documents' buckets are read."""
+    if not dbuckets:
+        return None
+    if stats_out is not None:
+        stats_out["set_files"] = len(
+            dest.committed_files(bounds={"ckey": dbuckets}))
+    stored = dest.scan(bounds={"ckey": dbuckets})
+    if stored is None or "sh_set" not in stored.columns:
+        return None
+    idx = stored.filter(_is_index(spec))
+    if "ckey" in stored.columns:
+        # row-level residual of the file-level skip (null-safe: legacy
+        # rows have no ckey and must be kept)
+        idx = idx.filter(F.col("ckey").isNull()
+                         | F.col("ckey").isin(dbuckets))
+    return idx.select("doc_id", "sh_set")
+
+
 def sync_index(src: Pool, dest: Pool, spec: DedupIndexSpec,
-               topics: list[str], message: str | None = None) -> int:
+               topics: list[str], message: str | None = None,
+               stats_out: dict | None = None) -> int:
     """One incremental maintenance pass. Returns rows appended (index +
-    pair rows; 0 = no new documents, reruns are no-ops)."""
+    band + pair rows; 0 = no new documents, reruns are no-ops).
+
+    `stats_out` (optional dict) receives the pass's file-skipping
+    telemetry: live_files (pool total), probe_files (band probe read),
+    set_files (signature fetch read) — the boundedness contract under
+    test in test_dedup_index.py."""
     snapshot = len(dest.commits())
     cursors = _spec_cursors(spec, dest.stored_cursors(), topics)
     delta = scan_delta(src, cursors, topics)
@@ -147,66 +270,158 @@ def sync_index(src: Pool, dest: Pool, spec: DedupIndexSpec,
                   .filter(F.col("id_a") < F.col("id_b"))
                   .select("id_a", "id_b"))
             # new x index (cross-batch): the pair is discovered when the
-            # LATER doc arrives; ids are canonicalized
-            stored = dest.scan()
+            # LATER doc arrives. The delta's band-key PREFIXES bound the
+            # stored buckets that can collide (<=256 values — a metadata
+            # collect, same class as k-means centroids); stored bands
+            # with other prefixes cannot share a bkey, so skipping their
+            # files loses nothing.
+            prefixes = sorted(
+                r["ck"] for r in new_bands
+                .select(_band_ckey(F.col("bkey")).alias("ck"))
+                .distinct().collect()
+            )
             cand = nn
             old_sets = None
-            if stored is not None and "zed_type" in stored.columns \
-                    and "doc_id" in stored.columns:
-                # (a pool holding only cursor tombstones has no index
-                # columns yet — nothing to probe)
-                idx = stored.filter(_is_index(spec))
-                old_bands = idx.select(
-                    F.col("doc_id").alias("old_id"),
-                    F.explode("bkeys").alias("bkey"))
-                no = (new_bands.join(old_bands, "bkey")
-                      .filter(F.col("doc_id") != F.col("old_id"))
-                      .select(
-                          F.least("doc_id", "old_id").alias("id_a"),
-                          F.greatest("doc_id", "old_id").alias("id_b")))
-                cand = nn.unionByName(no)
-                old_sets = idx.select("doc_id", "sh_set")
-            cand = cand.distinct()
-            all_sets = sigs.select("doc_id", "sh_set")
-            if old_sets is not None:
-                all_sets = all_sets.unionByName(old_sets)
-            inter = F.size(F.array_intersect("set_a", "set_b"))
-            pairs = (
-                cand.join(all_sets.select(F.col("doc_id").alias("id_a"),
-                                          F.col("sh_set").alias("set_a")),
-                          "id_a")
-                .join(all_sets.select(F.col("doc_id").alias("id_b"),
-                                      F.col("sh_set").alias("set_b")), "id_b")
-                .select(
-                    "id_a", "id_b",
-                    (inter / (F.size("set_a") + F.size("set_b") - inter))
-                    .alias("jaccard"))
-                .filter(F.col("jaccard") >= spec.threshold)
-            )
-            out = _envelope(spec, sigs, "index", ["doc_id"]).unionByName(
-                _envelope(spec, pairs, "duppair", ["id_a", "id_b"]),
-                allowMissingColumns=True,
-            )
-            n = dest.load(out, message or f"{spec.topic} sync",
-                          cursors=new_cursors, occ_token=snapshot)
-            if n == 0:
-                # Delta had documents but none were indexable (all shorter
-                # than the shingle size): Pool.load skips empty frames, so
-                # the cursor advance must ride a 1-row tombstone — without
-                # it every later pass would re-scan this delta forever.
-                # The tombstone's zed_type matches no view filter.
-                tomb = delta.sparkSession.createDataFrame(
-                    [((spec.topic, 0, 0), "cursors")],
-                    "kafka struct<topic:string,partition:long,offset:long>,"
-                    " zed_type string",
-                )
-                return dest.load(tomb, message or f"{spec.topic} sync",
-                                 cursors=new_cursors, occ_token=snapshot)
-            return n
+            old_bands = (_probe_old_bands(dest, spec, prefixes, stats_out)
+                         if prefixes else None)
+            if old_bands is not None:
+                no_raw = (new_bands.join(old_bands, "bkey")
+                          .filter(F.col("doc_id") != F.col("old_id"))
+                          .select("doc_id", "old_id")
+                          .persist())
+                try:
+                    # signature buckets of the colliding old docs — again
+                    # a <=256-value metadata collect bounding the fetch
+                    dbuckets = sorted(
+                        r["ck"] for r in no_raw
+                        .select(_doc_ckey(F.col("old_id")).alias("ck"))
+                        .distinct().collect()
+                    )
+                    old_sets = _fetch_old_sets(dest, spec, dbuckets,
+                                               stats_out)
+                    no = no_raw.select(
+                        F.least("doc_id", "old_id").alias("id_a"),
+                        F.greatest("doc_id", "old_id").alias("id_b"))
+                    cand = nn.unionByName(no)
+                    return _verify_and_commit(
+                        dest, spec, delta, sigs, new_bands, cand, old_sets,
+                        new_cursors, snapshot, message)
+                finally:
+                    no_raw.unpersist()
+            return _verify_and_commit(
+                dest, spec, delta, sigs, new_bands, cand, old_sets,
+                new_cursors, snapshot, message)
         finally:
             sigs.unpersist()
     finally:
         delta.unpersist()
+
+
+def _verify_and_commit(dest: Pool, spec: DedupIndexSpec, delta: DataFrame,
+                       sigs: DataFrame, new_bands: DataFrame,
+                       cand: DataFrame, old_sets: DataFrame | None,
+                       new_cursors: dict, snapshot: int,
+                       message: str | None) -> int:
+    """Exact-Jaccard verification of the candidate pairs, then the atomic
+    index+bands+pairs+cursors commit."""
+    cand = cand.distinct()
+    all_sets = sigs.select("doc_id", "sh_set")
+    if old_sets is not None:
+        all_sets = all_sets.unionByName(old_sets)
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    pairs = (
+        cand.join(all_sets.select(F.col("doc_id").alias("id_a"),
+                                  F.col("sh_set").alias("set_a")),
+                  "id_a")
+        .join(all_sets.select(F.col("doc_id").alias("id_b"),
+                              F.col("sh_set").alias("set_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            (inter / (F.size("set_a") + F.size("set_b") - inter))
+            .alias("jaccard"))
+        .filter(F.col("jaccard") >= spec.threshold)
+    )
+    out = (
+        _stamp("index", _doc_ckey(F.col("doc_id")), sigs)
+        .unionByName(_stamp("band", _band_ckey(F.col("bkey")), new_bands),
+                     allowMissingColumns=True)
+        .unionByName(_stamp("duppair", F.lit("p:"), pairs),
+                     allowMissingColumns=True)
+    )
+    out = _envelope(spec, out, snapshot)
+    n = dest.load(out, message or f"{spec.topic} sync",
+                  cursors=new_cursors, occ_token=snapshot)
+    if n == 0:
+        # Delta had documents but none were indexable (all shorter
+        # than the shingle size): Pool.load skips empty frames, so
+        # the cursor advance must ride a 1-row tombstone — without
+        # it every later pass would re-scan this delta forever.
+        # The tombstone's zed_type matches no view filter.
+        tomb = delta.sparkSession.createDataFrame(
+            [((spec.topic, 0, 0), "cursors")],
+            "kafka struct<topic:string,partition:long,offset:long>,"
+            " zed_type string",
+        )
+        return dest.load(tomb, message or f"{spec.topic} sync",
+                         cursors=new_cursors, occ_token=snapshot)
+    return n
+
+
+def _ckey_fill(df: DataFrame) -> DataFrame:
+    """Backfill null ckeys (rows committed before the bucketed format)
+    from the row's own content, so post-compaction files are fully
+    cluster-keyed and the mixed-pool legacy probe path goes empty."""
+    if "zed_type" not in df.columns:
+        return df
+    if "ckey" not in df.columns:
+        df = df.withColumn("ckey", F.lit(None).cast("string"))
+    fill = F.lit(None).cast("string")
+    if "bkey" in df.columns:
+        fill = F.when(F.col("zed_type").eqNullSafe("band"),
+                      _band_ckey(F.col("bkey"))).otherwise(fill)
+    if "doc_id" in df.columns:
+        fill = F.when(F.col("zed_type").eqNullSafe("index"),
+                      _doc_ckey(F.col("doc_id"))).otherwise(fill)
+    if "id_a" in df.columns:
+        fill = F.when(F.col("zed_type").eqNullSafe("duppair"),
+                      F.lit("p:")).otherwise(fill)
+    return df.withColumn("ckey", F.coalesce(F.col("ckey"), fill))
+
+
+def compact_index(dest: Pool, target_rows: int = 4_000_000,
+                  message: str = "dedupindex compact") -> int:
+    """Range-cluster the index pool by ckey (Pool.compact cluster_by):
+    each output file covers a narrow ckey range and records its [min,max]
+    in the manifest, so `sync_index`'s bounded probes skip whole files.
+    Null ckeys from pre-format commits are backfilled during the rewrite
+    the pool was paying anyway (Pool.compact transform=). Run it on the
+    usual small-files cadence (commits_since_base); until it runs,
+    freshly appended commits carry no file stats and are simply always
+    read — boundedness degrades, correctness never."""
+    return dest.compact(target_rows=target_rows, message=message,
+                        transform=_ckey_fill, cluster_by=["ckey"])
+
+
+def migrate_band_rows(dest: Pool, spec: DedupIndexSpec) -> int:
+    """One-time upgrade of a pool written before the band-row format:
+    explode the bkeys of every stored index row that has no band rows
+    yet into band rows and commit them (anti-join, so mixed pools — part
+    legacy, part new-format — migrate exactly their legacy remnant).
+    Until migration, sync_index probes legacy rows via the full-scan
+    fallback (correct, O(legacy)); after it (+ compact_index, which
+    backfills their ckeys) probes are fully bounded. No-op when every
+    indexed doc already has band rows."""
+    df = dest.scan()
+    if df is None or "doc_id" not in df.columns or "bkeys" not in df.columns:
+        return 0
+    idx = df.filter(_is_index(spec)).select("doc_id", "bkeys")
+    if "bkey" in df.columns:
+        have = df.filter(_is_band(spec)).select("doc_id").distinct()
+        idx = idx.join(have, "doc_id", "left_anti")
+    band = idx.select("doc_id", F.explode("bkeys").alias("bkey"))
+    out = _envelope(spec, _stamp("band", _band_ckey(F.col("bkey")), band),
+                    len(dest.commits()))
+    return dest.load(out, f"{spec.topic} band-row migration")
 
 
 def pairs_view(dest: Pool, spec: DedupIndexSpec) -> DataFrame | None:
