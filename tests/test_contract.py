@@ -26,6 +26,26 @@ def test_entry_contract_shapes():
     assert set(HEADLINE) <= set(O)
 
 
+def test_coverage_doc_counts():
+    """COVERAGE.md's 'Catalog totals' paragraph must match the live
+    catalog — round 3 shipped with a stale count; this pins the doc to
+    len(queries()) so it can't drift again."""
+    sys.path.insert(0, REPO)
+    import re
+
+    import __spark_entry__ as E
+
+    Q, O = E.queries(), E.oracle_sql()
+    with open(os.path.join(REPO, "COVERAGE.md")) as f:
+        text = f.read()
+    m = re.search(r"(\d+) catalog queries; (\d+) oracle-paired", text)
+    assert m, "COVERAGE.md lost its 'Catalog totals' count line"
+    assert (int(m.group(1)), int(m.group(2))) == (len(Q), len(O)), (
+        f"COVERAGE.md says {m.group(1)}/{m.group(2)} but the catalog is "
+        f"{len(Q)}/{len(O)} — update the 'Catalog totals' paragraph"
+    )
+
+
 def test_bench_emits_one_json_line():
     # sf0.001 keeps this a smoke test; the driver runs sf0.1
     env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",

@@ -2014,14 +2014,36 @@ def ann_lsh_topk(spark, sf_dir):
     return S.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, nbits=4)
 
 
-@register("q_approx_distinct")
+@register(
+    "q_approx_distinct",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS exact_users,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def q_approx_distinct(spark, sf_dir):
-    """HyperLogLog++ approximate distinct counts per event type (sketch
-    aggregate; approximate by construction → rows-only check)."""
+    """HyperLogLog++ approximate distinct counts per event type. The
+    sketch estimate itself is engine-specific (DuckDB's HLL registers
+    differ from Spark's), so the raw estimate can't hash-compare — but
+    its ERROR BOUND can: the query emits `within_5pct = |approx - exact|
+    / exact <= 0.05`, and the oracle emits literal TRUE. An estimate
+    drifting past the bound flips the boolean and fails the hash
+    compare, upgrading the entry from rows-only to a bounded-error
+    oracle (rsd=0.02, so 5% has real margin; HLL++ is exact in sparse
+    mode, so tiny groups cannot trip it)."""
     ev = T(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.count_distinct("user_id").alias("exact_users"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type", "exact_users",
+            (F.abs(F.col("_approx") - F.col("exact_users"))
+             <= 0.05 * F.col("exact_users")).alias("within_5pct"),
+        )
     )
 
 
