@@ -169,7 +169,8 @@ class ToKafka:
     def sync_bulk(self, topic: str, hwm: int,
                   produce: Callable[[DataFrame], None],
                   page_span: int = 100_000,
-                  partition: int | None = None) -> int:
+                  partition: int | None = None,
+                  prefetch: int = 4) -> int:
         """Bulk-backfill egress: offset-RANGE pages instead of row-count
         pages.
 
@@ -184,7 +185,30 @@ class ToKafka:
         Ordering/cursor contract matches sync(): single-partition HWM,
         offset gaps are fine (an empty span just produces nothing and the
         cursor strides on).
-        """
+
+        Round-4 restructure (the r3 loop recorded a flat 77k rows/s):
+
+        - ONE upfront job computes per-page row counts + the mixed-
+          partition guard (a grouped agg on the page index), replacing
+          the r3 per-page count()+max() jobs — empty spans are skipped
+          without ever scanning them.
+        - A page is encoded IN PARALLEL (the scan's own partitioning),
+          then `repartition(1).sortWithinPartitions(offset)`: the
+          produce callable sees ONE partition in true offset order.
+          (The r3 `orderBy` paid a range-sampling pass per page and
+          still handed produce 8 concurrent range partitions, whose
+          task-completion order the producer cannot control — the sort
+          was paying for a guarantee it didn't deliver.)
+        - Multi-page syncs pipeline page PREPARATION across `prefetch`
+          threads (pages are independent offset ranges; Spark schedules
+          jobs from concurrent driver threads) while `produce` is still
+          called strictly sequentially in ascending page order —
+          preserving the single-partition ordering contract. At most
+          prefetch+1 prepared pages are cached at once. Single-page
+          syncs skip the cache entirely (nothing to overlap)."""
+        import concurrent.futures as cf
+        from collections import deque
+
         from zync_spark.envelope import ZED_TYPE_DATA
 
         df = self.pool.scan(lower_bounds={topic: hwm})
@@ -196,35 +220,113 @@ class ToKafka:
         )
         if partition is not None:
             base_pred = base_pred & (F.col("kafka.partition") == partition)
-        recs = df.filter(base_pred & (F.col("kafka.offset") >= hwm))
-        stats = recs.agg(
+        # The page-count agg and a single-page produce share one pass over
+        # the qualifying rows via this cache; multi-page syncs drop it
+        # immediately (each page re-scans manifest-pruned — caching an
+        # entire backfill would not be memory-bounded).
+        recs = df.filter(base_pred & (F.col("kafka.offset") >= hwm)).persist()
+
+        # Manifest fast path: when the commit stats PROVE the topic lives
+        # entirely on partition 0 (the mixed-partition guard holds without
+        # scanning) and its max offset fits one span, the sync is a single
+        # produce — the count rides the cache afterwards instead of a
+        # guard-ordered pre-scan. Stat-less (legacy) pools and anything
+        # multi-page/multi-partition fall through to the general path.
+        his = self.pool._manifest_partition_his(topic)
+        if (partition is None and his is not None and set(his) <= {0}):
+            mx = his.get(0)
+            if mx is None or mx < hwm:
+                recs.unpersist()
+                return 0
+            if mx < hwm + page_span:
+                try:
+                    produce(
+                        self.encode_frame(self._shaped(recs))
+                        .repartitionByRange(1, F.col("offset"))
+                        .sortWithinPartitions("offset")
+                    )
+                    return recs.count()  # cache-read after the produce pass
+                finally:
+                    recs.unpersist()
+        page_rows = recs.groupBy(
+            F.expr(f"(kafka.offset - {int(hwm)}) DIV {int(page_span)}")
+            .alias("pg")
+        ).agg(
             F.count("*").alias("n"),
-            F.max(F.col("kafka.offset")).alias("mx"),
             F.sum((F.col("kafka.partition") != 0).cast("long")).alias("np"),
-        ).collect()[0]
-        if not stats["n"]:
+        ).collect()
+        if not page_rows:
+            recs.unpersist()
             return 0
-        if partition is None and stats["np"]:
+        if partition is None and any(r["np"] for r in page_rows):
+            recs.unpersist()
             raise ValueError(
                 f"to-kafka {topic}: pool contains records from partitions "
                 "other than 0; single-HWM egress cannot order them "
                 "(use sync_partitions with per-partition HWMs)"
             )
-        produced, lo, mx = 0, hwm, int(stats["mx"])
-        while lo <= mx:
-            hi = lo + page_span
-            page_scan = self.pool.scan(lower_bounds={topic: lo})
-            page = page_scan.filter(
+        counts = {int(r["pg"]): int(r["n"]) for r in page_rows if r["n"]}
+        pages = sorted(counts)
+
+        def _page_frame(pg: int) -> DataFrame:
+            lo = hwm + pg * page_span
+            page = self.pool.scan(lower_bounds={topic: lo}).filter(
                 base_pred
                 & (F.col("kafka.offset") >= lo)
-                & (F.col("kafka.offset") < hi)
-            ).orderBy(F.col("kafka.offset")).persist()
+                & (F.col("kafka.offset") < lo + page_span)
+            )
+            return (
+                self.encode_frame(self._shaped(page))
+                .repartitionByRange(1, F.col("offset"))
+                .sortWithinPartitions("offset")
+            )
+
+        if len(pages) == 1:
+            # Nothing to overlap: skip the prefetch machinery — and skip
+            # the re-scan, since a single non-empty page means EVERY
+            # qualifying row is in it (spans partition the offset range),
+            # so the cached `recs` IS the page.
             try:
-                n = page.count()
-                if n:
-                    produce(self.encode_frame(self._shaped(page)))
-                    produced += n
+                produce(
+                    self.encode_frame(self._shaped(recs))
+                    .repartitionByRange(1, F.col("offset"))
+                    .sortWithinPartitions("offset")
+                )
             finally:
-                page.unpersist()
-            lo = hi
+                recs.unpersist()
+            return counts[pages[0]]
+        recs.unpersist()
+
+        def _prepare(pg: int):
+            enc = _page_frame(pg).persist()
+            enc.count()  # materialize the cache in the prepare thread
+            return enc
+
+        produced = 0
+        it = iter(pages)
+        pending: deque = deque()
+        with cf.ThreadPoolExecutor(max_workers=max(1, prefetch)) as ex:
+            try:
+                for _ in range(min(len(pages), prefetch + 1)):
+                    pending.append((next(it), None))
+                pending = deque(
+                    (pg, ex.submit(_prepare, pg)) for pg, _ in pending)
+                while pending:
+                    pg, fut = pending.popleft()
+                    enc = fut.result()
+                    nxt = next(it, None)
+                    if nxt is not None:  # keep the pipeline full BEFORE
+                        pending.append((nxt, ex.submit(_prepare, nxt)))
+                    try:
+                        produce(enc)
+                        produced += counts[pg]
+                    finally:
+                        enc.unpersist()
+            finally:
+                # a produce failure must not leak the prefetched caches
+                for _, fut in pending:
+                    try:
+                        fut.result().unpersist()
+                    except Exception:
+                        pass
         return produced
