@@ -338,9 +338,10 @@ def test_collect_map_merges_with_max_wins(spark):
 
 # ---- fragments of the reference's GENERATED ETL program, verbatim -------
 # (ztests/etl-zed.yaml is `zync etl -zed invoices.yaml` output: the full
-# program nests named types inside record literals ({left:done,right:done}),
-# which the unified-schema model encodes differently — but each update
-# branch and the denorm fork+join fragment run unchanged.)
+# program nests named types inside record literals ({left:done,right:done});
+# the unified-schema model keeps the coerced shapes in the structs and the
+# nested TAGS in the path registry (round 4) — each update branch and the
+# denorm fork+join fragment run unchanged.)
 
 UPDATE_STATUS_BRANCH = """
 type done = {kafka:{topic:string,offset:int64}}
@@ -441,12 +442,14 @@ def test_full_generated_etl_program_verbatim(spark):
     """The ENTIRE `zync etl -zed invoices.yaml` output program
     (ztests/etl-zed.yaml:10-94) compiled and run unchanged over the
     batch-1 CDC rows. The NewInvoices data rows match the etl-demo ztest's
-    documented records; the done-marker pair rows appear as plain
-    {left:{kafka},right:{kafka}} records — the two documented degrades
-    from the reference's per-value model: nested named-type TAGS cannot
-    exist in a unified schema (the host-side ETL compiler,
-    zync_spark/etl, carries them as zed_type rows instead), and union
-    null-pads differing value shapes."""
+    documented records. The done-marker pair rows are
+    {left:{kafka},right:{kafka}} records whose nested (=done) decorators
+    ride the PATH REGISTRY (compile names_out → pool types.json,
+    round-4): the struct holds the coerced shape, the registry holds the
+    tags, and typeof(left)/cast(x, typeof(left)) recover them — the
+    former nested-named-type degradation is closed. The remaining
+    per-value-model substitution: union null-pads differing value
+    shapes (a schema-union concern, not a type-tag loss)."""
     raw_txt = open("/root/reference/ztests/etl-zed.yaml").read()
     start = raw_txt.index("type done")
     prog = "\n".join(
@@ -469,7 +472,12 @@ def test_full_generated_etl_program_verbatim(spark):
     raw = spark.createDataFrame(rows, schema)
     staging = spark.createDataFrame(
         [], "kafka struct<topic:string,offset:long>, zed_type string")
-    out = compile_query(prog, {"Raw": raw, "Staging": staging}).collect()
+    names: dict = {}
+    out = compile_query(prog, {"Raw": raw, "Staging": staging},
+                        names_out=names).collect()
+    # the program's nested done tags (ztests/etl-zed.yaml:47-48) are
+    # collected as path decorations, not dropped
+    assert names == {"left": "done", "right": "done"}
 
     data = [r for r in out if r["key"] is not None]
     markers = [r for r in out if r["left"] is not None]

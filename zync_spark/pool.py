@@ -178,6 +178,32 @@ class Pool:
             last = int(c.split(".")[0])
         return last
 
+    # -- named-type registry (sidecar) ------------------------------------
+
+    def type_names(self) -> dict[str, str]:
+        """Named-type decorations by dotted column path — the per-pool
+        sidecar registry carrying zed's NESTED named types, which the
+        unified Spark schema cannot hold per-value (SURVEY §1.2; the
+        reference nests them freely, connectjson/connectjson_test.go:22-23,
+        etl/pipeline.go:106). Top-level tags ride the zed_type column;
+        this registry covers every deeper path. Decorations describe the
+        pool's unified schema, not per-row state — appropriate because a
+        pool's rows of one zed_type share a shape by construction."""
+        p = os.path.join(self.path, "types.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def set_type_names(self, names: dict[str, str]) -> None:
+        """Merge decorations into the sidecar (atomic rewrite). Last
+        writer wins per path — same semantics as the zed type context
+        rebinding a name."""
+        if not names:
+            return
+        merged = {**self.type_names(), **names}
+        _atomic_write_json(os.path.join(self.path, "types.json"), merged)
+
     # -- I/O ---------------------------------------------------------------
 
     def scan(self, lower_bounds: dict[str, int] | None = None,
@@ -212,13 +238,18 @@ class Pool:
 
     def load(self, df: DataFrame, message: str = "",
              cursors: dict[str, int] | None = None,
-             occ_token: int | None = None) -> int:
+             occ_token: int | None = None,
+             type_names: dict[str, str] | None = None) -> int:
         """Atomically commit a batch (reference Load, etl/pool.go:56-58).
 
         Data is sorted by the pool key within partitions before writing so
         parquet row-group stats enable offset-range data skipping.
         `cursors` (optional) persists per-topic scan cursors with the
-        commit (see stored_cursors). Returns the number of committed rows.
+        commit (see stored_cursors). `type_names` (optional) merges named-
+        type decorations into the pool's types.json sidecar (written
+        before the manifest publish: a crash can leave a decoration
+        without its data — harmless metadata — never data without its
+        decoration). Returns the number of committed rows.
 
         `occ_token` (optional) = the commit-log length the caller's
         read snapshot was taken at: the commit is published at EXACTLY
@@ -231,6 +262,8 @@ class Pool:
         n = df.count()
         if n == 0:
             return 0
+        if type_names:
+            self.set_type_names(type_names)
         file_id = uuid.uuid4().hex
         data_path = os.path.join(self.path, "data", file_id)
         # Size-aware write: small batches collapse to few files instead of

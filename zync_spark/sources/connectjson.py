@@ -61,23 +61,40 @@ _CONNECT_PRIMITIVES = [
 ]
 
 
-def connect_schema(dt: DataType, name: str | None = None) -> dict:
-    """Spark type → Connect schema object (connectjson.go:95-155)."""
+def connect_schema(dt: DataType, name: str | None = None,
+                   names: dict[str, str] | None = None,
+                   _path: str = "") -> dict:
+    """Spark type → Connect schema object (connectjson.go:95-155).
+
+    `names` maps dotted field paths ("" = root) to zed named-type
+    decorations; a decorated path's schema node carries its `name` field,
+    exactly how the reference rides nested TypeNamed decorators on the
+    wire (connectjson.go:99-101 encode, :269-271 decode). Undecorated
+    structs keep the synthetic "zng.<digest>" name (Connect requires
+    record names; schema_names() filters them back out)."""
+    decor = (names or {}).get(_path)
     if isinstance(dt, StructType):
         return {
             "type": "struct",
             "fields": [
-                {**connect_schema(f.dataType), "field": f.name, "optional": True}
+                {
+                    **connect_schema(
+                        f.dataType, names=names,
+                        _path=f"{_path}.{f.name}" if _path else f.name),
+                    "field": f.name,
+                    "optional": True,
+                }
                 for f in dt.fields
             ],
             "optional": True,
-            **({"name": name} if name else {"name": "zng." + record_name(dt)}),
+            "name": decor or name or ("zng." + record_name(dt)),
         }
     if isinstance(dt, ArrayType):
         return {
             "type": "array",
             "items": connect_schema(dt.elementType),
             "optional": True,
+            **({"name": decor} if decor else {}),
         }
     if isinstance(dt, MapType):
         return {
@@ -85,10 +102,12 @@ def connect_schema(dt: DataType, name: str | None = None) -> dict:
             "keys": connect_schema(dt.keyType),
             "values": connect_schema(dt.valueType),
             "optional": True,
+            **({"name": decor} if decor else {}),
         }
     for typ, tname in _CONNECT_PRIMITIVES:
         if isinstance(dt, typ):
-            return {"type": tname, "optional": True}
+            return {"type": tname, "optional": True,
+                    **({"name": decor} if decor else {})}
     raise TypeError(f"no connect mapping for {dt.simpleString()}")
 
 
@@ -129,9 +148,32 @@ def from_connect_schema(cs: dict) -> DataType:
     raise TypeError(f"unknown type {t!r} in Connect schema")
 
 
-def encode(col: Column, dt: StructType, name: str | None = None) -> Column:
-    """struct column → Connect-JSON text column ({"schema":...,"payload":...})."""
-    schema_text = json.dumps(connect_schema(dt, name), separators=(",", ":"))
+def schema_names(cs: dict, _path: str = "") -> dict[str, str]:
+    """Extract named-type decorations from a parsed Connect schema:
+    {dotted path: name} for every node carrying a user `name` — the
+    decode half of the nested-named-type wire ride (the reference's
+    LookupTypeNamed wrap, connectjson.go:269-271). Synthetic
+    "zng.<digest>" record names (Connect requires one per struct) are
+    not decorations and are skipped. Feed the result to
+    Pool.load(type_names=) / Context(path_names=) so decorators survive
+    the full consume→pool→query round-trip."""
+    out: dict[str, str] = {}
+    name = cs.get("name")
+    if name and not name.startswith("zng."):
+        out[_path] = name
+    if cs.get("type") == "struct":
+        for f in cs.get("fields") or []:
+            child = f"{_path}.{f['field']}" if _path else f["field"]
+            out.update(schema_names(f, child))
+    return out
+
+
+def encode(col: Column, dt: StructType, name: str | None = None,
+           names: dict[str, str] | None = None) -> Column:
+    """struct column → Connect-JSON text column ({"schema":...,"payload":...}).
+    `names`: nested named-type decorations to ride the wire schema."""
+    schema_text = json.dumps(connect_schema(dt, name, names=names),
+                             separators=(",", ":"))
     return F.concat(
         F.lit('{"schema":' + schema_text + ',"payload":'),
         F.coalesce(F.to_json(col), F.lit("null")),

@@ -139,7 +139,11 @@ class FromKafka:
             cols.append(F.col("_raw_value"))
         env = decoded.select(*cols)
         if self.shaper:
-            env = apply_shaper(env, self.shaper)
+            # decorations the shaper declares (cast-to-named on nested
+            # paths) ride to the pools' types.json with each commit
+            self._shaper_names: dict[str, str] = {}
+            env = apply_shaper(env, self.shaper,
+                               names_out=self._shaper_names)
         return env
 
     # -- commit ------------------------------------------------------------
@@ -209,7 +213,9 @@ class FromKafka:
                 if topic not in present:
                     continue
                 part = env.filter(F.col("kafka.topic") == topic)
-                committed[topic] = pool.load(part, f"from-kafka {topic}")
+                committed[topic] = pool.load(
+                    part, f"from-kafka {topic}",
+                    type_names=getattr(self, "_shaper_names", None))
                 # maintenance policy: every N delta commits, fold the pool
                 # into a base manifest so streaming ingest (one small commit
                 # per trigger) cannot accrete an unbounded small-file set.
@@ -287,7 +293,8 @@ class FromKafka:
         return writer.start()
 
 
-def apply_shaper(env: DataFrame, shaper_src: str) -> DataFrame:
+def apply_shaper(env: DataFrame, shaper_src: str,
+                 names_out: dict[str, str] | None = None) -> DataFrame:
     """Apply a shaper to each envelope batch (cli/shaper.go:8-22, applied
     through the embedded engine at fifo/lake.go:94-106).
 
@@ -295,8 +302,10 @@ def apply_shaper(env: DataFrame, shaper_src: str) -> DataFrame:
     the full pipeline surface (where/yield/cut/put/drop/sort/head/summarize
     …, SURVEY §2.2-§2.8) to a DataFrame plan, so bare filters, assignment
     lists, and multi-stage programs like the documented README.md:78 example
-    all run unchanged — JVM-side, never per-row Python.
+    all run unchanged — JVM-side, never per-row Python. `names_out`
+    collects nested named-type decorations the shaper declares
+    (zedpipe.compile_pipeline) for the ingest loop to persist per pool.
     """
     from zync_spark.zedpipe import compile_pipeline
 
-    return compile_pipeline(env, shaper_src.strip())
+    return compile_pipeline(env, shaper_src.strip(), names_out=names_out)

@@ -226,12 +226,24 @@ class Context:
     def __init__(self, roots: dict[str, Column] | None = None,
                  schema: StructType | None = None,
                  default_root: Column | None = None,
-                 named_types: dict[str, DataType] | None = None):
+                 named_types: dict[str, DataType] | None = None,
+                 path_names: dict[str, str] | None = None,
+                 names_sink: dict[str, str] | None = None):
         self.roots = roots or {}
         self.schema = schema
         self.default_root = default_root
         # `type NAME = {...}` prologue declarations (ztests/etl-zed.yaml:10)
         self.named_types = named_types or {}
+        # Named-type DECORATIONS by dotted path — the registry surface
+        # that carries zed's nested named types, which Spark's schema
+        # cannot hold per-value (SURVEY §1.2). `path_names` is the READ
+        # side: typeof(a.b) renders the decoration; cast(x, typeof(a.b))
+        # re-tags. `names_sink` is the WRITE side: decorations declared
+        # during compilation (cast-to-named inside record literals /
+        # assignments) accumulate here for the caller to persist (Pool
+        # `types.json` sidecar, connectjson wire schema names).
+        self.path_names = path_names or {}
+        self.names_sink = names_sink if names_sink is not None else {}
 
     def resolve(self, path: list[str]) -> Column:
         head, rest = path[0], path[1:]
@@ -265,6 +277,9 @@ class Parser:
         self.toks = tokens
         self.i = 0
         self.ctx = ctx
+        # field-name stack while inside record literals: a tagged value at
+        # the current position decorates ".".join(_fstack) in names_sink
+        self._fstack: list[str] = []
 
     # -- token helpers -----------------------------------------------------
 
@@ -487,9 +502,15 @@ class Parser:
                     raise ZedSyntaxError(f"expected field name, got {nt.text!r} at {nt.pos}")
                 name = nt.text
                 self.expect("op", ":")
+                self._fstack.append(name)
                 v = self.parse_expr()
                 if isinstance(v, _TaggedRecord):
-                    v = v.col  # value position: keep the shape, drop the tag
+                    # value position: the SHAPE stays in the struct; the
+                    # tag survives out-of-band as a path decoration
+                    # (registry model — Spark cannot nest the tag itself)
+                    self.ctx.names_sink[".".join(self._fstack)] = v.name
+                    v = v.col
+                self._fstack.pop()
                 fields.append(v.alias(name))
                 if self.accept("op", "}"):
                     break
@@ -540,8 +561,14 @@ class Parser:
                 return F.coalesce(F.col("zed_type"), F.lit("record"))
             path = self._parse_path_only()
             self.expect("op", ")")
-            # typeof() used inside cast(); return a sentinel carrying the type
-            return _TypeOf(self.ctx.resolve_type(path))
+            # typeof() on a path: a sentinel carrying the Spark type AND,
+            # when the path is decorated in the registry (Context
+            # path_names), the zed type name. As a cast() target it
+            # re-coerces (and re-TAGS when named); in a value position a
+            # NAMED path renders its decoration (ensure_column) — the
+            # `count() by typeof(x)` shapes idiom over nested named types.
+            return _TypeOf(self.ctx.resolve_type(path),
+                           self.ctx.path_names.get(".".join(path)))
         if name == "cast":
             arg = self.parse_expr()
             self.expect("op", ",")
@@ -550,6 +577,10 @@ class Parser:
                 self.next()
                 target = self.parse_call("typeof")
                 self.expect("op", ")")
+                if isinstance(target, _TypeOf) and target.name:
+                    # the source path is decorated: the cast re-tags
+                    return _TaggedRecord(arg.cast(target.dtype),
+                                         target.dtype, target.name)
                 return arg.cast(target.dtype)
             type_name = self.expect("ident").text
             self.expect("op", ")")
@@ -685,10 +716,15 @@ class Parser:
 
 
 class _TypeOf:
-    """Sentinel produced by typeof() — only valid as cast() target."""
+    """Sentinel produced by typeof(<path>): the path's Spark type plus its
+    registry decoration (zed type name) when one exists. Valid as a
+    cast() target always; valid as a VALUE only when named (it renders
+    the decoration — an unnamed nested type has no zed-value rendering
+    in the unified-schema model)."""
 
-    def __init__(self, dtype: DataType):
+    def __init__(self, dtype: DataType, name: str | None = None):
         self.dtype = dtype
+        self.name = name
 
 
 def _shape_coerce(col: Column, src_t, tgt_t) -> Column:
@@ -731,14 +767,16 @@ def _shape_cols(kind: str, src_type: StructType, dtype: StructType,
 
 class _TaggedRecord:
     """Sentinel produced by cast(expr, <declared named type>): the value
-    coerced to the declared shape, remembering the type NAME. Exactly two
-    sinks understand the tag: a top-level ``yield`` (fields expand to
-    columns + a zed_type discriminator, envelope model) and value
-    positions (record-literal fields, assignments), which keep the coerced
-    value and DROP the tag — nested named types cannot exist in the
-    unified-schema model (SURVEY §1.2), matching the documented envelope
-    substitution. Arithmetic/comparison on a named-type value is a syntax
-    error, as in zed."""
+    coerced to the declared shape, remembering the type NAME. Sinks that
+    understand the tag: a top-level ``yield`` (fields expand to columns +
+    a zed_type discriminator, envelope model) and value positions
+    (record-literal fields, assignments), which keep the coerced value in
+    the struct and record the tag as a PATH DECORATION in the context's
+    names_sink (the registry that carries nested named types the unified
+    schema cannot, SURVEY §1.2 — round 4; persisted via
+    Pool.load(type_names=), read back via Context(path_names=)).
+    Arithmetic/comparison on a named-type value is a syntax error, as in
+    zed."""
 
     def __init__(self, col: Column, dtype: DataType, name: str):
         self.col = col
@@ -850,7 +888,12 @@ def ensure_column(col, where: str = "expression") -> Column:
     syntax error instead of a deep PySpark type error; unwrap a
     named-type cast to its coerced value."""
     if isinstance(col, _TypeOf):
-        raise ZedSyntaxError("typeof() is only valid inside cast()")
+        if col.name:
+            return F.lit(col.name)  # decorated path: render the type name
+        raise ZedSyntaxError(
+            "typeof() on an UNNAMED path is only valid inside cast(); "
+            "decorate the path (pool types.json / cast-to-named) to use "
+            "it as a value")
     if isinstance(col, _Duration):
         raise ZedSyntaxError(
             f"duration literal is only valid inside bucket()/every(), "
@@ -866,13 +909,7 @@ def compile_expr(src: str, ctx: Context) -> Column:
     p = Parser(tokenize(src), ctx)
     col = p.parse_expr()
     p.expect("eof")
-    if isinstance(col, _TypeOf):
-        raise ZedSyntaxError("typeof() is only valid inside cast()")
-    if isinstance(col, _Duration):
-        raise ZedSyntaxError("duration literal is only valid inside bucket()")
-    if isinstance(col, _TaggedRecord):
-        col = col.col  # expression position: coerced value, tag dropped
-    return col
+    return ensure_column(col)
 
 
 def compile_assignments(src: str, ctx: Context) -> dict[str, Column]:
@@ -893,9 +930,13 @@ def compile_assignments(src: str, ctx: Context) -> dict[str, Column]:
     while p.peek().kind != "eof":
         path = p._parse_path_only()
         p.expect("assign")
-        # value position: named-type casts keep the coerced value (tag
-        # dropped); other sentinels are syntax errors
-        out[".".join(path)] = ensure_column(p.parse_expr(), "assigned value")
+        # value position: named-type casts keep the coerced value, and
+        # the tag survives as a path decoration in the context's sink
+        v = p.parse_expr()
+        if isinstance(v, _TaggedRecord):
+            ctx.names_sink[".".join(path)] = v.name
+            v = v.col
+        out[".".join(path)] = ensure_column(v, "assigned value")
         while p.accept("op", "|"):
             pass
     return out

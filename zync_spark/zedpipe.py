@@ -250,9 +250,12 @@ def _sort_key_cols(st: _State, ctx: Context) -> list[Column]:
 
 def _fresh_ctx(df: DataFrame, ctx: Context) -> Context:
     """Stage contexts resolve against the CURRENT frame's schema (typeof,
-    has/missing); user-declared const roots carry through."""
+    has/missing); user-declared const roots carry through. path_names and
+    names_sink are SHARED (same objects): decorations read/written in any
+    stage belong to the one pipeline-level registry."""
     return Context(roots=dict(ctx.roots), schema=df.schema,
-                   named_types=dict(ctx.named_types))
+                   named_types=dict(ctx.named_types),
+                   path_names=ctx.path_names, names_sink=ctx.names_sink)
 
 
 def _expand_yield(df: DataFrame, col: Column, parser: Parser,
@@ -282,11 +285,17 @@ class _StageParser(Parser):
                 name = nt.text
                 self.expect("op", ":")
                 # value position: named-type casts keep the coerced value
-                # (nested named types degrade, SURVEY §1.2); other
-                # sentinels are syntax errors
-                fields.append(
-                    ensure_column(self.parse_expr(), "field value")
-                    .alias(name))
+                # in the struct; the TAG survives as a path decoration in
+                # the compile-level registry (names_sink) — consumable by
+                # typeof(path), the pool types.json sidecar, and the
+                # connectjson wire schema
+                self._fstack.append(name)
+                v = self.parse_expr()
+                if isinstance(v, _TaggedRecord):
+                    self.ctx.names_sink[".".join(self._fstack)] = v.name
+                    v = v.col
+                self._fstack.pop()
+                fields.append(ensure_column(v, "field value").alias(name))
                 names.append(name)
                 if self.accept("op", "}"):
                     break
@@ -298,10 +307,13 @@ class _StageParser(Parser):
         while True:
             path = self._parse_path_only()
             self.expect("assign")
-            # value position: named-type casts keep the shape (tag
-            # dropped); other sentinels are syntax errors
-            v = ensure_column(self.parse_expr(), "assigned value")
-            out.append((path, v))
+            # value position: named-type casts keep the shape; the tag
+            # decorates the target path in the registry
+            v = self.parse_expr()
+            if isinstance(v, _TaggedRecord):
+                self.ctx.names_sink[".".join(path)] = v.name
+                v = v.col
+            out.append((path, ensure_column(v, "assigned value")))
             if not self.accept("op", ","):
                 break
         return out
@@ -598,12 +610,23 @@ def _apply_branch_block(st: _State, toks: list[Token], word: str,
 
 
 def compile_pipeline(df: DataFrame, src: str,
-                     ctx: Context | None = None) -> DataFrame:
+                     ctx: Context | None = None,
+                     names_out: dict[str, str] | None = None) -> DataFrame:
     """Compile a zed pipeline over one input frame.
 
     A `const` prologue (demo/etl.zed:1-9) binds names visible to every
     stage. Raises ZedSyntaxError on anything outside the supported surface —
     never a silent wrong answer.
+
+    `names_out` (optional dict) receives the named-type DECORATIONS the
+    program declared on nested paths (cast-to-named inside record
+    literals / assignments): {dotted path: zed type name}. Spark's
+    unified schema cannot nest the tag itself (SURVEY §1.2); the
+    registry carries it out-of-band — persist it with the frame via
+    Pool.load(type_names=...) and feed it back through
+    Context(path_names=...) so typeof(path)/cast(x, typeof(path))
+    consult it on later reads. Top-LEVEL tags still ride the zed_type
+    discriminator column, as before.
     """
     base_ctx = ctx or Context()
     src = strip_const_prologue(src, base_ctx)
@@ -611,6 +634,8 @@ def compile_pipeline(df: DataFrame, src: str,
     st = _State(df=df, ctx=base_ctx)
     for i, toks in enumerate(stages):
         _apply_stage(st, toks, stages[i + 1] if i + 1 < len(stages) else None)
+    if names_out is not None:
+        names_out.update(base_ctx.names_sink)
     return st.df
 
 
@@ -724,9 +749,13 @@ def _apply_join(st: _State, p: _StageParser, jtype: str) -> None:
     p.expect("op", "=")
     rk = p._parse_path_only()
     lctx = Context(roots=dict(st.ctx.roots), schema=left.schema,
-                   named_types=dict(st.ctx.named_types))
+                   named_types=dict(st.ctx.named_types),
+                   path_names=st.ctx.path_names,
+                   names_sink=st.ctx.names_sink)
     rctx = Context(roots=dict(st.ctx.roots), schema=right.schema,
-                   named_types=dict(st.ctx.named_types))
+                   named_types=dict(st.ctx.named_types),
+                   path_names=st.ctx.path_names,
+                   names_sink=st.ctx.names_sink)
     lcol = lctx.resolve(lk)
     rkey = rctx.resolve(rk)
     if jtype == "anti":
@@ -741,7 +770,9 @@ def _apply_join(st: _State, p: _StageParser, jtype: str) -> None:
         # graft clauses: expressions resolve against the right record
         graft_ctx = Context(roots=dict(st.ctx.roots), schema=right.schema,
                             default_root=F.col("__zright"),
-                            named_types=dict(st.ctx.named_types))
+                            named_types=dict(st.ctx.named_types),
+                            path_names=st.ctx.path_names,
+                            names_sink=st.ctx.names_sink)
         gp = _StageParser(p.toks[p.i:], graft_ctx)
         if gp.peek().kind != "eof":
             for path, col in gp.parse_assign_list():
@@ -774,7 +805,9 @@ def _apply_stage(st: _State, toks: list[Token],
             raise ZedSyntaxError("`from` needs a table namespace (run via "
                                  "compile_query over the lake's pools)")
         p = _StageParser(toks, Context(roots=dict(st.ctx.roots),
-                                       named_types=dict(st.ctx.named_types)))
+                                       named_types=dict(st.ctx.named_types),
+                                       path_names=st.ctx.path_names,
+                                       names_sink=st.ctx.names_sink))
         p.next()
         if p.accept("op", "("):
             _apply_from_block(st, p)
@@ -942,7 +975,11 @@ def _apply_stage(st: _State, toks: list[Token],
         while True:
             path = p._parse_path_only()
             if p.accept("assign"):
-                items.append((path, ensure_column(p.parse_expr(), "cut value")))
+                v = p.parse_expr()
+                if isinstance(v, _TaggedRecord):
+                    p.ctx.names_sink[".".join(path)] = v.name
+                    v = v.col
+                items.append((path, ensure_column(v, "cut value")))
             else:
                 items.append((path, None))
             if not p.accept("op", ","):
@@ -1218,10 +1255,12 @@ def _apply_stage(st: _State, toks: list[Token],
 
 
 def compile_query(src: str, tables: dict[str, DataFrame],
-                  ctx: Context | None = None) -> DataFrame:
+                  ctx: Context | None = None,
+                  names_out: dict[str, str] | None = None) -> DataFrame:
     """Compile `[from NAME |] stage | ...` against a table namespace (the
     lake's pools, or any registered frames). Without a `from` head, the
-    namespace must hold exactly one table."""
+    namespace must hold exactly one table. `names_out`: as in
+    compile_pipeline — collects nested named-type decorations."""
     base_ctx = ctx or Context()
     src = strip_const_prologue(src, base_ctx)
     toks = tokenize(src)
@@ -1251,4 +1290,6 @@ def compile_query(src: str, tables: dict[str, DataFrame],
     st = _State(df=df, ctx=base_ctx, tables=dict(tables))
     for i, s in enumerate(stages):
         _apply_stage(st, s, stages[i + 1] if i + 1 < len(stages) else None)
+    if names_out is not None:
+        names_out.update(base_ctx.names_sink)
     return st.df
