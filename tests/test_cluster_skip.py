@@ -50,6 +50,33 @@ def test_cluster_by_prunes_files(spark, tmp_path):
     assert sorted(r[0] for r in got) == sorted(r[0] for r in exp)
 
 
+def test_point_set_bounds_prune_files(spark, tmp_path):
+    """A bound may be a LIST of admissible values (the IN-predicate analog
+    of range skipping, round 4 — what the dedup index's bucketed probe
+    uses): a file is kept iff some value falls inside its [min,max], and
+    skipping never changes results."""
+    pool = _mk_pool(spark, tmp_path)
+    pool.compact(target_rows=300, cluster_by=["value.uid"])
+    all_files = pool.committed_files()
+
+    vals = [3, 57, 91]
+    pruned = pool.committed_files(bounds={"value.uid": vals})
+    assert 0 < len(pruned) < len(all_files)
+    # the point set prunes at least as hard as its covering range
+    assert len(pruned) <= len(
+        pool.committed_files(bounds={"value.uid": (min(vals), max(vals))}))
+
+    rowf = F.col("value.uid").isin(vals)
+    got = (pool.scan(bounds={"value.uid": vals}).filter(rowf)
+           .select("kafka.offset").collect())
+    exp = pool.scan().filter(rowf).select("kafka.offset").collect()
+    assert sorted(r[0] for r in got) == sorted(r[0] for r in exp) and got
+
+    # a value set entirely outside the data prunes everything clustered
+    none = pool.committed_files(bounds={"value.uid": [100, 999]})
+    assert len(none) < len(pruned)
+
+
 def test_bounds_on_unclustered_pool_is_safe_noop(spark, tmp_path):
     pool = _mk_pool(spark, tmp_path, n=300, commits=1)
     # no compact(cluster_by): no col_stats anywhere -> nothing skipped

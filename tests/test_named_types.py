@@ -124,6 +124,34 @@ def test_connect_json_carries_decorations_end_to_end(spark):
     assert cj.from_connect_schema(wire) == dt
 
 
+def test_egress_rides_pool_decorations(spark, tmp_path):
+    """ToKafka json egress reads the pool's types.json and stamps the
+    decorations on the outgoing Connect schemas — the produce half of the
+    consume→pool→produce decorator round-trip."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from zync_spark.sources import connectjson as cj
+    from zync_spark.streaming.to_kafka import ToKafka
+
+    pool = Pool.create(spark, str(tmp_path / "Out"))
+    env = spark.createDataFrame(
+        [(("T", 0, 0), (1,), ("pending",), "data")],
+        "kafka struct<topic:string,partition:long,offset:long>,"
+        " key struct<ID:long>, value struct<status:string>, zed_type string")
+    pool.load(env, "b", type_names={"key": "invoice_key",
+                                    "value.status": "status_t"})
+    tk = ToKafka(pool, StructType([StructField("ID", LongType())]),
+                 StructType([StructField("status", StringType())]),
+                 format="json")
+    pages = []
+    assert tk.sync("T", hwm=0, produce=lambda df: pages.append(df.collect())) == 1
+    row = pages[0][0]
+    kschema = json.loads(bytes(row["key"]).decode())["schema"]
+    vschema = json.loads(bytes(row["value"]).decode())["schema"]
+    assert cj.schema_names(kschema) == {"": "invoice_key"}
+    assert cj.schema_names(vschema) == {"status": "status_t"}
+
+
 def test_connect_json_named_value_round_trip(spark):
     """Value+type+decoration round-trip mirroring the reference's named
     cases (connectjson_test.go:22-33: `{}(=named)`, `{a:null(named={})}`,

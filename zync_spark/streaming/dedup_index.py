@@ -23,8 +23,10 @@ costs O(new documents):
 Bounded probe (the 100 TB posture): the index is stored in BUCKETED form.
 Every row carries a cluster key `ckey` partitioning the pool into three
 key spaces — `b:<xx>` exploded band rows (doc_id, bkey) bucketed by the
-band key's first two hex chars (256 buckets), `s:<xx>` signature rows
-(doc_id, sh_set, bkeys) bucketed by pmod(doc_id, 256), `p:` pair rows.
+band key's first `prefix_len` hex chars (16^prefix_len buckets, default
+256; size it to the corpus at index creation — it is fixed for the
+index's life), `s:<xx>` signature rows (doc_id, sh_set, bkeys) bucketed
+by pmod(doc_id, 16^prefix_len), `p:` pair rows.
 `compact_index()` range-clusters the pool by ckey (Pool.compact
 cluster_by), recording per-file ckey min/max in the manifest, and a
 maintenance pass probes with `scan(bounds={"ckey": [values...]})` — it
@@ -48,26 +50,31 @@ from pyspark.sql import functions as F
 from zync_spark.pool import Pool
 from zync_spark.streaming.incremental import _spec_cursors, scan_delta
 
-# ckey bucket fan-out: 2 hex chars = 256 buckets per key space. Fixed so
-# that stored buckets and probe buckets always agree; at 100 TB each
-# band bucket holds ~1/256 of the band rows — coarse enough that file
-# skipping works on modest file counts, fine enough that a small delta
-# (which touches few prefixes) skips most of the index.
+# Default ckey bucket fan-out: 2 hex chars = 256 buckets per key space.
+# A pass reads ~min(1, delta_docs x bands / 16^prefix_len) of the band
+# buckets, so the prefix length sets the floor on how little of a LARGE
+# index a small delta touches: 2 (256 buckets) suits pools up to ~10^8
+# docs; create TB-scale indexes with prefix_len=3 (4096 buckets) or 4.
+# FIXED for the life of an index — stored ckeys and probe values must
+# agree exactly (a longer probe prefix would row-filter past stored
+# band buckets and silently miss collisions).
 _PREFIX_LEN = 2
 
 
-def _band_ckey(bkey) -> F.Column:
+def _band_ckey(bkey, prefix_len: int = _PREFIX_LEN) -> F.Column:
     """Cluster key of a band row: 'b:' + first hex chars of the band key
     (band keys are md5 hex, so prefixes are uniform)."""
-    return F.concat(F.lit("b:"), F.substring(bkey, 1, _PREFIX_LEN))
+    return F.concat(F.lit("b:"), F.substring(bkey, 1, prefix_len))
 
 
-def _doc_ckey(doc_id) -> F.Column:
+def _doc_ckey(doc_id, prefix_len: int = _PREFIX_LEN) -> F.Column:
     """Cluster key of a signature row: 's:' + zero-padded hex of
-    pmod(doc_id, 256) — uniform for sequential and hashed ids alike."""
+    pmod(doc_id, 16^prefix_len) — uniform for sequential and hashed ids
+    alike."""
     return F.concat(
         F.lit("s:"),
-        F.lower(F.lpad(F.hex(F.pmod(doc_id, F.lit(256))), _PREFIX_LEN, "0")),
+        F.lower(F.lpad(F.hex(F.pmod(doc_id, F.lit(16 ** prefix_len))),
+                       prefix_len, "0")),
     )
 
 
@@ -81,9 +88,11 @@ class DedupIndexSpec:
 
     def __init__(self, name: str, id_expr: str, text_expr: str,
                  k: int = 3, num_hashes: int = 64, bands: int = 16,
-                 threshold: float = 0.5):
+                 threshold: float = 0.5, prefix_len: int = _PREFIX_LEN):
         if num_hashes % bands:
             raise ValueError("num_hashes must divide into bands")
+        if not 1 <= prefix_len <= 8:
+            raise ValueError("prefix_len must be 1..8 hex chars")
         self.name = name
         self.topic = f"dedupindex:{name}"
         self.id_expr = id_expr
@@ -92,6 +101,9 @@ class DedupIndexSpec:
         self.num_hashes = num_hashes
         self.bands = bands
         self.threshold = threshold
+        # ckey bucket fan-out (16^prefix_len buckets) — FIXED for the
+        # life of the index; see the module constant's comment
+        self.prefix_len = prefix_len
 
     # `keys` duck-types RollupSpec for _spec_cursors' key namespace
     @property
@@ -277,7 +289,8 @@ def sync_index(src: Pool, dest: Pool, spec: DedupIndexSpec,
             # files loses nothing.
             prefixes = sorted(
                 r["ck"] for r in new_bands
-                .select(_band_ckey(F.col("bkey")).alias("ck"))
+                .select(_band_ckey(F.col("bkey"), spec.prefix_len)
+                        .alias("ck"))
                 .distinct().collect()
             )
             cand = nn
@@ -294,7 +307,8 @@ def sync_index(src: Pool, dest: Pool, spec: DedupIndexSpec,
                     # a <=256-value metadata collect bounding the fetch
                     dbuckets = sorted(
                         r["ck"] for r in no_raw
-                        .select(_doc_ckey(F.col("old_id")).alias("ck"))
+                        .select(_doc_ckey(F.col("old_id"),
+                                          spec.prefix_len).alias("ck"))
                         .distinct().collect()
                     )
                     old_sets = _fetch_old_sets(dest, spec, dbuckets,
@@ -342,8 +356,9 @@ def _verify_and_commit(dest: Pool, spec: DedupIndexSpec, delta: DataFrame,
         .filter(F.col("jaccard") >= spec.threshold)
     )
     out = (
-        _stamp("index", _doc_ckey(F.col("doc_id")), sigs)
-        .unionByName(_stamp("band", _band_ckey(F.col("bkey")), new_bands),
+        _stamp("index", _doc_ckey(F.col("doc_id"), spec.prefix_len), sigs)
+        .unionByName(_stamp("band", _band_ckey(F.col("bkey"),
+                                               spec.prefix_len), new_bands),
                      allowMissingColumns=True)
         .unionByName(_stamp("duppair", F.lit("p:"), pairs),
                      allowMissingColumns=True)
@@ -367,7 +382,7 @@ def _verify_and_commit(dest: Pool, spec: DedupIndexSpec, delta: DataFrame,
     return n
 
 
-def _ckey_fill(df: DataFrame) -> DataFrame:
+def _ckey_fill(df: DataFrame, prefix_len: int = _PREFIX_LEN) -> DataFrame:
     """Backfill null ckeys (rows committed before the bucketed format)
     from the row's own content, so post-compaction files are fully
     cluster-keyed and the mixed-pool legacy probe path goes empty."""
@@ -378,10 +393,10 @@ def _ckey_fill(df: DataFrame) -> DataFrame:
     fill = F.lit(None).cast("string")
     if "bkey" in df.columns:
         fill = F.when(F.col("zed_type").eqNullSafe("band"),
-                      _band_ckey(F.col("bkey"))).otherwise(fill)
+                      _band_ckey(F.col("bkey"), prefix_len)).otherwise(fill)
     if "doc_id" in df.columns:
         fill = F.when(F.col("zed_type").eqNullSafe("index"),
-                      _doc_ckey(F.col("doc_id"))).otherwise(fill)
+                      _doc_ckey(F.col("doc_id"), prefix_len)).otherwise(fill)
     if "id_a" in df.columns:
         fill = F.when(F.col("zed_type").eqNullSafe("duppair"),
                       F.lit("p:")).otherwise(fill)
@@ -389,7 +404,8 @@ def _ckey_fill(df: DataFrame) -> DataFrame:
 
 
 def compact_index(dest: Pool, target_rows: int = 4_000_000,
-                  message: str = "dedupindex compact") -> int:
+                  message: str = "dedupindex compact",
+                  spec: DedupIndexSpec | None = None) -> int:
     """Range-cluster the index pool by ckey (Pool.compact cluster_by):
     each output file covers a narrow ckey range and records its [min,max]
     in the manifest, so `sync_index`'s bounded probes skip whole files.
@@ -398,8 +414,10 @@ def compact_index(dest: Pool, target_rows: int = 4_000_000,
     usual small-files cadence (commits_since_base); until it runs,
     freshly appended commits carry no file stats and are simply always
     read — boundedness degrades, correctness never."""
+    plen = spec.prefix_len if spec is not None else _PREFIX_LEN
     return dest.compact(target_rows=target_rows, message=message,
-                        transform=_ckey_fill, cluster_by=["ckey"])
+                        transform=lambda df: _ckey_fill(df, plen),
+                        cluster_by=["ckey"])
 
 
 def migrate_band_rows(dest: Pool, spec: DedupIndexSpec) -> int:
@@ -419,7 +437,8 @@ def migrate_band_rows(dest: Pool, spec: DedupIndexSpec) -> int:
         have = df.filter(_is_band(spec)).select("doc_id").distinct()
         idx = idx.join(have, "doc_id", "left_anti")
     band = idx.select("doc_id", F.explode("bkeys").alias("bkey"))
-    out = _envelope(spec, _stamp("band", _band_ckey(F.col("bkey")), band),
+    out = _envelope(spec, _stamp("band", _band_ckey(F.col("bkey"),
+                                                    spec.prefix_len), band),
                     len(dest.commits()))
     return dest.load(out, f"{spec.topic} band-row migration")
 
@@ -463,5 +482,6 @@ def load_index_spec(path: str) -> tuple[DedupIndexSpec, dict]:
         num_hashes=int(doc.get("num_hashes", 64)),
         bands=int(doc.get("bands", 16)),
         threshold=float(doc.get("threshold", 0.5)),
+        prefix_len=int(doc.get("prefix_len", _PREFIX_LEN)),
     )
     return spec, doc

@@ -60,8 +60,27 @@ class ToKafka:
 
         return compile_pipeline(page, self.shaper)
 
+    def _col_names(self, col: str) -> dict[str, str] | None:
+        """The pool's named-type decorations scoped to one envelope column
+        (types.json paths are pool-absolute; the wire schema's are
+        relative to the encoded struct): {'value.after': 'addr'} →
+        {'after': 'addr'} for the value column. None when the pool has no
+        decorations under the column — encode then skips the name
+        plumbing entirely."""
+        out = {}
+        for p, n in self.pool.type_names().items():
+            if p == col:
+                out[""] = n
+            elif p.startswith(col + "."):
+                out[p[len(col) + 1:]] = n
+        return out or None
+
     def encode_frame(self, env: DataFrame) -> DataFrame:
-        """envelope rows → kafka frame (topic, key bytes, value bytes)."""
+        """envelope rows → kafka frame (topic, key bytes, value bytes).
+        Connect-JSON frames carry the pool's named-type decorations on
+        the wire schema's `name` fields (the reference's TypeNamed ride,
+        connectjson.go:99-101) — consume→pool→produce round-trips keep
+        nested decorators."""
         frame = env.select(
             F.col("kafka.topic").alias("topic"),
             F.col("kafka.offset").alias("offset"),
@@ -75,9 +94,13 @@ class ToKafka:
             frame = encode_column(frame, "value", self.value_schema, self.registry)
         elif self.format == "json":
             frame = frame.withColumn(
-                "key", connectjson.encode(F.col("key"), self.key_schema).cast("binary")
+                "key", connectjson.encode(F.col("key"), self.key_schema,
+                                          names=self._col_names("key"))
+                .cast("binary")
             ).withColumn(
-                "value", connectjson.encode(F.col("value"), self.value_schema).cast("binary")
+                "value", connectjson.encode(F.col("value"), self.value_schema,
+                                            names=self._col_names("value"))
+                .cast("binary")
             )
         else:
             raise ValueError(f"unknown format {self.format!r}")
