@@ -1,0 +1,115 @@
+"""Incremental IVF ANN index (streaming/ann_index.py).
+
+Invariants: (1) an index built incrementally over ANY commit split
+answers queries identically to the batch IVF operator run with the same
+frozen centroids over the full corpus (assignment depends only on
+(vector, centroids)); (2) reruns are no-ops; (3) after compaction a
+query reads only its probed cells' files."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from zync_spark.functions import similarity as S
+from zync_spark.pool import Pool
+from zync_spark.streaming import ann_index as AI
+
+ROW = ("kafka struct<topic:string,partition:long,offset:long>, "
+       "zed_type string, value struct<vec_id:long,emb:array<double>>")
+
+SPEC = AI.AnnIndexSpec("v", "value.vec_id", "value.emb",
+                       n_cells=4, iterations=2)
+DIM = 6
+
+
+def _vec(i):
+    # deterministic, well-spread vectors
+    return [math.sin(0.7 * i + j) + 0.01 * ((i * 31 + j * 17) % 19)
+            for j in range(DIM)]
+
+
+def _corpus(spark, n):
+    return spark.createDataFrame(
+        [(i, _vec(i)) for i in range(n)],
+        "vec_id long, embedding array<double>")
+
+
+def _load(spark, src, lo, hi):
+    rows = [(("emb", 0, i), "data", (i, _vec(i))) for i in range(lo, hi)]
+    src.load(spark.createDataFrame(rows, ROW), f"[{lo},{hi})")
+
+
+def test_incremental_equals_batch_with_frozen_centroids(spark, tmp_path):
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    _load(spark, src, 0, 30)                        # backfill: trains quantizer
+    assert AI.sync_ann(src, dest, SPEC, ["emb"]) > 0
+    cents_after_backfill = AI.stored_centroids(dest, SPEC)
+    _load(spark, src, 30, 50)                       # delta: frozen centroids
+    assert AI.sync_ann(src, dest, SPEC, ["emb"]) > 0
+    # centroids did NOT retrain
+    assert AI.stored_centroids(dest, SPEC) == cents_after_backfill
+    # rerun with no new data is a no-op
+    n_commits = len(dest.commits())
+    assert AI.sync_ann(src, dest, SPEC, ["emb"]) == 0
+    assert len(dest.commits()) == n_commits
+
+    corpus = _corpus(spark, 50)
+    queries = corpus.filter(F.col("vec_id") < 5)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cos"], 12))
+        for r in AI.ann_query(dest, SPEC, queries, k=3, nprobe=2).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cos"], 12))
+        for r in S.ivf_ann_topk(corpus, queries, k=3,
+                                nprobe=2,
+                                centroids=cents_after_backfill).collect()
+    }
+    assert got == want and len(got) == 15  # 5 queries x top-3
+
+
+def test_query_probe_reads_bounded_file_subset(spark, tmp_path):
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    _load(spark, src, 0, 60)
+    assert AI.sync_ann(src, dest, SPEC, ["emb"]) > 0
+    AI.compact_ann(dest, target_rows=8)  # many small clustered files
+    live = len(dest.committed_files())
+    assert live >= 6
+    queries = _corpus(spark, 60).filter(F.col("vec_id") < 2)
+    stats: dict = {}
+    pre = AI.ann_query(dest, SPEC, queries, k=3, nprobe=1,
+                       stats_out=stats).collect()
+    assert stats["live_files"] == live
+    assert 0 < stats["probe_files"] < live  # only probed cells' files
+    assert len(pre) > 0
+    # compaction/skipping never changes results
+    stats2: dict = {}
+    dest2 = Pool.create(spark, str(tmp_path / "idx2"))
+    src2 = Pool.create(spark, str(tmp_path / "src2"))
+    _load(spark, src2, 0, 60)
+    AI.sync_ann(src2, dest2, SPEC, ["emb"])
+    uncompacted = AI.ann_query(dest2, SPEC, queries, k=3, nprobe=1,
+                               stats_out=stats2).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["neighbor_id"])
+                              for r in rows)
+    assert key(pre) == key(uncompacted)
+
+
+def test_unindexable_delta_advances_cursor(spark, tmp_path):
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    rows = [(("emb", 0, 0), "data", (0, None)),
+            (("emb", 0, 1), "data", (1, []))]
+    src.load(spark.createDataFrame(rows, ROW), "nulls")
+    assert AI.sync_ann(src, dest, SPEC, ["emb"]) > 0  # tombstone commit
+    assert dest.stored_cursors()
+    assert AI.sync_ann(src, dest, SPEC, ["emb"]) == 0  # true no-op
+    with pytest.raises(ValueError):
+        AI.ann_query(dest, SPEC, _corpus(spark, 4))
+    # a later REAL backfill trains and indexes normally on top
+    _load(spark, src, 2, 22)
+    assert AI.sync_ann(src, dest, SPEC, ["emb"]) > 0
+    assert AI.stored_centroids(dest, SPEC)

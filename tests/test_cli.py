@@ -343,3 +343,34 @@ def test_cli_dedup_index_sync_pairs(spark, tmp_path, capsys):
     assert main(["--lake", lake, "dedup-index", "index", spec_path]) == 0
     idx = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert [r["doc_id"] for r in idx] == [d for d, _ in DOCS]
+
+
+def test_cli_ann_index_and_types(spark, tmp_path, capsys):
+    import yaml as _yaml
+
+    from tests.test_ann_index import ROW as AROW, _vec
+    from zync_spark.pool import Pool
+
+    lake = os.path.join(tmp_path, "lake_ann")
+    src = Pool.create(spark, os.path.join(lake, "src"))
+    rows = [(("emb", 0, i), "data", (i, _vec(i))) for i in range(24)]
+    src.load(spark.createDataFrame(rows, AROW), "backfill",
+             type_names={"value.emb": "embedding_t"})
+    spec_path = os.path.join(tmp_path, "aidx.yaml")
+    with open(spec_path, "w") as f:
+        _yaml.safe_dump(
+            {"name": "emb", "source": "src", "dest": "aidx",
+             "topics": ["emb"], "id": "value.vec_id", "vec": "value.emb",
+             "n_cells": 4}, f)
+    assert main(["--lake", lake, "ann-index", "sync", spec_path]) == 0
+    assert "rows committed" in capsys.readouterr().out
+    assert main(["--lake", lake, "ann-index", "compact", spec_path]) == 0
+    assert "compacted" in capsys.readouterr().out
+    assert main(["--lake", lake, "ann-index", "cells", spec_path]) == 0
+    cells = [json.loads(l)
+             for l in capsys.readouterr().out.strip().splitlines()]
+    assert sum(c["n_vecs"] for c in cells) == 24 and len(cells) >= 2
+    # types: the named-type registry sidecar prints as JSON lines
+    assert main(["--lake", lake, "types", "src"]) == 0
+    assert json.loads(capsys.readouterr().out.strip()) == {
+        "path": "value.emb", "name": "embedding_t"}

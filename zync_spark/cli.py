@@ -257,6 +257,58 @@ def cmd_dedup_index(args) -> int:
     return 0
 
 
+def cmd_ann_index(args) -> int:
+    """Maintain an incremental IVF ANN index from a YAML spec
+    (streaming/ann_index.py). Actions:
+
+      sync     one maintenance pass: first pass trains the frozen
+               quantizer on its delta, every pass assigns the delta
+               map-side and appends cell-bucketed vec rows atomically
+               with cursors (rerun = no-op)
+      compact  range-cluster the index pool by cell so ann_query reads
+               only probed cells' files
+      cells    print per-cell vector counts as JSON lines
+
+    Spec YAML: see streaming.ann_index.load_ann_spec docstring.
+    """
+    from pyspark.sql import functions as F
+
+    from zync_spark.streaming import ann_index as ai
+
+    spec, doc = ai.load_ann_spec(args.spec)
+    spark = _spark()
+    dest = _pool(spark, args.lake, doc["dest"], create=True)
+    if args.action == "sync":
+        src = _pool(spark, args.lake, doc["source"])
+        n = ai.sync_ann(src, dest, spec, list(doc["topics"]))
+        print(f"ann-index {spec.name}: {n} rows committed")
+    elif args.action == "compact":
+        n = ai.compact_ann(dest)
+        print(f"ann-index {spec.name}: compacted {n} rows")
+    else:
+        df = dest.scan()
+        if df is not None and "cell" in df.columns:
+            for line in (df.filter(ai._is_vec(spec)).groupBy("cell")
+                         .agg(F.count("*").alias("n_vecs"))
+                         .orderBy("cell").toJSON().collect()):
+                print(line)
+    return 0
+
+
+def cmd_types(args) -> int:
+    """Print a pool's named-type registry (types.json sidecar): one JSON
+    line {path, name} per decoration — the nested named-type decorators
+    the unified schema carries out-of-band (no Spark session needed)."""
+    sidecar = os.path.join(args.lake, args.pool, "types.json")
+    if not os.path.isdir(os.path.join(args.lake, args.pool)):
+        raise SystemExit(f"zync-spark: no such pool {args.pool!r} in {args.lake!r}")
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            for path, name in sorted(json.load(f).items()):
+                print(json.dumps({"path": path, "name": name}))
+    return 0
+
+
 def cmd_log(args) -> int:
     """Print a pool's commit log (one JSON line per manifest, newest
     last): seq, message, rows, base flag, per-topic offset stats,
@@ -584,6 +636,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--page-span", type=int, default=100_000)
     p.add_argument("--config", default=None)
     p.set_defaults(fn=cmd_to_kafka)
+
+    p = sub.add_parser("ann-index", help="incremental IVF ANN index")
+    p.add_argument("action", choices=["sync", "compact", "cells"])
+    p.add_argument("spec", help="index spec YAML (see cmd_ann_index docstring)")
+    p.set_defaults(fn=cmd_ann_index)
+
+    p = sub.add_parser("types", help="pool named-type registry (types.json)")
+    p.add_argument("pool")
+    p.set_defaults(fn=cmd_types)
 
     p = sub.add_parser("log", help="pool commit history (DESCRIBE HISTORY)")
     p.add_argument("pool")

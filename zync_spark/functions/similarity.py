@@ -339,6 +339,7 @@ def ivf_ann_topk(
     k: int = 5,
     n_cells: int = 16,
     nprobe: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a coarse quantizer of
     `n_cells` k-means centroids partitions the corpus; each query probes
@@ -349,11 +350,14 @@ def ivf_ann_topk(
     real cluster centers, not a hash sample, so cells are balanced and
     recall doesn't hinge on sampling luck. Corpus rows assign to 1 cell;
     queries probe `nprobe` cells (recall/cost knob). Same output shape as
-    cosine_topk.
+    cosine_topk. `centroids` supplies a pre-trained quantizer instead
+    (the frozen-centroid contract of streaming.ann_index; n_cells is
+    then ignored).
     """
-    centroids = kmeans_centroids(
-        corpus, k=n_cells, iterations=2, id_col=id_col, vec_col=vec_col
-    )
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, k=n_cells, iterations=2, id_col=id_col, vec_col=vec_col
+        )
     if not centroids:
         raise ValueError("ivf_ann_topk: empty corpus")
 

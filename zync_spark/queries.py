@@ -2872,12 +2872,15 @@ def kmeans_clusters(spark, sf_dir):
 # The k-means assignment CTE chain (identical fixed-point recipe to the
 # kmeans_clusters oracle above), parametrized by k — shared by the SemDeDup
 # and IVF oracles below.
-def _kmeans_cte(k: int) -> str:
+def _kmeans_cte(k: int, where: str = "") -> str:
+    """`where` restricts the TRAINING set (the incremental ANN index
+    trains its frozen quantizer on the backfill slice only); the empty
+    default is the original full-corpus CTE."""
     return f"""
     scaled AS (
       SELECT vec_id,
              list_transform(embedding, x -> floor(x::DOUBLE * 1048576)::BIGINT) AS xs
-      FROM embeddings),
+      FROM embeddings {where}),
     e AS (SELECT vec_id, unnest(range(64)) AS pos, unnest(xs) AS x FROM scaled),
     a0 AS (SELECT vec_id, vec_id % {k} AS cluster FROM scaled),
     c1 AS (SELECT cluster, pos, (sum(x) // count(*))::BIGINT AS c
@@ -2938,6 +2941,97 @@ ORACLE_SQL["ann_ivf_topk"] = f"""
                                 ORDER BY cos DESC, neighbor_id) AS rank
       FROM cand) WHERE rank <= 5
 """
+
+
+# Incremental ANN index oracle: identical recipe to ann_ivf_topk's, with
+# the quantizer TRAINED on the backfill slice only (vec_id < 3/5 of max —
+# the index's first commit) and frozen — every vector, whichever commit
+# delivered it, assigns against those centroids, which is exactly what
+# the incremental maintainer computes pass by pass.
+_ANN_IDX_TRAIN = ("WHERE vec_id < (SELECT (max(vec_id) * 3) // 5 "
+                  "FROM embeddings)")
+ORACLE_SQL["ann_index_incremental"] = f"""
+    WITH {_kmeans_cte(16, _ANN_IDX_TRAIN)},
+    c3 AS (SELECT cluster, pos, (sum(x) // count(*))::BIGINT AS c
+           FROM e JOIN a2 USING (vec_id) GROUP BY cluster, pos),
+    cents AS (SELECT cluster, list(c / 1048576.0 ORDER BY pos) AS cv
+              FROM c3 GROUP BY cluster),
+    v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings),
+    cscore AS (SELECT v.vec_id, v.v, c.cluster,
+                      {_cos_sql('v.v', 'c.cv')} AS cs
+               FROM v, cents c),
+    cassign AS (SELECT vec_id, v, cluster FROM (
+                  SELECT vec_id, v, cluster,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cs DESC, cluster) AS rn
+                  FROM cscore) WHERE rn = 1),
+    qprobe AS (SELECT vec_id, v, cluster FROM (
+                  SELECT vec_id, v, cluster,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cs DESC, cluster) AS rn
+                  FROM cscore WHERE vec_id < 10) WHERE rn <= 2),
+    cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    {_cos_sql('q.v', 'c.v')} AS cos
+             FROM qprobe q JOIN cassign c
+               ON c.cluster = q.cluster AND c.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM cand) WHERE rank <= 5
+"""
+
+
+@register("ann_index_incremental")
+def ann_index_incremental(spark, sf_dir):
+    """Incrementally maintained IVF ANN index == batch IVF with frozen
+    centroids: the embeddings table lands in a source pool in two
+    commits (first 3/5, then the rest); streaming.ann_index.sync_ann
+    trains the fixed-point coarse quantizer on the FIRST delta (the
+    backfill), freezes it as stored centroid rows, and assigns each
+    later delta map-side against it, appending cell-bucketed vec rows
+    atomically with advanced cursors. A rerun with no new data is a
+    no-op. The compacted index answers ann_query by reading only the
+    probed cells' files (scan bounds point-set skipping); the result
+    hash-matches the oracle, which replays the backfill-slice training
+    and the frozen-centroid assignment of the full corpus in SQL.
+
+    Scale: per-pass cost is O(new vectors); per-query read is
+    ~nprobe/n_cells of the index — the inverted-file contract made
+    literal in storage (streaming/ann_index.py docstring)."""
+    import shutil
+
+    from zync_spark.pool import Pool
+    from zync_spark.streaming import ann_index as AI
+
+    emb = T(spark, sf_dir, "embeddings")
+    cut = (emb.agg(F.max("vec_id")).collect()[0][0] * 3) // 5
+    env = emb.select(
+        F.struct(
+            F.lit("emb").alias("topic"),
+            F.lit(0).cast("long").alias("partition"),
+            F.col("vec_id").cast("long").alias("offset"),
+        ).alias("kafka"),
+        F.lit("data").alias("zed_type"),
+        F.struct("vec_id", "embedding").alias("value"),
+    )
+    lake = _scratch_dir(
+        f"zs-annidx-{sf_dir.rstrip('/').rsplit('/', 1)[-1]}")
+    shutil.rmtree(lake, ignore_errors=True)
+    src = Pool.create(spark, f"{lake}/src")
+    dest = Pool.create(spark, f"{lake}/index")
+    spec = AI.AnnIndexSpec("emb", "value.vec_id", "value.embedding",
+                           n_cells=16, iterations=2)
+    src.load(env.filter(F.col("kafka.offset") < cut), "backfill")
+    AI.sync_ann(src, dest, spec, ["emb"])
+    src.load(env.filter(F.col("kafka.offset") >= cut), "delta")
+    AI.sync_ann(src, dest, spec, ["emb"])
+    if AI.sync_ann(src, dest, spec, ["emb"]) != 0:
+        raise RuntimeError("ann_index_incremental: rerun committed rows")
+    AI.compact_ann(dest, target_rows=200)
+    return AI.ann_query(dest, spec, emb.filter(F.col("vec_id") < 10),
+                        k=5, nprobe=2)
 
 
 @register(

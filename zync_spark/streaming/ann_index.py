@@ -1,0 +1,273 @@
+"""Incrementally maintained IVF ANN index over an embeddings pool.
+
+The batch operator (`functions.similarity.ivf_ann_topk`) re-trains the
+coarse quantizer and re-assigns the WHOLE corpus on every call —
+O(corpus) per query batch. A serving pipeline ingesting embeddings
+continuously wants the index formulation:
+
+- the coarse quantizer (fixed-point k-means centroids,
+  similarity.kmeans_centroids — bit-identical on every engine) is
+  trained ONCE, on the first sync's delta (the initial backfill), and
+  stored in the pool as `centroid` rows. It is FROZEN thereafter — the
+  standard IVF contract (FAISS-style): retraining would re-shard every
+  stored list; rebuild the index to retrain.
+- each maintenance pass assigns only the DELTA's vectors to their
+  nearest cell (map-side against the broadcast centroids — the corpus
+  never shuffles) and appends `vec` rows bucketed by cell
+  (ckey = 'l:<cell hex>'), committing atomically with advanced cursors
+  (`Pool.load(cursors=, occ_token=)`) — crash-safe, rerun = no-op,
+  exactly the dedup-index durability argument.
+- `compact_ann` range-clusters the pool by ckey; `ann_query` then
+  assigns the query batch to its `nprobe` nearest cells and reads ONLY
+  those cells' files (`scan(bounds=)` point-set skipping + parquet
+  row-group pruning) — a query over a 100 TB index touches
+  nprobe/n_cells of it, the inverted-file contract made literal in
+  storage.
+
+Because assignment depends only on (vector, frozen centroids), the
+incrementally built index answers queries IDENTICALLY to a batch IVF
+over the full corpus with the same centroids — differential-tested, and
+hash-checked against a DuckDB oracle that replays the fixed-point
+training on the backfill slice. Reference parity: the reference has no
+ANN surface (beyond-reference); commit/cursor machinery mirrors its
+done-marker design (README.md:447-455).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from zync_spark.functions import similarity as S
+from zync_spark.pool import Pool
+from zync_spark.streaming.dedup_index import _envelope, _stamp
+from zync_spark.streaming.incremental import _spec_cursors, scan_delta
+
+
+def _cell_ckey(cell) -> F.Column:
+    """Cluster key of a vec row: 'l:' + 4-hex-char cell id (65k cells max
+    — far above any sane n_cells; fixed width keeps lexicographic order
+    = numeric order for file-range stats)."""
+    return F.concat(F.lit("l:"), F.lower(F.lpad(F.hex(cell), 4, "0")))
+
+
+class AnnIndexSpec:
+    """Declarative index definition. `id_expr`/`vec_expr`: SQL
+    expressions over the source pool's rows producing the vector id
+    (long) and the embedding (array). n_cells/iterations mirror
+    similarity.ivf_ann_topk's coarse quantizer."""
+
+    def __init__(self, name: str, id_expr: str, vec_expr: str,
+                 n_cells: int = 16, iterations: int = 2):
+        self.name = name
+        self.topic = f"annindex:{name}"
+        self.id_expr = id_expr
+        self.vec_expr = vec_expr
+        self.n_cells = n_cells
+        self.iterations = iterations
+
+    # duck-types RollupSpec for _spec_cursors' key namespace
+    @property
+    def keys(self):  # pragma: no cover - structural only
+        return {"vec_id": self.id_expr}
+
+
+def _is_vec(spec: AnnIndexSpec):
+    return (F.col("zed_type").eqNullSafe("vec")
+            & F.col("kafka.topic").eqNullSafe(spec.topic))
+
+
+def _is_centroid(spec: AnnIndexSpec):
+    return (F.col("zed_type").eqNullSafe("centroid")
+            & F.col("kafka.topic").eqNullSafe(spec.topic))
+
+
+def stored_centroids(dest: Pool,
+                     spec: AnnIndexSpec) -> list[tuple[int, list[float]]] | None:
+    """The frozen coarse quantizer, or None before the first sync.
+    Centroid rows live in the single 'c:' bucket — a clustered pool
+    serves this from one file ('c:' sorts before every 'l:'); the
+    collect is n_cells x dim doubles (KBs)."""
+    df = dest.scan(bounds={"ckey": ["c:"]})
+    if df is None or "cid" not in df.columns:
+        return None
+    rows = df.filter(_is_centroid(spec)).select("cid", "cv").collect()
+    if not rows:
+        return None
+    return [(int(r["cid"]), [float(x) for x in r["cv"]])
+            for r in sorted(rows, key=lambda r: r["cid"])]
+
+
+def sync_ann(src: Pool, dest: Pool, spec: AnnIndexSpec,
+             topics: list[str], message: str | None = None) -> int:
+    """One incremental maintenance pass. The FIRST pass trains the
+    quantizer on its delta (the backfill) and commits centroid rows;
+    every pass assigns its delta map-side against the frozen centroids
+    and appends cell-bucketed vec rows. Returns rows appended (0 = no
+    new vectors; reruns are no-ops)."""
+    snapshot = len(dest.commits())
+    cursors = _spec_cursors(spec, dest.stored_cursors(), topics)
+    delta = scan_delta(src, cursors, topics)
+    if delta is None:
+        return 0
+    delta = delta.persist()
+    try:
+        new_cursors = {
+            f"{spec.topic}|{r['t']}#{int(r['p'])}": int(r["mx"]) + 1
+            for r in delta.groupBy(
+                F.col("kafka.topic").alias("t"),
+                F.col("kafka.partition").alias("p"),
+            ).agg(F.max(F.col("kafka.offset")).alias("mx")).collect()
+        }
+        if not new_cursors:
+            return 0
+        vecs = (
+            delta.select(
+                F.expr(spec.id_expr).cast("long").alias("vec_id"),
+                F.expr(spec.vec_expr).alias("v"),
+            )
+            .filter(F.col("v").isNotNull() & (F.size("v") > 0))
+        )
+        cents = stored_centroids(dest, spec)
+        cent_rows = None
+        if cents is None:
+            cents = S.kmeans_centroids(
+                vecs, k=spec.n_cells, iterations=spec.iterations,
+                id_col="vec_id", vec_col="v")
+            if cents:
+                cent_rows = delta.sparkSession.createDataFrame(
+                    [(cid, vec) for cid, vec in cents],
+                    "cid long, cv array<double>")
+        out = None
+        if cents:
+            assigned = S.ivf_assign(
+                vecs.select("vec_id", "v",
+                            S.norm_expr(F.col("v")).alias("vn")),
+                cents, "v", nprobe=1)
+            vec_rows = assigned.select(
+                "vec_id", "v", "vn", F.col("__cell").alias("cell"))
+            out = _stamp("vec", _cell_ckey(F.col("cell")), vec_rows)
+            if cent_rows is not None:
+                out = _stamp("centroid", F.lit("c:"), cent_rows).unionByName(
+                    out, allowMissingColumns=True)
+        n = 0
+        if out is not None:
+            n = dest.load(_envelope(spec, out, snapshot),
+                          message or f"{spec.topic} sync",
+                          cursors=new_cursors, occ_token=snapshot)
+        if n == 0:
+            # nothing indexable in the delta: advance the cursor via a
+            # tombstone (same rationale as the dedup index)
+            tomb = delta.sparkSession.createDataFrame(
+                [((spec.topic, 0, 0), "cursors")],
+                "kafka struct<topic:string,partition:long,offset:long>,"
+                " zed_type string",
+            )
+            return dest.load(tomb, message or f"{spec.topic} sync",
+                             cursors=new_cursors, occ_token=snapshot)
+        return n
+    finally:
+        delta.unpersist()
+
+
+def compact_ann(dest: Pool, target_rows: int = 4_000_000,
+                message: str = "annindex compact") -> int:
+    """Range-cluster the index pool by ckey so each output file covers a
+    narrow cell range (per-file [min,max] in the manifest) — ann_query's
+    bounded probe then skips non-probed cells at FILE granularity. Until
+    it runs, fresh commits carry no stats and are simply always read."""
+    return dest.compact(target_rows=target_rows, message=message,
+                        cluster_by=["ckey"])
+
+
+def load_ann_spec(path: str) -> tuple[AnnIndexSpec, dict]:
+    """Parse an ann-index spec YAML (the CLI's format); returns
+    (spec, raw_doc) — the doc carries routing fields (source/dest/topics)
+    the caller resolves to pools.
+
+    Spec YAML:
+      name: emb
+      source: src_pool
+      dest: index_pool
+      topics: [embeddings]
+      id: value.vec_id
+      vec: value.embedding
+      n_cells: 16       # optional
+      iterations: 2     # optional
+    """
+    import yaml
+
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    spec = AnnIndexSpec(
+        doc["name"],
+        id_expr=doc["id"],
+        vec_expr=doc["vec"],
+        n_cells=int(doc.get("n_cells", 16)),
+        iterations=int(doc.get("iterations", 2)),
+    )
+    return spec, doc
+
+
+def ann_query(dest: Pool, spec: AnnIndexSpec, queries: DataFrame,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              k: int = 5, nprobe: int = 2,
+              stats_out: dict | None = None) -> DataFrame:
+    """Approximate top-k against the stored index: assign the query
+    batch to its `nprobe` nearest cells (map-side vs the frozen
+    centroids), then score ONLY those cells' stored vectors. The probed
+    cell ids bound the scan (`bounds={"ckey": [...]}`): a compacted
+    index serves the query from ~nprobe/n_cells of its files —
+    `stats_out` receives probe_files/live_files, the boundedness
+    contract under test. Output shape matches ivf_ann_topk:
+    (query_id, neighbor_id, rank, cos)."""
+    cents = stored_centroids(dest, spec)
+    if cents is None:
+        raise ValueError(f"ann_query: index {spec.name!r} is empty "
+                         "(run sync_ann first)")
+    q = S.ivf_assign(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            S.norm_expr(F.col(vec_col)).alias("qn"),
+        ),
+        cents, "qv", nprobe=nprobe)
+    cells = sorted({
+        int(r["c"]) for r in
+        q.select(F.col("__cell").alias("c")).distinct().collect()
+    })  # <= n_cells values: a metadata collect, same class as centroids
+    ckeys = ["l:%04x" % c for c in cells]
+    if stats_out is not None:
+        stats_out["live_files"] = len(dest.committed_files())
+        stats_out["probe_files"] = len(
+            dest.committed_files(bounds={"ckey": ckeys}))
+    stored = dest.scan(bounds={"ckey": ckeys})
+    cand = (
+        stored.filter(_is_vec(spec) & F.col("ckey").isin(ckeys))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            F.col("vn").alias("cn"),
+            F.col("cell").alias("__cell"),
+        )
+    )
+    scored = (
+        cand.join(F.broadcast(q), "__cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            (S.dot_expr(F.col("qv"), F.col("cv"))
+             / (F.col("qn") * F.col("cn"))).alias("cos"),
+        )
+        # a neighbor can appear via more than one probed cell
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
