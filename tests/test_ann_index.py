@@ -98,6 +98,26 @@ def test_query_probe_reads_bounded_file_subset(spark, tmp_path):
     assert key(pre) == key(uncompacted)
 
 
+def test_query_plan_broadcasts_and_stays_jvm(spark, tmp_path):
+    """ann_query's plan: the (small) assigned query batch broadcasts onto
+    the bounded cell scan — no shuffle join, no Python nodes, and no
+    SinglePartition exchange anywhere (the envelope fix is shared with
+    the dedup index; the only window partitions by query_id)."""
+    import re
+
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    _load(spark, src, 0, 40)
+    AI.sync_ann(src, dest, SPEC, ["emb"])
+    q = AI.ann_query(dest, SPEC, _corpus(spark, 40).filter("vec_id < 3"),
+                     k=3, nprobe=2)
+    p = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "SinglePartition" not in p
+    assert re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas", p) is None
+
+
 def test_unindexable_delta_advances_cursor(spark, tmp_path):
     src = Pool.create(spark, str(tmp_path / "src"))
     dest = Pool.create(spark, str(tmp_path / "idx"))
