@@ -432,3 +432,43 @@ def test_to_kafka_egress_shaper(spark, tmp_path):
     assert n == 6  # bookkeeping counts scanned records (cursor integrity)
     sent = [r["offset"] for p in pages2 for r in p]
     assert sent == [0, 2, 4]
+
+
+def test_streaming_index_maintenance(spark, tmp_path):
+    """FromKafka(indexes=[...]) keeps a dedup index fresh to within one
+    micro-batch, exactly the rollup contract: commit_batch ingests, then
+    the index sync consumes the cursor-bounded delta and discovers the
+    cross-batch near-dup pair."""
+    from tests.test_dedup_index import DOCS, SPEC
+    from zync_spark.streaming import dedup_index as DI
+
+    reg = MemoryRegistry()
+    doc_t = S([Fld("doc_id", LongType()), Fld("text", StringType())])
+    pool = Pool.create(spark, str(tmp_path / "docs"))
+    idx = Pool.create(spark, str(tmp_path / "idx"))
+    fk = FromKafka(spark, {"docs": pool}, KEY_T, doc_t, registry=reg,
+                   format="avro", indexes=[(SPEC, idx, ["docs"])])
+
+    def frame(rows):
+        typed = spark.createDataFrame(
+            [("docs", 0, o, (d,), (d, DOCS[d][1])) for o, d in rows],
+            S([Fld("topic", StringType()), Fld("partition", LongType()),
+               Fld("offset", LongType()), Fld("key", KEY_T),
+               Fld("value", doc_t)]))
+        wire = encode_column(typed, "key", KEY_T, reg)
+        return encode_column(wire, "value", doc_t, reg)
+
+    assert fk.commit_batch(frame([(0, 0), (1, 2)])) == {"docs": 2}
+    assert DI.pairs_view(idx, SPEC).count() == 0   # no dup yet
+    assert fk.commit_batch(frame([(2, 4), (3, 1)])) == {"docs": 2}
+    pairs = {(r["id_a"], r["id_b"])
+             for r in DI.pairs_view(idx, SPEC).collect()}
+    assert pairs == {(2, 4), (0, 1)}  # cross-batch dups found per batch
+    # a replayed batch commits nothing and the index stays put
+    n_commits = len(idx.commits())
+    assert fk.commit_batch(frame([(2, 4)])) == {}
+    assert len(idx.commits()) == n_commits
+    # bad spec type fails at construction
+    with pytest.raises(TypeError):
+        FromKafka(spark, {"docs": pool}, KEY_T, doc_t, registry=reg,
+                  indexes=[(object(), idx, ["docs"])])

@@ -431,10 +431,26 @@ def cmd_from_kafka(args) -> int:
         spec, doc = load_rollup_spec(spec_path)
         dest = _pool(spark, args.lake, doc["dest"], create=True)
         rollups.append((spec, dest, list(doc.get("topics") or [args.topic])))
+    indexes = []
+    for spec_path in args.index or []:
+        # dedup-index and ann-index spec YAMLs are distinguished by their
+        # field names (text vs vec); FromKafka dispatches on spec type
+        import yaml as _yaml
+
+        with open(spec_path) as f:
+            probe = _yaml.safe_load(f)
+        if "vec" in probe:
+            from zync_spark.streaming.ann_index import load_ann_spec as _load
+        else:
+            from zync_spark.streaming.dedup_index import \
+                load_index_spec as _load
+        spec, doc = _load(spec_path)
+        dest = _pool(spark, args.lake, doc["dest"], create=True)
+        indexes.append((spec, dest, list(doc.get("topics") or [args.topic])))
     fk = FromKafka(
         spark, {args.topic: pool}, key_t, val_t,
         format=args.format, shaper=args.shaper,
-        rollups=rollups,
+        rollups=rollups, indexes=indexes,
     )
     if args.transport.startswith("file:"):
         from zync_spark.sources.filequeue import FileQueue
@@ -621,6 +637,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="rollup spec YAML to keep in sync after every "
                         "micro-batch (repeatable; streaming materialized "
                         "view)")
+    p.add_argument("--index", action="append", default=None,
+                   help="dedup-index or ann-index spec YAML to keep in "
+                        "sync after every micro-batch (repeatable)")
     p.set_defaults(fn=cmd_from_kafka)
 
     p = sub.add_parser("to-kafka", help="pool -> topic egress from the HWM")

@@ -49,6 +49,7 @@ class FromKafka:
         auto_compact_every: int | None = None,
         dead_letter_pool: Pool | None = None,
         rollups: list[tuple] | None = None,
+        indexes: list[tuple] | None = None,
     ):
         self.spark = spark
         self.topic_pools = topic_pools
@@ -68,18 +69,36 @@ class FromKafka:
         # committed (where the foreachBatch retry would then trip the
         # monotonicity guard and wedge the query).
         self.rollups = rollups or []
-        for spec, _dest, topics in self.rollups:
-            missing = [t for t in topics if t not in topic_pools]
-            if missing:
-                raise ValueError(
-                    f"rollup {spec.name!r}: topics {missing} are not ingest "
-                    f"topics (have {sorted(topic_pools)})"
-                )
-            if len({id(topic_pools[t]) for t in topics}) > 1:
-                raise ValueError(
-                    f"rollup {spec.name!r}: its topics must share one ingest "
-                    "pool (cursors are tracked against a single source)"
-                )
+        # streaming index maintenance: (DedupIndexSpec | AnnIndexSpec,
+        # dest Pool, [topics]) entries sync after each micro-batch commit
+        # — the dedup/ANN indexes stay fresh to within one trigger at
+        # O(new data) per batch, exactly the rollup contract
+        # (streaming/dedup_index.py, streaming/ann_index.py).
+        self.indexes = indexes or []
+        for kind, entries in (("rollup", self.rollups),
+                              ("index", self.indexes)):
+            for spec, _dest, topics in entries:
+                missing = [t for t in topics if t not in topic_pools]
+                if missing:
+                    raise ValueError(
+                        f"{kind} {spec.name!r}: topics {missing} are not "
+                        f"ingest topics (have {sorted(topic_pools)})"
+                    )
+                if len({id(topic_pools[t]) for t in topics}) > 1:
+                    raise ValueError(
+                        f"{kind} {spec.name!r}: its topics must share one "
+                        "ingest pool (cursors are tracked against a single "
+                        "source)"
+                    )
+        if self.indexes:
+            from zync_spark.streaming.ann_index import AnnIndexSpec
+            from zync_spark.streaming.dedup_index import DedupIndexSpec
+
+            for spec, _d, _t in self.indexes:
+                if not isinstance(spec, (DedupIndexSpec, AnnIndexSpec)):
+                    raise TypeError(
+                        f"index entry {spec!r}: expected DedupIndexSpec or "
+                        "AnnIndexSpec")  # fail at construction, not mid-stream
 
     # -- resume ------------------------------------------------------------
 
@@ -234,6 +253,15 @@ class FromKafka:
             for spec, dest, topics in self.rollups:
                 if any(t in committed for t in topics):
                     inc.sync(self.topic_pools[topics[0]], dest, spec, list(topics))
+            for spec, dest, topics in self.indexes:
+                if any(t in committed for t in topics):
+                    from zync_spark.streaming import ann_index, dedup_index
+
+                    sync = (dedup_index.sync_index
+                            if isinstance(spec, dedup_index.DedupIndexSpec)
+                            else ann_index.sync_ann)
+                    sync(self.topic_pools[topics[0]], dest, spec,
+                         list(topics))
         return committed
 
     # -- streaming entry ---------------------------------------------------
