@@ -47,6 +47,11 @@ OPS = [
     "q_ntile_deciles",
     "dedup_passages",
     "ann_pq_topk",
+    # round-4 additions: the two incremental index pipelines (these RUN
+    # their pool syncs at call time, so the curve covers the full
+    # build+query path, not just a plan)
+    "dedup_index_incremental",
+    "ann_index_incremental",
 ]
 
 
