@@ -238,6 +238,28 @@ def test_to_kafka_sync_partitions(spark, tmp_path):
     )
     assert got2 == got
     assert [r["offset"] for p in pages2 for r in p] == flat
+    # parallel partitions: same per-partition counts and per-partition
+    # page order (cross-partition interleaving is free — Kafka's own
+    # contract); thread-safe list via lock
+    import threading
+
+    lock = threading.Lock()
+    pages3: list = []
+
+    def _collect(df):
+        rows = df.collect()
+        with lock:
+            pages3.append(rows)
+
+    got3 = tk.sync_partitions("T", {0: 2, 1: 0}, produce=_collect,
+                              bulk=True, page_span=10, parallelism=2)
+    assert got3 == got
+    # same record set overall; within each produced page, offsets are
+    # ascending (each partition's thread produces its pages in order)
+    assert sorted(r["offset"] for page in pages3 for r in page) == sorted(flat)
+    for page in pages3:
+        offs = [r["offset"] for r in page]
+        assert offs == sorted(offs)
 
 
 def test_to_kafka_already_synced(spark, tmp_path):

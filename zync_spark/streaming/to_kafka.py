@@ -170,24 +170,37 @@ class ToKafka:
         produce: Callable[[DataFrame], None],
         bulk: bool = False,
         page_span: int = 100_000,
+        parallelism: int = 1,
     ) -> dict[int, int]:
         """Multi-partition egress: each Kafka partition is an independent
         offset sequence with its own high-water mark, exactly mirroring
         from_kafka's per-(topic, partition) resume. The reference never
         grew past partition 0 (fifo/consumer.go:59-63); this is the
-        completion of that contract. Partitions sync independently (order
-        only matters within a partition — Kafka's own guarantee), so at
-        scale the per-partition loops are embarrassingly parallel across
-        submitting threads if needed. Returns {partition: produced}."""
-        out: dict[int, int] = {}
-        for p, hwm in sorted(hwms.items()):
+        completion of that contract.
+
+        Ordering only matters WITHIN a partition (Kafka's own guarantee),
+        so the per-partition loops are embarrassingly parallel:
+        `parallelism` > 1 runs them across driver threads (Spark
+        schedules jobs from concurrent threads; each partition's pages
+        still produce strictly in its own offset order inside its
+        thread). The produce callable must tolerate concurrent calls for
+        DIFFERENT partitions — true of the kafka sink (independent
+        producer batches) and the noop bench sink. Returns
+        {partition: produced}."""
+        def _one(p: int, hwm: int) -> int:
             if bulk:
-                out[p] = self.sync_bulk(
-                    topic, hwm, produce, page_span=page_span, partition=p
-                )
-            else:
-                out[p] = self.sync(topic, hwm, produce, partition=p)
-        return out
+                return self.sync_bulk(
+                    topic, hwm, produce, page_span=page_span, partition=p)
+            return self.sync(topic, hwm, produce, partition=p)
+
+        items = sorted(hwms.items())
+        if parallelism <= 1 or len(items) <= 1:
+            return {p: _one(p, hwm) for p, hwm in items}
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(max_workers=parallelism) as ex:
+            futs = {p: ex.submit(_one, p, hwm) for p, hwm in items}
+            return {p: f.result() for p, f in futs.items()}
 
     def sync_bulk(self, topic: str, hwm: int,
                   produce: Callable[[DataFrame], None],
