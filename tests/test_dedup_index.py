@@ -233,6 +233,21 @@ def test_legacy_pool_fallback_and_migration(spark, tmp_path):
     assert idx == [0, 1, 2, 3, 4]
 
 
+def test_auto_compact_cadence(spark, tmp_path):
+    """sync_index(auto_compact_every=N) re-clusters once N delta commits
+    accrete — results identical, and the pool gains a base manifest."""
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    start = 0
+    for batch in BATCHES:
+        start = _load_batch(spark, src, batch, start)
+        assert DI.sync_index(src, dest, SPEC, ["docs"],
+                             auto_compact_every=2) > 0
+    assert dest.commits_since_base() < len(dest.commits())  # a base exists
+    got = {(r["id_a"], r["id_b"]) for r in DI.pairs_view(dest, SPEC).collect()}
+    assert got == set(_batch_pairs(spark))
+
+
 def test_unindexable_batch_still_advances_cursor(spark, tmp_path):
     """A batch whose documents are all shorter than the shingle size
     yields no index rows — the cursor must STILL advance (via the

@@ -90,6 +90,24 @@ def test_typeof_consults_registry_and_retags(spark):
         compile_pipeline(df, "t := typeof(n)")
 
 
+def test_is_path_form_consults_registry(spark):
+    """Zed's two-arg is(path, <T>): tests a NESTED value's decoration
+    against the path registry (frame-level in the unified-schema model,
+    so it folds to a constant); the one-arg / this form keeps routing on
+    zed_type."""
+    names: dict = {}
+    df = compile_pipeline(
+        _cdc(spark),
+        PROLOGUE + "yield {left: cast({kafka: kafka}, done), n: 1}",
+        names_out=names)
+    ctx = Context(path_names=dict(names))
+    assert compile_pipeline(df, "where is(left, <done>)", ctx=ctx).count() == 2
+    assert compile_pipeline(df, "where is(left, <other>)", ctx=ctx).count() == 0
+    assert compile_pipeline(df, "where is(n, <done>)", ctx=ctx).count() == 0
+    # this-form on a frame without a discriminator: statically false
+    assert compile_pipeline(df, "where is(this, <done>)", ctx=ctx).count() == 0
+
+
 def test_pool_sidecar_round_trip(spark, tmp_path):
     """Decorations persist with the pool (types.json), merge across
     loads, and survive reopen — the per-pool registry the reference's

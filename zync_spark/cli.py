@@ -232,7 +232,8 @@ def cmd_dedup_index(args) -> int:
         src = _pool(spark, args.lake, doc["source"])
         stats: dict = {}
         n = di.sync_index(src, dest, spec, list(doc["topics"]),
-                          stats_out=stats)
+                          stats_out=stats,
+                          auto_compact_every=args.auto_compact)
         probe = (f" (probe read {stats['probe_files']}/"
                  f"{stats['live_files']} files)"
                  if "probe_files" in stats else "")
@@ -280,7 +281,8 @@ def cmd_ann_index(args) -> int:
     dest = _pool(spark, args.lake, doc["dest"], create=True)
     if args.action == "sync":
         src = _pool(spark, args.lake, doc["source"])
-        n = ai.sync_ann(src, dest, spec, list(doc["topics"]))
+        n = ai.sync_ann(src, dest, spec, list(doc["topics"]),
+                        auto_compact_every=args.auto_compact)
         print(f"ann-index {spec.name}: {n} rows committed")
     elif args.action == "compact":
         n = ai.compact_ann(dest)
@@ -659,6 +661,8 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("ann-index", help="incremental IVF ANN index")
     p.add_argument("action", choices=["sync", "compact", "cells"])
     p.add_argument("spec", help="index spec YAML (see cmd_ann_index docstring)")
+    p.add_argument("--auto-compact", type=int, default=None, metavar="N",
+                   help="re-cluster after N delta commits since last base")
     p.set_defaults(fn=cmd_ann_index)
 
     p = sub.add_parser("types", help="pool named-type registry (types.json)")
@@ -691,6 +695,8 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["sync", "pairs", "index", "compact", "migrate"])
     p.add_argument("spec",
                    help="index spec YAML (see cmd_dedup_index docstring)")
+    p.add_argument("--auto-compact", type=int, default=None, metavar="N",
+                   help="re-cluster after N delta commits since last base")
     p.set_defaults(fn=cmd_dedup_index)
 
     p = sub.add_parser("compact", help="compact a pool's small commits")

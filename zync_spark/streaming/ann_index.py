@@ -99,12 +99,25 @@ def stored_centroids(dest: Pool,
 
 
 def sync_ann(src: Pool, dest: Pool, spec: AnnIndexSpec,
-             topics: list[str], message: str | None = None) -> int:
+             topics: list[str], message: str | None = None,
+             auto_compact_every: int | None = None) -> int:
     """One incremental maintenance pass. The FIRST pass trains the
     quantizer on its delta (the backfill) and commits centroid rows;
     every pass assigns its delta map-side against the frozen centroids
     and appends cell-bucketed vec rows. Returns rows appended (0 = no
-    new vectors; reruns are no-ops)."""
+    new vectors; reruns are no-ops). `auto_compact_every`: re-cluster
+    (compact_ann) after that many delta commits since the last base, so
+    ann_query's cell-bounded reads keep biting (un-compacted commits
+    are always read); single-writer maintenance only."""
+    n = _sync_ann_once(src, dest, spec, topics, message)
+    if (n and auto_compact_every
+            and dest.commits_since_base() >= auto_compact_every):
+        compact_ann(dest)
+    return n
+
+
+def _sync_ann_once(src: Pool, dest: Pool, spec: AnnIndexSpec,
+                   topics: list[str], message: str | None) -> int:
     snapshot = len(dest.commits())
     cursors = _spec_cursors(spec, dest.stored_cursors(), topics)
     delta = scan_delta(src, cursors, topics)

@@ -247,14 +247,32 @@ def _fetch_old_sets(dest: Pool, spec: DedupIndexSpec,
 
 def sync_index(src: Pool, dest: Pool, spec: DedupIndexSpec,
                topics: list[str], message: str | None = None,
-               stats_out: dict | None = None) -> int:
+               stats_out: dict | None = None,
+               auto_compact_every: int | None = None) -> int:
     """One incremental maintenance pass. Returns rows appended (index +
     band + pair rows; 0 = no new documents, reruns are no-ops).
 
     `stats_out` (optional dict) receives the pass's file-skipping
     telemetry: live_files (pool total), probe_files (band probe read),
     set_files (signature fetch read) — the boundedness contract under
-    test in test_dedup_index.py."""
+    test in test_dedup_index.py.
+
+    `auto_compact_every`: re-cluster the index (compact_index) whenever
+    that many delta commits have accreted since the last base — the
+    bounded probe is only as good as the ckey clustering, and
+    un-compacted commits are always read; same cadence policy as
+    FromKafka's auto_compact_every. Single-writer maintenance only (a
+    concurrent load would abort the compaction)."""
+    n = _sync_index_once(src, dest, spec, topics, message, stats_out)
+    if (n and auto_compact_every
+            and dest.commits_since_base() >= auto_compact_every):
+        compact_index(dest, spec=spec)
+    return n
+
+
+def _sync_index_once(src: Pool, dest: Pool, spec: DedupIndexSpec,
+                     topics: list[str], message: str | None,
+                     stats_out: dict | None) -> int:
     snapshot = len(dest.commits())
     cursors = _spec_cursors(spec, dest.stored_cursors(), topics)
     delta = scan_delta(src, cursors, topics)

@@ -667,18 +667,33 @@ class Parser:
             us = F.unix_micros(ts)
             return F.timestamp_micros(us - us % micros)
         if name == "is":
-            # is(<T>) — zed named-type predicate (design.md:342,
+            # is([path,] <T>) — zed named-type predicate (design.md:342,
             # demo/pending.zed:4, demo/update.zed:3). In the envelope model
-            # a value's named type lives in the ``zed_type`` discriminator
-            # column (envelope.py), so the predicate compiles to a null-safe
-            # comparison (rows null-padded by schema widening are data, not
-            # markers). A frame with no discriminator column holds no
-            # named-typed values at all, so every is(<T>) there is
-            # statically false and Catalyst constant-folds the branch.
+            # a TOP-LEVEL value's named type lives in the ``zed_type``
+            # discriminator column (envelope.py), so the this-form
+            # compiles to a null-safe comparison (rows null-padded by
+            # schema widening are data, not markers); a frame with no
+            # discriminator holds no named-typed values, so is(<T>) there
+            # is statically false and Catalyst constant-folds the branch.
+            # The PATH form (zed's two-arg is) tests a NESTED value's
+            # decoration against the path registry (Context.path_names):
+            # decorations are frame-level in the unified-schema model, so
+            # the predicate folds to a constant — exactly as precise as
+            # the registry that carries the nested tags.
+            path: list[str] | None = None
+            t = self.peek()
+            if not (t.kind == "op" and t.text == "<"):
+                if t.kind == "this":
+                    self.next()
+                else:
+                    path = self._parse_path_only()
+                self.expect("op", ",")
             self.expect("op", "<")
             tname = self.expect("ident").text
             self.expect("op", ">")
             self.expect("op", ")")
+            if path is not None:
+                return F.lit(self.ctx.path_names.get(".".join(path)) == tname)
             if (self.ctx.schema is not None
                     and "zed_type" not in self.ctx.schema.names):
                 return F.lit(False)
