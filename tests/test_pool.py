@@ -443,3 +443,30 @@ def test_resume_served_from_manifest_stats(spark, tmp_path):
     expect = p.next_consumer_offset("Invoices")
     _sh.rmtree(os.path.join(str(tmp_path / "ms"), "data"))
     assert p.next_consumer_offset("Invoices") == expect
+
+
+def test_may_overlap_point_set_properties():
+    """Pure-logic properties of the file-skip test: the point-set form
+    keeps a file iff some value lies in [min,max]; it never keeps more
+    files than its covering range; missing stats always keep."""
+    from hypothesis import given, strategies as st
+
+    from zync_spark.pool import _may_overlap
+
+    @given(
+        st.lists(st.integers(-50, 50), min_size=1, max_size=20),
+        st.integers(-50, 50), st.integers(0, 40),
+    )
+    def check(vals, lo, span):
+        hi = lo + span
+        stats = {"c": [lo, hi]}
+        keep_set = _may_overlap(stats, {"c": vals})
+        assert keep_set == any(lo <= v <= hi for v in vals)
+        # point set is never more permissive than its covering range
+        keep_range = _may_overlap(stats, {"c": (min(vals), max(vals))})
+        assert not keep_set or keep_range
+        # missing stats always keep
+        assert _may_overlap(None, {"c": vals})
+        assert _may_overlap({"other": [0, 1]}, {"c": vals})
+
+    check()
