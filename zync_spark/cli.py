@@ -108,6 +108,13 @@ def cmd_query(args) -> int:
         print(result._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
         return 0
+    if getattr(args, "z", False):
+        from zync_spark import zson
+
+        schema = result.schema
+        for r in result.collect():
+            print(zson.render_row(r, schema))
+        return 0
     for line in result.toJSON().collect():
         print(line)
     return 0
@@ -150,6 +157,17 @@ def cmd_consume(args) -> int:
         print(",".join(cols))
         for r in flat.collect():
             print(",".join("" if r[c] is None else str(r[c]) for c in cols))
+        return 0
+    if args.format == "zson":
+        # the reference's own output text (`zed query -z`): per-value
+        # shapes + named-type decorators, incl. nested ones from the
+        # pool's registry sidecar
+        from zync_spark import zson
+
+        names = _pool(spark, args.lake, args.pool).type_names()
+        schema = out.schema
+        for r in out.collect():
+            print(zson.render_row(r, schema, names))
         return 0
     for line in out.toJSON().collect():
         print(line)
@@ -580,6 +598,9 @@ def main(argv: list[str] | None = None) -> int:
                         "(from pool | where ... | ...) instead of SQL")
     p.add_argument("--explain", action="store_true",
                    help="print the formatted physical plan instead of rows")
+    p.add_argument("-z", action="store_true",
+                   help="print rows as ZSON text (the reference's "
+                        "`zed query -z` output form)")
     p.set_defaults(fn=cmd_query)
 
     p = sub.add_parser("consume", help="dump topic records from a pool")
@@ -594,9 +615,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--where", default=None,
                    help="zed filter expression over the envelope "
                         '(e.g. \'value.after.id > 5 and kafka.offset < 100\')')
-    p.add_argument("--format", default="json", choices=["json", "csv", "parquet"],
+    p.add_argument("--format", default="json",
+                   choices=["json", "csv", "parquet", "zson"],
                    help="output format (reference -f; csv flattens the "
-                        "envelope to dotted columns)")
+                        "envelope to dotted columns; zson prints the "
+                        "reference's own text form with named-type "
+                        "decorators from the pool registry)")
     p.add_argument("--out", default=None,
                    help="write via Spark to this path instead of stdout "
                         "(distributed, no driver collect)")
