@@ -98,3 +98,129 @@ def test_cli_consume_zson_with_registry(spark, tmp_path, capsys):
         'value:{ID:1,name:"a"}(=rec_t)}',
         '{kafka:{topic:"T",partition:0,offset:1}}(=done)',
     ]
+
+
+# -- reader ---------------------------------------------------------------
+
+
+def test_reads_reference_demo_batch_verbatim(spark):
+    """demo/batch-1.zson (the reference's OWN demo input, multi-line with
+    comments) parses into the fused null-padded envelope frame."""
+    df, names = zson.read(spark, "/root/reference/demo/batch-1.zson")
+    assert names == {}
+    rows = df.collect()
+    assert len(rows) == 4
+    inv = [r for r in rows if r["kafka"]["topic"] == "Invoices"]
+    st = [r for r in rows if r["kafka"]["topic"] == "InvoiceStatus"]
+    assert {r["value"]["after"]["customer"] for r in inv} == {"Alice", "Bob"}
+    # InvoiceStatus rows: customer/item null-padded, status present
+    assert {r["value"]["after"]["status"] for r in st} == {"pending"}
+    assert all(r["value"]["after"]["customer"] is None for r in st)
+
+
+def test_generated_etl_program_over_real_demo_input(spark):
+    """End-to-end parity: the reference's generated ETL program
+    (ztests/etl-zed.yaml) run over the reference's ACTUAL batch-1.zson —
+    no hand-built fixtures anywhere — reproduces the etl-demo ztest's
+    documented records AND prints them byte-identical in ZSON."""
+    from zync_spark.zedpipe import compile_query
+
+    raw_txt = open("/root/reference/ztests/etl-zed.yaml").read()
+    start = raw_txt.index("type done")
+    prog = "\n".join(
+        line[6:] if line.startswith("      ") else line
+        for line in raw_txt[start:].splitlines())
+    prog = prog[:prog.index("| sort kafka.offset")
+                + len("| sort kafka.offset")]
+
+    raw, _ = zson.read(spark, "/root/reference/demo/batch-1.zson")
+    # batch 1 is all op:"r" creates — no `before` images yet. The program
+    # references value.before, which a real pool's unified schema grows
+    # as update batches land; fill() applies that widening up front (the
+    # shaper verb = the envelope substitution's schema union).
+    from pyspark.sql.types import StructType as _St
+
+    from zync_spark.envelope import fill
+    raw = fill(raw, _St.fromDDL(
+        "kafka struct<topic:string,offset:long>, key struct<ID:long>, "
+        "value struct<op:string,"
+        "after:struct<ID:long,customer:string,item:string,"
+        "InvoiceID:long,status:string>,"
+        "before:struct<ID:long,customer:string,item:string,"
+        "InvoiceID:long,status:string>>"))
+    staging = spark.createDataFrame(
+        [], "kafka struct<topic:string,offset:long>, zed_type string")
+    out = compile_query(prog, {"Raw": raw, "Staging": staging})
+    rows = out.collect()
+    data = sorted((r for r in rows if r["key"] is not None),
+                  key=lambda r: r["key"]["ID"])
+    # Output offsets are assigned by the HOST, not the zed program
+    # (etl/pipeline.go:127-164; zedpipe's q_offset_assign) — start the
+    # fresh output topic at 0, like the reference against an empty
+    # Staging, then render in the ztest's column order.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("kafka.topic").orderBy("kafka.offset")
+    sel = (out.filter(F.col("key").isNotNull())
+           .withColumn("kafka", F.struct(
+               F.col("kafka.topic").alias("topic"),
+               (F.row_number().over(w) - 1).cast("long").alias("offset")))
+           .select("key", "value", "kafka"))
+    printed = sorted(zson.render_row(r, sel.schema) for r in sel.collect())
+    assert printed == [
+        '{key:{ID:100},value:{ID:100,customer:"Alice",item:"taco",'
+        'invoice_status:"pending"},kafka:{topic:"NewInvoices",offset:0}}',
+        '{key:{ID:101},value:{ID:101,customer:"Bob",item:"burrito",'
+        'invoice_status:"pending"},kafka:{topic:"NewInvoices",offset:1}}',
+    ]
+    assert len(data) == 2
+
+
+def test_writer_reader_round_trip(spark):
+    """render_row → parse → the same values, schema shape, and
+    decorations (the registry rides the text both ways)."""
+    ddl = ("kafka struct<topic:string,offset:long>, "
+           "value struct<n:long,tags:array<string>,score:double>, "
+           "zed_type string")
+    df = spark.createDataFrame(
+        [(("T", 1), (5, ["a", "b"], 1.5), "data"),
+         (("T", 2), None, "done")], ddl)
+    names = {"value": "rec_t"}
+    text = "\n".join(zson.render_row(r, df.schema, names)
+                     for r in df.collect())
+    rows, schema, names2 = zson.parse(text)
+    assert names2 == {"value": "rec_t"}
+    assert [f.name for f in schema.fields] == ["kafka", "value", "zed_type"]
+    assert rows[0][1] == (5, ["a", "b"], 1.5)
+    assert rows[1][1] is None and rows[1][2] == "done"
+
+
+def test_parse_errors_are_controlled():
+    import pytest
+
+    for bad in ['{a:}', '{a:1', '"unterminated', '{a:1}(=)', '[1,&]',
+                '42']:
+        with pytest.raises(zson.ZsonParseError):
+            zson.parse(bad)
+
+
+def test_cli_produce_zson_demo_file(spark, tmp_path, capsys):
+    """`produce --format zson` loads the reference's own demo file into a
+    pool; consume round-trips it back out as ZSON text."""
+    import os
+
+    from zync_spark.cli import main
+
+    lake = str(tmp_path)
+    assert main(["--lake", lake, "produce",
+                 "/root/reference/demo/batch-1.zson",
+                 "--pool", "Raw", "--format", "zson"]) == 0
+    assert "loaded 4 records" in capsys.readouterr().out
+    assert main(["--lake", lake, "consume", "Invoices", "--pool", "Raw",
+                 "--format", "zson"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 2
+    assert lines[0].startswith(
+        '{kafka:{topic:"Invoices",offset:1},key:{ID:100},'
+        'value:{op:"r",after:{ID:100,customer:"Alice",item:"taco"}}}')

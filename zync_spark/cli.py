@@ -385,9 +385,20 @@ def cmd_produce(args) -> int:
 
     `--schema` takes a Spark DDL string; without it the schema is inferred,
     which silently DROPS all-null fields (plain JSON is schema-lossy, which
-    is exactly why the reference feeds typed ZSON to produce)."""
+    is exactly why the reference feeds typed ZSON to produce — and why
+    `--format zson` reads the reference's own .zson files: typed values,
+    fused null-padded schema, decorators into the pool registry)."""
     spark = _spark()
     pool = _pool(spark, args.lake, args.pool, create=True)
+    if args.format == "zson":
+        from zync_spark import zson
+
+        total = 0
+        for path in args.files:
+            df, names = zson.read(spark, path)
+            total += pool.load(df, f"produce {path}", type_names=names)
+        print(f"loaded {total} records")
+        return 0
     reader = spark.read
     if args.schema:
         reader = reader.schema(args.schema)
@@ -632,8 +643,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--schema", default=None,
                    help="Spark DDL schema for the JSON records (inference "
                         "drops all-null fields)")
-    p.add_argument("--format", default="json", choices=["json", "parquet"],
-                   help="input file format (reference reads any zed format)")
+    p.add_argument("--format", default="json",
+                   choices=["json", "parquet", "zson"],
+                   help="input file format (zson reads the reference's "
+                        "typed text form, incl. its demo/ztest files)")
     p.set_defaults(fn=cmd_produce)
 
     p = sub.add_parser("ls", help="list schema registry subjects")

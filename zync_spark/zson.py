@@ -126,3 +126,318 @@ def render_row(row, schema: StructType,
         parts.append(f"{f.name}:{render(fv, f.dataType, names, f.name)}")
     deco = f"(={ztype})" if ztype and ztype != "data" else ""
     return "{" + ",".join(parts) + "}" + deco
+
+
+# -- reader ----------------------------------------------------------------
+# Parses the ZSON subset the reference's demo/ztest files use
+# (demo/batch-*.zson, staging-1.zson): records/arrays/maps, strings,
+# int64/float64 literals, narrower-primitive decorators, named-type
+# decorators, // comments, trailing commas, multi-line values. The
+# result is Spark-ready: values + a UNIFIED null-padded schema (the
+# envelope substitution applied at read time) + the path decorations for
+# the pool registry.
+
+
+class ZsonParseError(ValueError):
+    pass
+
+
+def _tokenize(text: str):
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in " \t\r\n":
+            i += 1
+            continue
+        if text.startswith("//", i):
+            j = text.find("\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if c == '"':
+            j = i + 1
+            buf = []
+            while j < n and text[j] != '"':
+                if text[j] == "\\":
+                    esc = text[j + 1]
+                    buf.append(
+                        {"n": "\n", "t": "\t", "r": "\r", '"': '"',
+                         "\\": "\\", "/": "/"}.get(esc, esc))
+                    j += 2
+                else:
+                    buf.append(text[j])
+                    j += 1
+            if j >= n:
+                raise ZsonParseError(f"unterminated string at {i}")
+            yield ("str", "".join(buf), i)
+            i = j + 1
+            continue
+        if c in "{}[]():,|=":
+            yield ("op", c, i)
+            i += 1
+            continue
+        if c == "-" or c.isdigit():
+            j = i + 1
+            if text.startswith("0x", i):
+                j = i + 2
+                while j < n and text[j] in "0123456789abcdefABCDEF":
+                    j += 1
+                yield ("bytes", text[i + 2:j], i)
+                i = j
+                continue
+            while j < n and (text[j].isdigit() or text[j] in ".eE+-"):
+                # '+'/'-' only valid right after an exponent marker
+                if text[j] in "+-" and text[j - 1] not in "eE":
+                    break
+                j += 1
+            yield ("num", text[i:j], i)
+            i = j
+            continue
+        if c.isalpha() or c == "_":
+            j = i + 1
+            while j < n and (text[j].isalnum() or text[j] == "_"):
+                j += 1
+            yield ("ident", text[i:j], i)
+            i = j
+            continue
+        raise ZsonParseError(f"unexpected character {c!r} at {i}")
+    yield ("eof", "", n)
+
+
+_PRIM_DECOR = {
+    "int8": ByteType(), "int16": ShortType(), "int32": IntegerType(),
+    "uint8": ShortType(), "uint16": IntegerType(), "uint32": LongType(),
+    "int64": LongType(), "uint64": LongType(),
+    "float32": FloatType(), "float64": DoubleType(),
+}
+
+
+class _Reader:
+    def __init__(self, text: str):
+        self.toks = list(_tokenize(text))
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind, text=None):
+        t = self.next()
+        if t[0] != kind or (text is not None and t[1] != text):
+            raise ZsonParseError(f"expected {text or kind}, got {t[1]!r} at {t[2]}")
+        return t
+
+    def parse_value(self, path: str, names: dict):
+        """→ (python value, DataType). Decorations land in `names`."""
+        t = self.peek()
+        if t[0] == "op" and t[1] == "{":
+            v, dt = self._parse_record(path, names)
+        elif t[0] == "op" and t[1] == "[":
+            v, dt = self._parse_array(path, names)
+        elif t[0] == "op" and t[1] == "|":
+            v, dt = self._parse_map(path, names)
+        elif t[0] == "str":
+            self.next()
+            v, dt = t[1], StringType()
+        elif t[0] == "bytes":
+            self.next()
+            v, dt = bytes.fromhex(t[1]), BinaryType()
+        elif t[0] == "num":
+            self.next()
+            if any(ch in t[1] for ch in ".eE"):
+                v, dt = float(t[1]), DoubleType()
+            else:
+                v, dt = int(t[1]), LongType()
+        elif t[0] == "ident" and t[1] in ("true", "false"):
+            self.next()
+            v, dt = t[1] == "true", BooleanType()
+        elif t[0] == "ident" and t[1] == "null":
+            self.next()
+            v, dt = None, None  # type comes from a decorator or a sibling
+        else:
+            raise ZsonParseError(f"unexpected {t[1]!r} at {t[2]}")
+        return self._decorations(v, dt, path, names)
+
+    def _decorations(self, v, dt, path, names):
+        while self.peek()[0] == "op" and self.peek()[1] == "(":
+            self.next()
+            t = self.next()
+            if t[0] == "op" and t[1] == "=":
+                names[path] = self.expect("ident")[1]
+            elif t[0] == "ident" and t[1] in _PRIM_DECOR:
+                dt = _PRIM_DECOR[t[1]]
+                if v is not None and isinstance(dt, (FloatType,)):
+                    v = float(v)
+                elif v is not None and not isinstance(dt, DoubleType):
+                    v = int(v)
+            else:
+                raise ZsonParseError(
+                    f"unsupported decoration {t[1]!r} at {t[2]} (the reader "
+                    "covers named and primitive decorators)")
+            self.expect("op", ")")
+        return v, dt
+
+    def _parse_record(self, path, names):
+        self.expect("op", "{")
+        vals: dict = {}
+        fields: list = []
+        while not (self.peek()[0] == "op" and self.peek()[1] == "}"):
+            nt = self.next()
+            if nt[0] not in ("ident", "str"):
+                raise ZsonParseError(f"expected field name at {nt[2]}")
+            self.expect("op", ":")
+            child = f"{path}.{nt[1]}" if path else nt[1]
+            v, dt = self.parse_value(child, names)
+            vals[nt[1]] = v
+            fields.append((nt[1], dt))
+            if self.peek()[0] == "op" and self.peek()[1] == ",":
+                self.next()  # separator (trailing comma tolerated)
+        self.next()  # }
+        return vals, ("struct", fields)
+
+    def _parse_array(self, path, names):
+        self.expect("op", "[")
+        out = []
+        elem_t = None
+        while not (self.peek()[0] == "op" and self.peek()[1] == "]"):
+            v, dt = self.parse_value(path, names)
+            out.append(v)
+            elem_t = _merge_types(elem_t, dt, path)
+            if self.peek()[0] == "op" and self.peek()[1] == ",":
+                self.next()
+        self.next()
+        return out, ("array", elem_t)
+
+    def _parse_map(self, path, names):
+        self.expect("op", "|")
+        self.expect("op", "{")
+        out = {}
+        kt = vt = None
+        while not (self.peek()[0] == "op" and self.peek()[1] == "}"):
+            k, kdt = self.parse_value(path, names)
+            self.expect("op", ":")
+            v, vdt = self.parse_value(path, names)
+            out[k] = v
+            kt = _merge_types(kt, kdt, path)
+            vt = _merge_types(vt, vdt, path)
+            if self.peek()[0] == "op" and self.peek()[1] == ",":
+                self.next()
+        self.next()
+        self.expect("op", "|")
+        return out, ("map", kt, vt)
+
+
+def _merge_types(a, b, path):
+    """Unify two inferred types (fuse semantics: struct fields union in
+    first-seen order, null defers, equal primitives agree; long widens
+    to double when both appear)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    if isinstance(a, tuple) and isinstance(b, tuple) and a[0] == b[0]:
+        if a[0] == "struct":
+            order = [n for n, _ in a[1]]
+            amap = dict(a[1])
+            bmap = dict(b[1])
+            for n, _ in b[1]:
+                if n not in amap:
+                    order.append(n)
+            return ("struct", [
+                (n, _merge_types(amap.get(n), bmap.get(n), f"{path}.{n}"))
+                for n in order
+            ])
+        if a[0] == "array":
+            return ("array", _merge_types(a[1], b[1], path))
+        return ("map", _merge_types(a[1], b[1], path),
+                _merge_types(a[2], b[2], path))
+    if a == b:
+        return a
+    kinds = {type(a), type(b)} if not (isinstance(a, tuple) or isinstance(b, tuple)) else None
+    if kinds == {LongType, DoubleType}:
+        return DoubleType()
+    raise ZsonParseError(f"conflicting types at {path or '<root>'}: {a} vs {b}")
+
+
+def _to_spark_type(t) -> DataType:
+    if t is None:
+        # an always-null field: string is the least-surprising carrier
+        return StringType()
+    if isinstance(t, tuple):
+        if t[0] == "struct":
+            from pyspark.sql.types import StructField
+
+            return StructType(
+                [StructField(n, _to_spark_type(ft)) for n, ft in t[1]])
+        if t[0] == "array":
+            return ArrayType(_to_spark_type(t[1]))
+        return MapType(_to_spark_type(t[1]), _to_spark_type(t[2]))
+    return t
+
+
+def _conform_value(v, t):
+    """Inferred value dict → tuple matching the unified schema (absent
+    fields null-padded)."""
+    if v is None:
+        return None
+    if isinstance(t, tuple):
+        if t[0] == "struct":
+            return tuple(_conform_value(v.get(n), ft) for n, ft in t[1])
+        if t[0] == "array":
+            return [_conform_value(x, t[1]) for x in v]
+        return {k: _conform_value(x, t[2]) for k, x in v.items()}
+    return v
+
+
+def parse(text: str):
+    """ZSON text → (rows, spark schema, path decorations).
+
+    Top-level values must be records (the envelope/demo form). Their
+    shapes FUSE into one unified null-padded schema — the same
+    substitution the pool layer applies — and a top-level named
+    decorator becomes a ``zed_type`` column (absent when no value is
+    decorated). Decorations on nested paths are returned for
+    Pool.load(type_names=)."""
+    r = _Reader(text)
+    raws: list = []
+    unified = None
+    names: dict[str, str] = {}
+    ztypes: list = []
+    while r.peek()[0] != "eof":
+        per: dict[str, str] = {}
+        v, dt = r.parse_value("", per)
+        if not (isinstance(dt, tuple) and dt[0] == "struct"):
+            raise ZsonParseError("top-level zson values must be records")
+        ztypes.append(per.pop("", None))
+        names.update(per)
+        raws.append(v)
+        unified = _merge_types(unified, dt, "")
+    if unified is None:
+        return [], StructType([]), {}
+    rows = [_conform_value(v, unified) for v in raws]
+    schema = _to_spark_type(unified)
+    if any(z is not None for z in ztypes):
+        from pyspark.sql.types import StructField
+
+        schema = StructType(
+            list(schema.fields) + [StructField("zed_type", StringType())])
+        rows = [row + (z if z is not None else "data",)
+                for row, z in zip(rows, ztypes)]
+    return rows, schema, names
+
+
+def read(spark, path_or_text: str):
+    """Load a .zson file (or literal text) into a DataFrame + its path
+    decorations: (df, type_names). The reference's own demo inputs
+    (demo/batch-*.zson) load verbatim."""
+    import os
+
+    text = path_or_text
+    if os.path.exists(path_or_text):
+        with open(path_or_text) as f:
+            text = f.read()
+    rows, schema, names = parse(text)
+    return spark.createDataFrame(rows, schema), names
