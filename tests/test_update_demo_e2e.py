@@ -23,26 +23,16 @@ import pytest
 from zync_spark.pool import Pool
 from zync_spark.zedpipe import compile_query
 
-RAW_SCHEMA = (
-    "seqno long, kafka struct<topic:string,offset:long>, "
-    "value struct<txn:long,done:boolean,"
-    "row:struct<customer:string,product:string,qty:long,price:double>>"
-)
-
 STAGING_SCHEMA = (
     "seqno long, kafka struct<topic:string,offset:long>, "
     "row struct<customerID:long,menuID:long,qty:long,total:double>, "
     "zed_type string"
 )
 
-CONSUME_1 = [  # demo/consume-1.zson: the complete txn 10000 + pending 10001
-    (1, ("order", 1), (10000, False, ("jane", "taco", 2, None))),
-    (2, ("order", 2), (10001, False, ("bob", "burrito", 1, None))),
-    (3, ("menu", 1), (10000, True, (None, "taco", None, 1.99))),
-]
-CONSUME_2 = [  # demo/consume-2.zson: completes txn 10001
-    (4, ("menu", 2), (10001, True, (None, "burrito", None, 5.99))),
-]
+# The demo inputs load VERBATIM from the reference's own files via the
+# round-4 ZSON reader — no hand-built fixtures (they used to transcribe
+# these files row by row).
+DEMO = "/root/reference/demo"
 
 # demo/etl.zed with the scan order made explicit: the reference's collect
 # rides the pool's implicit seqno order; a distributed scan has no implicit
@@ -98,7 +88,9 @@ def test_update_demo_end_to_end(spark, tmp_path, capsys):
     staging = Pool.create(spark, os.path.join(lake, "staging"))
 
     # -- zync consume → zed load raw (design.md:254-257)
-    raw.load(spark.createDataFrame(CONSUME_1, RAW_SCHEMA), "consume-1")
+    from zync_spark import zson
+
+    raw.load(zson.read(spark, f"{DEMO}/consume-1.zson")[0], "consume-1")
 
     # -- zed query -I demo/etl.zed (design.md:278-292)
     out1 = compile_query(ETL_ZED, {"raw": raw.scan()}).collect()
@@ -109,17 +101,9 @@ def test_update_demo_end_to_end(spark, tmp_path, capsys):
 
     # -- zync sync → demo/staging-1.zson (design.md:297-309): the ETL'd
     # record wrapped in kafka meta at the bundle's max seqno, plus the
-    # cursor at the lowest pending seqno
-    staging.load(
-        spark.createDataFrame(
-            [
-                (3, ("order", 1), (1, 200, 2, 3.98), "data"),
-                (2, ("order", 1), None, "cursor"),
-            ],
-            STAGING_SCHEMA,
-        ),
-        "staging-1",
-    )
+    # cursor at the lowest pending seqno — the reference's OWN staging
+    # snapshot file, decorators and all ((=cursor) → zed_type)
+    staging.load(zson.read(spark, f"{DEMO}/staging-1.zson")[0], "staging-1")
 
     # -- find the current cursor (design.md:330-334: "{max:2}")
     cur = compile_query(
@@ -129,7 +113,7 @@ def test_update_demo_end_to_end(spark, tmp_path, capsys):
     assert [r["max"] for r in cur] == [2]
 
     # -- zed load raw demo/consume-2.zson (design.md:325-328)
-    raw.load(spark.createDataFrame(CONSUME_2, RAW_SCHEMA), "consume-2")
+    raw.load(zson.read(spark, f"{DEMO}/consume-2.zson")[0], "consume-2")
 
     # -- zed query -I demo/update.zed through the CLI over the lake
     # (design.md:353-361: exactly the pending records, seqno 2 and 4)

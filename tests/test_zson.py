@@ -224,3 +224,23 @@ def test_cli_produce_zson_demo_file(spark, tmp_path, capsys):
     assert lines[0].startswith(
         '{kafka:{topic:"Invoices",offset:1},key:{ID:100},'
         'value:{op:"r",after:{ID:100,customer:"Alice",item:"taco"}}}')
+
+
+def test_invoices_fixtures_match_reference_demo_files(spark):
+    """The hand-maintained CDC fixtures (tests/fixtures_invoices.py,
+    feeding the golden ETL tests) must be faithful transcriptions of
+    demo/batch-1..4.zson. The ZSON writer is the canonicalizer: render
+    both sides' non-null projections and compare text (the fixtures add
+    kafka.partition=0, which the files don't carry — dropped first)."""
+    from pyspark.sql import functions as F
+
+    from tests.fixtures_invoices import BATCHES, ROW_SCHEMA
+
+    for i, batch in enumerate(BATCHES, 1):
+        ref, _ = zson.read(spark, f"/root/reference/demo/batch-{i}.zson")
+        fix = spark.createDataFrame(batch, ROW_SCHEMA).withColumn(
+            "kafka", F.struct(F.col("kafka.topic").alias("topic"),
+                              F.col("kafka.offset").alias("offset")))
+        canon = lambda df: sorted(
+            zson.render_row(r, df.schema) for r in df.collect())
+        assert canon(fix) == canon(ref), f"batch-{i}"
