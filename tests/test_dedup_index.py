@@ -272,3 +272,35 @@ def test_unindexable_batch_still_advances_cursor(spark, tmp_path):
     pairs = {(r["id_a"], r["id_b"])
              for r in DI.pairs_view(dest, SPEC).collect()}
     assert (0, 1) in pairs
+
+
+def test_compact_before_migrate_self_heals(spark, tmp_path):
+    """Round-4 review regression: compacting a legacy pool BEFORE
+    migrate_band_rows must not hide legacy docs from the probe — the
+    compaction transform migrates band rows itself (and a later
+    migrate_band_rows is a no-op)."""
+    import pyspark.sql.functions as F
+
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    legacy_docs = spark.createDataFrame(
+        [(("docs", 0, i), "data", (d, DOCS[d][1]))
+         for i, d in enumerate([0, 2])], ROW)
+    sigs = DI._sig_frame(SPEC, legacy_docs)
+    legacy = sigs.select(
+        F.struct(F.lit(SPEC.topic).alias("topic"),
+                 F.lit(0).cast("long").alias("partition"),
+                 F.col("doc_id").alias("offset")).alias("kafka"),
+        F.lit("index").alias("zed_type"), "doc_id", "sh_set", "bkeys")
+    dest.load(legacy, "legacy index",
+              cursors={f"{SPEC.topic}|docs#0": 2})
+    # compact FIRST (the footgun order): the transform self-migrates
+    DI.compact_index(dest, target_rows=16, spec=SPEC)
+    assert DI.migrate_band_rows(dest, SPEC) == 0  # nothing left to do
+    # new near-dups of both legacy docs arrive and are FOUND
+    src.load(spark.createDataFrame(
+        [(("docs", 0, 2), "data", (1, DOCS[1][1])),
+         (("docs", 0, 3), "data", (4, DOCS[4][1]))], ROW), "delta")
+    assert DI.sync_index(src, dest, SPEC, ["docs"]) > 0
+    got = {(r["id_a"], r["id_b"]) for r in DI.pairs_view(dest, SPEC).collect()}
+    assert got == {(0, 1), (2, 4)}

@@ -197,3 +197,16 @@ def test_connect_json_named_value_round_trip(spark):
     got = sorted((r["value"]["id"], r["value"]["before"]) for r in back)
     assert got[0] == (10, ("street", "city")) or got[0][0] == 10
     assert got[1][0] == 11 and got[1][1] is None
+
+
+def test_assignment_seeds_absolute_decoration_paths(spark):
+    """Round-4 review regression: tags nested inside a record literal on
+    the RIGHT of an assignment decorate their absolute target path
+    (marker := {left: cast(...)} → 'marker.left', not 'left')."""
+    names: dict = {}
+    compile_pipeline(
+        _cdc(spark),
+        PROLOGUE + "kafka2 := {left: cast({kafka: kafka}, done)}"
+        .replace("kafka2", "kafka"),  # assign into an existing column
+        names_out=names)
+    assert names == {"kafka.left": "done"}

@@ -244,3 +244,18 @@ def test_invoices_fixtures_match_reference_demo_files(spark):
         canon = lambda df: sorted(
             zson.render_row(r, df.schema) for r in df.collect())
         assert canon(fix) == canon(ref), f"batch-{i}"
+
+
+def test_unicode_and_widened_numbers_round_trip(spark):
+    """Round-4 review regressions: \\uXXXX escapes must decode (and
+    non-ASCII must survive consume→produce), and int literals under a
+    long/double-widened field must load into Spark."""
+    rows, schema, _ = zson.parse('{s:"caf\\u00e9"} {s:"naïve"}')
+    assert [r[0] for r in rows] == ["café", "naïve"]
+    # writer emits raw UTF-8; the reader accepts both forms
+    txt = zson.render("café", schema["s"].dataType)
+    assert txt == '"café"'
+    assert zson.parse("{s:" + txt + "}")[0] == [("café",)]
+    df, _ = zson.read(spark, '{a:1} {a:1.5}')
+    vals = sorted(r["a"] for r in df.collect())
+    assert vals == [1.0, 1.5] and df.schema["a"].dataType.typeName() == "double"

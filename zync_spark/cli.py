@@ -257,7 +257,7 @@ def cmd_dedup_index(args) -> int:
                  if "probe_files" in stats else "")
         print(f"dedup-index {spec.name}: {n} rows committed{probe}")
     elif args.action == "compact":
-        n = di.compact_index(dest)
+        n = di.compact_index(dest, spec=spec)
         print(f"dedup-index {spec.name}: compacted {n} rows")
     elif args.action == "migrate":
         n = di.migrate_band_rows(dest, spec)

@@ -59,6 +59,12 @@ class AnnIndexSpec:
 
     def __init__(self, name: str, id_expr: str, vec_expr: str,
                  n_cells: int = 16, iterations: int = 2):
+        if not 1 <= n_cells <= 65536:
+            # _cell_ckey's fixed 4-hex-char bucket would silently
+            # TRUNCATE larger cell ids (lpad truncates), making those
+            # cells' vectors invisible to queries — enforce the limit
+            # the label format implies
+            raise ValueError("n_cells must be 1..65536")
         self.name = name
         self.topic = f"annindex:{name}"
         self.id_expr = id_expr
@@ -238,6 +244,11 @@ def ann_query(dest: Pool, spec: AnnIndexSpec, queries: DataFrame,
     if cents is None:
         raise ValueError(f"ann_query: index {spec.name!r} is empty "
                          "(run sync_ann first)")
+    # q is evaluated twice (the cells collect below + the broadcast
+    # join): it is the SMALL side by contract — it broadcasts — so
+    # re-scoring Q x n_cells cosines beats holding a cache across the
+    # call boundary (the returned frame is lazy; an unpersist here would
+    # drop the cache before the caller materializes).
     q = S.ivf_assign(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -255,6 +266,12 @@ def ann_query(dest: Pool, spec: AnnIndexSpec, queries: DataFrame,
         stats_out["probe_files"] = len(
             dest.committed_files(bounds={"ckey": ckeys}))
     stored = dest.scan(bounds={"ckey": ckeys})
+    if stored is None:
+        # every probed cell's files were skipped (the probed centroids
+        # own no stored vectors): the correct answer is empty, not a
+        # crash — mirror the output schema
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank long, cos double")
     cand = (
         stored.filter(_is_vec(spec) & F.col("ckey").isin(ckeys))
         .select(

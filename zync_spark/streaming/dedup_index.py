@@ -400,14 +400,46 @@ def _verify_and_commit(dest: Pool, spec: DedupIndexSpec, delta: DataFrame,
     return n
 
 
-def _ckey_fill(df: DataFrame, prefix_len: int = _PREFIX_LEN) -> DataFrame:
-    """Backfill null ckeys (rows committed before the bucketed format)
-    from the row's own content, so post-compaction files are fully
-    cluster-keyed and the mixed-pool legacy probe path goes empty."""
+def _upgrade_and_fill(df: DataFrame, prefix_len: int) -> DataFrame:
+    """Compaction transform: (a) MIGRATE any legacy index rows that still
+    lack band rows — exploding their bkeys during the rewrite the pool
+    was paying anyway, with the reserved partition -1 label — and only
+    THEN (b) backfill null ckeys. Order matters: a pre-round-4 revision
+    filled ckeys without migrating, which erased the `ckey IS NULL`
+    marker the mixed-pool probe fallback keys on and silently hid
+    unmigrated docs from all later passes (compaction-before-migration
+    footgun, caught in round-4 review). Post-compaction invariant: every
+    index row has band rows AND a ckey — the legacy paths go empty."""
     if "zed_type" not in df.columns:
         return df
     if "ckey" not in df.columns:
         df = df.withColumn("ckey", F.lit(None).cast("string"))
+    if "doc_id" in df.columns and "bkeys" in df.columns:
+        idx = df.filter(F.col("zed_type").eqNullSafe("index"))
+        if "bkey" in df.columns:
+            have = (df.filter(F.col("zed_type").eqNullSafe("band"))
+                    .select("doc_id", F.col("kafka.topic").alias("__t"))
+                    .withColumnRenamed("doc_id", "__d").distinct())
+            idx = idx.join(
+                have,
+                (F.col("doc_id") == F.col("__d"))
+                & (F.col("kafka.topic") == F.col("__t")),
+                "left_anti")
+        band = idx.select(
+            # labels: same topic as the doc's index row, reserved
+            # partition -1 (exactly one base manifest can publish at a
+            # given seq, and post-upgrade compactions migrate nothing)
+            F.struct(
+                F.col("kafka.topic").alias("topic"),
+                F.lit(-1).cast("long").alias("partition"),
+                F.monotonically_increasing_id().alias("offset"),
+            ).alias("kafka"),
+            F.lit("band").alias("zed_type"),
+            F.lit(None).cast("string").alias("ckey"),
+            "doc_id",
+            F.explode("bkeys").alias("bkey"),
+        )
+        df = df.unionByName(band, allowMissingColumns=True)
     fill = F.lit(None).cast("string")
     if "bkey" in df.columns:
         fill = F.when(F.col("zed_type").eqNullSafe("band"),
@@ -427,14 +459,17 @@ def compact_index(dest: Pool, target_rows: int = 4_000_000,
     """Range-cluster the index pool by ckey (Pool.compact cluster_by):
     each output file covers a narrow ckey range and records its [min,max]
     in the manifest, so `sync_index`'s bounded probes skip whole files.
-    Null ckeys from pre-format commits are backfilled during the rewrite
-    the pool was paying anyway (Pool.compact transform=). Run it on the
-    usual small-files cadence (commits_since_base); until it runs,
-    freshly appended commits carry no file stats and are simply always
-    read — boundedness degrades, correctness never."""
+    Legacy rows are SELF-HEALED during the rewrite (band rows migrated,
+    then ckeys backfilled — _upgrade_and_fill), so compacting a
+    pre-band-row pool in any order is safe. Pass `spec` whenever the
+    index was created with a non-default prefix_len — stored ckeys and
+    probe values must agree exactly. Run on the usual small-files
+    cadence (commits_since_base); until it runs, fresh commits carry no
+    file stats and are simply always read — boundedness degrades,
+    correctness never."""
     plen = spec.prefix_len if spec is not None else _PREFIX_LEN
     return dest.compact(target_rows=target_rows, message=message,
-                        transform=lambda df: _ckey_fill(df, plen),
+                        transform=lambda df: _upgrade_and_fill(df, plen),
                         cluster_by=["ckey"])
 
 
@@ -455,10 +490,26 @@ def migrate_band_rows(dest: Pool, spec: DedupIndexSpec) -> int:
         have = df.filter(_is_band(spec)).select("doc_id").distinct()
         idx = idx.join(have, "doc_id", "left_anti")
     band = idx.select("doc_id", F.explode("bkeys").alias("bkey"))
-    out = _envelope(spec, _stamp("band", _band_ckey(F.col("bkey"),
-                                                    spec.prefix_len), band),
-                    len(dest.commits()))
-    return dest.load(out, f"{spec.topic} band-row migration")
+    from zync_spark.pool import ConcurrentWriteError
+
+    # Label integrity: _envelope stamps partition = the commit seq, and
+    # the uniqueness argument rests on exactly one commit per seq — so
+    # the migration must publish at EXACTLY the seq its labels carry
+    # (occ_token), retrying with fresh labels if a concurrent sync won
+    # the race (a plain append would relabel nothing and collide).
+    for _ in range(8):
+        seq = len(dest.commits())
+        out = _envelope(
+            spec,
+            _stamp("band", _band_ckey(F.col("bkey"), spec.prefix_len), band),
+            seq)
+        try:
+            return dest.load(out, f"{spec.topic} band-row migration",
+                             occ_token=seq)
+        except ConcurrentWriteError:
+            continue
+    raise ConcurrentWriteError(
+        f"{spec.topic}: migration lost the commit race repeatedly; re-run")
 
 
 def pairs_view(dest: Pool, spec: DedupIndexSpec) -> DataFrame | None:

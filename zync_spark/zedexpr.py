@@ -946,8 +946,12 @@ def compile_assignments(src: str, ctx: Context) -> dict[str, Column]:
         path = p._parse_path_only()
         p.expect("assign")
         # value position: named-type casts keep the coerced value, and
-        # the tag survives as a path decoration in the context's sink
+        # the tag survives as a path decoration in the context's sink;
+        # the target path seeds the field stack so tags nested inside a
+        # record literal decorate their ABSOLUTE path
+        p._fstack.extend(path)
         v = p.parse_expr()
+        del p._fstack[len(p._fstack) - len(path):]
         if isinstance(v, _TaggedRecord):
             ctx.names_sink[".".join(path)] = v.name
             v = v.col

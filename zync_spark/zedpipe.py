@@ -308,8 +308,13 @@ class _StageParser(Parser):
             path = self._parse_path_only()
             self.expect("assign")
             # value position: named-type casts keep the shape; the tag
-            # decorates the target path in the registry
+            # decorates the target path in the registry. The TARGET path
+            # seeds the field stack so tags nested inside a record
+            # literal on the right decorate their ABSOLUTE path
+            # (a := {b: cast(..., T)} → 'a.b', not 'b').
+            self._fstack.extend(path)
             v = self.parse_expr()
+            del self._fstack[len(self._fstack) - len(path):]
             if isinstance(v, _TaggedRecord):
                 self.ctx.names_sink[".".join(path)] = v.name
                 v = v.col
@@ -975,7 +980,9 @@ def _apply_stage(st: _State, toks: list[Token],
         while True:
             path = p._parse_path_only()
             if p.accept("assign"):
+                p._fstack.extend(path)  # absolute decoration paths
                 v = p.parse_expr()
+                del p._fstack[len(p._fstack) - len(path):]
                 if isinstance(v, _TaggedRecord):
                     p.ctx.names_sink[".".join(path)] = v.name
                     v = v.col

@@ -86,7 +86,9 @@ def render(v: Any, dtype: DataType, names: dict[str, str] | None = None,
             f"{render(x, dtype.valueType, None, '')}"
             for k, x in items) + "}|" + suffix)
     if isinstance(dtype, StringType):
-        return json.dumps(v) + suffix
+        # raw UTF-8 like the reference's writer (the reader also accepts
+        # \uXXXX escapes, so either form round-trips)
+        return json.dumps(v, ensure_ascii=False) + suffix
     if isinstance(dtype, BooleanType):
         return ("true" if v else "false") + suffix
     if isinstance(dtype, LongType):
@@ -158,10 +160,24 @@ def _tokenize(text: str):
             buf = []
             while j < n and text[j] != '"':
                 if text[j] == "\\":
-                    esc = text[j + 1]
+                    esc = text[j + 1] if j + 1 < n else ""
+                    if esc == "u":
+                        # \uXXXX — json.dumps-style escapes round-trip
+                        hexs = text[j + 2:j + 6]
+                        if len(hexs) != 4:
+                            raise ZsonParseError(
+                                f"bad \\u escape at {j}")
+                        try:
+                            buf.append(chr(int(hexs, 16)))
+                        except ValueError:
+                            raise ZsonParseError(
+                                f"bad \\u escape at {j}") from None
+                        j += 6
+                        continue
                     buf.append(
                         {"n": "\n", "t": "\t", "r": "\r", '"': '"',
-                         "\\": "\\", "/": "/"}.get(esc, esc))
+                         "\\": "\\", "/": "/", "b": "\b", "f": "\f"}
+                        .get(esc, esc))
                     j += 2
                 else:
                     buf.append(text[j])
@@ -380,7 +396,9 @@ def _to_spark_type(t) -> DataType:
 
 def _conform_value(v, t):
     """Inferred value dict → tuple matching the unified schema (absent
-    fields null-padded)."""
+    fields null-padded; ints coerced to float where the long/double
+    merge widened the field — PySpark's row verifier rejects int for
+    DoubleType)."""
     if v is None:
         return None
     if isinstance(t, tuple):
@@ -389,6 +407,8 @@ def _conform_value(v, t):
         if t[0] == "array":
             return [_conform_value(x, t[1]) for x in v]
         return {k: _conform_value(x, t[2]) for k, x in v.items()}
+    if isinstance(t, (DoubleType, FloatType)) and isinstance(v, int):
+        return float(v)
     return v
 
 
