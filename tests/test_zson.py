@@ -259,3 +259,26 @@ def test_unicode_and_widened_numbers_round_trip(spark):
     df, _ = zson.read(spark, '{a:1} {a:1.5}')
     vals = sorted(r["a"] for r in df.collect())
     assert vals == [1.0, 1.5] and df.schema["a"].dataType.typeName() == "double"
+
+
+def test_typed_nulls_mirror_connectjson_cases(spark):
+    """The connectjson_test.go typed-null shapes parse: null({}),
+    null(named={}), null(string), and a typed null that merges with a
+    sibling value's shape."""
+    rows, schema, names = zson.parse(
+        '{a:null({id:int32,name:string})} {a:{id:5(int32),name:"x"}}')
+    assert names == {}
+    assert schema["a"].dataType.simpleString() == "struct<id:int,name:string>"
+    assert rows[0] == (None,) and rows[1] == ((5, "x"),)
+    # named typed null: the decoration lands in the registry
+    rows, schema, names = zson.parse('{a:null(named={})}')
+    assert names == {"a": "named"} and rows == [(None,)]
+    assert schema["a"].dataType.typeName() == "struct"
+    # bare typed null primitive
+    rows, schema, _ = zson.parse('{s:null(string)} {s:"x"}')
+    assert rows == [(None,), ("x",)]
+    assert schema["s"].dataType.typeName() == "string"
+    # root named empty record, connectjson's `{}(=named)`
+    rows, schema, _ = zson.parse('{}(=named)')
+    assert [f.name for f in schema.fields] == ["zed_type"]
+    assert rows == [("named",)]

@@ -226,6 +226,15 @@ _PRIM_DECOR = {
     "float32": FloatType(), "float64": DoubleType(),
 }
 
+# type-literal names (the SURVEY §1.3 bridge subset) — used by TYPED
+# NULLS: null(string), null({id:int32,...}), null(named={...})
+_TYPE_NAMES = {
+    **_PRIM_DECOR,
+    "string": StringType(), "bool": BooleanType(), "bytes": BinaryType(),
+    "time": TimestampType(), "duration": LongType(),
+    "float16": FloatType(),
+}
+
 
 class _Reader:
     def __init__(self, text: str):
@@ -277,12 +286,57 @@ class _Reader:
             raise ZsonParseError(f"unexpected {t[1]!r} at {t[2]}")
         return self._decorations(v, dt, path, names)
 
+    def _parse_type(self):
+        """A zed TYPE literal (inside a typed-null decoration) → the
+        reader's internal type representation: primitives as Spark
+        types, records/arrays as the same tuples the value parser
+        infers, so typed nulls merge with sibling values' shapes."""
+        t = self.next()
+        if t[0] == "op" and t[1] == "{":
+            fields = []
+            while not (self.peek()[0] == "op" and self.peek()[1] == "}"):
+                nt = self.next()
+                if nt[0] not in ("ident", "str"):
+                    raise ZsonParseError(f"expected field name at {nt[2]}")
+                self.expect("op", ":")
+                fields.append((nt[1], self._parse_type()))
+                if self.peek()[0] == "op" and self.peek()[1] == ",":
+                    self.next()
+            self.next()  # }
+            return ("struct", fields)
+        if t[0] == "op" and t[1] == "[":
+            elem = self._parse_type()
+            self.expect("op", "]")
+            return ("array", elem)
+        if t[0] == "ident" and t[1] in _TYPE_NAMES:
+            return _TYPE_NAMES[t[1]]
+        raise ZsonParseError(f"unsupported type literal {t[1]!r} at {t[2]}")
+
     def _decorations(self, v, dt, path, names):
         while self.peek()[0] == "op" and self.peek()[1] == "(":
             self.next()
+            t = self.peek()
+            if t[0] == "op" and t[1] in "{[":
+                # typed null: null({id:int32,...}) / null([int64])
+                if v is not None:
+                    raise ZsonParseError(
+                        f"composite type decoration on a non-null value "
+                        f"at {t[2]}")
+                dt = self._parse_type()
+                self.expect("op", ")")
+                continue
             t = self.next()
             if t[0] == "op" and t[1] == "=":
                 names[path] = self.expect("ident")[1]
+            elif (t[0] == "ident"
+                  and self.peek()[0] == "op" and self.peek()[1] == "="):
+                # named typed null: null(named={...}) — the decode-side
+                # twin of connectjson's LookupTypeNamed wrap
+                names[path] = t[1]
+                self.next()  # =
+                dt = self._parse_type()
+            elif t[0] == "ident" and v is None and t[1] in _TYPE_NAMES:
+                dt = _TYPE_NAMES[t[1]]  # typed null: null(string)
             elif t[0] == "ident" and t[1] in _PRIM_DECOR:
                 dt = _PRIM_DECOR[t[1]]
                 if v is not None and isinstance(dt, (FloatType,)):
