@@ -133,3 +133,48 @@ def test_unindexable_delta_advances_cursor(spark, tmp_path):
     _load(spark, src, 2, 22)
     assert AI.sync_ann(src, dest, SPEC, ["emb"]) > 0
     assert AI.stored_centroids(dest, SPEC)
+
+
+def test_min_train_defers_quantizer_training(spark, tmp_path):
+    """ADVICE closure: with min_train set, a tiny first delta (the first
+    micro-batch through FromKafka(indexes=)) must NOT freeze a degenerate
+    quantizer — the pass defers (no commit, cursors unmoved) and a later
+    pass trains once the accreted delta meets the floor."""
+    import warnings
+
+    spec = AI.AnnIndexSpec("v", "value.vec_id", "value.emb",
+                           n_cells=4, iterations=2, min_train=20)
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    _load(spark, src, 0, 5)  # 5 vectors < min_train
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert AI.sync_ann(src, dest, spec, ["emb"]) == 0
+    assert any("deferring" in str(x.message) for x in w)
+    assert len(dest.commits()) == 0          # nothing frozen
+    assert AI.stored_centroids(dest, spec) is None
+    _load(spark, src, 5, 30)                 # delta accretes to 30
+    assert AI.sync_ann(src, dest, spec, ["emb"]) > 0
+    cents = AI.stored_centroids(dest, spec)
+    assert cents is not None  # k-means may drop an emptied cell; the
+    # load-bearing check is batch-equality below, not an exact count
+    # the quantizer trained on ALL 30 (the deferred delta re-scanned):
+    # identical to batch training over rows 0..30
+    expect = S.kmeans_centroids(_corpus(spark, 30), k=4, iterations=2,
+                                id_col="vec_id", vec_col="embedding")
+    assert cents == expect
+
+
+def test_small_training_set_warns_without_min_train(spark, tmp_path):
+    """Without min_train the old behavior stands, but freezing a
+    quantizer below ~8 vectors/cell warns (FAISS-style heuristic)."""
+    import warnings
+
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    _load(spark, src, 0, 6)  # 6 < 4 cells * 8
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert AI.sync_ann(src, dest, SPEC, ["emb"]) > 0
+    assert any("FROZEN" in str(x.message) for x in w)
+    assert AI.stored_centroids(dest, SPEC) is not None

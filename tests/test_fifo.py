@@ -494,3 +494,42 @@ def test_streaming_index_maintenance(spark, tmp_path):
     with pytest.raises(TypeError):
         FromKafka(spark, {"docs": pool}, KEY_T, doc_t, registry=reg,
                   indexes=[(object(), idx, ["docs"])])
+
+
+def test_index_maintenance_inherits_auto_compact(spark, tmp_path):
+    """ADVICE closure: auto_compact_every applies to the INDEX dest pools
+    too — without it one un-clustered commit accretes per micro-batch and
+    the bounded-probe contract silently degrades to full index reads."""
+    import json
+    import os
+
+    from tests.test_dedup_index import DOCS, SPEC
+
+    reg = MemoryRegistry()
+    doc_t = S([Fld("doc_id", LongType()), Fld("text", StringType())])
+    pool = Pool.create(spark, str(tmp_path / "docs"))
+    idx = Pool.create(spark, str(tmp_path / "idx"))
+    fk = FromKafka(spark, {"docs": pool}, KEY_T, doc_t, registry=reg,
+                   format="avro", auto_compact_every=1,
+                   indexes=[(SPEC, idx, ["docs"])])
+
+    def frame(rows):
+        typed = spark.createDataFrame(
+            [("docs", 0, o, (d,), (d, DOCS[d][1])) for o, d in rows],
+            S([Fld("topic", StringType()), Fld("partition", LongType()),
+               Fld("offset", LongType()), Fld("key", KEY_T),
+               Fld("value", doc_t)]))
+        wire = encode_column(typed, "key", KEY_T, reg)
+        return encode_column(wire, "value", doc_t, reg)
+
+    assert fk.commit_batch(frame([(0, 0), (1, 2)])) == {"docs": 2}
+    assert fk.commit_batch(frame([(2, 4), (3, 1)])) == {"docs": 2}
+    # the index pool was folded into a base manifest on the same cadence
+    # as the ingest pool (not just accreting delta commits)
+    assert idx.commits_since_base() == 0
+    bases = []
+    for c in idx.commits():
+        with open(os.path.join(idx.path, "_commits", c)) as f:
+            if json.load(f).get("base"):
+                bases.append(c)
+    assert bases, "index dest pool never compacted"

@@ -470,3 +470,53 @@ def test_may_overlap_point_set_properties():
         assert _may_overlap({"other": [0, 1]}, {"c": vals})
 
     check()
+
+
+def test_losing_occ_writer_does_not_touch_type_registry(spark, tmp_path):
+    """Round-4 review: the types.json merge must ride the OCC outcome —
+    a load that loses the compare-and-set publishes nothing, so it must
+    mutate nothing (the sidecar is written only AFTER the manifest claim
+    succeeds)."""
+    import pytest
+
+    from zync_spark.pool import ConcurrentWriteError
+
+    pool = Pool.create(spark, str(tmp_path / "p"))
+    df = spark.createDataFrame(
+        [(("t", 0, 0), "x")],
+        "kafka struct<topic:string,partition:long,offset:long>, v string")
+    pool.load(df, "first", type_names={"v": "name_t"})
+    assert pool.type_names() == {"v": "name_t"}
+    # seq 0 is taken: an occ_token=0 load loses the CAS
+    with pytest.raises(ConcurrentWriteError):
+        pool.load(df, "loser", occ_token=0, type_names={"v": "EVIL"})
+    assert pool.type_names() == {"v": "name_t"}  # registry untouched
+    # the winning occ path merges after its publish
+    pool.load(df, "winner", occ_token=1, type_names={"w": "other_t"})
+    assert pool.type_names() == {"v": "name_t", "w": "other_t"}
+
+
+def test_concurrent_type_name_merges_are_lossless(spark, tmp_path):
+    """Two concurrent set_type_names callers must both land (the
+    read-merge-write is lock-guarded; an unlocked interleave would drop
+    one writer's paths — round-4 review)."""
+    import threading
+
+    pool = Pool.create(spark, str(tmp_path / "p"))
+    errs = []
+
+    def merge(i):
+        try:
+            for j in range(20):
+                pool.set_type_names({f"p{i}.{j}": f"t{i}"})
+        except Exception as e:  # pragma: no cover - failure diagnostics
+            errs.append(e)
+
+    threads = [threading.Thread(target=merge, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    got = pool.type_names()
+    assert len(got) == 80  # every writer's every path survived

@@ -282,3 +282,60 @@ def test_typed_nulls_mirror_connectjson_cases(spark):
     rows, schema, _ = zson.parse('{}(=named)')
     assert [f.name for f in schema.fields] == ["zed_type"]
     assert rows == [("named",)]
+
+
+def test_time_nan_inf_literals_round_trip(spark):
+    """Round-4 ADVICE closure: every form the WRITER emits must parse
+    back — timestamps (2024-01-02T03:04:05Z), dates, NaN/+Inf/-Inf —
+    so consume --format zson output reloads via produce --format zson."""
+    from pyspark.sql.types import (DateType, DoubleType, StructField,
+                                   StructType, TimestampType)
+
+    ts = datetime.datetime(2024, 1, 2, 3, 4, 5)
+    d = datetime.date(2024, 1, 2)
+    schema = StructType([StructField("t", TimestampType()),
+                         StructField("d", DateType()),
+                         StructField("x", DoubleType())])
+    for x, lit in [(float("nan"), "NaN"), (float("inf"), "+Inf"),
+                   (float("-inf"), "-Inf")]:
+        df = spark.createDataFrame([(ts, d, x)], schema)
+        line = zson.render_row(df.collect()[0], schema)
+        assert "2024-01-02T03:04:05Z" in line and lit in line
+        rows, sch, _ = zson.parse(line)
+        assert sch["t"].dataType.typeName() == "timestamp"
+        assert sch["d"].dataType.typeName() == "date"
+        assert rows[0][0] == ts and rows[0][1] == d
+        if lit == "NaN":
+            assert rows[0][2] != rows[0][2]
+        else:
+            assert rows[0][2] == x
+    # fractional seconds and explicit offsets normalize to naive UTC
+    rows, _, _ = zson.parse('{t:2024-01-02T03:04:05.25Z}')
+    assert rows[0][0] == datetime.datetime(2024, 1, 2, 3, 4, 5, 250000)
+    rows, _, _ = zson.parse('{t:2024-01-02T05:04:05+02:00}')
+    assert rows[0][0] == datetime.datetime(2024, 1, 2, 3, 4, 5)
+
+
+def test_int_width_merge_widens_not_errors():
+    """{a:5(int32)} then {a:9} is valid reference ZSON (zed fuse widens
+    to int64); mixed narrower widths take the wider int, int+float32
+    takes float64."""
+    rows, schema, _ = zson.parse('{a:5(int32)} {a:9}')
+    assert schema["a"].dataType.typeName() == "long"
+    assert rows == [(5,), (9,)]
+    rows, schema, _ = zson.parse('{a:5(int8)} {a:9(int16)}')
+    assert schema["a"].dataType.typeName() == "short"
+    rows, schema, _ = zson.parse('{a:5(int32)} {a:1.5(float32)}')
+    assert schema["a"].dataType.typeName() == "double"
+    assert rows == [(5.0,), (1.5,)]
+
+
+def test_hex_and_size_guard_errors_are_controlled(tmp_path):
+    import pytest
+
+    with pytest.raises(zson.ZsonParseError):  # odd-length 0x literal
+        zson.parse('{b:0xabc}')
+    big = tmp_path / "big.zson"
+    big.write_text("{a:1}\n" * 10)
+    with pytest.raises(zson.ZsonParseError, match="driver"):
+        zson.read(None, str(big), max_bytes=16)

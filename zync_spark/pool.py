@@ -198,11 +198,37 @@ class Pool:
     def set_type_names(self, names: dict[str, str]) -> None:
         """Merge decorations into the sidecar (atomic rewrite). Last
         writer wins per path — same semantics as the zed type context
-        rebinding a name."""
+        rebinding a name.
+
+        The read-merge-write runs under an exclusive lockfile so two
+        concurrent writers cannot interleave (each would otherwise
+        rewrite from its own stale read and drop the other's paths —
+        round-4 review finding). Stale locks (a crashed holder) are
+        broken after 10s: the merge is milliseconds of local JSON."""
         if not names:
             return
-        merged = {**self.type_names(), **names}
-        _atomic_write_json(os.path.join(self.path, "types.json"), merged)
+        lock = os.path.join(self.path, "types.json.lock")
+        for _ in range(2000):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > 10.0:
+                        os.unlink(lock)  # crashed holder; next loop retries
+                        continue
+                except OSError:
+                    continue  # holder released between exists and stat
+                time.sleep(0.005)
+        else:
+            raise ConcurrentWriteError(
+                f"could not acquire {lock} (held >10s by a live writer?)")
+        try:
+            merged = {**self.type_names(), **names}
+            _atomic_write_json(os.path.join(self.path, "types.json"), merged)
+        finally:
+            os.unlink(lock)
 
     # -- I/O ---------------------------------------------------------------
 
@@ -246,10 +272,13 @@ class Pool:
         parquet row-group stats enable offset-range data skipping.
         `cursors` (optional) persists per-topic scan cursors with the
         commit (see stored_cursors). `type_names` (optional) merges named-
-        type decorations into the pool's types.json sidecar (written
-        before the manifest publish: a crash can leave a decoration
-        without its data — harmless metadata — never data without its
-        decoration). Returns the number of committed rows.
+        type decorations into the pool's types.json sidecar AFTER the
+        manifest publish succeeds — a writer that loses the OCC
+        compare-and-set must not mutate the shared registry (round-4
+        review). A crash in the instant between publish and sidecar
+        write loses only the decoration, and set_type_names is
+        idempotent — re-running the load's shaper restores it. Returns
+        the number of committed rows.
 
         `occ_token` (optional) = the commit-log length the caller's
         read snapshot was taken at: the commit is published at EXACTLY
@@ -262,8 +291,6 @@ class Pool:
         n = df.count()
         if n == 0:
             return 0
-        if type_names:
-            self.set_type_names(type_names)
         file_id = uuid.uuid4().hex
         data_path = os.path.join(self.path, "data", file_id)
         # Size-aware write: small batches collapse to few files instead of
@@ -308,12 +335,14 @@ class Pool:
                     os.path.join(self._commit_dir(), f"{occ_token:06d}.json"),
                     manifest,
                 )
-                return n
             except FileExistsError:
                 raise ConcurrentWriteError(
                     f"pool {self.path} advanced past seq {occ_token} during a "
                     "read-modify-write commit; re-run"
                 ) from None
+            if type_names:
+                self.set_type_names(type_names)
+            return n
         # optimistic concurrency: claim the next sequence number; on a
         # collision another writer won that seq — append after it instead
         # (this load's data files are independent of theirs).
@@ -323,6 +352,8 @@ class Pool:
                 _atomic_create_json(
                     os.path.join(self._commit_dir(), f"{seq:06d}.json"), manifest
                 )
+                if type_names:
+                    self.set_type_names(type_names)
                 return n
             except FileExistsError:
                 continue

@@ -58,7 +58,8 @@ class AnnIndexSpec:
     similarity.ivf_ann_topk's coarse quantizer."""
 
     def __init__(self, name: str, id_expr: str, vec_expr: str,
-                 n_cells: int = 16, iterations: int = 2):
+                 n_cells: int = 16, iterations: int = 2,
+                 min_train: int | None = None):
         if not 1 <= n_cells <= 65536:
             # _cell_ckey's fixed 4-hex-char bucket would silently
             # TRUNCATE larger cell ids (lpad truncates), making those
@@ -71,6 +72,15 @@ class AnnIndexSpec:
         self.vec_expr = vec_expr
         self.n_cells = n_cells
         self.iterations = iterations
+        # Training-set floor: the quantizer trains ONCE, on the first
+        # sync's delta — wired through FromKafka(indexes=) that is the
+        # first MICRO-BATCH, which can be a handful of rows, freezing a
+        # degenerate quantizer for the index's life. With min_train set,
+        # sync_ann DEFERS training (commits nothing, leaves cursors
+        # unmoved — the delta keeps accreting) until a pass sees at
+        # least that many vectors. None keeps the old behavior but
+        # warns below the FAISS-style heuristic floor (~8/cell).
+        self.min_train = min_train
 
     # duck-types RollupSpec for _spec_cursors' key namespace
     @property
@@ -150,6 +160,27 @@ def _sync_ann_once(src: Pool, dest: Pool, spec: AnnIndexSpec,
         cents = stored_centroids(dest, spec)
         cent_rows = None
         if cents is None:
+            n_vecs = vecs.count()
+            if spec.min_train is not None and 0 < n_vecs < spec.min_train:
+                # defer: no commit, cursors unmoved — the next pass
+                # re-scans a LARGER delta (this one plus newer rows)
+                # and trains when the floor is met
+                import warnings
+
+                warnings.warn(
+                    f"ann index {spec.name!r}: deferring quantizer "
+                    f"training ({n_vecs} < min_train={spec.min_train} "
+                    "vectors in the first delta)", stacklevel=2)
+                return 0
+            if 0 < n_vecs < spec.n_cells * 8:
+                import warnings
+
+                warnings.warn(
+                    f"ann index {spec.name!r}: training the FROZEN "
+                    f"quantizer on only {n_vecs} vectors for "
+                    f"{spec.n_cells} cells (< 8/cell) — consider "
+                    "min_train, or rebuild_ann once the corpus grows",
+                    stacklevel=2)
             cents = S.kmeans_centroids(
                 vecs, k=spec.n_cells, iterations=spec.iterations,
                 id_col="vec_id", vec_col="v")
@@ -213,17 +244,20 @@ def load_ann_spec(path: str) -> tuple[AnnIndexSpec, dict]:
       vec: value.embedding
       n_cells: 16       # optional
       iterations: 2     # optional
+      min_train: 256    # optional: defer training below this many vectors
     """
     import yaml
 
     with open(path) as f:
         doc = yaml.safe_load(f)
+    mt = doc.get("min_train")
     spec = AnnIndexSpec(
         doc["name"],
         id_expr=doc["id"],
         vec_expr=doc["vec"],
         n_cells=int(doc.get("n_cells", 16)),
         iterations=int(doc.get("iterations", 2)),
+        min_train=int(mt) if mt is not None else None,
     )
     return spec, doc
 

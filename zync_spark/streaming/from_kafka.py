@@ -260,8 +260,13 @@ class FromKafka:
                     sync = (dedup_index.sync_index
                             if isinstance(spec, dedup_index.DedupIndexSpec)
                             else ann_index.sync_ann)
+                    # the same small-files cadence commit_batch applies to
+                    # ingest pools: without it, one un-clustered commit
+                    # accretes per micro-batch and the bounded-probe
+                    # contract silently degrades to full index reads
                     sync(self.topic_pools[topics[0]], dest, spec,
-                         list(topics))
+                         list(topics),
+                         auto_compact_every=self.auto_compact_every)
         return committed
 
     # -- streaming entry ---------------------------------------------------

@@ -133,8 +133,9 @@ def render_row(row, schema: StructType,
 # -- reader ----------------------------------------------------------------
 # Parses the ZSON subset the reference's demo/ztest files use
 # (demo/batch-*.zson, staging-1.zson): records/arrays/maps, strings,
-# int64/float64 literals, narrower-primitive decorators, named-type
-# decorators, // comments, trailing commas, multi-line values. The
+# int64/float64 literals (incl. NaN/+Inf/-Inf), ISO time/date literals,
+# narrower-primitive decorators, named-type decorators, // comments,
+# trailing commas, multi-line values. The
 # result is Spark-ready: values + a UNIFIED null-padded schema (the
 # envelope substitution applied at read time) + the path decorations for
 # the pool registry.
@@ -142,6 +143,22 @@ def render_row(row, schema: StructType,
 
 class ZsonParseError(ValueError):
     pass
+
+
+_TIME_RE = None  # compiled lazily below
+
+
+def _time_match(text: str, i: int):
+    """ISO date/time literal at position i (the writer's own output
+    forms: 2024-01-02 and 2024-01-02T03:04:05[.ffffff][Z|±HH:MM])."""
+    global _TIME_RE
+    if _TIME_RE is None:
+        import re
+
+        _TIME_RE = re.compile(
+            r"\d{4}-\d{2}-\d{2}"
+            r"(T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?)?")
+    return _TIME_RE.match(text, i)
 
 
 def _tokenize(text: str):
@@ -154,6 +171,10 @@ def _tokenize(text: str):
         if text.startswith("//", i):
             j = text.find("\n", i)
             i = n if j < 0 else j + 1
+            continue
+        if text.startswith("+Inf", i) or text.startswith("-Inf", i):
+            yield ("num", text[i:i + 4], i)
+            i += 4
             continue
         if c == '"':
             j = i + 1
@@ -197,8 +218,16 @@ def _tokenize(text: str):
                 j = i + 2
                 while j < n and text[j] in "0123456789abcdefABCDEF":
                     j += 1
+                if (j - i - 2) % 2:
+                    raise ZsonParseError(
+                        f"odd-length hex bytes literal at {i}")
                 yield ("bytes", text[i + 2:j], i)
                 i = j
+                continue
+            m = _time_match(text, i) if c.isdigit() else None
+            if m and m.end() - i > 8:  # a date at minimum (yyyy-mm-dd)
+                yield ("time", m.group(0), i)
+                i = m.end()
                 continue
             while j < n and (text[j].isdigit() or text[j] in ".eE+-"):
                 # '+'/'-' only valid right after an exponent marker
@@ -270,12 +299,20 @@ class _Reader:
         elif t[0] == "bytes":
             self.next()
             v, dt = bytes.fromhex(t[1]), BinaryType()
+        elif t[0] == "time":
+            self.next()
+            v, dt = _parse_time(t[1], t[2])
         elif t[0] == "num":
             self.next()
-            if any(ch in t[1] for ch in ".eE"):
+            if t[1] in ("+Inf", "-Inf"):
+                v, dt = float(t[1][0] + "inf"), DoubleType()
+            elif any(ch in t[1] for ch in ".eE"):
                 v, dt = float(t[1]), DoubleType()
             else:
                 v, dt = int(t[1]), LongType()
+        elif t[0] == "ident" and t[1] == "NaN":
+            self.next()
+            v, dt = float("nan"), DoubleType()
         elif t[0] == "ident" and t[1] in ("true", "false"):
             self.next()
             v, dt = t[1] == "true", BooleanType()
@@ -400,10 +437,34 @@ class _Reader:
         return out, ("map", kt, vt)
 
 
+def _parse_time(s: str, pos: int):
+    """ISO date/time literal → (value, type). Timestamps normalize to
+    naive UTC (the writer emits UTC with a Z suffix and Spark stores
+    session-local naive datetimes — keep sessions on UTC for byte-exact
+    round-trips, the repo default)."""
+    import datetime
+
+    try:
+        if "T" not in s:
+            return datetime.date.fromisoformat(s), DateType()
+        v = datetime.datetime.fromisoformat(s.replace("Z", "+00:00"))
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v, TimestampType()
+    except ValueError:
+        raise ZsonParseError(f"bad time literal {s!r} at {pos}") from None
+
+
+# numeric widening lattice (zed fuse semantics): among ints the wider
+# width wins; an int meeting a float widens to float64 (never the
+# reverse — a double column must not narrow because one value was int)
+_INT_RANK = [ByteType, ShortType, IntegerType, LongType]
+
+
 def _merge_types(a, b, path):
     """Unify two inferred types (fuse semantics: struct fields union in
-    first-seen order, null defers, equal primitives agree; long widens
-    to double when both appear)."""
+    first-seen order, null defers, equal primitives agree; mixed int
+    widths widen to the wider int; int + float widens to double)."""
     if a is None:
         return b
     if b is None:
@@ -426,9 +487,16 @@ def _merge_types(a, b, path):
                 _merge_types(a[2], b[2], path))
     if a == b:
         return a
-    kinds = {type(a), type(b)} if not (isinstance(a, tuple) or isinstance(b, tuple)) else None
-    if kinds == {LongType, DoubleType}:
-        return DoubleType()
+    if not (isinstance(a, tuple) or isinstance(b, tuple)):
+        kinds = {type(a), type(b)}
+        ints = [k for k in kinds if k in _INT_RANK]
+        floats = kinds - set(ints)
+        if len(ints) == 2:  # {a:5(int32)} then {a:9} → int64, not an error
+            return max(ints, key=_INT_RANK.index)()
+        if ints and floats <= {FloatType, DoubleType}:
+            return DoubleType()
+        if kinds == {FloatType, DoubleType}:
+            return DoubleType()
     raise ZsonParseError(f"conflicting types at {path or '<root>'}: {a} vs {b}")
 
 
@@ -503,14 +571,34 @@ def parse(text: str):
     return rows, schema, names
 
 
-def read(spark, path_or_text: str):
+def read(spark, path_or_text: str, max_bytes: int | None = 64 << 20):
     """Load a .zson file (or literal text) into a DataFrame + its path
     decorations: (df, type_names). The reference's own demo inputs
-    (demo/batch-*.zson) load verbatim."""
+    (demo/batch-*.zson) load verbatim.
+
+    Round-trip coverage (writer → reader): records/arrays/maps, strings
+    (incl. escapes), all int widths, float64 incl. NaN/±Inf, float32,
+    bool, bytes, time/date literals, typed nulls, named decorators.
+    Decimals render UNdecorated and read back as float64 (documented
+    lossy corner — zed's decimal type has no Spark-exact twin).
+
+    This is the console/demo path: the whole text parses ON THE DRIVER
+    (ZSON values span lines, so a distributed line-split would tear
+    them). `max_bytes` (default 64 MB) refuses larger files with a
+    clear error instead of silently serializing a big ingest through
+    one process — bulk data belongs in parquet/pools (`produce
+    --format json/avro`, Pool.load). Pass max_bytes=None to override
+    knowingly."""
     import os
 
     text = path_or_text
     if os.path.exists(path_or_text):
+        if max_bytes is not None and os.path.getsize(path_or_text) > max_bytes:
+            raise ZsonParseError(
+                f"{path_or_text} is {os.path.getsize(path_or_text)} bytes; "
+                f"zson.read parses on the driver and refuses files over "
+                f"{max_bytes} bytes. Convert bulk data to parquet/json for "
+                "a distributed load, or pass max_bytes=None to force.")
         with open(path_or_text) as f:
             text = f.read()
     rows, schema, names = parse(text)
