@@ -304,3 +304,70 @@ def test_compact_before_migrate_self_heals(spark, tmp_path):
     assert DI.sync_index(src, dest, SPEC, ["docs"]) > 0
     got = {(r["id_a"], r["id_b"]) for r in DI.pairs_view(dest, SPEC).collect()}
     assert got == {(0, 1), (2, 4)}
+
+
+def test_pairs_view_bounded_probe(spark, tmp_path):
+    """Round-5 ask #3: pair rows are bucketed by pmod(id_a) — a
+    pairs_view(ids=) point lookup reads only the colliding 'p:' buckets'
+    files (plus the legacy constant bucket), not the pool's whole pair
+    space. Pinned via manifest file counts, like the band probe."""
+    docs = _many_docs(60)
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    rows = [(("docs", 0, i), "data", (i, t)) for i, t in docs]
+    src.load(spark.createDataFrame(rows, ROW), "corpus")
+    # near-dups of several docs so the pair space spans many buckets
+    extra = [(("docs", 0, 60 + j), "data", (60 + j, docs[j][1] + " zz"))
+             for j in range(12)]
+    src.load(spark.createDataFrame(extra, ROW), "dups")
+    assert DI.sync_index(src, dest, SPEC, ["docs"]) > 0
+    DI.compact_index(dest, target_rows=48)
+    live = len(dest.committed_files())
+    assert live >= 8
+    full = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in DI.pairs_view(dest, SPEC).collect()}
+    assert len(full) >= 10
+    some_id = sorted({a for a, _ in full})[0]
+    stats = {}
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in DI.pairs_view(dest, SPEC, ids=[some_id],
+                                  stats_out=stats).collect()}
+    # correctness: exactly the full view's pairs with that canonical id
+    assert got == {k: v for k, v in full.items() if k[0] == some_id}
+    assert got
+    # boundedness: a strict subset of the files served the lookup
+    assert stats["live_files"] == live
+    assert 0 < stats["probe_files"] < live
+
+
+def test_legacy_constant_pair_bucket_self_heals(spark, tmp_path):
+    """Pair rows written with the pre-round-5 constant 'p:' ckey stay
+    visible to bounded lookups (the probe set includes 'p:') and are
+    rebucketed by the next compact_index."""
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    start = 0
+    for batch in BATCHES:
+        start = _load_batch(spark, src, batch, start)
+    assert DI.sync_index(src, dest, SPEC, ["docs"]) > 0
+    # forge the legacy layout: rewrite every pair row's ckey to 'p:'
+    df = dest.scan()
+    legacy = df.withColumn(
+        "ckey", F.when(F.col("zed_type") == "duppair", F.lit("p:"))
+        .otherwise(F.col("ckey")))
+    dest.compact(transform=lambda _: legacy, cluster_by=["ckey"],
+                 target_rows=32)
+    full = {(r["id_a"], r["id_b"]) for r in DI.pairs_view(dest, SPEC).collect()}
+    assert full  # sanity: the forged pool still has pairs
+    a0 = sorted({a for a, _ in full})[0]
+    got = {(r["id_a"], r["id_b"])
+           for r in DI.pairs_view(dest, SPEC, ids=[a0]).collect()}
+    assert got == {k for k in full if k[0] == a0}  # legacy bucket probed
+    # self-heal: compaction rebuckets the constant 'p:' rows
+    DI.compact_index(dest, target_rows=32)
+    bad = dest.scan().filter(
+        (F.col("zed_type") == "duppair") & (F.col("ckey") == "p:")).count()
+    assert bad == 0
+    got2 = {(r["id_a"], r["id_b"])
+            for r in DI.pairs_view(dest, SPEC, ids=[a0]).collect()}
+    assert got2 == got

@@ -26,7 +26,8 @@ key spaces — `b:<xx>` exploded band rows (doc_id, bkey) bucketed by the
 band key's first `prefix_len` hex chars (16^prefix_len buckets, default
 256; size it to the corpus at index creation — it is fixed for the
 index's life), `s:<xx>` signature rows (doc_id, sh_set, bkeys) bucketed
-by pmod(doc_id, 16^prefix_len), `p:` pair rows.
+by pmod(doc_id, 16^prefix_len), `p:<xx>` pair rows bucketed by
+pmod(id_a, ...) — every key space is file-skippable.
 `compact_index()` range-clusters the pool by ckey (Pool.compact
 cluster_by), recording per-file ckey min/max in the manifest, and a
 maintenance pass probes with `scan(bounds={"ckey": [values...]})` — it
@@ -74,6 +75,20 @@ def _doc_ckey(doc_id, prefix_len: int = _PREFIX_LEN) -> F.Column:
     return F.concat(
         F.lit("s:"),
         F.lower(F.lpad(F.hex(F.pmod(doc_id, F.lit(16 ** prefix_len))),
+                       prefix_len, "0")),
+    )
+
+
+def _pair_ckey(id_a, prefix_len: int = _PREFIX_LEN) -> F.Column:
+    """Cluster key of a pair row: 'p:' + hex bucket of the pair's
+    CANONICAL SMALLER member (id_a < id_b by construction) — the same
+    pmod bucketing as signature rows, so pairs_view(ids=) reads only the
+    colliding buckets' files. Pre-round-5 pools stamped the constant
+    'p:' (every pair in one bucket — a full scan for any consumer);
+    compact_index self-heals them to this form."""
+    return F.concat(
+        F.lit("p:"),
+        F.lower(F.lpad(F.hex(F.pmod(id_a, F.lit(16 ** prefix_len))),
                        prefix_len, "0")),
     )
 
@@ -378,7 +393,9 @@ def _verify_and_commit(dest: Pool, spec: DedupIndexSpec, delta: DataFrame,
         .unionByName(_stamp("band", _band_ckey(F.col("bkey"),
                                                spec.prefix_len), new_bands),
                      allowMissingColumns=True)
-        .unionByName(_stamp("duppair", F.lit("p:"), pairs),
+        .unionByName(_stamp("duppair",
+                            _pair_ckey(F.col("id_a"), spec.prefix_len),
+                            pairs),
                      allowMissingColumns=True)
     )
     out = _envelope(spec, out, snapshot)
@@ -449,8 +466,19 @@ def _upgrade_and_fill(df: DataFrame, prefix_len: int) -> DataFrame:
                       _doc_ckey(F.col("doc_id"), prefix_len)).otherwise(fill)
     if "id_a" in df.columns:
         fill = F.when(F.col("zed_type").eqNullSafe("duppair"),
-                      F.lit("p:")).otherwise(fill)
-    return df.withColumn("ckey", F.coalesce(F.col("ckey"), fill))
+                      _pair_ckey(F.col("id_a"), prefix_len)).otherwise(fill)
+    df = df.withColumn("ckey", F.coalesce(F.col("ckey"), fill))
+    if "id_a" in df.columns:
+        # pre-round-5 pair rows carry the constant 'p:' (one bucket =
+        # full scan for every pairs_view consumer) — rebucket them by
+        # id_a during the rewrite, same self-healing as band migration
+        df = df.withColumn(
+            "ckey",
+            F.when(F.col("zed_type").eqNullSafe("duppair")
+                   & F.col("ckey").eqNullSafe("p:"),
+                   _pair_ckey(F.col("id_a"), prefix_len))
+            .otherwise(F.col("ckey")))
+    return df
 
 
 def compact_index(dest: Pool, target_rows: int = 4_000_000,
@@ -512,16 +540,46 @@ def migrate_band_rows(dest: Pool, spec: DedupIndexSpec) -> int:
         f"{spec.topic}: migration lost the commit race repeatedly; re-run")
 
 
-def pairs_view(dest: Pool, spec: DedupIndexSpec) -> DataFrame | None:
-    """All duplicate pairs discovered so far: (id_a, id_b, jaccard)."""
-    df = dest.scan()
+def pairs_view(dest: Pool, spec: DedupIndexSpec,
+               ids: list[int] | None = None,
+               stats_out: dict | None = None) -> DataFrame | None:
+    """Duplicate pairs discovered so far: (id_a, id_b, jaccard).
+
+    `ids` bounds the read to pairs whose CANONICAL SMALLER member (id_a
+    — pairs are stored with id_a < id_b) is in the set: only those ids'
+    'p:' buckets are probed (`scan(bounds=)` point-set file skipping,
+    the same contract as the band probe), so a point lookup over a
+    100 TB index reads ~len(ids)/16^prefix_len of the pair space. To
+    bound by EITHER member, pass both candidate ids — the caller knows
+    which side is smaller iff it knows both. The probe set includes the
+    legacy constant 'p:' bucket, so pools compacted before the
+    bucketed-pair format stay visible until compact_index rebuckets
+    them. `stats_out` receives live_files/probe_files (the boundedness
+    pin under test). ids=None returns the full view."""
+    if ids is None:
+        df = dest.scan()
+    else:
+        buckets = sorted({
+            "p:%0*x" % (spec.prefix_len, i % (16 ** spec.prefix_len))
+            for i in ids
+        }) + ["p:"]  # legacy constant bucket: always probed (see above)
+        if stats_out is not None:
+            stats_out["live_files"] = len(dest.committed_files())
+            stats_out["probe_files"] = len(
+                dest.committed_files(bounds={"ckey": buckets}))
+        df = dest.scan(bounds={"ckey": buckets})
     if df is None or "zed_type" not in df.columns:
         return None
     if "id_a" not in df.columns:
         # only cursor tombstones committed so far: empty typed frame
         return df.sparkSession.createDataFrame(
             [], "id_a long, id_b long, jaccard double")
-    return df.filter(_is_pair(spec)).select("id_a", "id_b", "jaccard")
+    out = df.filter(_is_pair(spec)).select("id_a", "id_b", "jaccard")
+    if ids is not None:
+        # the row-level residual of the file-level skip (ckey is a pure
+        # function of id_a, so this filter alone is the true predicate)
+        out = out.filter(F.col("id_a").isin([int(i) for i in ids]))
+    return out
 
 
 def index_view(dest: Pool, spec: DedupIndexSpec) -> DataFrame | None:
