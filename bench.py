@@ -128,13 +128,15 @@ def _pool_layout(spark, sf_dir: str) -> dict:
 
     Reading the numbers: Spark's total drops ~1.5x (the artifact
     removed); DuckDB also gains (multi-file parallelism helps its
-    regex-heavy dedup oracles most). Round 4 closed the r3 ratio gap
-    (2.69 -> ~1.8) with three fixes, each documented at its site:
-    interleaved attempts (phase bias), minPartitionNum job sizing for
-    the small-file scans, and build-once plan construction (module
-    docstring). What's left of Spark's time is mostly the fixed
-    ~0.1s/query scheduling floor, which shrinks to nothing as per-query
-    execution grows at real scale."""
+    regex-heavy dedup oracles most). Round 4 narrowed the r3 ratio gap
+    with interleaved attempts (phase bias) and build-once plan
+    construction, plus a bench-scoped minPartitionNum knob; round 5
+    DELETED that knob and moved the small-file scan sizing into the
+    engine (pool.read_packed — Pool.scan and queries.T both apply it),
+    so this section now measures what a real user's scan pays. What's
+    left of Spark's time is mostly the fixed ~0.1s/query scheduling
+    floor, which shrinks to nothing as per-query execution grows at
+    real scale."""
     import shutil
 
     import duckdb
@@ -158,36 +160,30 @@ def _pool_layout(spark, sf_dir: str) -> dict:
     # Interleave Spark/DuckDB attempts per query, exactly like the stock
     # loop above: phase-separated timing on this drifting host biased the
     # r3 pool_layout ratio by whichever phase caught the load spike.
-    # Scan sizing for this layout: the pooled copy is many ~1-8 MB files,
-    # and the default file-partition math targets defaultParallelism (32)
-    # partitions — sub-ms tasks, pure scheduler dispatch at this scale
-    # (measured 25% of the section total, round 4). minPartitionNum=8
-    # packs small files to the same 8-way job size the bench session
-    # already uses for shuffles; the engine default stays unset (at
-    # 100 TB bytesPerCore is maxPartitionBytes-bound and the knob is
-    # moot). Scoped to this section.
-    spark.conf.set("spark.sql.files.minPartitionNum", "8")
-    try:
-        timings: dict[str, float] = {}
-        duck: dict[str, float] = {}
-        for name in HEADLINE:
-            sql = ORACLE_SQL.get(name)
-            df = QUERIES[name](spark, out)  # built once; see module doc
-            runs: list[float] = []
-            druns: list[float] = []
-            for _ in range(4):
+    # Scan sizing for this many-small-file layout comes from the ENGINE
+    # (pool.read_packed, applied by queries.T to directory tables and by
+    # Pool.scan to lake reads): round 4 hid the small-task dispatch cost
+    # behind a bench-scoped minPartitionNum knob; round 5 deleted the
+    # knob — a real user's scan now gets the same packing this bench
+    # measures.
+    timings: dict[str, float] = {}
+    duck: dict[str, float] = {}
+    for name in HEADLINE:
+        sql = ORACLE_SQL.get(name)
+        df = QUERIES[name](spark, out)  # built once; see module doc
+        runs: list[float] = []
+        druns: list[float] = []
+        for _ in range(4):
+            s = time.perf_counter()
+            _materialize(df)
+            runs.append(time.perf_counter() - s)
+            if sql is not None:
                 s = time.perf_counter()
-                _materialize(df)
-                runs.append(time.perf_counter() - s)
-                if sql is not None:
-                    s = time.perf_counter()
-                    con.sql(sql).fetchall()
-                    druns.append(time.perf_counter() - s)
-            timings[name] = round(min(runs), 3)
-            if druns:
-                duck[name] = round(min(druns), 3)
-    finally:
-        spark.conf.unset("spark.sql.files.minPartitionNum")
+                con.sql(sql).fetchall()
+                druns.append(time.perf_counter() - s)
+        timings[name] = round(min(runs), 3)
+        if druns:
+            duck[name] = round(min(druns), 3)
     con.close()
     shutil.rmtree(out, ignore_errors=True)
 

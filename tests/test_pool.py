@@ -520,3 +520,38 @@ def test_concurrent_type_name_merges_are_lossless(spark, tmp_path):
     assert not errs
     got = pool.type_names()
     assert len(got) == 80  # every writer's every path survived
+
+
+def test_scan_packs_small_files_and_keeps_pushdown(spark, tmp_path):
+    """Round-5 ask #2: small-file scan sizing lives in the ENGINE.
+    Pool.scan over a many-small-commit pool coalesces to the packing
+    bound (data-sized tasks, not one dispatch per file), filters still
+    reach the parquet scan through the Coalesce, and the packing math
+    reproduces Spark's own partitioning at scale (no-op regime)."""
+    from pyspark.sql import functions as F
+
+    from zync_spark.pool import _pack_target, read_packed
+
+    pool = Pool.create(spark, str(tmp_path / "p"))
+    for c in range(12):  # 12 one-file commits — streaming-ingest shape
+        rows = [(("t", 0, c * 50 + i), "data", i) for i in range(50)]
+        pool.load(spark.createDataFrame(
+            rows, "kafka struct<topic:string,partition:long,offset:long>,"
+                  " zed_type string, v long"), f"c{c}")
+    files = pool.committed_files()
+    assert len(files) == 12
+    df = pool.scan()
+    assert df.rdd.getNumPartitions() < len(files)
+    q = df.filter(F.col("v") == 3).select("v")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(v), EqualTo(v,3)]" in plan
+    assert q.count() == 12
+    # packing math: tiny inputs collapse, at-scale inputs match Spark's
+    # own maxPartitionBytes partitioning (the coalesce is a no-op there)
+    assert _pack_target(spark, 8 << 20, 2) == 1
+    big = _pack_target(spark, 100 << 40, 1_000_000)
+    padded = (100 << 40) + 1_000_000 * (4 << 20)
+    assert big == -(-padded // (128 << 20))  # == Spark's own task count
+    # single file: read_packed never inserts a Coalesce
+    one = read_packed(spark, files[:1])
+    assert "Coalesce" not in one._jdf.queryExecution().executedPlan().toString()

@@ -258,9 +258,11 @@ class Pool:
         files = self.committed_files(lower_bounds, at=at, bounds=bounds)
         if not files:
             return None
-        return (
-            self.spark.read.option("mergeSchema", "true").parquet(*files)
-        )
+        # small-file-aware scan sizing lives in the ENGINE (read_packed),
+        # not in callers or benches: a freshly ingested pool is many
+        # per-trigger commits of small files until compaction runs, and
+        # every reader should get packed tasks, not one dispatch per file
+        return read_packed(self.spark, files, merge_schema=True)
 
     def load(self, df: DataFrame, message: str = "",
              cursors: dict[str, int] | None = None,
@@ -416,7 +418,7 @@ class Pool:
             if m.get("base"):
                 files = []
             files.extend(m["files"])
-        df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        df = read_packed(self.spark, files, merge_schema=True)
         if keep_latest_by_key and "key" in df.columns and "zed_type" in df.columns:
             from pyspark.sql import Window
 
@@ -654,6 +656,90 @@ class Pool:
             .collect()
         )
         return {int(r["p"]): r["mx"] + 1 for r in rows}
+
+
+# Scan-task size floor for many-small-file reads. Spark's own split math
+# (FilePartition.maxSplitBytes) floors the split size at openCostInBytes
+# (4 MB), so a medium table stored as many small files fans out into
+# sub-millisecond tasks whose scheduler dispatch dominates the scan —
+# measured as ~25% of the pool-layout bench section in round 4 (where it
+# was hidden by a bench-scoped minPartitionNum knob; round 5 moves the
+# sizing HERE, into the engine, where a real user's scan benefits).
+# 16 MB ≈ the smallest read a task is worth dispatching for; the knob
+# only bites when bytes-per-core < 16 MB, i.e. the small-data regime —
+# at 100 TB the packing bound below reproduces Spark's own partitioning
+# exactly and the coalesce is a no-op.
+_MIN_TASK_BYTES = 16 << 20
+_PACK_STAT_CAP = 65536  # above this many files, skip the driver-side stat
+
+
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """A Spark size conf in bytes (values may carry a b/k/m/g suffix)."""
+    try:
+        v = str(spark.conf.get(key)).strip().lower()
+    except Exception:
+        return default
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                   ("b", 1)):
+        if v.endswith(suf):
+            v = v[: -len(suf)]
+            mult = m
+            break
+    try:
+        return int(float(v) * mult)
+    except ValueError:
+        return default
+
+
+def _pack_target(spark: SparkSession, total_bytes: int, n_files: int) -> int:
+    """Scan partition count under Spark's packing bound with the task-size
+    floor raised from openCostInBytes to _MIN_TASK_BYTES:
+
+        padded     = total + n_files * openCost      (Spark's own padding)
+        task_bytes = min(maxPartitionBytes,
+                         max(_MIN_TASK_BYTES, padded / defaultParallelism))
+        target     = ceil(padded / task_bytes)
+
+    Identical to Spark's FilePartition math except the floor, so the
+    result only differs (is smaller) when bytes-per-core < 16 MB — the
+    many-small-files regime where dispatch cost dominates. At scale
+    task_bytes saturates at maxPartitionBytes and target equals what
+    Spark plans anyway."""
+    open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    max_pb = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    padded = total_bytes + n_files * open_cost
+    cores = max(1, spark.sparkContext.defaultParallelism)
+    task_bytes = min(max_pb, max(_MIN_TASK_BYTES, padded // cores))
+    return max(1, (padded + task_bytes - 1) // task_bytes)
+
+
+def read_packed(spark: SparkSession, files: list[str],
+                merge_schema: bool = False) -> DataFrame:
+    """Read parquet files with scan tasks sized for the DATA, not the
+    core count: when the files are small enough that Spark's split math
+    would fan out into sub-16 MB tasks, coalesce the scan to the packing
+    bound (_pack_target). coalesce() is narrow — each task reads several
+    file partitions back to back, the same I/O in fewer dispatches — and
+    Catalyst pushes filters/pruning through Repartition nodes, so scan
+    pushdown is unaffected (pinned in test_pool). File sizes come from a
+    driver-side stat of the (already pruned) file list, capped at
+    _PACK_STAT_CAP files — a pool that large is past the small-task
+    regime and reads at Spark's own partitioning."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*files)
+    if 1 < len(files) <= _PACK_STAT_CAP:
+        try:
+            total = sum(os.path.getsize(f) for f in files)
+        except OSError:
+            return df  # a file vanished mid-plan: let Spark's read report
+        target = _pack_target(spark, total, len(files))
+        if target < len(files):
+            df = df.coalesce(target)
+    return df
 
 
 def _atomic_write_json(path: str, obj: dict) -> None:

@@ -112,15 +112,34 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Either way we normalize to session-tz TIMESTAMP (UTC, set above)
         # to match the oracle's reading.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _read_table(spark, f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         else:
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _read_table(spark, f"{sf_dir}/{name}.parquet")
     _T_CACHE[key] = df
     return df
+
+
+def _read_table(spark: SparkSession, path: str) -> DataFrame:
+    """A table path is either one parquet file (the driver testdata) or a
+    directory of files (a pool-style multi-file layout). Directories go
+    through the engine's packed read (pool.read_packed) so many-small-file
+    tables get data-sized scan tasks instead of one dispatch per file —
+    the same sizing Pool.scan applies to lake reads."""
+    import os
+
+    if os.path.isdir(path):
+        from zync_spark.pool import read_packed
+
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".parquet"))
+        if files:
+            return read_packed(spark, files)
+    return spark.read.parquet(path)
 
 
 # ---------------------------------------------------------------------------
@@ -3032,6 +3051,92 @@ def ann_index_incremental(spark, sf_dir):
     AI.compact_ann(dest, target_rows=200)
     return AI.ann_query(dest, spec, emb.filter(F.col("vec_id") < 10),
                         k=5, nprobe=2)
+
+
+@register(
+    "ann_recall_at10",
+    """
+    SELECT count(*) AS n_queries,
+           TRUE AS recall_ok, TRUE AS lift_ok,
+           TRUE AS full_probe_exact, TRUE AS monotone_ok
+    FROM embeddings WHERE vec_id < 25
+    """,
+)
+def ann_recall_at10(spark, sf_dir):
+    """Retrieval QUALITY of the incremental IVF index — the round-5
+    measurement no hash gate covered (every prior ANN entry pins
+    determinism, not whether the neighbors are any good). Builds the
+    same backfill-trained index as ann_index_incremental, then measures
+    recall@10 of ann_query against exact cosine top-k over the stored
+    corpus (streaming.ann_index.ann_recall) at three probe widths, and
+    emits bounded-error booleans the oracle pins to TRUE
+    (q_approx_distinct style):
+
+    - recall_ok:        avg recall@10 at nprobe=8 >= 0.6 (measured
+                        0.75-0.79 across sf0.001/0.01/0.1; the synthetic
+                        embeddings are near-random, so recall tracks
+                        probe coverage — 0.50 here — plus the geometric
+                        lift of probing the RIGHT cells)
+    - lift_ok:          avg recall@10 at nprobe=2 >= 0.2 — strictly
+                        above the 2/16=0.125 coverage baseline a BUGGY
+                        probe (random cells) would score; measured
+                        0.30-0.37. This is the check that catches
+                        wrong-cell probing, which raw recall on random
+                        data cannot.
+    - full_probe_exact: min recall at nprobe=n_cells == 1.0 (probing
+                        every cell IS exact search — an inequality here
+                        means vectors were lost or mis-sharded)
+    - monotone_ok:      avg recall non-decreasing in nprobe (provable
+                        for IVF: widening the probe set only adds
+                        candidates, and any displacement of a true
+                        positive is by a higher-cosine true positive)
+
+    The recall-vs-nprobe curve itself is recorded in SCALING.md
+    (tools/exp_ann_recall.py)."""
+    import shutil
+
+    from zync_spark.pool import Pool
+    from zync_spark.streaming import ann_index as AI
+
+    emb = T(spark, sf_dir, "embeddings")
+    cut = (emb.agg(F.max("vec_id")).collect()[0][0] * 3) // 5
+    env = emb.select(
+        F.struct(
+            F.lit("emb").alias("topic"),
+            F.lit(0).cast("long").alias("partition"),
+            F.col("vec_id").cast("long").alias("offset"),
+        ).alias("kafka"),
+        F.lit("data").alias("zed_type"),
+        F.struct("vec_id", "embedding").alias("value"),
+    )
+    lake = _scratch_dir(
+        f"zs-annrecall-{sf_dir.rstrip('/').rsplit('/', 1)[-1]}")
+    shutil.rmtree(lake, ignore_errors=True)
+    src = Pool.create(spark, f"{lake}/src")
+    dest = Pool.create(spark, f"{lake}/index")
+    spec = AI.AnnIndexSpec("emb", "value.vec_id", "value.embedding",
+                           n_cells=16, iterations=2)
+    src.load(env.filter(F.col("kafka.offset") < cut), "backfill")
+    AI.sync_ann(src, dest, spec, ["emb"])
+    src.load(env.filter(F.col("kafka.offset") >= cut), "delta")
+    AI.sync_ann(src, dest, spec, ["emb"])
+    AI.compact_ann(dest, target_rows=2000)
+    qs = emb.filter(F.col("vec_id") < 25)
+    r2 = AI.ann_recall(dest, spec, qs, k=10, nprobe=2).agg(
+        F.avg("recall").alias("a2"))
+    r8 = AI.ann_recall(dest, spec, qs, k=10, nprobe=8).agg(
+        F.avg("recall").alias("a8"))
+    r16 = AI.ann_recall(dest, spec, qs, k=10, nprobe=16).agg(
+        F.avg("recall").alias("a16"), F.min("recall").alias("m16"),
+        F.count("*").alias("nq"))
+    return (r16.crossJoin(r8).crossJoin(r2).select(
+        F.col("nq").alias("n_queries"),
+        (F.col("a8") >= 0.6).alias("recall_ok"),
+        (F.col("a2") >= 0.2).alias("lift_ok"),
+        (F.col("m16") == 1.0).alias("full_probe_exact"),
+        ((F.col("a2") <= F.col("a8") + 1e-12)
+         & (F.col("a8") <= F.col("a16") + 1e-12)).alias("monotone_ok"),
+    ))
 
 
 @register(
