@@ -178,3 +178,67 @@ def test_small_training_set_warns_without_min_train(spark, tmp_path):
         assert AI.sync_ann(src, dest, SPEC, ["emb"]) > 0
     assert any("FROZEN" in str(x.message) for x in w)
     assert AI.stored_centroids(dest, SPEC) is not None
+
+
+def test_rebuild_retrains_and_requeries_like_batch(spark, tmp_path):
+    """Round-5 ask #1b: rebuild_ann retrains the quantizer over the FULL
+    stored corpus and re-shards every vec row in one OCC base commit.
+    Differential: post-rebuild ann_query ≡ the batch IVF recipe run with
+    the rebuild's centroids (train-on-everything), and those centroids ≡
+    batch k-means over the whole corpus — NOT the frozen first-delta
+    quantizer."""
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    # deliberately unrepresentative first delta: 8 vectors
+    _load(spark, src, 0, 8)
+    assert AI.sync_ann(src, dest, SPEC, ["emb"]) > 0
+    frozen = AI.stored_centroids(dest, SPEC)
+    _load(spark, src, 8, 48)
+    assert AI.sync_ann(src, dest, SPEC, ["emb"]) > 0
+    n = AI.rebuild_ann(dest, SPEC, target_rows=64)
+    assert n > 0
+    cents = AI.stored_centroids(dest, SPEC)
+    full = S.kmeans_centroids(_corpus(spark, 48), k=SPEC.n_cells,
+                              iterations=SPEC.iterations,
+                              id_col="vec_id", vec_col="embedding")
+    assert cents == full        # trained on everything...
+    assert cents != frozen      # ...not the bad frozen quantizer
+    # exactly one centroid row set survives (old ones dropped)
+    ncent = dest.scan().filter(F.col("zed_type") == "centroid").count()
+    assert ncent == len(cents)
+    # post-rebuild query ≡ batch IVF with the new centroids
+    qs = _corpus(spark, 48).filter(F.col("vec_id") < 6)
+    got = AI.ann_query(dest, SPEC, qs, k=4, nprobe=2).collect()
+    want = S.ivf_ann_topk(_corpus(spark, 48), qs, "vec_id", "embedding",
+                          k=4, nprobe=2, centroids=cents).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(((r["query_id"], r["neighbor_id"], r["rank"]) for r in got)) \
+        == sorted(((r["query_id"], r["neighbor_id"], r["rank"]) for r in want))
+    # maintenance continues against the NEW quantizer
+    _load(spark, src, 48, 52)
+    assert AI.sync_ann(src, dest, SPEC, ["emb"]) > 0
+    assert AI.stored_centroids(dest, SPEC) == cents
+
+
+def test_recall_improves_after_rebuild(spark, tmp_path):
+    """Round-5 ask #1a: ann_recall measures retrieval quality (recall@k
+    vs exact top-k over the stored corpus). A quantizer frozen on a tiny
+    unrepresentative first delta scores <= the rebuilt one, and the
+    rebuilt index's recall is high at a generous nprobe."""
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    _load(spark, src, 0, 6)   # degenerate training set
+    AI.sync_ann(src, dest, SPEC, ["emb"])
+    _load(spark, src, 6, 60)
+    AI.sync_ann(src, dest, SPEC, ["emb"])
+    qs = _corpus(spark, 60).filter(F.col("vec_id") % 7 == 0)
+    before = AI.ann_recall(dest, SPEC, qs, k=5, nprobe=2)
+    avg_before = before.agg(F.avg("recall")).collect()[0][0]
+    AI.rebuild_ann(dest, SPEC, target_rows=64)
+    after = AI.ann_recall(dest, SPEC, qs, k=5, nprobe=2)
+    avg_after = after.agg(F.avg("recall")).collect()[0][0]
+    assert 0.0 <= avg_before <= 1.0 and 0.0 <= avg_after <= 1.0
+    assert avg_after >= avg_before - 1e-9
+    # full probe = exact: recall@k must be 1 when every cell is probed
+    full = AI.ann_recall(dest, SPEC, qs, k=5, nprobe=SPEC.n_cells)
+    assert full.agg(F.min("recall")).collect()[0][0] == 1.0

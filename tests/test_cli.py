@@ -370,6 +370,20 @@ def test_cli_ann_index_and_types(spark, tmp_path, capsys):
     cells = [json.loads(l)
              for l in capsys.readouterr().out.strip().splitlines()]
     assert sum(c["n_vecs"] for c in cells) == 24 and len(cells) >= 2
+    # rebuild: retrain over the stored corpus in one base commit
+    assert main(["--lake", lake, "ann-index", "rebuild", spec_path]) == 0
+    assert "rebuilt" in capsys.readouterr().out
+    assert main(["--lake", lake, "ann-index", "cells", spec_path]) == 0
+    cells2 = [json.loads(l)
+              for l in capsys.readouterr().out.strip().splitlines()]
+    assert sum(c["n_vecs"] for c in cells2) == 24  # no vector lost
+    # recall: quality curve per nprobe, exact at full probe
+    assert main(["--lake", lake, "ann-index", "recall", spec_path,
+                 "--queries", "8"]) == 0
+    curve = [json.loads(l)
+             for l in capsys.readouterr().out.strip().splitlines()]
+    assert [c["nprobe"] for c in curve][-1] >= 2  # ends at n_cells
+    assert curve[-1]["avg_recall_at10"] == 1.0    # full probe is exact
     # types: the named-type registry sidecar prints as JSON lines
     assert main(["--lake", lake, "types", "src"]) == 0
     assert json.loads(capsys.readouterr().out.strip()) == {

@@ -286,6 +286,13 @@ def cmd_ann_index(args) -> int:
                with cursors (rerun = no-op)
       compact  range-cluster the index pool by cell so ann_query reads
                only probed cells' files
+      rebuild  retrain the quantizer over the FULL stored corpus and
+               re-shard every vector in one atomic base commit (the
+               retrain path of the frozen-quantizer contract; use
+               --n-cells to re-shard finer as the corpus grows)
+      recall   measure retrieval quality: recall@10 of ann_query vs
+               exact top-k over the stored corpus, printed per nprobe
+               in 1,2,4,..,n_cells (JSON lines)
       cells    print per-cell vector counts as JSON lines
 
     Spec YAML: see streaming.ann_index.load_ann_spec docstring.
@@ -305,6 +312,29 @@ def cmd_ann_index(args) -> int:
     elif args.action == "compact":
         n = ai.compact_ann(dest)
         print(f"ann-index {spec.name}: compacted {n} rows")
+    elif args.action == "rebuild":
+        n = ai.rebuild_ann(dest, spec, n_cells=args.n_cells)
+        print(f"ann-index {spec.name}: rebuilt {n} rows"
+              + (f" at {args.n_cells} cells" if args.n_cells else ""))
+    elif args.action == "recall":
+        cents = ai.stored_centroids(dest, spec)
+        if cents is None:
+            raise SystemExit(f"ann-index {spec.name}: index is empty")
+        stored = dest.scan().filter(ai._is_vec(spec))
+        qs = stored.select("vec_id", F.col("v").alias("emb")).limit(
+            args.queries)
+        n_cells = len(cents)
+        nprobe, probes = 1, []
+        while nprobe < n_cells:
+            probes.append(nprobe)
+            nprobe *= 2
+        probes.append(n_cells)
+        for np_ in probes:
+            avg = (ai.ann_recall(dest, spec, qs, id_col="vec_id",
+                                 vec_col="emb", k=10, nprobe=np_)
+                   .agg(F.avg("recall").alias("a")).collect()[0]["a"])
+            print(json.dumps({"nprobe": np_,
+                              "avg_recall_at10": round(avg, 4)}))
     else:
         df = dest.scan()
         if df is not None and "cell" in df.columns:
@@ -696,10 +726,15 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_to_kafka)
 
     p = sub.add_parser("ann-index", help="incremental IVF ANN index")
-    p.add_argument("action", choices=["sync", "compact", "cells"])
+    p.add_argument("action",
+                   choices=["sync", "compact", "rebuild", "recall", "cells"])
     p.add_argument("spec", help="index spec YAML (see cmd_ann_index docstring)")
     p.add_argument("--auto-compact", type=int, default=None, metavar="N",
                    help="re-cluster after N delta commits since last base")
+    p.add_argument("--n-cells", type=int, default=None, metavar="K",
+                   help="rebuild: re-shard at K cells (default: spec's)")
+    p.add_argument("--queries", type=int, default=25, metavar="Q",
+                   help="recall: sample size of stored vectors to query")
     p.set_defaults(fn=cmd_ann_index)
 
     p = sub.add_parser("types", help="pool named-type registry (types.json)")

@@ -220,6 +220,82 @@ def _sync_ann_once(src: Pool, dest: Pool, spec: AnnIndexSpec,
         delta.unpersist()
 
 
+def rebuild_ann(dest: Pool, spec: AnnIndexSpec,
+                n_cells: int | None = None, iterations: int | None = None,
+                target_rows: int = 4_000_000,
+                message: str = "annindex rebuild") -> int:
+    """Retrain the frozen quantizer over the FULL stored corpus and
+    re-shard every vec row against the new centroids — the module
+    contract's rebuild path ("rebuild the index to retrain", module
+    docstring): the cure for a quantizer frozen on an unrepresentative
+    first delta, and the standard response to corpus drift degrading
+    recall (FAISS retrain posture).
+
+    Runs as ONE atomic operation: Pool.compact's transform hook drops
+    the old centroid rows, trains fixed-point k-means on every stored
+    vector (deterministic — same recipe as the initial sync), reassigns
+    each vec row map-side (broadcast centroids, the corpus never
+    shuffles), and the rewrite publishes as a ckey-clustered base
+    manifest under the usual OCC claim — a concurrent sync makes the
+    publish abort with ConcurrentWriteError rather than ever splitting
+    the index across two quantizers. Cursors carry forward, so
+    maintenance resumes where it left off; later sync_ann passes assign
+    against the NEW stored centroids automatically.
+
+    `n_cells`/`iterations` default to the spec's; pass a larger n_cells
+    to re-shard a grown corpus at finer granularity (ann_query reads the
+    stored centroids, so queries adapt with no spec change). Returns the
+    rows in the rebuilt index."""
+    k = spec.n_cells if n_cells is None else n_cells
+    iters = spec.iterations if iterations is None else iterations
+    if not 1 <= k <= 65536:
+        raise ValueError("n_cells must be 1..65536")  # _cell_ckey width
+
+    def _retrain(df: DataFrame):
+        if "vec_id" not in df.columns or "v" not in df.columns:
+            raise ValueError(
+                f"rebuild_ann: index {spec.name!r} has no stored vectors")
+        vecs = df.filter(_is_vec(spec)).select("kafka", "vec_id", "v", "vn")
+        cents = S.kmeans_centroids(vecs, k=k, iterations=iters,
+                                   id_col="vec_id", vec_col="v")
+        if not cents:
+            raise ValueError(
+                f"rebuild_ann: index {spec.name!r} has no stored vectors")
+        assigned = S.ivf_assign(vecs, cents, "v", nprobe=1)
+        new_vecs = assigned.select(
+            "kafka",
+            F.lit("vec").alias("zed_type"),
+            _cell_ckey(F.col("__cell")).alias("ckey"),
+            "vec_id", "v", "vn",
+            F.col("__cell").alias("cell"),
+        )
+        cent_rows = df.sparkSession.createDataFrame(
+            [(cid, vec) for cid, vec in cents], "cid long, cv array<double>")
+        cent_rows = cent_rows.select(
+            # fresh labels on the reserved partition -2 (rebuild): the
+            # base manifest is the only commit at its seq, so labels
+            # cannot collide with any sync pass's partition>=0 rows
+            F.struct(
+                F.lit(spec.topic).alias("topic"),
+                F.lit(-2).cast("long").alias("partition"),
+                F.monotonically_increasing_id().alias("offset"),
+            ).alias("kafka"),
+            F.lit("centroid").alias("zed_type"),
+            F.lit("c:").alias("ckey"),
+            "cid", "cv",
+        )
+        # everything that is neither a vec nor a centroid of THIS index
+        # (cursor tombstones, other indexes sharing the pool) passes
+        # through untouched
+        others = df.filter(~_is_vec(spec) & ~_is_centroid(spec))
+        return (cent_rows
+                .unionByName(new_vecs, allowMissingColumns=True)
+                .unionByName(others, allowMissingColumns=True))
+
+    return dest.compact(target_rows=target_rows, message=message,
+                        transform=_retrain, cluster_by=["ckey"])
+
+
 def compact_ann(dest: Pool, target_rows: int = 4_000_000,
                 message: str = "annindex compact") -> int:
     """Range-cluster the index pool by ckey so each output file covers a
@@ -228,6 +304,42 @@ def compact_ann(dest: Pool, target_rows: int = 4_000_000,
     it runs, fresh commits carry no stats and are simply always read."""
     return dest.compact(target_rows=target_rows, message=message,
                         cluster_by=["ckey"])
+
+
+def ann_recall(dest: Pool, spec: AnnIndexSpec, queries: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               k: int = 10, nprobe: int = 2) -> DataFrame:
+    """Retrieval QUALITY of the stored index: per-query recall@k of
+    ann_query against exact brute-force cosine top-k over the SAME
+    stored corpus — (query_id, recall) with recall in [0,1]. This is
+    the measurement every current hash gate misses (they pin
+    determinism, not whether the neighbors are any good): an index
+    frozen on a bad quantizer scores low here and rebuild_ann is the
+    fix. Deterministic — both sides break cosine ties by neighbor_id —
+    so it can ride the catalog's hash compare as a bounded-error entry
+    (ann_recall_at10). Cost: the exact side is one broadcast-join scan
+    of the stored vectors per call (a MEASUREMENT pass, not a serving
+    path)."""
+    stored = dest.scan()
+    if stored is None or "vec_id" not in stored.columns:
+        raise ValueError(f"ann_recall: index {spec.name!r} is empty")
+    corpus = stored.filter(_is_vec(spec)).select(
+        "vec_id", F.col("v").alias("emb"))
+    q = queries.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias("emb"))
+    exact = S.cosine_topk(corpus, q, "vec_id", "emb", k=k)
+    approx = ann_query(dest, spec, queries, id_col=id_col, vec_col=vec_col,
+                       k=k, nprobe=nprobe)
+    n_exact = exact.groupBy("query_id").agg(
+        F.count("*").alias("__n"))  # < k when the corpus is small
+    hits = (approx.select("query_id", "neighbor_id")
+            .join(exact.select("query_id", "neighbor_id"),
+                  ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count("*").alias("__h")))
+    return (n_exact.join(hits, "query_id", "left")
+            .select("query_id",
+                    (F.coalesce(F.col("__h"), F.lit(0)) / F.col("__n"))
+                    .alias("recall")))
 
 
 def load_ann_spec(path: str) -> tuple[AnnIndexSpec, dict]:
