@@ -546,9 +546,13 @@ def test_scan_packs_small_files_and_keeps_pushdown(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(v), EqualTo(v,3)]" in plan
     assert q.count() == 12
-    # packing math: tiny inputs collapse, at-scale inputs match Spark's
-    # own maxPartitionBytes partitioning (the coalesce is a no-op there)
-    assert _pack_target(spark, 8 << 20, 2) == 1
+    # packing math: small inputs pack to quarter-of-cores granularity
+    # (fewer, data-sized dispatches); at-scale inputs match Spark's own
+    # maxPartitionBytes partitioning exactly (the coalesce is a no-op)
+    cores = max(1, spark.sparkContext.defaultParallelism // 4)
+    padded16 = (20 << 20) + 16 * (4 << 20)
+    want16 = -(-padded16 // max(4 << 20, padded16 // cores))
+    assert _pack_target(spark, 20 << 20, 16) == want16 < 16
     big = _pack_target(spark, 100 << 40, 1_000_000)
     padded = (100 << 40) + 1_000_000 * (4 << 20)
     assert big == -(-padded // (128 << 20))  # == Spark's own task count

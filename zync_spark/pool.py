@@ -658,18 +658,21 @@ class Pool:
         return {int(r["p"]): r["mx"] + 1 for r in rows}
 
 
-# Scan-task size floor for many-small-file reads. Spark's own split math
-# (FilePartition.maxSplitBytes) floors the split size at openCostInBytes
-# (4 MB), so a medium table stored as many small files fans out into
-# sub-millisecond tasks whose scheduler dispatch dominates the scan —
-# measured as ~25% of the pool-layout bench section in round 4 (where it
-# was hidden by a bench-scoped minPartitionNum knob; round 5 moves the
-# sizing HERE, into the engine, where a real user's scan benefits).
-# 16 MB ≈ the smallest read a task is worth dispatching for; the knob
-# only bites when bytes-per-core < 16 MB, i.e. the small-data regime —
-# at 100 TB the packing bound below reproduces Spark's own partitioning
-# exactly and the coalesce is a no-op.
-_MIN_TASK_BYTES = 16 << 20
+# Scan packing for many-small-file reads. Spark's own split math
+# (FilePartition.maxSplitBytes) sizes splits so EVERY core gets one —
+# bytesPerCore = padded / defaultParallelism — even when that makes
+# tasks sub-millisecond, so a medium table stored as many small files
+# pays scheduler dispatch as a first-order cost (measured ~25% of the
+# pool-layout bench section in round 4, where it was hidden by a
+# bench-scoped minPartitionNum knob; round 5 moves the sizing HERE, into
+# the engine, where a real user's scan benefits). The engine packs at
+# QUARTER-of-cores granularity instead: 4x fewer dispatches in the
+# small-data regime while keeping enough fan-out that CPU-bound scans
+# (regex-heavy text queries over small compressed inputs) still spread.
+# At scale bytesPerCore exceeds maxPartitionBytes long before the
+# divisor matters and the bound reproduces Spark's own partitioning
+# exactly — the coalesce is a no-op on any 100 TB scan.
+_PACK_CORE_FRACTION = 4
 _PACK_STAT_CAP = 65536  # above this many files, skip the driver-side stat
 
 
@@ -694,24 +697,25 @@ def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
 
 
 def _pack_target(spark: SparkSession, total_bytes: int, n_files: int) -> int:
-    """Scan partition count under Spark's packing bound with the task-size
-    floor raised from openCostInBytes to _MIN_TASK_BYTES:
+    """Scan partition count under Spark's packing bound with the
+    one-task-per-core divisor relaxed to one per _PACK_CORE_FRACTION
+    cores:
 
         padded     = total + n_files * openCost      (Spark's own padding)
         task_bytes = min(maxPartitionBytes,
-                         max(_MIN_TASK_BYTES, padded / defaultParallelism))
+                         max(openCost, padded / (cores / 4)))
         target     = ceil(padded / task_bytes)
 
-    Identical to Spark's FilePartition math except the floor, so the
-    result only differs (is smaller) when bytes-per-core < 16 MB — the
-    many-small-files regime where dispatch cost dominates. At scale
-    task_bytes saturates at maxPartitionBytes and target equals what
-    Spark plans anyway."""
+    Identical to Spark's FilePartition math except the divisor, so the
+    result only differs (is smaller) in the small-data regime where
+    dispatch cost dominates. At scale padded/(cores/4) exceeds
+    maxPartitionBytes and target equals what Spark plans anyway."""
     open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)
     max_pb = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
     padded = total_bytes + n_files * open_cost
-    cores = max(1, spark.sparkContext.defaultParallelism)
-    task_bytes = min(max_pb, max(_MIN_TASK_BYTES, padded // cores))
+    cores = max(1, spark.sparkContext.defaultParallelism
+                // _PACK_CORE_FRACTION)
+    task_bytes = min(max_pb, max(open_cost, padded // cores))
     return max(1, (padded + task_bytes - 1) // task_bytes)
 
 
