@@ -275,8 +275,7 @@ def main() -> None:
     egress = _egress_backfill(spark, sf_dir)
     pooled = _pool_layout(spark, sf_dir)
 
-    print(
-        json.dumps(
+    payload = json.dumps(
             {
                 "metric": "headline_total",
                 "value": total,
@@ -302,7 +301,16 @@ def main() -> None:
                 "pool_layout": pooled,
             }
         )
-    )
+    print(payload)
+    # The one-line contract stays stdout; a sidecar copy guards against
+    # lossy output capture (the round-4 driver artifact recorded
+    # parsed:null because its tail capture truncated the JSON head).
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL.json"), "w") as f:
+            f.write(payload + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout remains the contract
 
 
 if __name__ == "__main__":

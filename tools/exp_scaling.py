@@ -56,26 +56,32 @@ OPS = [
 
 
 def main() -> None:
+    # Dirs may be overridden on the CLI (round 5: the generated
+    # .localdata/gsf0.01 gsf0.1 gsf1 ladder from tools/gen_sf.py extends
+    # the curve a decade past the shipped corpus). The reported ratio is
+    # last-dir / first-dir, labeled by the span.
+    sfs = sys.argv[1:] or SFS
     spark = get_spark("zync-spark-exp-scaling", shuffle_partitions=8,
                       adaptive=False)
     spark.sparkContext.setLogLevel("ERROR")
     # warm codegen/JIT once
-    QUERIES["q1_pricing_summary"](spark, SFS[0]).write.mode(
+    QUERIES["q1_pricing_summary"](spark, sfs[0]).write.mode(
         "overwrite").format("noop").save()
 
+    tags = [d.rstrip("/").rsplit("/", 1)[-1] for d in sfs]
     out: dict[str, dict] = {}
     for op in OPS:
         row: dict[str, float] = {}
-        for sf_dir in SFS:
-            sf = sf_dir.rsplit("sf", 1)[-1]
+        for sf_dir, tag in zip(sfs, tags):
             runs = []
             for _ in range(3):
                 t0 = time.perf_counter()
                 QUERIES[op](spark, sf_dir).write.mode(
                     "overwrite").format("noop").save()
                 runs.append(time.perf_counter() - t0)
-            row[sf] = round(min(runs), 3)
-        row["ratio_100x"] = round(row["0.1"] / max(row["0.001"], 1e-9), 2)
+            row[tag] = round(min(runs), 3)
+        row[f"ratio_{tags[-1]}/{tags[0]}"] = round(
+            row[tags[-1]] / max(row[tags[0]], 1e-9), 2)
         out[op] = row
     print(json.dumps(out))
 
