@@ -242,3 +242,22 @@ def test_recall_improves_after_rebuild(spark, tmp_path):
     # full probe = exact: recall@k must be 1 when every cell is probed
     full = AI.ann_recall(dest, SPEC, qs, k=5, nprobe=SPEC.n_cells)
     assert full.agg(F.min("recall")).collect()[0][0] == 1.0
+
+
+def test_fresh_commits_are_boundedly_probed(spark, tmp_path):
+    """Round-5 beyond-ask twin of the dedup test: sync commits are
+    ckey-clustered at LOAD time, so ann_query's cell-bounded read skips
+    a fresh commit's non-probed cells with NO compact_ann anywhere."""
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    _load(spark, src, 0, 60)
+    assert AI.sync_ann(src, dest, SPEC, ["emb"]) > 0
+    live = len(dest.committed_files())
+    assert live >= 6  # clustered load split the cells across files
+    queries = _corpus(spark, 60).filter(F.col("vec_id") < 2)
+    stats: dict = {}
+    got = AI.ann_query(dest, SPEC, queries, k=3, nprobe=1,
+                       stats_out=stats).collect()
+    assert stats["live_files"] == live
+    assert 0 < stats["probe_files"] < live  # no compaction needed
+    assert len(got) > 0

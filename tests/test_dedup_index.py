@@ -371,3 +371,33 @@ def test_legacy_constant_pair_bucket_self_heals(spark, tmp_path):
     got2 = {(r["id_a"], r["id_b"])
             for r in DI.pairs_view(dest, SPEC, ids=[a0]).collect()}
     assert got2 == got
+
+
+def test_fresh_commits_are_boundedly_probed(spark, tmp_path):
+    """Round-5 beyond-ask: sync commits are ckey-clustered AT LOAD TIME
+    (Pool.load cluster_by records per-file stats), so the bounded probe
+    skips non-colliding files of FRESH commits too — boundedness no
+    longer waits for compact_index. No compaction happens anywhere in
+    this test."""
+    docs = _many_docs(60)
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    rows = [(("docs", 0, i), "data", (i, t)) for i, t in docs]
+    src.load(spark.createDataFrame(rows, ROW), "corpus")
+    assert DI.sync_index(src, dest, SPEC, ["docs"]) > 0
+    live = len(dest.committed_files())
+    assert live >= 8  # the clustered load split the key spaces
+    src.load(spark.createDataFrame(
+        [(("docs", 0, 60), "data", (60, docs[7][1] + " extra"))], ROW), "d")
+    stats = {}
+    assert DI.sync_index(src, dest, SPEC, ["docs"], stats_out=stats) > 0
+    assert stats["live_files"] == live
+    # the band probe skips at least the signature/pair key spaces' files
+    # of the fresh commit (16 uniform band prefixes may touch every
+    # band file — the structural win is never reading the other spaces)
+    assert 0 < stats["probe_files"] < live   # skipped WITHOUT compaction
+    # the signature fetch (1 colliding doc = 1 bucket) skips nearly all
+    assert 0 < stats["set_files"] < max(3, live // 2)
+    pairs = {(r["id_a"], r["id_b"])
+             for r in DI.pairs_view(dest, SPEC).collect()}
+    assert (7, 60) in pairs

@@ -267,7 +267,8 @@ class Pool:
     def load(self, df: DataFrame, message: str = "",
              cursors: dict[str, int] | None = None,
              occ_token: int | None = None,
-             type_names: dict[str, str] | None = None) -> int:
+             type_names: dict[str, str] | None = None,
+             cluster_by: list[str] | None = None) -> int:
         """Atomically commit a batch (reference Load, etl/pool.go:56-58).
 
         Data is sorted by the pool key within partitions before writing so
@@ -289,6 +290,16 @@ class Pool:
         whose commits are NOT independent of interleaved commits the
         way plain appends are. Without it, a seq collision just retries
         at the next number (append semantics).
+
+        `cluster_by` (optional) range-clusters THE COMMIT ITSELF on the
+        given dotted columns and records per-file [min,max] in the
+        manifest (the same data-skipping stats compact(cluster_by=)
+        produces) — so bounded scans skip this commit's non-matching
+        files from the moment it lands, not only after the next
+        compaction. This is what keeps an incremental index's probe
+        bounded BETWEEN compactions: a sync commit's band/signature/pair
+        key spaces land in separate files and a band probe never reads
+        the other two. Costs one extra shuffle of the (small) batch.
         """
         n = df.count()
         if n == 0:
@@ -300,12 +311,21 @@ class Pool:
         # not 32) — file-count bloat is what kills manifest-driven lakes
         # at scale. Large batches keep their parallelism.
         target = max(1, min(df.rdd.getNumPartitions(), n // 500_000 + 1))
-        (
-            df.coalesce(target)
-            .sortWithinPartitions(F.col("kafka.offset"))
-            .write.mode("overwrite")
-            .parquet(data_path)
-        )
+        if cluster_by:
+            # file-granularity skipping needs several key-space-disjoint
+            # files per commit to bite (a probe always skips the OTHER
+            # key spaces' files — e.g. a band probe never reads the
+            # signature/pair files): 8 range files per clustered commit
+            # buys that without exploding the small-files budget the
+            # compaction cadence already manages; large commits keep
+            # their size-derived parallelism
+            ckeys = [F.col(c) for c in cluster_by] + [F.col("kafka.offset")]
+            out = (df.repartitionByRange(max(target, 8), *ckeys)
+                   .sortWithinPartitions(*ckeys))
+        else:
+            out = (df.coalesce(target)
+                   .sortWithinPartitions(F.col("kafka.offset")))
+        out.write.mode("overwrite").parquet(data_path)
         parts = [
             os.path.join(data_path, f)
             for f in os.listdir(data_path)
@@ -329,6 +349,10 @@ class Pool:
         stats = _written_stats(self.spark, parts)
         manifest = {"files": sorted(parts), "message": message, "rows": n,
                     "stats": stats, "ts": time.time()}
+        if cluster_by:
+            col_stats = _file_col_stats(parts, cluster_by)
+            if col_stats:
+                manifest["col_stats"] = col_stats
         if cursors:
             manifest["cursors"] = cursors
         if occ_token is not None:

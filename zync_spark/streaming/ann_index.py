@@ -202,9 +202,14 @@ def _sync_ann_once(src: Pool, dest: Pool, spec: AnnIndexSpec,
                     out, allowMissingColumns=True)
         n = 0
         if out is not None:
+            # ckey-clustered commit: cell buckets land in separate files
+            # with recorded [min,max], so ann_query's bounded probe skips
+            # this commit's non-probed cells immediately (no compaction
+            # needed for fresh data to be boundedly readable)
             n = dest.load(_envelope(spec, out, snapshot),
                           message or f"{spec.topic} sync",
-                          cursors=new_cursors, occ_token=snapshot)
+                          cursors=new_cursors, occ_token=snapshot,
+                          cluster_by=["ckey"])
         if n == 0:
             # nothing indexable in the delta: advance the cursor via a
             # tombstone (same rationale as the dedup index)

@@ -399,8 +399,13 @@ def _verify_and_commit(dest: Pool, spec: DedupIndexSpec, delta: DataFrame,
                      allowMissingColumns=True)
     )
     out = _envelope(spec, out, snapshot)
+    # cluster the commit itself by ckey (load records per-file stats):
+    # the band/signature/pair key spaces land in separate files, so
+    # bounded probes skip this commit's non-matching files IMMEDIATELY —
+    # boundedness no longer waits for the next compact_index
     n = dest.load(out, message or f"{spec.topic} sync",
-                  cursors=new_cursors, occ_token=snapshot)
+                  cursors=new_cursors, occ_token=snapshot,
+                  cluster_by=["ckey"])
     if n == 0:
         # Delta had documents but none were indexable (all shorter
         # than the shingle size): Pool.load skips empty frames, so
@@ -533,7 +538,7 @@ def migrate_band_rows(dest: Pool, spec: DedupIndexSpec) -> int:
             seq)
         try:
             return dest.load(out, f"{spec.topic} band-row migration",
-                             occ_token=seq)
+                             occ_token=seq, cluster_by=["ckey"])
         except ConcurrentWriteError:
             continue
     raise ConcurrentWriteError(
