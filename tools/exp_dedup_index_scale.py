@@ -67,7 +67,16 @@ def main(backfill=2000, deltas=8, per=2, target_rows=400):
         src.load(spark.createDataFrame(rows, ROW), f"d{d}")
         stats = {}
         t0 = time.perf_counter()
-        DI.sync_index(src, dest, SPEC, ["docs"], stats_out=stats)
+        # the RECOMMENDED maintenance mode: the auto-compact cadence
+        # (round-5: plumbed through FromKafka too) re-clusters every few
+        # delta commits, so the probe's file count stays flat. Round 5
+        # also ckey-clusters each delta commit at load (8 range files),
+        # which trades more OPEN calls between compactions for fewer
+        # BYTES (a band probe skips fresh commits' sig/pair files) —
+        # without the cadence, probe_files grows ~5/pass until the next
+        # compaction instead of ~1 (measured; both bounded by it).
+        DI.sync_index(src, dest, SPEC, ["docs"], stats_out=stats,
+                      auto_compact_every=4)
         dt = time.perf_counter() - t0
         npairs = DI.pairs_view(dest, SPEC).count()
         print(f"{d:>4} {off:>8} {stats.get('live_files', 0):>6} "
