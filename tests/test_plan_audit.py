@@ -50,6 +50,11 @@ CUSTOM_BUDGET = {
     "text_tfidf_topk": 8,
     "q_corr_subquery": 8,
     "emb_neardup": 8,
+    # a MEASUREMENT entry: three full recall evaluations (exact top-k
+    # window + hit-join + per-query agg, at nprobe=2/8/16) composed into
+    # one row — every exchange moves <=25-row query frames or k-cell
+    # aggregates, never the corpus
+    "ann_recall_at10": 32,
 }
 
 
