@@ -388,3 +388,33 @@ def test_cli_ann_index_and_types(spark, tmp_path, capsys):
     assert main(["--lake", lake, "types", "src"]) == 0
     assert json.loads(capsys.readouterr().out.strip()) == {
         "path": "value.emb", "name": "embedding_t"}
+
+
+def test_cli_text_index(spark, tmp_path, capsys):
+    import yaml as _yaml
+
+    from tests.test_text_index import ROW as TROW, _text
+    from zync_spark.pool import Pool
+
+    lake = os.path.join(tmp_path, "lake_txt")
+    src = Pool.create(spark, os.path.join(lake, "src"))
+    rows = [(("docs", 0, i), "data", (i, _text(i))) for i in range(30)]
+    src.load(spark.createDataFrame(rows, TROW), "backfill")
+    spec_path = os.path.join(tmp_path, "tidx.yaml")
+    with open(spec_path, "w") as f:
+        _yaml.safe_dump(
+            {"name": "d", "source": "src", "dest": "tidx",
+             "topics": ["docs"], "id": "value.doc_id",
+             "text": "value.text"}, f)
+    assert main(["--lake", lake, "text-index", "sync", spec_path]) == 0
+    assert "rows committed" in capsys.readouterr().out
+    assert main(["--lake", lake, "text-index", "compact", spec_path]) == 0
+    assert "compacted" in capsys.readouterr().out
+    assert main(["--lake", lake, "text-index", "search", spec_path,
+                 "--query", "spark table", "-k", "4"]) == 0
+    hits = [json.loads(l)
+            for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(hits) == 4
+    assert [h["rank"] for h in sorted(hits, key=lambda h: h["rank"])] \
+        == [1, 2, 3, 4]
+    assert all(h["score"] > 0 for h in hits)

@@ -345,6 +345,42 @@ def cmd_ann_index(args) -> int:
     return 0
 
 
+def cmd_text_index(args) -> int:
+    """Maintain/query an incremental BM25 text index from a YAML spec
+    (streaming/text_index.py). Actions:
+
+      sync     one maintenance pass: tokenize the cursor-bounded delta
+               map-side, append term-bucketed postings + doc lengths +
+               corpus-stat partials atomically with cursors (rerun =
+               no-op)
+      compact  range-cluster the index pool by bucket
+      search   BM25 top-k for --query terms (reads only the terms'
+               posting buckets); JSON lines (doc_id, rank, score)
+
+    Spec YAML: see streaming.text_index.load_text_spec docstring.
+    """
+    from zync_spark.streaming import text_index as ti
+
+    spec, doc = ti.load_text_spec(args.spec)
+    spark = _spark()
+    dest = _pool(spark, args.lake, doc["dest"], create=True)
+    if args.action == "sync":
+        src = _pool(spark, args.lake, doc["source"])
+        n = ti.sync_text(src, dest, spec, list(doc["topics"]),
+                         auto_compact_every=args.auto_compact)
+        print(f"text-index {spec.name}: {n} rows committed")
+    elif args.action == "compact":
+        n = ti.compact_text(dest, spec=spec)
+        print(f"text-index {spec.name}: compacted {n} rows")
+    else:
+        if not args.query:
+            raise SystemExit("text-index search requires --query")
+        for line in (ti.search_text(dest, spec, args.query, k=args.k)
+                     .toJSON().collect()):
+            print(line)
+    return 0
+
+
 def cmd_types(args) -> int:
     """Print a pool's named-type registry (types.json sidecar): one JSON
     line {path, name} per decoration — the nested named-type decorators
@@ -736,6 +772,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--queries", type=int, default=25, metavar="Q",
                    help="recall: sample size of stored vectors to query")
     p.set_defaults(fn=cmd_ann_index)
+
+    p = sub.add_parser("text-index", help="incremental BM25 text index")
+    p.add_argument("action", choices=["sync", "compact", "search"])
+    p.add_argument("spec", help="index spec YAML (see cmd_text_index docstring)")
+    p.add_argument("--auto-compact", type=int, default=None, metavar="N",
+                   help="re-cluster after N delta commits since last base")
+    p.add_argument("--query", default=None, help="search: the query terms")
+    p.add_argument("-k", type=int, default=10, help="search: top-k")
+    p.set_defaults(fn=cmd_text_index)
 
     p = sub.add_parser("types", help="pool named-type registry (types.json)")
     p.add_argument("pool")

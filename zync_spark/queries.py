@@ -3139,6 +3139,83 @@ def ann_recall_at10(spark, sf_dir):
     ))
 
 
+_BM25_TERMS = ("query", "spark", "table")
+
+@register(
+    "text_index_incremental",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+               FROM documents),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM t GROUP BY 1),
+    st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+    tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM t
+           WHERE tok IN {_BM25_TERMS!r} GROUP BY 1, 2),
+    df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    idf AS (SELECT df.tok,
+                   floor(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                         * 1000000)::BIGINT AS idf_unats
+            FROM df, st),
+    parts AS (SELECT tf.doc_id,
+                     floor(idf.idf_unats * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 *
+                              (dl.dl * st.n_docs / st.sum_dl))))::BIGINT AS part
+              FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id) CROSS JOIN st),
+    sc AS (SELECT doc_id, sum(part)::BIGINT AS score FROM parts GROUP BY 1)
+    SELECT doc_id, rank, score FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM sc) WHERE rank <= 10
+    """,
+)
+def text_index_incremental(spark, sf_dir):
+    """Incrementally maintained BM25 text-search index == batch BM25
+    over the full corpus: the documents table lands in a source pool in
+    two commits; streaming.text_index.sync_text tokenizes each delta
+    map-side and appends term-bucketed postings, doc-bucketed lengths,
+    and mergeable corpus-stat partials in one atomic cursor-advancing
+    commit (rerun = no-op — checked in-plan). search_text then reads
+    ONLY the query terms' posting buckets + the candidates' length
+    buckets (scan bounds point-set skipping) and scores BM25 with
+    integer-micro-nat idf quantization, so the result hash-matches the
+    oracle's full SQL replay exactly (the text_ppl_unigram determinism
+    recipe).
+
+    Scale: per-pass cost is O(new documents); per-query read is
+    O(query terms' buckets + candidates), not O(index) — the inverted-
+    file contract in pool form (streaming/text_index.py docstring)."""
+    import shutil
+
+    from zync_spark.pool import Pool
+    from zync_spark.streaming import text_index as TI
+
+    docs = T(spark, sf_dir, "documents")
+    cut = (docs.agg(F.max("doc_id")).collect()[0][0] * 3) // 5
+    env = docs.select(
+        F.struct(
+            F.lit("docs").alias("topic"),
+            F.lit(0).cast("long").alias("partition"),
+            F.col("doc_id").cast("long").alias("offset"),
+        ).alias("kafka"),
+        F.lit("data").alias("zed_type"),
+        F.struct("doc_id", "text").alias("value"),
+    )
+    lake = _scratch_dir(
+        f"zs-textidx-{sf_dir.rstrip('/').rsplit('/', 1)[-1]}")
+    shutil.rmtree(lake, ignore_errors=True)
+    src = Pool.create(spark, f"{lake}/src")
+    dest = Pool.create(spark, f"{lake}/index")
+    spec = TI.TextIndexSpec("docs", "value.doc_id", "value.text")
+    src.load(env.filter(F.col("kafka.offset") < cut), "backfill")
+    TI.sync_text(src, dest, spec, ["docs"])
+    src.load(env.filter(F.col("kafka.offset") >= cut), "delta")
+    TI.sync_text(src, dest, spec, ["docs"])
+    if TI.sync_text(src, dest, spec, ["docs"]) != 0:
+        raise RuntimeError("text_index_incremental: rerun committed rows")
+    TI.compact_text(dest, target_rows=5000)
+    return TI.search_text(dest, spec, list(_BM25_TERMS), k=10)
+
+
 @register(
     "dedup_semantic",
     f"""

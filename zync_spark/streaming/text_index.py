@@ -1,0 +1,314 @@
+"""Incrementally maintained BM25 text-search index over a document pool
+— the third pool-backed index family (MinHash-LSH dedup:
+streaming/dedup_index.py, IVF ANN: streaming/ann_index.py), built for
+the corpus-exploration and targeted-retrieval passes a training-data
+pipeline runs constantly (find documents matching a probe query, audit
+what matched a filter, pull candidates for decontamination review).
+
+Storage model (one pool, three ckey-bucketed key spaces — every read is
+file-skippable via scan(bounds=), the same contract as the other two
+indexes):
+
+- `post` rows (term, doc_id, tf), ckey 't:<first hex chars of
+  md5(term)>': a term's postings all live in one bucket, so a query
+  reads ONLY its terms' buckets — the inverted-file contract in pool
+  form. tf is exact (per-delta groupBy of the delta only).
+- `dlen` rows (doc_id, dl), ckey 'd:<pmod(doc_id) hex>': document
+  lengths, fetched boundedly for just the candidate docs.
+- `cstat` rows (n_docs, dl_sum), ckey 'c:': per-commit corpus-stat
+  PARTIALS — summing them reconstructs N and avg-doclen exactly
+  (mergeable partials, the incremental-rollup trick), so no pass ever
+  rescans the corpus for its size.
+
+Each maintenance pass costs O(new documents): cursor-bounded delta scan
+(streaming/incremental.py), map-side tokenization (whitespace, the
+shared text.tokens contract), one delta-only groupBy for tfs, and ONE
+atomic ckey-clustered commit with advanced cursors (Pool.load
+cluster_by= + occ_token=) — crash-safe, rerun = no-op. Because postings
+are append-only per (doc, term) under cursor bounding, the incremental
+index over ANY batch split answers queries IDENTICALLY to a batch BM25
+over the full corpus — differential-tested, and hash-checked against a
+DuckDB oracle that replays the whole computation in SQL.
+
+Scoring is BM25 (k1=1.2, b=0.75) with the idf quantized to integer
+micro-nats before the per-term products (the text_ppl_unigram
+determinism recipe): per-(doc, term) partials floor to longs, so the
+per-doc sum is exact and order-independent — cross-engine hash-stable.
+
+Reference parity: the reference has no search surface (this module is
+beyond-reference); the commit/cursor machinery mirrors its done-marker
+design (README.md:447-455).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from zync_spark.functions import text as TX
+from zync_spark.pool import Pool
+from zync_spark.streaming.dedup_index import _envelope, _stamp
+from zync_spark.streaming.incremental import _spec_cursors, scan_delta
+
+_PREFIX_LEN = 2  # 16^2 = 256 buckets per key space; see dedup_index's note
+
+# BM25 constants — written as the EXACT literals both engines evaluate
+# (0.25 = 1-b, 2.2 = k1+1: spelled as literals, NOT computed — float(1.2)+1.0
+# and float("2.2") could differ in the last ulp), so the double
+# expression trees match token for token
+_K1 = 1.2
+_B = 0.75
+_K1P1 = 2.2
+_ONE_MINUS_B = 0.25
+
+
+def _term_ckey(term, prefix_len: int = _PREFIX_LEN) -> F.Column:
+    """'t:' + md5(term) prefix — md5 hex is uniform and both engines
+    (F.md5 / hashlib) agree byte-for-byte, so write-side bucketing and
+    python-side probe values can never drift."""
+    return F.concat(F.lit("t:"), F.substring(F.md5(term), 1, prefix_len))
+
+
+def _dl_ckey(doc_id, prefix_len: int = _PREFIX_LEN) -> F.Column:
+    return F.concat(
+        F.lit("d:"),
+        F.lower(F.lpad(F.hex(F.pmod(doc_id, F.lit(16 ** prefix_len))),
+                       prefix_len, "0")),
+    )
+
+
+class TextIndexSpec:
+    """Declarative index definition. `id_expr`/`text_expr`: SQL
+    expressions over the source pool's rows producing the document id
+    (long) and text."""
+
+    def __init__(self, name: str, id_expr: str, text_expr: str,
+                 prefix_len: int = _PREFIX_LEN):
+        if not 1 <= prefix_len <= 8:
+            raise ValueError("prefix_len must be 1..8 hex chars")
+        self.name = name
+        self.topic = f"textindex:{name}"
+        self.id_expr = id_expr
+        self.text_expr = text_expr
+        self.prefix_len = prefix_len
+
+    # duck-types RollupSpec for _spec_cursors' key namespace
+    @property
+    def keys(self):  # pragma: no cover - structural only
+        return {"doc_id": self.id_expr}
+
+
+def _is(spec: TextIndexSpec, zed_type: str):
+    return (F.col("zed_type").eqNullSafe(zed_type)
+            & F.col("kafka.topic").eqNullSafe(spec.topic))
+
+
+def sync_text(src: Pool, dest: Pool, spec: TextIndexSpec,
+              topics: list[str], message: str | None = None,
+              auto_compact_every: int | None = None) -> int:
+    """One incremental maintenance pass; returns rows appended (post +
+    dlen + cstat; 0 = no new documents, reruns are no-ops).
+    `auto_compact_every`: re-cluster (compact_text) after that many
+    delta commits since the last base — same cadence contract as the
+    other index maintainers; single-writer maintenance only."""
+    n = _sync_text_once(src, dest, spec, topics, message)
+    if (n and auto_compact_every
+            and dest.commits_since_base() >= auto_compact_every):
+        compact_text(dest, spec=spec)
+    return n
+
+
+def _sync_text_once(src: Pool, dest: Pool, spec: TextIndexSpec,
+                    topics: list[str], message: str | None) -> int:
+    snapshot = len(dest.commits())
+    cursors = _spec_cursors(spec, dest.stored_cursors(), topics)
+    delta = scan_delta(src, cursors, topics)
+    if delta is None:
+        return 0
+    delta = delta.persist()
+    try:
+        new_cursors = {
+            f"{spec.topic}|{r['t']}#{int(r['p'])}": int(r["mx"]) + 1
+            for r in delta.groupBy(
+                F.col("kafka.topic").alias("t"),
+                F.col("kafka.partition").alias("p"),
+            ).agg(F.max(F.col("kafka.offset")).alias("mx")).collect()
+        }
+        if not new_cursors:
+            return 0
+        docs = delta.select(
+            F.expr(spec.id_expr).cast("long").alias("doc_id"),
+            TX.tokens(F.lower(F.expr(spec.text_expr))).alias("toks"),
+        ).filter(F.size("toks") > 0)
+        toks = docs.select(
+            "doc_id", F.explode("toks").alias("term")
+        ).filter(F.col("term") != "")
+        posts = toks.groupBy("term", "doc_id").agg(
+            F.count("*").cast("long").alias("tf"))
+        dlens = docs.select(
+            "doc_id", F.size("toks").cast("long").alias("dl"))
+        cstat = dlens.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("dl_sum"))
+        out = (
+            _stamp("post", _term_ckey(F.col("term"), spec.prefix_len), posts)
+            .unionByName(
+                _stamp("dlen", _dl_ckey(F.col("doc_id"), spec.prefix_len),
+                       dlens), allowMissingColumns=True)
+            .unionByName(_stamp("cstat", F.lit("c:"), cstat),
+                         allowMissingColumns=True)
+        )
+        n = dest.load(_envelope(spec, out, snapshot),
+                      message or f"{spec.topic} sync",
+                      cursors=new_cursors, occ_token=snapshot,
+                      cluster_by=["ckey"])
+        if n == 0:
+            # delta had rows but none tokenizable: cursor tombstone,
+            # same rationale as the dedup index
+            tomb = delta.sparkSession.createDataFrame(
+                [((spec.topic, 0, 0), "cursors")],
+                "kafka struct<topic:string,partition:long,offset:long>,"
+                " zed_type string",
+            )
+            return dest.load(tomb, message or f"{spec.topic} sync",
+                             cursors=new_cursors, occ_token=snapshot)
+        return n
+    finally:
+        delta.unpersist()
+
+
+def compact_text(dest: Pool, target_rows: int = 4_000_000,
+                 message: str = "textindex compact",
+                 spec: TextIndexSpec | None = None) -> int:
+    """Range-cluster the index pool by ckey so each output file covers a
+    narrow term/doc bucket range — search reads only its terms' buckets
+    at FILE granularity. Fresh commits are already load-clustered; this
+    folds the small-file accretion on the usual cadence."""
+    return dest.compact(target_rows=target_rows, message=message,
+                        cluster_by=["ckey"])
+
+
+def corpus_stats(dest: Pool, spec: TextIndexSpec) -> tuple[int, int]:
+    """(n_docs, dl_sum) from the mergeable cstat partials — one bounded
+    bucket read, never a corpus scan."""
+    df = dest.scan(bounds={"ckey": ["c:"]})
+    if df is None or "n_docs" not in df.columns:
+        return 0, 0
+    row = (df.filter(_is(spec, "cstat"))
+           .agg(F.sum("n_docs").alias("n"), F.sum("dl_sum").alias("s"))
+           .collect()[0])
+    return int(row["n"] or 0), int(row["s"] or 0)
+
+
+def search_text(dest: Pool, spec: TextIndexSpec, query: str | list[str],
+                k: int = 10, stats_out: dict | None = None) -> DataFrame:
+    """BM25 top-k over the stored index: (doc_id, rank, score) with
+    score in integer micro-nat-scaled units (exact long — hash-stable).
+
+    Reads ONLY the query terms' posting buckets, the candidate docs'
+    dlen buckets, and the 'c:' stat bucket (`scan(bounds=)` point-set
+    skipping; `stats_out` receives live_files/probe_files/dlen_files —
+    the boundedness contract under test). Duplicate query terms count
+    once (standard bag-of-words query semantics)."""
+    if isinstance(query, str):
+        terms = query.lower().split()  # the text.tokens contract
+    else:
+        terms = [t.lower() for t in query]
+    terms = sorted({t for t in terms if t})
+    if not terms:
+        raise ValueError("search_text: empty query")
+    buckets = sorted({
+        "t:" + hashlib.md5(t.encode()).hexdigest()[:spec.prefix_len]
+        for t in terms
+    })
+    if stats_out is not None:
+        stats_out["live_files"] = len(dest.committed_files())
+        stats_out["probe_files"] = len(
+            dest.committed_files(bounds={"ckey": buckets}))
+    stored = dest.scan(bounds={"ckey": buckets})
+    spark = dest.spark
+    empty = spark.createDataFrame([], "doc_id long, rank long, score long")
+    if stored is None or "term" not in stored.columns:
+        return empty
+    posts = (stored.filter(_is(spec, "post") & F.col("term").isin(terms))
+             .select("term", "doc_id", "tf"))
+    n_docs, dl_sum = corpus_stats(dest, spec)
+    if n_docs == 0:
+        return empty
+    # document-frequency per term: postings are unique per (doc, term)
+    # by construction, so a count IS the df
+    dfreq = posts.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    # candidate docs' length buckets — a <=256-value metadata collect
+    # bounding the dlen fetch, same shape as the dedup index's set fetch
+    dbuckets = sorted(
+        r["ck"] for r in posts
+        .select(_dl_ckey(F.col("doc_id"), spec.prefix_len).alias("ck"))
+        .distinct().collect()
+    )
+    if not dbuckets:
+        return empty
+    if stats_out is not None:
+        stats_out["dlen_files"] = len(
+            dest.committed_files(bounds={"ckey": dbuckets}))
+    dl_df = (dest.scan(bounds={"ckey": dbuckets})
+             .filter(_is(spec, "dlen")).select("doc_id", "dl"))
+    # BM25 with idf quantized to integer micro-nats BEFORE the per-term
+    # product, and the product floored to a long — the per-doc sum is
+    # then exact and order-independent (text_ppl_unigram recipe). The
+    # double expression tree below is mirrored token-for-token in the
+    # SQL oracle, so the floors land identically.
+    idf = dfreq.select(
+        "term",
+        F.floor(F.log(
+            (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5)) + F.lit(1.0)
+        ) * 1000000).cast("long").alias("idf_unats"),
+    )
+    parts = (
+        posts.join(idf, "term").join(dl_df, "doc_id")
+        .select(
+            "doc_id",
+            F.floor(
+                F.col("idf_unats") * (F.col("tf") * F.lit(_K1P1))
+                / (F.col("tf") + F.lit(_K1) * (
+                    F.lit(_ONE_MINUS_B)
+                    + F.lit(_B) * (F.col("dl") * F.lit(n_docs)
+                                   / F.lit(dl_sum))))
+            ).cast("long").alias("part"),
+        )
+    )
+    scored = parts.groupBy("doc_id").agg(F.sum("part").alias("score"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "rank", "score"))
+
+
+def load_text_spec(path: str) -> tuple[TextIndexSpec, dict]:
+    """Parse a text-index spec YAML (the CLI's format); returns
+    (spec, raw_doc) — the doc carries routing fields (source/dest/topics).
+
+    Spec YAML:
+      name: docs
+      source: src_pool
+      dest: index_pool
+      topics: [docs]
+      id: value.doc_id
+      text: value.text
+      prefix_len: 2     # optional
+    """
+    import yaml
+
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    spec = TextIndexSpec(
+        doc["name"],
+        id_expr=doc["id"],
+        text_expr=doc["text"],
+        prefix_len=int(doc.get("prefix_len", _PREFIX_LEN)),
+    )
+    return spec, doc
