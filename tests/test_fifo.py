@@ -533,3 +533,34 @@ def test_index_maintenance_inherits_auto_compact(spark, tmp_path):
             if json.load(f).get("base"):
                 bases.append(c)
     assert bases, "index dest pool never compacted"
+
+
+def test_streaming_text_index_maintenance(spark, tmp_path):
+    """FromKafka(indexes=[(TextIndexSpec, ...)]) keeps a BM25 text index
+    fresh to within one micro-batch — the same contract as the dedup and
+    ANN entries, third index family."""
+    from tests.test_text_index import SPEC as TSPEC, _text
+    from zync_spark.streaming import text_index as TI
+
+    reg = MemoryRegistry()
+    doc_t = S([Fld("doc_id", LongType()), Fld("text", StringType())])
+    pool = Pool.create(spark, str(tmp_path / "docs"))
+    idx = Pool.create(spark, str(tmp_path / "idx"))
+    fk = FromKafka(spark, {"docs": pool}, KEY_T, doc_t, registry=reg,
+                   format="avro", indexes=[(TSPEC, idx, ["docs"])])
+
+    def frame(lo, hi):
+        typed = spark.createDataFrame(
+            [("docs", 0, i, (i,), (i, _text(i))) for i in range(lo, hi)],
+            S([Fld("topic", StringType()), Fld("partition", LongType()),
+               Fld("offset", LongType()), Fld("key", KEY_T),
+               Fld("value", doc_t)]))
+        wire = encode_column(typed, "key", KEY_T, reg)
+        return encode_column(wire, "value", doc_t, reg)
+
+    assert fk.commit_batch(frame(0, 12)) == {"docs": 12}
+    assert TI.corpus_stats(idx, TSPEC)[0] == 12
+    assert fk.commit_batch(frame(12, 20)) == {"docs": 8}
+    assert TI.corpus_stats(idx, TSPEC)[0] == 20  # fresh within one batch
+    hits = TI.search_text(idx, TSPEC, "spark", k=3)
+    assert hits.count() == 3

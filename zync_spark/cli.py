@@ -530,14 +530,19 @@ def cmd_from_kafka(args) -> int:
         rollups.append((spec, dest, list(doc.get("topics") or [args.topic])))
     indexes = []
     for spec_path in args.index or []:
-        # dedup-index and ann-index spec YAMLs are distinguished by their
-        # field names (text vs vec); FromKafka dispatches on spec type
+        # index spec YAMLs are distinguished by their fields: `vec` names
+        # an ann-index; `kind: text` names a BM25 text index (its other
+        # fields are a subset of the dedup spec's, so it must say so);
+        # anything else is a dedup-index. FromKafka dispatches on type.
         import yaml as _yaml
 
         with open(spec_path) as f:
             probe = _yaml.safe_load(f)
         if "vec" in probe:
             from zync_spark.streaming.ann_index import load_ann_spec as _load
+        elif probe.get("kind") == "text":
+            from zync_spark.streaming.text_index import \
+                load_text_spec as _load
         else:
             from zync_spark.streaming.dedup_index import \
                 load_index_spec as _load

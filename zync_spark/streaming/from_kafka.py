@@ -93,12 +93,16 @@ class FromKafka:
         if self.indexes:
             from zync_spark.streaming.ann_index import AnnIndexSpec
             from zync_spark.streaming.dedup_index import DedupIndexSpec
+            from zync_spark.streaming.text_index import TextIndexSpec
 
             for spec, _d, _t in self.indexes:
-                if not isinstance(spec, (DedupIndexSpec, AnnIndexSpec)):
+                if not isinstance(spec,
+                                  (DedupIndexSpec, AnnIndexSpec,
+                                   TextIndexSpec)):
                     raise TypeError(
-                        f"index entry {spec!r}: expected DedupIndexSpec or "
-                        "AnnIndexSpec")  # fail at construction, not mid-stream
+                        f"index entry {spec!r}: expected DedupIndexSpec, "
+                        "AnnIndexSpec, or TextIndexSpec"
+                    )  # fail at construction, not mid-stream
 
     # -- resume ------------------------------------------------------------
 
@@ -255,11 +259,15 @@ class FromKafka:
                     inc.sync(self.topic_pools[topics[0]], dest, spec, list(topics))
             for spec, dest, topics in self.indexes:
                 if any(t in committed for t in topics):
-                    from zync_spark.streaming import ann_index, dedup_index
+                    from zync_spark.streaming import (ann_index, dedup_index,
+                                                      text_index)
 
-                    sync = (dedup_index.sync_index
-                            if isinstance(spec, dedup_index.DedupIndexSpec)
-                            else ann_index.sync_ann)
+                    if isinstance(spec, dedup_index.DedupIndexSpec):
+                        sync = dedup_index.sync_index
+                    elif isinstance(spec, text_index.TextIndexSpec):
+                        sync = text_index.sync_text
+                    else:
+                        sync = ann_index.sync_ann
                     # the same small-files cadence commit_batch applies to
                     # ingest pools: without it, one un-clustered commit
                     # accretes per micro-batch and the bounded-probe
