@@ -340,6 +340,15 @@ def test_cli_dedup_index_sync_pairs(spark, tmp_path, capsys):
         for l in capsys.readouterr().out.strip().splitlines()
     }
     assert (2, 4) in pairs  # the engineered cross-batch near-dup
+    # bounded point lookup: only pairs whose canonical smaller member
+    # is listed, plus the probe telemetry comment line
+    assert main(["--lake", lake, "dedup-index", "pairs", spec_path,
+                 "--ids", "2"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    got = {(json.loads(l)["id_a"], json.loads(l)["id_b"])
+           for l in out if not l.startswith("#")}
+    assert got == {k for k in pairs if k[0] == 2}
+    assert any(l.startswith("# probe read") for l in out)
     assert main(["--lake", lake, "dedup-index", "index", spec_path]) == 0
     idx = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert [r["doc_id"] for r in idx] == [d for d, _ in DOCS]

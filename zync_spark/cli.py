@@ -222,7 +222,9 @@ def cmd_dedup_index(args) -> int:
                colliding ckey buckets are read once the pool is
                compacted), exact-Jaccard verify; index + band rows +
                pairs + cursor commit atomically (rerun = no-op)
-      pairs    print all discovered duplicate pairs as JSON lines
+      pairs    print discovered duplicate pairs as JSON lines; --ids
+               bounds the read to those canonical smaller members'
+               buckets (point lookup, file-skipped)
       index    print the stored index rows (doc_id + band keys)
       compact  range-cluster the index pool by ckey so sync's probes
                skip non-colliding files (run on small-files cadence)
@@ -263,10 +265,16 @@ def cmd_dedup_index(args) -> int:
         n = di.migrate_band_rows(dest, spec)
         print(f"dedup-index {spec.name}: {n} band rows migrated")
     elif args.action == "pairs":
-        v = di.pairs_view(dest, spec)
+        ids = ([int(x) for x in args.ids.split(",")] if args.ids else None)
+        stats: dict = {}
+        v = di.pairs_view(dest, spec, ids=ids,
+                          stats_out=stats if ids else None)
         if v is not None:
             for line in v.orderBy("id_a", "id_b").toJSON().collect():
                 print(line)
+        if ids and "probe_files" in stats:
+            print(f"# probe read {stats['probe_files']}/"
+                  f"{stats['live_files']} files")
     else:
         v = di.index_view(dest, spec)
         if v is not None:
@@ -819,6 +827,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="index spec YAML (see cmd_dedup_index docstring)")
     p.add_argument("--auto-compact", type=int, default=None, metavar="N",
                    help="re-cluster after N delta commits since last base")
+    p.add_argument("--ids", default=None, metavar="ID,ID,...",
+                   help="pairs: bounded lookup by canonical smaller "
+                        "member (reads only the colliding buckets)")
     p.set_defaults(fn=cmd_dedup_index)
 
     p = sub.add_parser("compact", help="compact a pool's small commits")
