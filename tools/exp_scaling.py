@@ -52,6 +52,9 @@ OPS = [
     # build+query path, not just a plan)
     "dedup_index_incremental",
     "ann_index_incremental",
+    # round-5: the third index family (build O(corpus) by definition;
+    # the bounded part is the per-query probe, pinned in its tests)
+    "text_index_incremental",
 ]
 
 
