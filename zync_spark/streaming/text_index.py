@@ -35,6 +35,16 @@ micro-nats before the per-term products (the text_ppl_unigram
 determinism recipe): per-(doc, term) partials floor to longs, so the
 per-doc sum is exact and order-independent — cross-engine hash-stable.
 
+Append-only contract (shared by all three index families): each doc_id
+is ingested ONCE — the cursor-bounded delta guarantees a given source
+offset is never reprocessed, and the source is treated as an immutable
+log (the reference's own model). Re-publishing an UPDATED document
+under the same doc_id at a new offset would append a second posting set
+(tf split across rows, df over-counted); the supported update path is
+the CDC one — compact the SOURCE pool with keep_latest_by_key and
+rebuild the index, or publish updates under fresh doc_ids and drop the
+old ids at query time.
+
 Reference parity: the reference has no search surface (this module is
 beyond-reference); the commit/cursor machinery mirrors its done-marker
 design (README.md:447-455).
