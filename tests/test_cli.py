@@ -412,7 +412,7 @@ def test_cli_text_index(spark, tmp_path, capsys):
     spec_path = os.path.join(tmp_path, "tidx.yaml")
     with open(spec_path, "w") as f:
         _yaml.safe_dump(
-            {"name": "d", "source": "src", "dest": "tidx",
+            {"kind": "text", "name": "d", "source": "src", "dest": "tidx",
              "topics": ["docs"], "id": "value.doc_id",
              "text": "value.text"}, f)
     assert main(["--lake", lake, "text-index", "sync", spec_path]) == 0
@@ -427,3 +427,32 @@ def test_cli_text_index(spark, tmp_path, capsys):
     assert [h["rank"] for h in sorted(hits, key=lambda h: h["rank"])] \
         == [1, 2, 3, 4]
     assert all(h["score"] > 0 for h in hits)
+
+
+def test_text_spec_requires_kind_discriminator(tmp_path):
+    """Round-5 review closure: a text-index YAML without 'kind: text'
+    must fail LOUDLY everywhere — its fields are a subset of the dedup
+    spec's, so silent misdispatch (from-kafka --index building a MinHash
+    index into the text index's dest pool) was possible. Both loaders
+    now enforce the discriminator."""
+    import pytest
+    import yaml as _yaml
+
+    from zync_spark.streaming.dedup_index import load_index_spec
+    from zync_spark.streaming.text_index import load_text_spec
+
+    p = os.path.join(tmp_path, "spec.yaml")
+    doc = {"name": "d", "source": "s", "dest": "i", "topics": ["t"],
+           "id": "value.doc_id", "text": "value.text"}
+    with open(p, "w") as f:
+        _yaml.safe_dump(doc, f)
+    with pytest.raises(ValueError, match="kind: text"):
+        load_text_spec(p)          # text loader refuses undeclared YAML
+    load_index_spec(p)             # ...which IS a valid dedup spec
+    doc["kind"] = "text"
+    with open(p, "w") as f:
+        _yaml.safe_dump(doc, f)
+    spec, _ = load_text_spec(p)    # declared: text loader accepts
+    assert type(spec).__name__ == "TextIndexSpec"
+    with pytest.raises(ValueError):
+        load_index_spec(p)         # ...and the dedup loader refuses

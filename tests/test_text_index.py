@@ -77,7 +77,7 @@ def test_query_reads_bounded_file_subset(spark, tmp_path):
     assert 0 < stats["dlen_files"] < live
     # compaction never changes results
     pre = _ranked(TI.search_text(dest, SPEC, "spark query", k=6))
-    TI.compact_text(dest, target_rows=200, spec=SPEC)
+    TI.compact_text(dest, target_rows=200)
     stats2: dict = {}
     post = _ranked(TI.search_text(dest, SPEC, "spark query", k=6,
                                   stats_out=stats2))

@@ -66,9 +66,10 @@ def run(spark, sf_dir: str) -> None:
     print(f"{tag}: corpus={total} cells={len(cents)}")
     from zync_spark.functions import similarity as S
 
+    exact = AI.ann_exact_topk(dest, spec, qs, k=K).persist()
     nprobe = 1
     while nprobe <= N_CELLS:
-        r = AI.ann_recall(dest, spec, qs, k=K, nprobe=nprobe)
+        r = AI.ann_recall(dest, spec, qs, k=K, nprobe=nprobe, exact=exact)
         row = r.agg(F.avg("recall").alias("a"),
                     F.min("recall").alias("m")).collect()[0]
         qa = S.ivf_assign(
@@ -86,6 +87,7 @@ def run(spark, sf_dir: str) -> None:
         print(f"  nprobe={nprobe:2d}  avg_recall@10={row['a']:.3f}  "
               f"min={row['m']:.3f}  coverage={cov:.3f}  lift={lift:.2f}")
         nprobe *= 2
+    exact.unpersist()
     shutil.rmtree(lake, ignore_errors=True)
 
 

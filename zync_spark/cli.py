@@ -337,12 +337,20 @@ def cmd_ann_index(args) -> int:
             probes.append(nprobe)
             nprobe *= 2
         probes.append(n_cells)
-        for np_ in probes:
-            avg = (ai.ann_recall(dest, spec, qs, id_col="vec_id",
-                                 vec_col="emb", k=10, nprobe=np_)
-                   .agg(F.avg("recall").alias("a")).collect()[0]["a"])
-            print(json.dumps({"nprobe": np_,
-                              "avg_recall_at10": round(avg, 4)}))
+        # the exact side is nprobe-independent and the dominant cost:
+        # compute it once, reuse across the sweep
+        exact = ai.ann_exact_topk(dest, spec, qs, id_col="vec_id",
+                                  vec_col="emb", k=10).persist()
+        try:
+            for np_ in probes:
+                avg = (ai.ann_recall(dest, spec, qs, id_col="vec_id",
+                                     vec_col="emb", k=10, nprobe=np_,
+                                     exact=exact)
+                       .agg(F.avg("recall").alias("a")).collect()[0]["a"])
+                print(json.dumps({"nprobe": np_,
+                                  "avg_recall_at10": round(avg, 4)}))
+        finally:
+            exact.unpersist()
     else:
         df = dest.scan()
         if df is not None and "cell" in df.columns:
@@ -378,7 +386,7 @@ def cmd_text_index(args) -> int:
                          auto_compact_every=args.auto_compact)
         print(f"text-index {spec.name}: {n} rows committed")
     elif args.action == "compact":
-        n = ti.compact_text(dest, spec=spec)
+        n = ti.compact_text(dest)
         print(f"text-index {spec.name}: compacted {n} rows")
     else:
         if not args.query:
@@ -561,6 +569,7 @@ def cmd_from_kafka(args) -> int:
         spark, {args.topic: pool}, key_t, val_t,
         format=args.format, shaper=args.shaper,
         rollups=rollups, indexes=indexes,
+        auto_compact_every=args.auto_compact,
     )
     if args.transport.startswith("file:"):
         from zync_spark.sources.filequeue import FileQueue
@@ -756,8 +765,13 @@ def main(argv: list[str] | None = None) -> int:
                         "micro-batch (repeatable; streaming materialized "
                         "view)")
     p.add_argument("--index", action="append", default=None,
-                   help="dedup-index or ann-index spec YAML to keep in "
-                        "sync after every micro-batch (repeatable)")
+                   help="dedup-index, ann-index, or text-index (kind: "
+                        "text) spec YAML to keep in sync after every "
+                        "micro-batch (repeatable)")
+    p.add_argument("--auto-compact", type=int, default=None, metavar="N",
+                   help="fold ingest AND index pools into a base manifest "
+                        "every N delta commits (the recommended cadence: "
+                        "bounded probes degrade without it)")
     p.set_defaults(fn=cmd_from_kafka)
 
     p = sub.add_parser("to-kafka", help="pool -> topic egress from the HWM")

@@ -204,7 +204,11 @@ class Pool:
         concurrent writers cannot interleave (each would otherwise
         rewrite from its own stale read and drop the other's paths —
         round-4 review finding). Stale locks (a crashed holder) are
-        broken after 10s: the merge is milliseconds of local JSON."""
+        broken after 10s, and only when the file about to be unlinked is
+        provably the SAME file observed stale ((st_ino, st_mtime_ns)
+        identity re-checked immediately before the unlink) — a blind
+        unlink could race another waiter's fresh acquisition and delete
+        a LIVE lock, re-admitting the lost update (round-5 review)."""
         if not names:
             return
         lock = os.path.join(self.path, "types.json.lock")
@@ -215,8 +219,16 @@ class Pool:
                 break
             except FileExistsError:
                 try:
-                    if time.time() - os.path.getmtime(lock) > 10.0:
-                        os.unlink(lock)  # crashed holder; next loop retries
+                    st = os.stat(lock)
+                    if time.time() - st.st_mtime > 10.0:
+                        # break the stale lock ONLY if it is still the
+                        # exact file we judged stale (identity check
+                        # narrows the unlink race to inode reuse with an
+                        # identical old mtime within microseconds)
+                        cur = os.stat(lock)
+                        if (cur.st_ino, cur.st_mtime_ns) == (
+                                st.st_ino, st.st_mtime_ns):
+                            os.unlink(lock)
                         continue
                 except OSError:
                     continue  # holder released between exists and stat
@@ -229,6 +241,23 @@ class Pool:
             _atomic_write_json(os.path.join(self.path, "types.json"), merged)
         finally:
             os.unlink(lock)
+
+    def _merge_type_names_post_commit(self, names: dict[str, str]) -> None:
+        """Sidecar merge for a load whose manifest ALREADY published: a
+        failure here must not make the (successful) load raise — the
+        caller would retry and append the same rows twice (round-5
+        review). A lost decoration is harmless metadata and re-running
+        the shaper restores it; warn and move on."""
+        try:
+            self.set_type_names(names)
+        except Exception as e:
+            import warnings
+
+            warnings.warn(
+                f"pool {self.path}: commit published but the types.json "
+                f"merge failed ({e}); decorations {sorted(names)} were "
+                "not recorded — re-run the shaper or call set_type_names",
+                stacklevel=3)
 
     # -- I/O ---------------------------------------------------------------
 
@@ -367,7 +396,7 @@ class Pool:
                     "read-modify-write commit; re-run"
                 ) from None
             if type_names:
-                self.set_type_names(type_names)
+                self._merge_type_names_post_commit(type_names)
             return n
         # optimistic concurrency: claim the next sequence number; on a
         # collision another writer won that seq — append after it instead
@@ -379,7 +408,7 @@ class Pool:
                     os.path.join(self._commit_dir(), f"{seq:06d}.json"), manifest
                 )
                 if type_names:
-                    self.set_type_names(type_names)
+                    self._merge_type_names_post_commit(type_names)
                 return n
             except FileExistsError:
                 continue

@@ -3122,11 +3122,15 @@ def ann_recall_at10(spark, sf_dir):
     AI.sync_ann(src, dest, spec, ["emb"])
     AI.compact_ann(dest, target_rows=2000)
     qs = emb.filter(F.col("vec_id") < 25)
-    r2 = AI.ann_recall(dest, spec, qs, k=10, nprobe=2).agg(
+    # ONE exact ground-truth subtree shared by all three probe widths
+    # (nprobe-independent; identical subplans let exchange reuse dedupe
+    # the dominant cost at runtime)
+    exact = AI.ann_exact_topk(dest, spec, qs, k=10)
+    r2 = AI.ann_recall(dest, spec, qs, k=10, nprobe=2, exact=exact).agg(
         F.avg("recall").alias("a2"))
-    r8 = AI.ann_recall(dest, spec, qs, k=10, nprobe=8).agg(
+    r8 = AI.ann_recall(dest, spec, qs, k=10, nprobe=8, exact=exact).agg(
         F.avg("recall").alias("a8"))
-    r16 = AI.ann_recall(dest, spec, qs, k=10, nprobe=16).agg(
+    r16 = AI.ann_recall(dest, spec, qs, k=10, nprobe=16, exact=exact).agg(
         F.avg("recall").alias("a16"), F.min("recall").alias("m16"),
         F.count("*").alias("nq"))
     return (r16.crossJoin(r8).crossJoin(r2).select(

@@ -311,9 +311,28 @@ def compact_ann(dest: Pool, target_rows: int = 4_000_000,
                         cluster_by=["ckey"])
 
 
+def ann_exact_topk(dest: Pool, spec: AnnIndexSpec, queries: DataFrame,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   k: int = 10) -> DataFrame:
+    """Exact brute-force cosine top-k over the STORED corpus — the
+    ground truth ann_recall measures against. Split out so a
+    recall-vs-nprobe sweep computes it ONCE and passes it to each
+    ann_recall call via `exact=` (it is nprobe-independent and the
+    dominant cost of the measurement — round-5 review)."""
+    stored = dest.scan()
+    if stored is None or "vec_id" not in stored.columns:
+        raise ValueError(f"ann_recall: index {spec.name!r} is empty")
+    corpus = stored.filter(_is_vec(spec)).select(
+        "vec_id", F.col("v").alias("emb"))
+    q = queries.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias("emb"))
+    return S.cosine_topk(corpus, q, "vec_id", "emb", k=k)
+
+
 def ann_recall(dest: Pool, spec: AnnIndexSpec, queries: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               k: int = 10, nprobe: int = 2) -> DataFrame:
+               k: int = 10, nprobe: int = 2,
+               exact: DataFrame | None = None) -> DataFrame:
     """Retrieval QUALITY of the stored index: per-query recall@k of
     ann_query against exact brute-force cosine top-k over the SAME
     stored corpus — (query_id, recall) with recall in [0,1]. This is
@@ -323,16 +342,12 @@ def ann_recall(dest: Pool, spec: AnnIndexSpec, queries: DataFrame,
     fix. Deterministic — both sides break cosine ties by neighbor_id —
     so it can ride the catalog's hash compare as a bounded-error entry
     (ann_recall_at10). Cost: the exact side is one broadcast-join scan
-    of the stored vectors per call (a MEASUREMENT pass, not a serving
-    path)."""
-    stored = dest.scan()
-    if stored is None or "vec_id" not in stored.columns:
-        raise ValueError(f"ann_recall: index {spec.name!r} is empty")
-    corpus = stored.filter(_is_vec(spec)).select(
-        "vec_id", F.col("v").alias("emb"))
-    q = queries.select(F.col(id_col).alias("vec_id"),
-                       F.col(vec_col).alias("emb"))
-    exact = S.cosine_topk(corpus, q, "vec_id", "emb", k=k)
+    of the stored vectors (a MEASUREMENT pass, not a serving path) —
+    sweeping nprobe? compute it once with ann_exact_topk and pass
+    `exact=`."""
+    if exact is None:
+        exact = ann_exact_topk(dest, spec, queries, id_col=id_col,
+                               vec_col=vec_col, k=k)
     approx = ann_query(dest, spec, queries, id_col=id_col, vec_col=vec_col,
                        k=k, nprobe=nprobe)
     n_exact = exact.groupBy("query_id").agg(

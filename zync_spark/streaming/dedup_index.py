@@ -68,29 +68,34 @@ def _band_ckey(bkey, prefix_len: int = _PREFIX_LEN) -> F.Column:
     return F.concat(F.lit("b:"), F.substring(bkey, 1, prefix_len))
 
 
-def _doc_ckey(doc_id, prefix_len: int = _PREFIX_LEN) -> F.Column:
-    """Cluster key of a signature row: 's:' + zero-padded hex of
-    pmod(doc_id, 16^prefix_len) — uniform for sequential and hashed ids
-    alike."""
+def pmod_ckey(prefix: str, col, prefix_len: int = _PREFIX_LEN) -> F.Column:
+    """The ONE id-bucketing expression every pmod-keyed cluster space
+    uses — '<prefix>' + zero-padded lowercase hex of
+    pmod(col, 16^prefix_len), uniform for sequential and hashed ids
+    alike. Shared (signature rows, pair rows here; doc-length rows in
+    text_index) so write-side ckeys and python-side probe values
+    ('%0*x' % (plen, id % 16**plen)) can never drift apart per key
+    space — a single definition is the drift guard (round-5 review)."""
     return F.concat(
-        F.lit("s:"),
-        F.lower(F.lpad(F.hex(F.pmod(doc_id, F.lit(16 ** prefix_len))),
+        F.lit(prefix),
+        F.lower(F.lpad(F.hex(F.pmod(col, F.lit(16 ** prefix_len))),
                        prefix_len, "0")),
     )
+
+
+def _doc_ckey(doc_id, prefix_len: int = _PREFIX_LEN) -> F.Column:
+    """Cluster key of a signature row: 's:' + pmod bucket of doc_id."""
+    return pmod_ckey("s:", doc_id, prefix_len)
 
 
 def _pair_ckey(id_a, prefix_len: int = _PREFIX_LEN) -> F.Column:
-    """Cluster key of a pair row: 'p:' + hex bucket of the pair's
-    CANONICAL SMALLER member (id_a < id_b by construction) — the same
-    pmod bucketing as signature rows, so pairs_view(ids=) reads only the
-    colliding buckets' files. Pre-round-5 pools stamped the constant
-    'p:' (every pair in one bucket — a full scan for any consumer);
-    compact_index self-heals them to this form."""
-    return F.concat(
-        F.lit("p:"),
-        F.lower(F.lpad(F.hex(F.pmod(id_a, F.lit(16 ** prefix_len))),
-                       prefix_len, "0")),
-    )
+    """Cluster key of a pair row: 'p:' + pmod bucket of the pair's
+    CANONICAL SMALLER member (id_a < id_b by construction) — so
+    pairs_view(ids=) reads only the colliding buckets' files.
+    Pre-round-5 pools stamped the constant 'p:' (every pair in one
+    bucket — a full scan for any consumer); compact_index self-heals
+    them to this form."""
+    return pmod_ckey("p:", id_a, prefix_len)
 
 
 class DedupIndexSpec:
@@ -606,6 +611,12 @@ def load_index_spec(path: str) -> tuple[DedupIndexSpec, dict]:
 
     with open(path) as f:
         doc = yaml.safe_load(f)
+    if doc.get("kind") not in (None, "dedup"):
+        # a text-index spec's fields are a subset of this format — refuse
+        # loudly instead of silently building the wrong index kind
+        raise ValueError(
+            f"{path}: kind={doc['kind']!r} is not a dedup-index spec "
+            "(use the matching subcommand / spec loader)")
     spec = DedupIndexSpec(
         doc["name"],
         id_expr=doc["id"],

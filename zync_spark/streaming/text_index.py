@@ -82,11 +82,11 @@ def _term_ckey(term, prefix_len: int = _PREFIX_LEN) -> F.Column:
 
 
 def _dl_ckey(doc_id, prefix_len: int = _PREFIX_LEN) -> F.Column:
-    return F.concat(
-        F.lit("d:"),
-        F.lower(F.lpad(F.hex(F.pmod(doc_id, F.lit(16 ** prefix_len))),
-                       prefix_len, "0")),
-    )
+    """'d:' + pmod bucket of doc_id — the shared bucketing expression
+    (dedup_index.pmod_ckey), one definition across all index families."""
+    from zync_spark.streaming.dedup_index import pmod_ckey
+
+    return pmod_ckey("d:", doc_id, prefix_len)
 
 
 class TextIndexSpec:
@@ -126,7 +126,7 @@ def sync_text(src: Pool, dest: Pool, spec: TextIndexSpec,
     n = _sync_text_once(src, dest, spec, topics, message)
     if (n and auto_compact_every
             and dest.commits_since_base() >= auto_compact_every):
-        compact_text(dest, spec=spec)
+        compact_text(dest)
     return n
 
 
@@ -190,12 +190,14 @@ def _sync_text_once(src: Pool, dest: Pool, spec: TextIndexSpec,
 
 
 def compact_text(dest: Pool, target_rows: int = 4_000_000,
-                 message: str = "textindex compact",
-                 spec: TextIndexSpec | None = None) -> int:
+                 message: str = "textindex compact") -> int:
     """Range-cluster the index pool by ckey so each output file covers a
     narrow term/doc bucket range — search reads only its terms' buckets
     at FILE granularity. Fresh commits are already load-clustered; this
-    folds the small-file accretion on the usual cadence."""
+    folds the small-file accretion on the usual cadence. (No spec
+    parameter, unlike compact_index: there is no legacy layout to
+    self-heal and ckeys carry no spec-dependent width here — term
+    buckets are md5 prefixes whose stored length IS the truth.)"""
     return dest.compact(target_rows=target_rows, message=message,
                         cluster_by=["ckey"])
 
@@ -302,7 +304,15 @@ def load_text_spec(path: str) -> tuple[TextIndexSpec, dict]:
     """Parse a text-index spec YAML (the CLI's format); returns
     (spec, raw_doc) — the doc carries routing fields (source/dest/topics).
 
+    `kind: text` is REQUIRED: a text spec's other fields are a strict
+    subset of the dedup-index spec's, so without the discriminator a
+    text YAML handed to `from-kafka --index` would silently parse as a
+    DedupIndexSpec and maintain the WRONG index into the dest pool
+    (round-5 review finding) — the field makes every dispatcher
+    unambiguous and mistakes loud.
+
     Spec YAML:
+      kind: text        # required discriminator
       name: docs
       source: src_pool
       dest: index_pool
@@ -315,6 +325,12 @@ def load_text_spec(path: str) -> tuple[TextIndexSpec, dict]:
 
     with open(path) as f:
         doc = yaml.safe_load(f)
+    if doc.get("kind") != "text":
+        raise ValueError(
+            f"{path}: text-index specs must declare 'kind: text' (its "
+            "other fields are a subset of the dedup-index spec's, so the "
+            "discriminator is what keeps from-kafka --index dispatch "
+            "unambiguous)")
     spec = TextIndexSpec(
         doc["name"],
         id_expr=doc["id"],
