@@ -84,6 +84,16 @@ def test_llm_operators_stay_jvm_side(spark, name):
     assert re.search(PY_NODES, p) is None
 
 
+def test_group_topk_prefilters_before_window(spark):
+    # few-heavy-groups top-k: the sample-threshold pre-filter must be in
+    # the plan (broadcast threshold join) so the final rank window sees
+    # ~rate·k survivors per group, not the full table full-sorted behind
+    # a low-cardinality string key (functions/topk.py)
+    p = plan_of(spark, "q_group_topk")
+    assert count("BroadcastHashJoin", p) >= 1
+    assert re.search(PY_NODES, p) is None
+
+
 def test_kmeans_broadcasts_centroids(spark):
     # each Lloyd round: the k centroids collapse to one row and broadcast
     # back; reassignment is a pure map. The corpus must NEVER shuffle —

@@ -1,0 +1,103 @@
+"""grouped_topk: the sample-threshold pre-filter must be invisible in
+the RESULT (exact, identical to the plain rank window) for every edge
+the pre-filter reasons about — ties at the threshold, NULL values,
+groups smaller than k, thresholdless groups — and visible in the PLAN
+(broadcast threshold join, no full-data sort feeding the final window).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from zync_spark.functions.topk import grouped_topk, grouped_topk_window
+
+
+def _rows(n, groups, tie_every=1, null_every=0):
+    """Deterministic (grp, id, val) rows: values collide every
+    `tie_every` ids; every `null_every`-th value is NULL."""
+    out = []
+    for i in range(n):
+        val = float((i * 37) % (n // tie_every or 1))
+        if null_every and i % null_every == 0:
+            val = None
+        out.append((f"g{i % groups}", i, val))
+    return out
+
+
+def _check(spark, data, k, **kw):
+    df = spark.createDataFrame(data, "grp string, id long, val double")
+    got = grouped_topk(df, "grp", "val", k, tiebreakers=["id"],
+                       rank_col="rnk", **kw)
+    want = grouped_topk_window(
+        df, "grp", [F.col("val").desc(), F.col("id")], k, rank_col="rnk")
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w
+    return g
+
+
+def test_matches_plain_window_heavy_groups(spark):
+    rows = _check(spark, _rows(4000, groups=3), k=5)
+    assert len(rows) == 15
+
+
+def test_ties_at_threshold(spark):
+    # tie_every=8 → every value repeats ~8×, incl. at the k-th rank
+    _check(spark, _rows(4000, groups=3, tie_every=8), k=5)
+
+
+def test_null_values_rank_last_and_survive(spark):
+    # groups where non-null count < k force NULLs into the top-k
+    data = _rows(40, groups=4, null_every=2)
+    _check(spark, data, k=7)
+
+
+def test_groups_smaller_than_k_kept_whole(spark):
+    data = _rows(30, groups=10)  # 3 rows per group
+    rows = _check(spark, data, k=5)
+    assert len(rows) == 30
+
+
+def test_exactness_independent_of_sample_rate(spark):
+    data = _rows(2000, groups=2)
+    for rate in (1, 4, 512, 10**6):  # everything sampled … nothing sampled
+        _check(spark, data, k=3, sample_rate=rate)
+
+
+def test_ascending(spark):
+    df = spark.createDataFrame(_rows(1000, groups=3),
+                               "grp string, id long, val double")
+    got = grouped_topk(df, "grp", "val", 4, descending=False,
+                       tiebreakers=["id"], rank_col="rnk")
+    want = grouped_topk_window(
+        df, "grp", [F.col("val").asc(), F.col("id")], 4, rank_col="rnk")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_multi_group_cols_and_no_rank_col(spark):
+    df = spark.createDataFrame(
+        [(f"a{i%2}", f"b{i%3}", i, float(i % 50)) for i in range(600)],
+        "g1 string, g2 string, id long, val double")
+    got = grouped_topk(df, ["g1", "g2"], "val", 2, tiebreakers=["id"])
+    assert got.columns == ["g1", "g2", "id", "val"]
+    want = grouped_topk_window(
+        df, ["g1", "g2"], [F.col("val").desc(), F.col("id")], 2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_k_must_be_positive(spark):
+    df = spark.createDataFrame([("g", 1, 1.0)], "grp string, id long, val double")
+    with pytest.raises(ValueError):
+        grouped_topk(df, "grp", "val", 0)
+
+
+def test_plan_broadcasts_thresholds_no_python(spark):
+    df = spark.createDataFrame(_rows(100, groups=2),
+                               "grp string, id long, val double")
+    plan = grouped_topk(df, "grp", "val", 3, tiebreakers=["id"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas", plan) is None
