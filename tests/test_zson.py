@@ -339,3 +339,59 @@ def test_hex_and_size_guard_errors_are_controlled(tmp_path):
     big.write_text("{a:1}\n" * 10)
     with pytest.raises(zson.ZsonParseError, match="driver"):
         zson.read(None, str(big), max_bytes=16)
+
+
+# -- read_lines: the distributed line-delimited path -----------------------
+
+
+def test_read_lines_matches_driver_read_on_reference_demo(spark, tmp_path):
+    # the reference demo file is pretty-printed, so it goes through the
+    # driver reader; render_row re-emits it line-delimited, and the
+    # distributed reader must reproduce the driver result exactly
+    src = "/root/reference/demo/batch-1.zson"
+    want_df, want_names = zson.read(spark, src)
+    ld = tmp_path / "batch-1.lines.zson"
+    ld.write_text("".join(
+        zson.render_row(r, want_df.schema, want_names) + "\n"
+        for r in want_df.collect()))
+    got_df, got_names = zson.read_lines(spark, str(ld))
+    assert got_df.schema == want_df.schema
+    assert got_names == want_names
+    assert sorted(map(tuple, got_df.collect())) == sorted(
+        map(tuple, want_df.collect()))
+
+
+def test_read_lines_fuses_shapes_across_partitions(spark, tmp_path):
+    # shape widening must happen globally, not per-line: int32 then
+    # int64, a late-appearing field, and a named decoration
+    p = tmp_path / "wide.zson"
+    p.write_text(
+        "{a:5(int32)}\n"
+        "\n"
+        "{a:9,b:\"x\"}(=thing)\n"
+        "{a:7,c:1.5}\n")
+    df, names = zson.read_lines(spark, str(p))
+    driver_df, driver_names = zson.read(spark, p.read_text())
+    assert df.schema == driver_df.schema
+    assert names == driver_names
+    assert sorted(map(tuple, df.collect()), key=str) == sorted(
+        map(tuple, driver_df.collect()), key=str)
+    assert [f.name for f in df.schema.fields][-1] == "zed_type"
+
+
+def test_read_lines_rejects_pretty_printed(spark, tmp_path):
+    # values spanning lines violate the line-delimited contract; the
+    # executor-side error must surface and name it
+    p = tmp_path / "pretty.zson"
+    p.write_text("{\n  a: 1\n}\n")
+    import pytest
+
+    with pytest.raises(Exception, match="line-delimited|Unexpected|expected"):
+        zson.read_lines(spark, str(p))[0].collect()
+
+
+def test_read_lines_empty_file(spark, tmp_path):
+    p = tmp_path / "empty.zson"
+    p.write_text("\n// just a comment\n")
+    df, names = zson.read_lines(spark, str(p))
+    assert df.count() == 0 and names == {}

@@ -475,9 +475,16 @@ def cmd_produce(args) -> int:
     if args.format == "zson":
         from zync_spark import zson
 
+        import os as _os
+
         total = 0
         for path in args.files:
-            df, names = zson.read(spark, path)
+            if _os.path.getsize(path) > 64 << 20:
+                # past the driver-parse guard: distributed line-delimited
+                # path (pretty-printed big files fail with a clear error)
+                df, names = zson.read_lines(spark, path)
+            else:
+                df, names = zson.read(spark, path)
             total += pool.load(df, f"produce {path}", type_names=names)
         print(f"loaded {total} records")
         return 0

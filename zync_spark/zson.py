@@ -597,9 +597,121 @@ def read(spark, path_or_text: str, max_bytes: int | None = 64 << 20):
             raise ZsonParseError(
                 f"{path_or_text} is {os.path.getsize(path_or_text)} bytes; "
                 f"zson.read parses on the driver and refuses files over "
-                f"{max_bytes} bytes. Convert bulk data to parquet/json for "
-                "a distributed load, or pass max_bytes=None to force.")
+                f"{max_bytes} bytes. Use zson.read_lines for a distributed "
+                "load of line-delimited ZSON, convert bulk data to "
+                "parquet/json, or pass max_bytes=None to force.")
         with open(path_or_text) as f:
             text = f.read()
     rows, schema, names = parse(text)
     return spark.createDataFrame(rows, schema), names
+
+
+def _parse_line(line: str):
+    """One line → (value, dtype, decorations) or None for blank/comment
+    lines. Exactly ONE top-level record per line — the line-delimited
+    contract `render_row` emits and `zed query -z` prints."""
+    r = _Reader(line)
+    if r.peek()[0] == "eof":
+        return None
+    per: dict[str, str] = {}
+    v, dt = r.parse_value("", per)
+    if not (isinstance(dt, tuple) and dt[0] == "struct"):
+        raise ZsonParseError("top-level zson values must be records")
+    if r.peek()[0] != "eof":
+        raise ZsonParseError(
+            "more than one value on a line — not line-delimited ZSON")
+    return v, dt, per
+
+
+def _freeze_type(t):
+    """Inferred-type rep → hashable twin (struct field lists become
+    tuples) so shapes can ride a distinct()."""
+    if isinstance(t, tuple):
+        if t[0] == "struct":
+            return ("struct", tuple((n, _freeze_type(x)) for n, x in t[1]))
+        if t[0] == "array":
+            return ("array", _freeze_type(t[1]))
+        if t[0] == "map":
+            return ("map", _freeze_type(t[1]), _freeze_type(t[2]))
+    return t
+
+
+def _thaw_type(t):
+    if isinstance(t, tuple):
+        if t[0] == "struct":
+            return ("struct", [(n, _thaw_type(x)) for n, x in t[1]])
+        if t[0] == "array":
+            return ("array", _thaw_type(t[1]))
+        if t[0] == "map":
+            return ("map", _thaw_type(t[1]), _thaw_type(t[2]))
+    return t
+
+
+def read_lines(spark, path: str):
+    """Distributed reader for LINE-DELIMITED ZSON (one record per line —
+    the form `render_row`/`consume --format zson` write and `zed query
+    -z` prints): (df, type_names), same contract as `read` without the
+    driver bottleneck — this is the bulk-ingest path the 64 MB guard in
+    `read` points at.
+
+    Two distributed passes over `spark.read.text`:
+
+    1. SHAPE pass — every line parses on the executors, but only the
+       per-partition-DISTINCT (dtype, decorations) shapes travel to the
+       driver, where they fuse through the same `_merge_types` substi-
+       tution the driver path uses. Shape count is bounded by type
+       variety, not row count.
+    2. PARSE pass — lines parse again and conform to the fused schema
+       (two parses buys not shipping raw Python values through a
+       shuffle; parsing is the cheap part next to Python serialization).
+
+    Pretty-printed ZSON (values spanning lines) fails with a clear
+    per-line error naming this contract — use `read` for those files.
+    Python-rate parsing: fine for ingest (it distributes); columnar
+    formats remain the right home for hot data.
+    """
+    lines = spark.read.text(path)
+
+    def _shapes(it):
+        seen = set()
+        for row in it:
+            parsed = _parse_line(row.value)
+            if parsed is None:
+                continue
+            _, dt, per = parsed
+            key = (_freeze_type(dt), tuple(sorted(per.items())))
+            if key not in seen:
+                seen.add(key)
+                yield key
+
+    unified = None
+    names: dict[str, str] = {}
+    any_ztype = False
+    for dt, per_items in lines.rdd.mapPartitions(_shapes).distinct().collect():
+        per = dict(per_items)
+        if per.pop("", None) is not None:
+            any_ztype = True
+        names.update(per)
+        unified = _merge_types(unified, _thaw_type(dt), "")
+    if unified is None:
+        return spark.createDataFrame([], StructType([])), {}
+
+    schema = _to_spark_type(unified)
+    if any_ztype:
+        from pyspark.sql.types import StructField
+
+        schema = StructType(
+            list(schema.fields) + [StructField("zed_type", StringType())])
+
+    def _rows(it):
+        for row in it:
+            parsed = _parse_line(row.value)
+            if parsed is None:
+                continue
+            v, _, per = parsed
+            out = _conform_value(v, unified)
+            if any_ztype:
+                out = out + (per.get("") or "data",)
+            yield out
+
+    return spark.createDataFrame(lines.rdd.mapPartitions(_rows), schema), names
