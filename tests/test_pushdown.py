@@ -1,0 +1,105 @@
+"""Predicate → manifest-bounds pushdown (zync_spark/pushdown.py).
+
+Extraction must be sound (const names are not columns, `or` stages and
+post-transform filters contribute nothing, mixed types never raise) and
+effective (a clustered pool's scan provably skips files; CLI query
+results are bit-identical with and without pruning, including the
+everything-pruned → empty-frame edge)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from zync_spark.cli import main
+from zync_spark.pool import Pool
+from zync_spark.pushdown import program_bounds
+
+
+def test_extracts_from_named_pool():
+    b = program_bounds(
+        'from logs | kafka.offset > 5 and kafka.topic == "a" | cut kafka')
+    assert b == {"logs": {"kafka.offset": (5, None), "kafka.topic": ("a", "a")}}
+
+
+def test_where_form_and_flip_and_intersection():
+    b = program_bounds("from t | where x >= 2 | 9 > x | yield {x:x}")
+    assert b == {"t": {"x": (2, 9)}}
+
+
+def test_implicit_single_input():
+    b = program_bounds("value.n == 7 | cut value")
+    assert b == {None: {"value.n": (7, 7)}}
+
+
+def test_or_not_functions_contribute_nothing():
+    assert program_bounds("from t | x > 5 or y > 2") == {}
+    assert program_bounds("from t | not x > 5") == {}
+    assert program_bounds("from t | len(s) > 5") == {}
+    assert program_bounds("from t | x > y") == {}
+
+
+def test_stops_at_first_non_filter_stage():
+    # the filter AFTER a yield sees derived columns — must not leak
+    b = program_bounds("from t | a > 1 | yield {a: a+1} | a > 100")
+    assert b == {"t": {"a": (1, None)}}
+
+
+def test_const_names_are_not_columns():
+    # `const x = 10` then `x == 10` is constant folding, not a predicate
+    assert program_bounds("const x = 10 x == 10 | cut a") == {}
+    b = program_bounds("const x = 10 a == 3 and x == 10 | cut a")
+    assert b == {}  # the conjunct chain includes a const → whole stage out
+
+
+def test_from_block_per_leg():
+    b = program_bounds(
+        'from ( pool A => kafka.offset >= 3 | cut kafka '
+        'pool B => value.n == 1 )')
+    assert b == {"A": {"kafka.offset": (3, None)}, "B": {"value.n": (1, 1)}}
+
+
+def test_garbage_never_raises():
+    assert program_bounds("from ((((") == {}
+    assert program_bounds("") == {}
+
+
+ROW = ("kafka struct<topic:string,partition:long,offset:long>, "
+       "zed_type string, value struct<n:long>")
+
+
+def _lake_with_clustered_pool(spark, tmp_path):
+    lake = os.path.join(str(tmp_path), "lake")
+    pool = Pool.create(spark, os.path.join(lake, "logs"))
+    for base in (0, 100, 200):
+        rows = [(("t", 0, base + i), "data", (base + i,)) for i in range(50)]
+        pool.load(spark.createDataFrame(rows, ROW), f"c{base}",
+                  cluster_by=["kafka.offset"])
+    return lake, pool
+
+
+def test_scan_skips_files_by_extracted_bounds(spark, tmp_path):
+    lake, pool = _lake_with_clustered_pool(spark, tmp_path)
+    src = "from logs | kafka.offset >= 200 | cut kafka"
+    bounds = program_bounds(src)["logs"]
+    assert len(pool.committed_files(bounds=bounds)) < \
+        len(pool.committed_files())
+
+
+def test_cli_query_prunes_and_matches_unpruned(spark, tmp_path, capsys):
+    lake, pool = _lake_with_clustered_pool(spark, tmp_path)
+    argv = ["--lake", lake, "query", "--zed",
+            "from logs | kafka.offset >= 120 and kafka.offset <= 205 "
+            "| cut kafka.offset | sort kafka.offset"]
+    assert main(argv) == 0
+    got = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    # offsets exist in 0-49 / 100-149 / 200-249 (three commits)
+    want = list(range(120, 150)) + list(range(200, 206))
+    assert [r["kafka"]["offset"] for r in got] == want
+
+
+def test_cli_query_everything_pruned_is_empty_not_error(spark, tmp_path, capsys):
+    lake, _ = _lake_with_clustered_pool(spark, tmp_path)
+    assert main(["--lake", lake, "query", "--zed",
+                 "from logs | kafka.offset > 99999 | cut kafka"]) == 0
+    assert capsys.readouterr().out.strip() == ""

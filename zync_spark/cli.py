@@ -89,12 +89,29 @@ def cmd_query(args) -> int:
     if src is None:
         raise SystemExit("zync-spark: query needs a program string or -I FILE")
     spark = _spark()
+    pushed: dict[str | None, dict] = {}
+    if use_zed:
+        # manifest-level file skipping derived from the program's own
+        # leading filters (sound: the compiled filter still applies)
+        from zync_spark.pushdown import program_bounds
+
+        pushed = program_bounds(src)
     tables = {}
-    for name in sorted(os.listdir(args.lake)):
-        # only pool directories (skips checkpoints and foreign files)
-        if not os.path.exists(os.path.join(args.lake, name, "pool.json")):
-            continue
-        df = _pool(spark, args.lake, name).scan()
+    pool_names = [name for name in sorted(os.listdir(args.lake))
+                  # only pool directories (skips checkpoints and foreign files)
+                  if os.path.exists(os.path.join(args.lake, name, "pool.json"))]
+    for name in pool_names:
+        bounds = pushed.get(name)
+        if bounds is None and len(pool_names) == 1:
+            bounds = pushed.get(None)  # implicit single-input program
+        pool = _pool(spark, args.lake, name)
+        df = pool.scan(bounds=bounds or None)
+        if df is None and bounds:
+            # bounds pruned every file: the program is still valid and
+            # must see an EMPTY frame, not a missing table (limit(0)
+            # collapses to an empty LocalRelation — no file reads)
+            full = pool.scan()
+            df = full.limit(0) if full is not None else None
         if df is not None:
             df.createOrReplaceTempView(name)
             tables[name] = df

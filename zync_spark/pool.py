@@ -951,14 +951,20 @@ def _may_overlap(file_stats: dict | None, bounds: dict[str, tuple | list]) -> bo
         s = file_stats.get(col)
         if s is None:
             continue
-        if isinstance(bound, (list, set, frozenset)):
-            vals = sorted(bound)
-            # first value >= file min; in range iff it is also <= file max
-            i = bisect.bisect_left(vals, s[0])
-            if i >= len(vals) or vals[i] > s[1]:
+        try:
+            if isinstance(bound, (list, set, frozenset)):
+                vals = sorted(bound)
+                # first value >= file min; in range iff it is also <= file max
+                i = bisect.bisect_left(vals, s[0])
+                if i >= len(vals) or vals[i] > s[1]:
+                    return False
+                continue
+            lo, hi = bound
+            if (hi is not None and s[0] > hi) or (lo is not None and s[1] < lo):
                 return False
+        except TypeError:
+            # bound/stat type mismatch (e.g. a string literal against a
+            # numeric column from pushdown-extracted user predicates):
+            # incomparable means "cannot prove disjoint" — keep the file
             continue
-        lo, hi = bound
-        if (hi is not None and s[0] > hi) or (lo is not None and s[1] < lo):
-            return False
     return True
