@@ -103,3 +103,49 @@ def test_cli_query_everything_pruned_is_empty_not_error(spark, tmp_path, capsys)
     assert main(["--lake", lake, "query", "--zed",
                  "from logs | kafka.offset > 99999 | cut kafka"]) == 0
     assert capsys.readouterr().out.strip() == ""
+
+
+def test_in_point_set_and_intersections():
+    b = program_bounds('from t | kafka.topic in ["a", "b", "c"]')
+    assert b == {"t": {"kafka.topic": ["a", "b", "c"]}}
+    # set ∧ range and set ∧ set intersect
+    b = program_bounds('from t | x in [1, 5, 9] and x >= 4 | where x in [5, 9, 12]')
+    assert b == {"t": {"x": [5, 9]}}
+    # empty intersection is a legal always-prune bound
+    b = program_bounds('from t | x in [1] and x in [2]')
+    assert b == {"t": {"x": []}}
+    # malformed lists contribute nothing
+    assert program_bounds("from t | x in [1,") == {}
+    assert program_bounds("from t | x in y") == {}
+
+
+def test_where_bounds_and_merge():
+    from zync_spark.pushdown import merge_bounds, where_bounds
+
+    assert where_bounds("value.n >= 3 and value.n < 9") == {"value.n": (3, 9)}
+    assert where_bounds("len(s) > 2") == {}
+    assert where_bounds("") == {}
+    m = merge_bounds({"kafka.offset": (10, None)}, {"kafka.offset": (None, 50)})
+    assert m == {"kafka.offset": (10, 50)}
+    m = merge_bounds({"t": ("a", "a")}, {"t": ["a", "b"]})
+    assert m == {"t": ["a"]}
+
+
+def test_consume_prunes_by_topic_and_where(spark, tmp_path, capsys):
+    lake = os.path.join(str(tmp_path), "lake")
+    pool = Pool.create(spark, os.path.join(lake, "logs"))
+    for topic, base in (("red", 0), ("blue", 100)):
+        rows = [((topic, 0, base + i), "data", (base + i,)) for i in range(20)]
+        pool.load(spark.createDataFrame(rows, ROW), topic,
+                  cluster_by=["kafka.topic", "kafka.offset"])
+    # file-level proof: topic+where bounds reach committed_files
+    from zync_spark.pushdown import merge_bounds, where_bounds
+    b = merge_bounds({"kafka.topic": ("blue", "blue"),
+                      "kafka.offset": (0, None)},
+                     where_bounds("value.n <= 105"))
+    assert len(pool.committed_files(bounds=b)) < len(pool.committed_files())
+    # end-to-end rows are unchanged by pruning
+    assert main(["--lake", lake, "consume", "blue", "--pool", "logs",
+                 "--where", "value.n <= 105"]) == 0
+    got = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert [r["value"]["n"] for r in got] == [100, 101, 102, 103, 104, 105]

@@ -142,8 +142,23 @@ def cmd_consume(args) -> int:
     (broker-less analog of cmd/zync/consume)."""
     from pyspark.sql import functions as F
 
+    from zync_spark.pushdown import merge_bounds, where_bounds
+
     spark = _spark()
-    df = _pool(spark, args.lake, args.pool).scan(at=args.at, at_ts=args.at_ts)
+    # consume's own predicate (topic equality + offset floor) plus any
+    # --where conjuncts prune files from the manifest before Spark lists
+    # them; the row filters below still apply in full
+    bounds = merge_bounds(
+        {"kafka.topic": (args.topic, args.topic),
+         "kafka.offset": (args.offset, None)},
+        where_bounds(args.where) if args.where else {},
+    )
+    pool = _pool(spark, args.lake, args.pool)
+    df = pool.scan(at=args.at, at_ts=args.at_ts, bounds=bounds)
+    if df is None and bounds:
+        # all files pruned: --out must still produce its (empty) output
+        full = pool.scan(at=args.at, at_ts=args.at_ts)
+        df = full.limit(0) if full is not None else None
     if df is None:
         return 0
     out = (

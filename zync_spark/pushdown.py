@@ -106,6 +106,33 @@ def _stage_conjuncts(toks: list[Token], banned: frozenset = frozenset()):
             val, flipped = lit, True
         else:
             path, i = got
+            if i < len(toks) and toks[i].kind == "in":
+                # `path in [lit, lit, ...]` → point-set bound
+                i += 1
+                if i >= len(toks) or toks[i].kind != "op" or toks[i].text != "[":
+                    return None
+                i += 1
+                vals = []
+                while True:
+                    v = _literal(toks[i]) if i < len(toks) else None
+                    if v is None:
+                        return None
+                    vals.append(v)
+                    i += 1
+                    if i < len(toks) and toks[i].kind == "op" and toks[i].text == ",":
+                        i += 1
+                        continue
+                    break
+                if i >= len(toks) or toks[i].kind != "op" or toks[i].text != "]":
+                    return None
+                i += 1
+                out.append((path, "in", vals))
+                if i < len(toks) and toks[i].kind == "and":
+                    i += 1
+                    continue
+                if i >= len(toks) or toks[i].kind == "eof":
+                    return out
+                return None
             if i >= len(toks) or toks[i].kind != "op" or toks[i].text not in _CMP:
                 return None
             op = toks[i].text
@@ -126,17 +153,37 @@ def _stage_conjuncts(toks: list[Token], banned: frozenset = frozenset()):
 
 
 def _merge(bounds: dict, conjuncts) -> dict:
-    """Intersect (lo, hi) per column. Strict < / > still use the literal
-    as an inclusive file-skip bound (sound: at worst keeps a boundary
-    file the filter then empties)."""
+    """Intersect per column: (lo, hi) ranges tighten, `in` point sets
+    intersect (set ∧ set → common values; set ∧ range → set filtered to
+    the range). Strict < / > still use the literal as an inclusive
+    file-skip bound (sound: at worst keeps a boundary file the filter
+    then empties)."""
     for path, op, val in conjuncts:
-        lo, hi = bounds.get(path, (None, None))
+        prev = bounds.get(path)
+        if op == "in":
+            vals = set(val)
+            if isinstance(prev, list):
+                vals &= set(prev)
+            elif prev is not None:
+                lo, hi = prev
+                vals = {v for v in vals
+                        if not (lo is not None and _gt(lo, v))
+                        and not (hi is not None and _gt(v, hi))}
+            bounds[path] = sorted(vals, key=repr)
+            continue
         if op == "==":
             nlo, nhi = val, val
         elif op in (">=", ">"):
             nlo, nhi = val, None
         else:
             nlo, nhi = None, val
+        if isinstance(prev, list):
+            bounds[path] = sorted(
+                (v for v in prev
+                 if not (nlo is not None and _gt(nlo, v))
+                 and not (nhi is not None and _gt(v, nhi))), key=repr)
+            continue
+        lo, hi = prev if prev is not None else (None, None)
         if nlo is not None and (lo is None or _gt(nlo, lo)):
             lo = nlo
         if nhi is not None and (hi is None or _gt(hi, nhi)):
@@ -164,6 +211,33 @@ def _leading_bounds(stages: list[list[Token]], start: int,
             break
         _merge(bounds, conj)
     return bounds
+
+
+def where_bounds(expr_src: str) -> dict:
+    """Bounds from a single bare zed predicate (`consume --where`):
+    the conjuncts it can soundly use, {} otherwise/never-raise."""
+    try:
+        conj = _stage_conjuncts(tokenize(expr_src)[:-1] or [])
+        return _merge({}, conj) if conj else {}
+    except Exception:
+        return {}
+
+
+def merge_bounds(*dicts: dict) -> dict:
+    """Intersect several bounds dicts (consume's static topic/offset
+    predicate ∧ the user's --where extraction)."""
+    out: dict = {}
+    for d in dicts:
+        for path, b in d.items():
+            conj = [(path, "in", b)] if isinstance(b, list) else []
+            if not conj:
+                lo, hi = b
+                if lo is not None:
+                    conj.append((path, ">=", lo))
+                if hi is not None:
+                    conj.append((path, "<=", hi))
+            _merge(out, conj)
+    return out
 
 
 def program_bounds(src: str) -> dict[str | None, dict]:
