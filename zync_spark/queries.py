@@ -1004,6 +1004,16 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash(docs, "doc_id", "text")
 
 
+def _docs_for_compute(spark, sf_dir):
+    """documents table with compute-dense scan sizing: the per-doc text
+    operators (md5 token hashing, shingles, HOF folds) are CPU-bound, so
+    an under-split layout (single-row-group file → one task) rebalances
+    to core count; no-op at any real scale (pool.rebalance_for_compute)."""
+    from zync_spark.pool import rebalance_for_compute
+
+    return rebalance_for_compute(T(spark, sf_dir, "documents"))
+
+
 @register(
     "text_stats",
     f"""
@@ -1020,8 +1030,13 @@ def dedup_simhash(spark, sf_dir):
 )
 def text_stats(spark, sf_dir):
     """Token counting + stopword counting + rolling-hash document
-    fingerprint — all pure Column expressions (no UDFs)."""
-    docs = T(spark, sf_dir, "documents")
+    fingerprint — all pure Column expressions (no UDFs). The per-token
+    md5 work is compute-dense, so the scan rebalances to core-count
+    parallelism when the file layout under-splits (a single-row-group
+    documents file pins everything to one task); at real scale the
+    input has ≥ cores partitions and the rebalance is a no-op
+    (pool.rebalance_for_compute)."""
+    docs = _docs_for_compute(spark, sf_dir)
     toks = TX.tokens(F.col("text"))
     return docs.select(
         "doc_id",
@@ -1051,7 +1066,7 @@ _QUALITY_CTE = f"""
 @register("text_quality", _QUALITY_CTE + "SELECT doc_id, quality FROM q")
 def text_quality(spark, sf_dir):
     """Document quality scoring (length/stopword/punctuation heuristic)."""
-    docs = T(spark, sf_dir, "documents")
+    docs = _docs_for_compute(spark, sf_dir)
     return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
 
 
@@ -1118,11 +1133,12 @@ def quality_rule_filter(spark, sf_dir):
     language gate, first failing rule recorded per document (the
     auditable form every production corpus filter takes — reason
     histograms are how filter regressions get caught). All four signals
-    are array HOFs over one tokenization, so the entire chain is map-only:
-    zero shuffles, zero Python, pipelines with the scan at any scale.
+    are array HOFs over one tokenization, so the entire chain is map-only
+    (zero Python; the only exchange is the under-split-layout rebalance,
+    a no-op at real scale) and pipelines with the scan.
     Thresholds are corpus-calibrated constants; the boundary comparisons
     are exact across engines (integer-derived doubles)."""
-    docs = T(spark, sf_dir, "documents")
+    docs = _docs_for_compute(spark, sf_dir)
     toks = TX.tokens(F.col("text"))
     n = F.size(toks)
     sh = TX.word_shingles(toks, 3)
@@ -1160,7 +1176,7 @@ def quality_rule_filter(spark, sf_dir):
 )
 def text_langid(spark, sf_dir):
     """Marker-token language-ID heuristic (deterministic n-gram stand-in)."""
-    docs = T(spark, sf_dir, "documents")
+    docs = _docs_for_compute(spark, sf_dir)
     return docs.select("doc_id", TX.lang_id(F.col("text")).alias("pred_lang"))
 
 
