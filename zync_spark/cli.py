@@ -680,7 +680,8 @@ def cmd_compact(args) -> int:
     pool = _pool(spark, args.lake, args.pool)
     n = pool.compact(target_rows=args.target_rows,
                      keep_latest_by_key=args.keep_latest_by_key,
-                     cluster_by=args.cluster_by or None)
+                     cluster_by=args.cluster_by or None,
+                     zorder=args.zorder)
     msg = f"compacted {n} rows into {len(pool.committed_files())} file(s)"
     if args.vacuum:
         msg += (
@@ -902,6 +903,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="range-cluster files on these dotted columns and "
                         "record per-file min/max in the manifest "
                         "(scan(bounds=...) then skips whole files)")
+    p.add_argument("--zorder", action="store_true",
+                   help="with >= 2 --cluster-by columns: interleaved-bit "
+                        "Morton layout so file skipping works on ANY "
+                        "clustered column, not just the leading one")
     p.set_defaults(fn=cmd_compact)
 
     p = sub.add_parser("info", help="kafka topic watermarks")

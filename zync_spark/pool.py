@@ -419,7 +419,8 @@ class Pool:
     def compact(self, target_rows: int = 4_000_000, message: str = "compact",
                 keep_latest_by_key: bool = False,
                 transform=None,
-                cluster_by: list[str] | None = None) -> int:
+                cluster_by: list[str] | None = None,
+                zorder: bool = False) -> int:
         """Rewrite the live file set into few large, globally offset-
         clustered files and commit a `base` manifest that supersedes all
         prior commits.
@@ -443,6 +444,11 @@ class Pool:
         maximally — and (b) materializes the schema fuse: heterogeneous
         commit schemas become one wide parquet schema, so readers stop
         paying mergeSchema footer reads.
+
+        `zorder=True` (with >= 2 `cluster_by` columns) lays files out on
+        the interleaved-bit Morton key instead of lexicographic ranges,
+        so per-file min/max stats prune scans on ANY clustered column,
+        not just the leading one (see zorder_column).
 
         Old data files stay on disk for time travel (`scan(at=...)`) until
         vacuum() reclaims them. Crash-safe like load(): data first, one
@@ -514,23 +520,43 @@ class Pool:
         # secondary-predicate scans (by user, by key, by time) that offset
         # order can't serve. At 100 TB this is the difference between
         # reading one file and reading the pool.
-        ckeys = (
-            [F.col(c) for c in cluster_by] + [F.col("kafka.offset")]
-            if cluster_by
-            else [F.col("kafka.topic"), F.col("kafka.offset")]
-        )
-        (
-            df.repartitionByRange(nfiles, *ckeys)
-            .sortWithinPartitions(*ckeys)
-            .write.mode("overwrite")
-            .parquet(data_path)
-        )
+        if zorder:
+            if not cluster_by or len(cluster_by) < 2:
+                raise ValueError(
+                    "zorder needs cluster_by with >= 2 columns (with one "
+                    "column, plain range clustering already skips optimally)")
+            # interleaved-bit layout: every cluster column gets range
+            # locality, so scan(bounds=) prunes on ANY of them — see
+            # zorder_column. The key is layout-only and dropped after the
+            # range shuffle + sort (projection preserves partitioning).
+            zv = zorder_column(df, cluster_by, n)
+            out_df = (
+                df.withColumn("_zv", zv)
+                .repartitionByRange(nfiles, F.col("_zv"), F.col("kafka.offset"))
+                .sortWithinPartitions(F.col("_zv"), F.col("kafka.offset"))
+                .drop("_zv")
+            )
+        else:
+            ckeys = (
+                [F.col(c) for c in cluster_by] + [F.col("kafka.offset")]
+                if cluster_by
+                else [F.col("kafka.topic"), F.col("kafka.offset")]
+            )
+            out_df = df.repartitionByRange(nfiles, *ckeys) \
+                .sortWithinPartitions(*ckeys)
+        out_df.write.mode("overwrite").parquet(data_path)
         parts = [
             os.path.join(data_path, f)
             for f in os.listdir(data_path)
             if f.endswith(".parquet")
         ]
-        col_stats = _file_col_stats(parts, cluster_by) if cluster_by else None
+        # kafka.topic/offset stats ride along for free (metadata-only):
+        # consume/pushdown-derived bounds then file-skip on ANY compacted
+        # pool, not just explicitly clustered ones — and the default
+        # (topic, offset) layout makes those stats maximally selective
+        col_stats = _file_col_stats(
+            parts, (cluster_by or []) + ["kafka.topic", "kafka.offset"]
+        ) or None
         # Merge per-topic offset stats across the superseded manifests so
         # bounded scans keep pruning; carry cursors forward likewise.
         stats: dict[str, list[int]] | None = {}
@@ -797,6 +823,52 @@ def read_packed(spark: SparkSession, files: list[str],
         if target < len(files):
             df = df.coalesce(target)
     return df
+
+
+def zorder_column(df: DataFrame, cols: list[str], n_rows: int,
+                  bits: int = 5, sample_rows: int = 20_000) -> Column:
+    """Z-order (Morton) key over `cols` as a pure Column expression.
+
+    Lexicographic range clustering on (a, b) skips files well on `a` but
+    barely on `b` (every file spans most of b's range). Interleaving the
+    bits of per-column quantile-bucket ranks gives every clustered column
+    locality, so per-file min/max stats prune scans on ANY of them — the
+    lakehouse multi-dimensional skipping trick (Delta OPTIMIZE ZORDER).
+
+    Bucketing comes from a driver-side quantile sample (metadata-sized:
+    `sample_rows` values per column). The bucket function is LAYOUT-ONLY:
+    results never depend on it — file skipping derives from the recorded
+    per-file min/max of the real columns, so a skewed sample can only
+    cost skip efficiency, never correctness. NULLs land in bucket 0.
+    """
+    frac = min(1.0, sample_rows / max(n_rows, 1))
+    aliased = [F.col(c).alias(f"_z{i}") for i, c in enumerate(cols)]
+    samp = df.select(*aliased).sample(fraction=frac, seed=7).collect()
+    n_buckets = 1 << bits
+    zv: Column = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        raw = [r[ci] for r in samp if r[ci] is not None]
+        try:
+            vals = sorted(raw)
+        except TypeError:  # mixed incomparable types: any consistent order
+            vals = sorted(raw, key=repr)
+        bnds = []
+        for k in range(1, n_buckets):
+            v = vals[len(vals) * k // n_buckets] if vals else None
+            if v is not None and (not bnds or bnds[-1] != v):
+                bnds.append(v)
+        if not bnds:
+            continue
+        bucket = F.size(
+            F.filter(F.array(*[F.lit(b) for b in bnds]),
+                     lambda b: b <= F.col(c))
+        ).cast("long")
+        for bit in range(bits):
+            zv = zv + F.shiftleft(
+                F.shiftright(bucket, bit).bitwiseAND(F.lit(1)),
+                bit * len(cols) + ci,
+            ).cast("long")
+    return zv
 
 
 def rebalance_for_compute(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
