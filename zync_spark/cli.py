@@ -105,6 +105,11 @@ def cmd_query(args) -> int:
         if bounds is None and len(pool_names) == 1:
             bounds = pushed.get(None)  # implicit single-input program
         pool = _pool(spark, args.lake, name)
+        if args.explain and bounds:
+            kept = len(pool.committed_files(bounds=bounds))
+            total = len(pool.committed_files())
+            print(f"-- manifest pruning: pool {name}: {kept}/{total} "
+                  f"file(s) after bounds {bounds}")
         df = pool.scan(bounds=bounds or None)
         if df is None and bounds:
             # bounds pruned every file: the program is still valid and
