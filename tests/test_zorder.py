@@ -87,3 +87,26 @@ def test_default_compact_records_kafka_stats_for_consume_skip(spark, tmp_path):
     pool.compact(target_rows=40)
     assert _skip_fraction(pool, {"kafka.topic": ("blue", "blue")}) > 0.0
     assert _skip_fraction(pool, {"kafka.offset": (0, 50)}) > 0.0
+
+
+def test_load_time_zorder_skips_on_second_dim(spark, tmp_path):
+    # the COMMIT itself lands z-ordered: fresh-commit probes skip on any
+    # clustered column before any compaction runs
+    pool = Pool.create(spark, os.path.join(str(tmp_path), "zload"))
+    rows = [(("t", 0, i), "data", (i % 64, (i * 2654435761) % 64))
+            for i in range(N)]
+    pool.load(spark.createDataFrame(rows, ROW), "grid",
+              cluster_by=["value.x", "value.y"], zorder=True)
+    assert len(pool.committed_files()) >= 8
+    assert _skip_fraction(pool, {"value.x": (10, 13)}) >= 0.25
+    assert _skip_fraction(pool, {"value.y": (10, 13)}) >= 0.25
+    got = (pool.scan(bounds={"value.y": (20, 30)})
+           .filter("value.y between 20 and 30").count())
+    assert got == sum(1 for r in rows if 20 <= r[2][1] <= 30)
+
+
+def test_load_zorder_requires_two_columns(spark, tmp_path):
+    pool = Pool.create(spark, os.path.join(str(tmp_path), "zone"))
+    df = spark.createDataFrame([(("t", 0, 1), "data", (1, 1))], ROW)
+    with pytest.raises(ValueError, match="zorder"):
+        pool.load(df, "x", cluster_by=["value.x"], zorder=True)

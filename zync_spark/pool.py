@@ -297,7 +297,8 @@ class Pool:
              cursors: dict[str, int] | None = None,
              occ_token: int | None = None,
              type_names: dict[str, str] | None = None,
-             cluster_by: list[str] | None = None) -> int:
+             cluster_by: list[str] | None = None,
+             zorder: bool = False) -> int:
         """Atomically commit a batch (reference Load, etl/pool.go:56-58).
 
         Data is sorted by the pool key within partitions before writing so
@@ -329,6 +330,9 @@ class Pool:
         bounded BETWEEN compactions: a sync commit's band/signature/pair
         key spaces land in separate files and a band probe never reads
         the other two. Costs one extra shuffle of the (small) batch.
+        `zorder=True` (>= 2 cluster columns) uses the Morton layout so
+        the commit's files skip on ANY clustered column (see
+        zorder_column / compact(zorder=True)).
         """
         n = df.count()
         if n == 0:
@@ -348,9 +352,21 @@ class Pool:
             # buys that without exploding the small-files budget the
             # compaction cadence already manages; large commits keep
             # their size-derived parallelism
-            ckeys = [F.col(c) for c in cluster_by] + [F.col("kafka.offset")]
-            out = (df.repartitionByRange(max(target, 8), *ckeys)
-                   .sortWithinPartitions(*ckeys))
+            if zorder:
+                if len(cluster_by) < 2:
+                    raise ValueError("zorder needs cluster_by with >= 2 "
+                                     "columns")
+                zv = zorder_column(df, cluster_by, n)
+                out = (df.withColumn("_zv", zv)
+                       .repartitionByRange(max(target, 8), F.col("_zv"),
+                                           F.col("kafka.offset"))
+                       .sortWithinPartitions(F.col("_zv"),
+                                             F.col("kafka.offset"))
+                       .drop("_zv"))
+            else:
+                ckeys = [F.col(c) for c in cluster_by] + [F.col("kafka.offset")]
+                out = (df.repartitionByRange(max(target, 8), *ckeys)
+                       .sortWithinPartitions(*ckeys))
         else:
             out = (df.coalesce(target)
                    .sortWithinPartitions(F.col("kafka.offset")))
