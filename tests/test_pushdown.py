@@ -149,3 +149,36 @@ def test_consume_prunes_by_topic_and_where(spark, tmp_path, capsys):
                  "--where", "value.n <= 105"]) == 0
     got = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert [r["value"]["n"] for r in got] == [100, 101, 102, 103, 104, 105]
+
+
+def test_lower_bounds_from_extraction():
+    from zync_spark.pushdown import lower_bounds_from
+
+    assert lower_bounds_from(
+        {"kafka.topic": ("a", "a"), "kafka.offset": (7, None)}) == {"a": 7}
+    assert lower_bounds_from({"kafka.topic": ["a"]}) == {"a": 0}
+    assert lower_bounds_from({"kafka.topic": ["a", "b"]}) is None
+    assert lower_bounds_from({"kafka.topic": ("a", "b")}) is None
+    assert lower_bounds_from({"kafka.offset": (7, None)}) is None
+    assert lower_bounds_from(
+        {"kafka.topic": ("a", "a"), "kafka.offset": [5, 9]}) == {"a": 5}
+
+
+def test_commit_level_pruning_without_col_stats(spark, tmp_path, capsys):
+    # plain loads (no cluster_by -> no per-file col_stats): a topic-pinned
+    # program still prunes whole COMMITS via manifest per-topic stats
+    from zync_spark.pushdown import lower_bounds_from, program_bounds
+
+    lake = os.path.join(str(tmp_path), "lake")
+    pool = Pool.create(spark, os.path.join(lake, "logs"))
+    for topic, base in (("red", 0), ("blue", 100), ("red", 200)):
+        rows = [((topic, 0, base + i), "data", (base + i,)) for i in range(30)]
+        pool.load(spark.createDataFrame(rows, ROW), f"{topic}{base}")
+    src = 'from logs | kafka.topic == "blue" and kafka.offset >= 100 | cut kafka'
+    b = program_bounds(src)["logs"]
+    lb = lower_bounds_from(b)
+    assert lb == {"blue": 100}
+    assert len(pool.committed_files(lb, bounds=b)) < len(pool.committed_files())
+    assert main(["--lake", lake, "query", "--zed", src]) == 0
+    got = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert sorted(r["kafka"]["offset"] for r in got) == list(range(100, 130))

@@ -105,12 +105,18 @@ def cmd_query(args) -> int:
         if bounds is None and len(pool_names) == 1:
             bounds = pushed.get(None)  # implicit single-input program
         pool = _pool(spark, args.lake, name)
+        lb = None
+        if bounds:
+            from zync_spark.pushdown import lower_bounds_from
+
+            lb = lower_bounds_from(bounds)
         if args.explain and bounds:
-            kept = len(pool.committed_files(bounds=bounds))
+            kept = len(pool.committed_files(lb, bounds=bounds))
             total = len(pool.committed_files())
             print(f"-- manifest pruning: pool {name}: {kept}/{total} "
-                  f"file(s) after bounds {bounds}")
-        df = pool.scan(bounds=bounds or None)
+                  f"file(s) after bounds {bounds}"
+                  + (f", commit lower_bounds {lb}" if lb else ""))
+        df = pool.scan(lower_bounds=lb, bounds=bounds or None)
         if df is None and bounds:
             # bounds pruned every file: the program is still valid and
             # must see an EMPTY frame, not a missing table (limit(0)
@@ -147,21 +153,23 @@ def cmd_consume(args) -> int:
     (broker-less analog of cmd/zync/consume)."""
     from pyspark.sql import functions as F
 
-    from zync_spark.pushdown import merge_bounds, where_bounds
+    from zync_spark.pushdown import lower_bounds_from, merge_bounds, where_bounds
 
     spark = _spark()
     # consume's own predicate (topic equality + offset floor) plus any
-    # --where conjuncts prune files from the manifest before Spark lists
-    # them; the row filters below still apply in full
+    # --where conjuncts prune the scan twice over: whole COMMITS by
+    # manifest per-topic offset stats (any pool), then FILES by col_stats
+    # (clustered/compacted pools); the row filters below apply in full
     bounds = merge_bounds(
         {"kafka.topic": (args.topic, args.topic),
          "kafka.offset": (args.offset, None)},
         where_bounds(args.where) if args.where else {},
     )
     pool = _pool(spark, args.lake, args.pool)
-    df = pool.scan(at=args.at, at_ts=args.at_ts, bounds=bounds)
+    df = pool.scan(lower_bounds=lower_bounds_from(bounds),
+                   at=args.at, at_ts=args.at_ts, bounds=bounds)
     if df is None and bounds:
-        # all files pruned: --out must still produce its (empty) output
+        # all pruned: --out must still produce its (empty) output
         full = pool.scan(at=args.at, at_ts=args.at_ts)
         df = full.limit(0) if full is not None else None
     if df is None:

@@ -223,6 +223,32 @@ def where_bounds(expr_src: str) -> dict:
         return {}
 
 
+def lower_bounds_from(bounds: dict) -> dict[str, int] | None:
+    """Commit-level pruning contract from extracted file bounds: when the
+    predicate pins kafka.topic to exactly one value, the reader will only
+    look at that topic's rows at-or-past the kafka.offset floor (0 when
+    none) — `Pool.scan(lower_bounds=)` then skips whole COMMITS by their
+    per-topic manifest stats, which every pool has (col_stats require a
+    clustered layout; manifest stats do not). None when the predicate
+    doesn't pin a single topic."""
+    tb = bounds.get("kafka.topic")
+    if isinstance(tb, list):
+        topic = tb[0] if len(tb) == 1 else None
+    elif isinstance(tb, tuple) and tb[0] is not None and tb[0] == tb[1]:
+        topic = tb[0]
+    else:
+        topic = None
+    if not isinstance(topic, str):
+        return None
+    ob = bounds.get("kafka.offset")
+    lo = 0
+    if isinstance(ob, tuple) and isinstance(ob[0], int):
+        lo = ob[0]
+    elif isinstance(ob, list) and ob and all(isinstance(v, int) for v in ob):
+        lo = min(ob)
+    return {topic: lo}
+
+
 def merge_bounds(*dicts: dict) -> dict:
     """Intersect several bounds dicts (consume's static topic/offset
     predicate ∧ the user's --where extraction)."""
