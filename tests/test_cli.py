@@ -429,6 +429,68 @@ def test_cli_text_index(spark, tmp_path, capsys):
     assert all(h["score"] > 0 for h in hits)
 
 
+def test_cli_retrieve_hybrid(spark, tmp_path, capsys):
+    """`retrieve` fuses text-index BM25 with ann-index cosine by RRF —
+    both indexes over one shared id space (ids 0..23)."""
+    import json as _json
+
+    import pytest
+    import yaml as _yaml
+
+    from tests.test_ann_index import ROW as AROW, _vec
+    from tests.test_text_index import ROW as TROW, _text
+    from zync_spark.pool import Pool
+
+    lake = os.path.join(tmp_path, "lake_hy")
+    tsrc = Pool.create(spark, os.path.join(lake, "tsrc"))
+    tsrc.load(spark.createDataFrame(
+        [(("docs", 0, i), "data", (i, _text(i))) for i in range(24)], TROW),
+        "backfill")
+    asrc = Pool.create(spark, os.path.join(lake, "asrc"))
+    asrc.load(spark.createDataFrame(
+        [(("emb", 0, i), "data", (i, _vec(i))) for i in range(24)], AROW),
+        "backfill")
+    tspec = os.path.join(tmp_path, "tidx.yaml")
+    with open(tspec, "w") as f:
+        _yaml.safe_dump(
+            {"kind": "text", "name": "d", "source": "tsrc", "dest": "tidx",
+             "topics": ["docs"], "id": "value.doc_id",
+             "text": "value.text"}, f)
+    aspec = os.path.join(tmp_path, "aidx.yaml")
+    with open(aspec, "w") as f:
+        _yaml.safe_dump(
+            {"name": "emb", "source": "asrc", "dest": "aidx",
+             "topics": ["emb"], "id": "value.vec_id", "vec": "value.emb",
+             "n_cells": 4}, f)
+    assert main(["--lake", lake, "text-index", "sync", tspec]) == 0
+    assert main(["--lake", lake, "ann-index", "sync", aspec]) == 0
+    capsys.readouterr()
+    # by stored vector id
+    assert main(["--lake", lake, "retrieve", tspec, aspec,
+                 "--query", "spark table", "--vec-id", "3",
+                 "-k", "5", "-n", "8", "--nprobe", "4"]) == 0
+    rows = [_json.loads(l)
+            for l in capsys.readouterr().out.strip().splitlines()]
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    assert all(r["rrf"] > 0 for r in rows)
+    # every fused row came from at least one ranker, and the query
+    # vector itself is excluded from its own semantic neighbors
+    assert all(r["lex_rank"] is not None or r["sem_rank"] is not None
+               for r in rows)
+    assert all(r["sem_rank"] is None for r in rows if r["doc_id"] == 3)
+    # by inline JSON vector: query id -1 never collides with stored ids
+    assert main(["--lake", lake, "retrieve", tspec, aspec,
+                 "--query", "spark table",
+                 "--vec", _json.dumps(_vec(3)), "-k", "5"]) == 0
+    rows2 = [_json.loads(l)
+             for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows2) == 5 and rows2[0]["rrf"] > 0
+    # neither --vec nor --vec-id is an error
+    with pytest.raises(SystemExit, match="--vec or --vec-id"):
+        main(["--lake", lake, "retrieve", tspec, aspec,
+              "--query", "spark table"])
+
+
 def test_text_spec_requires_kind_discriminator(tmp_path):
     """Round-5 review closure: a text-index YAML without 'kind: text'
     must fail LOUDLY everywhere — its fields are a subset of the dedup

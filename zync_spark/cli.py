@@ -442,6 +442,62 @@ def cmd_text_index(args) -> int:
     return 0
 
 
+def cmd_retrieve(args) -> int:
+    """Hybrid retrieval over a text index AND an ANN index: BM25 top-N
+    for --query fused with cosine top-N for the query vector by
+    reciprocal-rank fusion (functions/retrieval.rrf_fuse — the catalog's
+    hybrid_retrieval_rrf as a lake command).
+
+    The two indexes must share an id space (the text index's doc ids
+    and the ANN index's vec ids name the same documents). The query
+    vector is --vec '[j,s,o,n]' or --vec-id N (that stored vector; it is
+    excluded from its own neighbors). Each leg reads only its bounded
+    probe set (posting buckets / probed cells); the fusion joins two
+    N-row lists. Prints k fused JSON lines
+    (doc_id, lex_rank, sem_rank, rrf, rank)."""
+    from pyspark.sql import functions as F
+
+    from zync_spark.functions.retrieval import rrf_fuse
+    from zync_spark.streaming import ann_index as ai
+    from zync_spark.streaming import text_index as ti
+
+    tspec, tdoc = ti.load_text_spec(args.text_spec)
+    aspec, adoc = ai.load_ann_spec(args.ann_spec)
+    spark = _spark()
+    tdest = _pool(spark, args.lake, tdoc["dest"])
+    adest = _pool(spark, args.lake, adoc["dest"])
+    lex = ti.search_text(tdest, tspec, args.query, k=args.n).select(
+        "doc_id", "rank")
+    if args.vec is not None:
+        vec = json.loads(args.vec)
+        if not isinstance(vec, list) or not vec:
+            raise SystemExit("retrieve: --vec must be a JSON number array")
+        qs = spark.createDataFrame(
+            [(-1, [float(x) for x in vec])],
+            "vec_id long, emb array<double>")
+    elif args.vec_id is not None:
+        stored = adest.scan()
+        if stored is None or "vec_id" not in stored.columns:
+            raise SystemExit(f"retrieve: ANN index {aspec.name!r} is empty")
+        qs = (stored.filter(ai._is_vec(aspec)
+                            & (F.col("vec_id") == args.vec_id))
+              .select("vec_id", F.col("v").alias("emb")))
+        if not qs.take(1):
+            raise SystemExit(f"retrieve: vec_id {args.vec_id} not in index")
+    else:
+        raise SystemExit("retrieve requires --vec or --vec-id")
+    sem = ai.ann_query(adest, aspec, qs, id_col="vec_id", vec_col="emb",
+                       k=args.n, nprobe=args.nprobe).select(
+        F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = rrf_fuse([lex, sem], names=["lex_rank", "sem_rank"],
+                     k=args.k, c=args.c)
+    # not toJSON(): it drops null fields, and an absent-from-one-ranker
+    # null IS the signal here
+    for r in fused.collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
 def cmd_types(args) -> int:
     """Print a pool's named-type registry (types.json sidecar): one JSON
     line {path, name} per decoration — the nested named-type decorators
@@ -861,6 +917,24 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--query", default=None, help="search: the query terms")
     p.add_argument("-k", type=int, default=10, help="search: top-k")
     p.set_defaults(fn=cmd_text_index)
+
+    p = sub.add_parser("retrieve",
+                       help="hybrid BM25 + ANN retrieval (rank fusion)")
+    p.add_argument("text_spec", help="text-index spec YAML")
+    p.add_argument("ann_spec", help="ann-index spec YAML")
+    p.add_argument("--query", required=True, help="BM25 query terms")
+    p.add_argument("--vec", default=None,
+                   help="query vector as a JSON number array")
+    p.add_argument("--vec-id", type=int, default=None,
+                   help="query by a stored vector's id instead of --vec")
+    p.add_argument("-k", type=int, default=10, help="fused top-k")
+    p.add_argument("-n", type=int, default=20,
+                   help="per-ranker top-N fed into the fusion")
+    p.add_argument("--nprobe", type=int, default=2,
+                   help="ANN cells probed")
+    p.add_argument("--c", type=int, default=60,
+                   help="RRF constant (1/(c + rank))")
+    p.set_defaults(fn=cmd_retrieve)
 
     p = sub.add_parser("types", help="pool named-type registry (types.json)")
     p.add_argument("pool")

@@ -3238,6 +3238,100 @@ def text_index_incremental(spark, sf_dir):
     return TI.search_text(dest, spec, list(_BM25_TERMS), k=10)
 
 
+_HYBRID_TERMS = ("vector", "merge", "hash")
+
+@register(
+    "hybrid_retrieval_rrf",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+               FROM documents),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM t GROUP BY 1),
+    st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+    tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM t
+           WHERE tok IN {_HYBRID_TERMS!r} GROUP BY 1, 2),
+    df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    idf AS (SELECT df.tok,
+                   floor(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                         * 1000000)::BIGINT AS idf_unats
+            FROM df, st),
+    parts AS (SELECT tf.doc_id,
+                     floor(idf.idf_unats * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 *
+                              (dl.dl * st.n_docs / st.sum_dl))))::BIGINT AS part
+              FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id) CROSS JOIN st),
+    sc AS (SELECT doc_id, sum(part)::BIGINT AS score FROM parts GROUP BY 1),
+    lex AS (SELECT doc_id, lex_rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+        FROM sc) WHERE lex_rank <= 20),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    cosd AS (SELECT c.vec_id AS doc_id, {_cos_sql("q.qv", "c.v")} AS cos
+             FROM q, e c WHERE c.vec_id <> 0),
+    sem AS (SELECT doc_id, sem_rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+        FROM cosd) WHERE sem_rank <= 20),
+    f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+                 coalesce(1.0::DOUBLE / (60 + lex_rank), 0.0::DOUBLE)
+                 + coalesce(1.0::DOUBLE / (60 + sem_rank), 0.0::DOUBLE) AS rrf
+          FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id)
+    SELECT doc_id, lex_rank, sem_rank, rrf, rank FROM (
+      SELECT doc_id, lex_rank, sem_rank, rrf,
+             row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM f)
+    WHERE rank <= 10
+    """,
+)
+def hybrid_retrieval_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-20 (from the incrementally
+    maintained text index — bounded posting-bucket reads) fused with
+    exact embedding-cosine top-20 for a pinned query vector by
+    reciprocal-rank fusion (functions/retrieval.rrf_fuse). The synthetic
+    corpus pairs documents and embeddings by id (doc_id == vec_id).
+
+    Determinism: BM25 scores are exact longs (micro-nat idf
+    quantization, certified index == batch by text_index_incremental),
+    cosine doubles are bit-identical cross-engine (left-to-right fold,
+    certified by ann_cosine_topk), and each RRF term 1/(60+rank) is one
+    IEEE division summed in fixed list order — so the fused doubles
+    hash-match the oracle exactly.
+
+    Scale: each ranker reads only its bounded probe set (posting
+    buckets / broadcast query x corpus scan, or ann_query's probed
+    cells at scale); fusion itself joins two 20-row lists. The
+    expensive legs never materialize corpus-sized intermediates."""
+    import shutil
+
+    from zync_spark.functions import retrieval as R
+    from zync_spark.pool import Pool
+    from zync_spark.streaming import text_index as TI
+
+    docs = T(spark, sf_dir, "documents")
+    env = docs.select(
+        F.struct(
+            F.lit("docs").alias("topic"),
+            F.lit(0).cast("long").alias("partition"),
+            F.col("doc_id").cast("long").alias("offset"),
+        ).alias("kafka"),
+        F.lit("data").alias("zed_type"),
+        F.struct("doc_id", "text").alias("value"),
+    )
+    lake = _scratch_dir(
+        f"zs-hybrid-{sf_dir.rstrip('/').rsplit('/', 1)[-1]}")
+    shutil.rmtree(lake, ignore_errors=True)
+    src = Pool.create(spark, f"{lake}/src")
+    dest = Pool.create(spark, f"{lake}/index")
+    spec = TI.TextIndexSpec("docs", "value.doc_id", "value.text")
+    src.load(env, "backfill")
+    TI.sync_text(src, dest, spec, ["docs"])
+    lex = TI.search_text(dest, spec, list(_HYBRID_TERMS), k=20).select(
+        "doc_id", "rank")
+    emb = T(spark, sf_dir, "embeddings")
+    sem = S.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return R.rrf_fuse([lex, sem], names=["lex_rank", "sem_rank"], k=10, c=60)
+
+
 @register(
     "dedup_semantic",
     f"""
