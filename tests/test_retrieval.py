@@ -57,6 +57,37 @@ def test_rrf_three_lists_and_k(spark):
     assert {"rank_1", "rank_2", "rank_3"} <= set(rows[0].asDict())
 
 
+def test_rrf_differential_vs_python_reference(spark):
+    """Seeded random lists vs an independent pure-Python RRF: same ids,
+    same per-list ranks, same fused order, same doubles."""
+    import random
+
+    rng = random.Random(7)
+    for case in range(8):
+        n_lists = rng.randint(1, 4)
+        c = rng.choice([10, 60])
+        k = rng.randint(1, 12)
+        lists = []
+        for _ in range(n_lists):
+            ids = rng.sample(range(20), rng.randint(1, 10))
+            lists.append([(i, r + 1) for r, i in enumerate(ids)])
+        # python reference: fixed left-to-right sum, ties by id
+        scores, ranks = {}, {}
+        for li, lst in enumerate(lists):
+            for i, r in lst:
+                scores[i] = scores.get(i, 0.0) + 1.0 / (c + r)
+                ranks.setdefault(i, {})[li] = r
+        expect = sorted(scores, key=lambda i: (-scores[i], i))[:k]
+        out = rrf_fuse([_ranked(spark, lst) for lst in lists],
+                       k=k, c=c).orderBy("rank").collect()
+        assert [r["doc_id"] for r in out] == expect, f"case {case}"
+        for row in out:
+            assert row["rrf"] == scores[row["doc_id"]], f"case {case}"
+            for li in range(n_lists):
+                assert row[f"rank_{li + 1}"] == \
+                    ranks[row["doc_id"]].get(li), f"case {case}"
+
+
 def test_rrf_validation(spark):
     with pytest.raises(ValueError, match="no rankings"):
         rrf_fuse([])
