@@ -42,6 +42,11 @@ def test_profile_leaves_and_stats(df):
     # maps are not: counts only
     assert got["m"]["n_nonnull"] == 3
     assert got["m"]["n_distinct"] is None and got["m"]["min_v"] is None
+    # sketch percentiles: numeric leaves only, actual elements
+    assert got["id"]["p50"] in {"2", "3"}  # rank-error tolerant
+    assert got["rec.x"]["p50"] in {"1.5", "2.5"}
+    assert got["id"]["p95"] == "3"
+    assert got["s"]["p50"] is None and got["arr"]["p95"] is None
 
 
 def test_profile_restrict_and_errors(df):

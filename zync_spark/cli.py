@@ -544,7 +544,8 @@ def cmd_log(args) -> int:
 def cmd_profile(args) -> int:
     """Profile a pool's columns (generic single-pass SUMMARIZE,
     functions/profile.py): one JSON line per leaf column with
-    row/non-null/distinct counts and min/max."""
+    row/non-null/distinct counts, min/max, and sketch p50/p95 for
+    numeric leaves."""
     from zync_spark.functions.profile import profile
 
     spark = _spark()

@@ -21,7 +21,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DataType, MapType, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DataType,
+    MapType,
+    NumericType,
+    StructType,
+)
 
 
 def _leaves(schema: StructType, prefix: str = "") -> list[tuple[str, DataType]]:
@@ -46,9 +52,13 @@ def _orderable(dt: DataType) -> bool:
 def profile(df: DataFrame, columns: list[str] | None = None,
             exact: bool = True) -> DataFrame:
     """One row per leaf column: (col, n_rows, n_nonnull, n_distinct,
-    min_v, max_v) with min/max stringified for the uniform schema.
-    `columns` restricts to the given dotted paths; `exact=False` uses
-    HLL++ approx_count_distinct for the distinct counts."""
+    min_v, max_v, p50, p95) with values stringified for the uniform
+    schema. `columns` restricts to the given dotted paths; `exact=False`
+    uses HLL++ approx_count_distinct for the distinct counts. p50/p95
+    are populated for numeric leaves only, via the mergeable
+    percentile_approx sketch (rank error <= 1/2500 — distribution
+    monitoring never needs a global sort; the sketch's rank-error
+    contract itself is oracle-pinned by queries.q_approx_quantile)."""
     leaves = _leaves(df.schema)
     if columns is not None:
         want = set(columns)
@@ -72,6 +82,14 @@ def profile(df: DataFrame, columns: list[str] | None = None,
             aggs.append(F.lit(None).cast("long").alias(f"nd_{i}"))
             aggs.append(F.lit(None).cast("string").alias(f"mi_{i}"))
             aggs.append(F.lit(None).cast("string").alias(f"ma_{i}"))
+        if isinstance(dt, NumericType):
+            q = F.percentile_approx(
+                c, F.array(F.lit(0.5), F.lit(0.95)), F.lit(2500))
+            aggs.append(q[0].cast("string").alias(f"p50_{i}"))
+            aggs.append(q[1].cast("string").alias(f"p95_{i}"))
+        else:
+            aggs.append(F.lit(None).cast("string").alias(f"p50_{i}"))
+            aggs.append(F.lit(None).cast("string").alias(f"p95_{i}"))
     stats = df.agg(*aggs)
 
     # struct-array explode (not a stack() SQL string: column names need no
@@ -85,6 +103,8 @@ def profile(df: DataFrame, columns: list[str] | None = None,
                 F.col(f"nd_{i}").alias("n_distinct"),
                 F.col(f"mi_{i}").alias("min_v"),
                 F.col(f"ma_{i}").alias("max_v"),
+                F.col(f"p50_{i}").alias("p50"),
+                F.col(f"p95_{i}").alias("p95"),
             )
             for i, (path, _) in enumerate(leaves)
         ]

@@ -2084,6 +2084,50 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
+@register(
+    "q_approx_quantile",
+    """
+    SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+           TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_approx_quantile(spark, sf_dir):
+    """Mergeable approximate-quantile sketch (percentile_approx, the
+    Greenwald-Khanna family) — the 100 TB path for distribution
+    monitoring, vs q_ntile_deciles' exact machinery. The sketch's
+    CONTRACT is rank error <= 1/accuracy, not value error (value error
+    is distribution-dependent), so that is what the entry pins: the
+    query re-ranks each returned element against the group it came from
+    and emits whether its true rank sits within +-1% of the requested
+    percentile (accuracy=10000 -> guaranteed 1e-4; 1% leaves two-decade
+    margin plus element granularity). The oracle emits literal TRUE —
+    a sketch drifting past its bound fails the hash compare, the
+    q_approx_distinct recipe. Scale: sketch partials combine map-side;
+    the re-rank is one broadcast-back pass; nothing global-sorts."""
+    li = T(spark, sf_dir, "lineitem")
+    v = "l_extendedprice"
+    g = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(v, F.array(F.lit(0.5), F.lit(0.95)),
+                            F.lit(10000)).alias("ap"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    j = li.select("l_returnflag", v).join(F.broadcast(g), "l_returnflag")
+    r = j.groupBy("l_returnflag").agg(
+        F.sum((F.col(v) <= F.col("ap")[0]).cast("long")).alias("r50"),
+        F.sum((F.col(v) <= F.col("ap")[1]).cast("long")).alias("r95"),
+        F.first("n_rows").alias("n_rows"),
+    )
+    n = F.col("n_rows")
+    return r.select(
+        "l_returnflag", "n_rows",
+        ((F.col("r50") >= 0.49 * n) & (F.col("r50") <= 0.51 * n)
+         ).alias("p50_rank_ok"),
+        ((F.col("r95") >= 0.94 * n) & (F.col("r95") <= 0.96 * n)
+         ).alias("p95_rank_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Temporal joins (beyond-reference; zync_spark/functions/joins.py).
 # ---------------------------------------------------------------------------
