@@ -489,6 +489,11 @@ def test_cli_retrieve_hybrid(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="--vec or --vec-id"):
         main(["--lake", lake, "retrieve", tspec, aspec,
               "--query", "spark table"])
+    # malformed --vec fails cleanly, not with a JSON traceback
+    for bad in ("not json", "{}", "[]", '["a"]'):
+        with pytest.raises(SystemExit, match="JSON number array"):
+            main(["--lake", lake, "retrieve", tspec, aspec,
+                  "--query", "spark table", "--vec", bad])
 
 
 def test_text_spec_requires_kind_discriminator(tmp_path):

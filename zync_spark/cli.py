@@ -469,8 +469,13 @@ def cmd_retrieve(args) -> int:
     lex = ti.search_text(tdest, tspec, args.query, k=args.n).select(
         "doc_id", "rank")
     if args.vec is not None:
-        vec = json.loads(args.vec)
-        if not isinstance(vec, list) or not vec:
+        try:
+            vec = json.loads(args.vec)
+        except ValueError:
+            vec = None
+        if not isinstance(vec, list) or not vec or not all(
+                isinstance(x, (int, float)) and not isinstance(x, bool)
+                for x in vec):
             raise SystemExit("retrieve: --vec must be a JSON number array")
         qs = spark.createDataFrame(
             [(-1, [float(x) for x in vec])],
