@@ -94,3 +94,7 @@ def test_rrf_validation(spark):
     a = _ranked(spark, [(1, 1)])
     with pytest.raises(ValueError, match="names"):
         rrf_fuse([a, a], names=["only_one"])
+    # reserved/duplicate names would silently corrupt output columns
+    for bad in (["rank", "x"], ["rrf", "x"], ["doc_id", "x"], ["x", "x"]):
+        with pytest.raises(ValueError, match="unique and disjoint"):
+            rrf_fuse([a, a], names=bad)

@@ -5,12 +5,16 @@ hash build of the 1.5M-row orders/customer build sides.  Candidate
 engine-honest alternatives, measured min-of-3 with the bench noop sink
 (fresh plan per attempt, true re-execution):
 
-  a) current         - size-based broadcast (64MB threshold, AQE off)
-  b) aqe             - engine-default AQE on (runtime re-plan)
-  c) shj             - preferSortMergeJoin=false (shuffled hash join when
-                       over threshold; parallel per-partition hash build)
-  d) hint_shj        - explicit shuffle_hash hints on orders+customer
-  e) no_bcast        - broadcast threshold 1MB (only nation x region fits)
+  a_current     - size-based broadcast (64MB threshold, AQE off)
+  b_aqe         - engine-default AQE on (runtime re-plan)
+  c_shj         - preferSortMergeJoin=false at 64MB (SHJ when over
+                  threshold; parallel per-partition hash build)
+  e_shj_no_bcast / f_smj_no_bcast - broadcast threshold 1MB (only
+                  nation x region fits), SHJ vs SMJ
+  g_shj_32part  - SHJ at 32 shuffle partitions
+  h_smj_10mb / i_shj_10mb - Spark's default 10MB threshold (customer
+                  still broadcasts at gsf1, orders does not) x join
+                  preference; i_ is what session.py now ships
 
 Usage: python tools/exp_q5_join.py [sf_dir] [q]
 """

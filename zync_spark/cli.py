@@ -461,13 +461,18 @@ def cmd_retrieve(args) -> int:
     from zync_spark.streaming import ann_index as ai
     from zync_spark.streaming import text_index as ti
 
+    if args.vec is not None and args.vec_id is not None:
+        raise SystemExit("retrieve: pass --vec or --vec-id, not both "
+                         "(their self-exclusion semantics differ)")
+    if args.vec is None and args.vec_id is None:
+        raise SystemExit("retrieve requires --vec or --vec-id")
     tspec, tdoc = ti.load_text_spec(args.text_spec)
     aspec, adoc = ai.load_ann_spec(args.ann_spec)
     spark = _spark()
     tdest = _pool(spark, args.lake, tdoc["dest"])
     adest = _pool(spark, args.lake, adoc["dest"])
-    lex = ti.search_text(tdest, tspec, args.query, k=args.n).select(
-        "doc_id", "rank")
+    # resolve the query vector FIRST: search_text runs eagerly (bucket
+    # probes + metadata collects), wasted work if the vector is bad
     if args.vec is not None:
         try:
             vec = json.loads(args.vec)
@@ -477,28 +482,34 @@ def cmd_retrieve(args) -> int:
                 isinstance(x, (int, float)) and not isinstance(x, bool)
                 for x in vec):
             raise SystemExit("retrieve: --vec must be a JSON number array")
-        qs = spark.createDataFrame(
-            [(-1, [float(x) for x in vec])],
-            "vec_id long, emb array<double>")
-    elif args.vec_id is not None:
+        qvec = [float(x) for x in vec]
+        qid = -1
+    else:
         stored = adest.scan()
         if stored is None or "vec_id" not in stored.columns:
             raise SystemExit(f"retrieve: ANN index {aspec.name!r} is empty")
-        qs = (stored.filter(ai._is_vec(aspec)
-                            & (F.col("vec_id") == args.vec_id))
-              .select("vec_id", F.col("v").alias("emb")))
-        if not qs.take(1):
+        rows = (stored.filter(ai._is_vec(aspec)
+                              & (F.col("vec_id") == args.vec_id))
+                .select("v").take(1))
+        if not rows:
             raise SystemExit(f"retrieve: vec_id {args.vec_id} not in index")
-    else:
-        raise SystemExit("retrieve requires --vec or --vec-id")
+        # re-wrap as a 1-row LOCAL frame: ann_query evaluates its query
+        # frame more than once, and the lookup plan above is a full
+        # index scan — paying it once here keeps the query path bounded
+        qvec = [float(x) for x in rows[0]["v"]]
+        qid = args.vec_id
+    qs = spark.createDataFrame([(qid, qvec)], "vec_id long, emb array<double>")
+    lex = ti.search_text(tdest, tspec, args.query, k=args.n).select(
+        "doc_id", "rank")
     sem = ai.ann_query(adest, aspec, qs, id_col="vec_id", vec_col="emb",
                        k=args.n, nprobe=args.nprobe).select(
         F.col("neighbor_id").alias("doc_id"), "rank")
     fused = rrf_fuse([lex, sem], names=["lex_rank", "sem_rank"],
                      k=args.k, c=args.c)
     # not toJSON(): it drops null fields, and an absent-from-one-ranker
-    # null IS the signal here
-    for r in fused.collect():
+    # null IS the signal here. Explicit orderBy: collect order after a
+    # post-window filter is not an API guarantee.
+    for r in fused.orderBy("rank").collect():
         print(json.dumps(r.asDict()))
     return 0
 

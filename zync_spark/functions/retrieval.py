@@ -60,6 +60,10 @@ def rrf_fuse(
     if len(names) != len(rankings):
         raise ValueError(
             f"rrf_fuse: {len(rankings)} rankings but {len(names)} names")
+    reserved = {id_col, "rrf", "rank"}
+    if len(set(names)) != len(names) or reserved & set(names):
+        raise ValueError(
+            f"rrf_fuse: names must be unique and disjoint from {reserved}")
     sides = [
         r.select(F.col(id_col), F.col(rank_col).cast("long").alias(nm))
         for r, nm in zip(rankings, names)

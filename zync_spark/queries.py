@@ -2099,12 +2099,16 @@ def q_approx_quantile(spark, sf_dir):
     CONTRACT is rank error <= 1/accuracy, not value error (value error
     is distribution-dependent), so that is what the entry pins: the
     query re-ranks each returned element against the group it came from
-    and emits whether its true rank sits within +-1% of the requested
-    percentile (accuracy=10000 -> guaranteed 1e-4; 1% leaves two-decade
-    margin plus element granularity). The oracle emits literal TRUE —
-    a sketch drifting past its bound fails the hash compare, the
-    q_approx_distinct recipe. Scale: sketch partials combine map-side;
-    the re-rank is one broadcast-back pass; nothing global-sorts."""
+    and emits whether the element's rank SPAN — [count(v < x)+1,
+    count(v <= x)], one interval because duplicates of x share it —
+    overlaps the +-1%-of-n window around the requested percentile
+    (accuracy=10000 -> guaranteed 1e-4; 1% leaves two-decade margin plus
+    1 row of element granularity; span overlap, not point membership,
+    so heavy ties at the quantile can't flip a correct sketch FALSE).
+    The oracle emits literal TRUE — a sketch drifting past its bound
+    fails the hash compare, the q_approx_distinct recipe. Scale: sketch
+    partials combine map-side; the re-rank is one broadcast-back pass;
+    nothing global-sorts."""
     li = T(spark, sf_dir, "lineitem")
     v = "l_extendedprice"
     g = li.groupBy("l_returnflag").agg(
@@ -2114,17 +2118,22 @@ def q_approx_quantile(spark, sf_dir):
     )
     j = li.select("l_returnflag", v).join(F.broadcast(g), "l_returnflag")
     r = j.groupBy("l_returnflag").agg(
-        F.sum((F.col(v) <= F.col("ap")[0]).cast("long")).alias("r50"),
-        F.sum((F.col(v) <= F.col("ap")[1]).cast("long")).alias("r95"),
+        F.sum((F.col(v) < F.col("ap")[0]).cast("long")).alias("lt50"),
+        F.sum((F.col(v) <= F.col("ap")[0]).cast("long")).alias("le50"),
+        F.sum((F.col(v) < F.col("ap")[1]).cast("long")).alias("lt95"),
+        F.sum((F.col(v) <= F.col("ap")[1]).cast("long")).alias("le95"),
         F.first("n_rows").alias("n_rows"),
     )
     n = F.col("n_rows")
+
+    def span_ok(lt, le, lo, hi):
+        # [lt+1, le] overlaps [lo*n - 1, hi*n + 1]
+        return (F.col(lt) + 1 <= hi * n + 1) & (F.col(le) >= lo * n - 1)
+
     return r.select(
         "l_returnflag", "n_rows",
-        ((F.col("r50") >= 0.49 * n) & (F.col("r50") <= 0.51 * n)
-         ).alias("p50_rank_ok"),
-        ((F.col("r95") >= 0.94 * n) & (F.col("r95") <= 0.96 * n)
-         ).alias("p95_rank_ok"),
+        span_ok("lt50", "le50", 0.49, 0.51).alias("p50_rank_ok"),
+        span_ok("lt95", "le95", 0.94, 0.96).alias("p95_rank_ok"),
     )
 
 
