@@ -494,6 +494,17 @@ def test_cli_retrieve_hybrid(spark, tmp_path, capsys):
         with pytest.raises(SystemExit, match="JSON number array"):
             main(["--lake", lake, "retrieve", tspec, aspec,
                   "--query", "spark table", "--vec", bad])
+    # weighted RRF: all weight on the semantic leg -> its #1 leads
+    assert main(["--lake", lake, "retrieve", tspec, aspec,
+                 "--query", "spark table", "--vec-id", "3",
+                 "-k", "3", "--weights", "0,1"]) == 0
+    wrows = [_json.loads(l)
+             for l in capsys.readouterr().out.strip().splitlines()]
+    assert wrows[0]["sem_rank"] == 1
+    with pytest.raises(SystemExit, match="comma-separated"):
+        main(["--lake", lake, "retrieve", tspec, aspec,
+              "--query", "spark table", "--vec-id", "3",
+              "--weights", "0.7"])
 
 
 def test_text_spec_requires_kind_discriminator(tmp_path):

@@ -67,6 +67,9 @@ def test_rrf_differential_vs_python_reference(spark):
         n_lists = rng.randint(1, 4)
         c = rng.choice([10, 60])
         k = rng.randint(1, 12)
+        weights = (None if case % 2 == 0 else
+                   [rng.choice([0.25, 0.5, 1.0, 2.0])
+                    for _ in range(n_lists)])
         lists = []
         for _ in range(n_lists):
             ids = rng.sample(range(20), rng.randint(1, 10))
@@ -74,12 +77,13 @@ def test_rrf_differential_vs_python_reference(spark):
         # python reference: fixed left-to-right sum, ties by id
         scores, ranks = {}, {}
         for li, lst in enumerate(lists):
+            w = 1.0 if weights is None else weights[li]
             for i, r in lst:
-                scores[i] = scores.get(i, 0.0) + 1.0 / (c + r)
+                scores[i] = scores.get(i, 0.0) + w / (c + r)
                 ranks.setdefault(i, {})[li] = r
         expect = sorted(scores, key=lambda i: (-scores[i], i))[:k]
         out = rrf_fuse([_ranked(spark, lst) for lst in lists],
-                       k=k, c=c).orderBy("rank").collect()
+                       k=k, c=c, weights=weights).orderBy("rank").collect()
         assert [r["doc_id"] for r in out] == expect, f"case {case}"
         for row in out:
             assert row["rrf"] == scores[row["doc_id"]], f"case {case}"

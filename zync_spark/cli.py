@@ -504,8 +504,18 @@ def cmd_retrieve(args) -> int:
     sem = ai.ann_query(adest, aspec, qs, id_col="vec_id", vec_col="emb",
                        k=args.n, nprobe=args.nprobe).select(
         F.col("neighbor_id").alias("doc_id"), "rank")
+    weights = None
+    if args.weights:
+        try:
+            weights = [float(x) for x in args.weights.split(",")]
+        except ValueError:
+            weights = None
+        if weights is None or len(weights) != 2:
+            raise SystemExit(
+                "retrieve: --weights must be two comma-separated numbers "
+                "(lexical,semantic)")
     fused = rrf_fuse([lex, sem], names=["lex_rank", "sem_rank"],
-                     k=args.k, c=args.c)
+                     k=args.k, c=args.c, weights=weights)
     # not toJSON(): it drops null fields, and an absent-from-one-ranker
     # null IS the signal here. Explicit orderBy: collect order after a
     # post-window filter is not an API guarantee.
@@ -951,6 +961,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="ANN cells probed")
     p.add_argument("--c", type=int, default=60,
                    help="RRF constant (1/(c + rank))")
+    p.add_argument("--weights", default=None, metavar="LEX,SEM",
+                   help="weighted RRF: per-ranker weights, e.g. 0.7,0.3")
     p.set_defaults(fn=cmd_retrieve)
 
     p = sub.add_parser("types", help="pool named-type registry (types.json)")

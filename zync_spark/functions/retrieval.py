@@ -41,8 +41,10 @@ def rrf_fuse(
     c: int = 60,
     id_col: str = "doc_id",
     rank_col: str = "rank",
+    weights: Sequence[float] | None = None,
 ) -> DataFrame:
-    """Fuse N ranked lists by reciprocal-rank fusion.
+    """Fuse N ranked lists by (optionally weighted) reciprocal-rank
+    fusion.
 
     Each input must carry (id_col, rank_col) with rank 1-based and
     unique per list; inputs are expected to be top-k lists (this runs a
@@ -50,8 +52,10 @@ def rrf_fuse(
 
     Output: id_col, one nullable-long rank column per input (named by
     `names`, default rank_1..rank_N; null = the item was absent from
-    that list), `rrf` (double, sum over lists of 1/(c + rank)), and
-    `rank` (long, 1-based by rrf desc, ties by id) filtered to <= k.
+    that list), `rrf` (double, sum over lists of w/(c + rank); weights
+    default to the classic unweighted 1.0 — `1.0*x == x` exactly, so
+    the default is bit-identical to unweighted), and `rank` (long,
+    1-based by rrf desc, ties by id) filtered to <= k.
     """
     if not rankings:
         raise ValueError("rrf_fuse: no rankings")
@@ -64,18 +68,27 @@ def rrf_fuse(
     if len(set(names)) != len(names) or reserved & set(names):
         raise ValueError(
             f"rrf_fuse: names must be unique and disjoint from {reserved}")
+    if weights is None:
+        weights = [1.0] * len(rankings)
+    if len(weights) != len(rankings):
+        raise ValueError(
+            f"rrf_fuse: {len(rankings)} rankings but {len(weights)} weights")
     sides = [
         r.select(F.col(id_col), F.col(rank_col).cast("long").alias(nm))
         for r, nm in zip(rankings, names)
     ]
     # USING-style join coalesces id_col across the full outer by itself
     fused = reduce(lambda a, b: a.join(b, id_col, "full_outer"), sides)
+
     # fixed left-to-right sum in `names` order — mirrored in oracle SQL
+    def term(nm, w):
+        return F.coalesce(
+            F.lit(float(w)) / (F.lit(c) + F.col(nm)), F.lit(0.0))
+
     score = reduce(
-        lambda acc, nm: acc
-        + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col(nm)), F.lit(0.0)),
-        names[1:],
-        F.coalesce(F.lit(1.0) / (F.lit(c) + F.col(names[0])), F.lit(0.0)),
+        lambda acc, nw: acc + term(*nw),
+        list(zip(names, weights))[1:],
+        term(names[0], weights[0]),
     )
     w = Window.orderBy(F.col("rrf").desc(), F.col(id_col))
     return (
