@@ -384,3 +384,37 @@ def test_chunking_and_bloom_scale_posture(spark):
     p = plan_of(spark, "dedup_passages")
     assert n_shuffles(p) <= 2
     assert re.search(PY_NODES, p) is None
+
+
+def test_q_approx_quantile_sketch_broadcast_back(spark):
+    """The quantile-sketch re-rank must broadcast the tiny per-group
+    sketch row back to the fact scan (never shuffle lineitem for it),
+    read only the two columns it uses, and stay JVM-side."""
+    p = plan_of(spark, "q_approx_quantile")
+    assert count("BroadcastHashJoin", p) >= 1
+    assert count("SortMergeJoin", p) + count("ShuffledHashJoin", p) == 0
+    # column pruning on both scans of the fact table
+    assert "l_comment" not in p and "l_orderkey" not in p
+    # two grouped aggregations = at most two partial-row exchanges
+    # (plus the broadcast exchange, which is not a shuffle of the fact)
+    assert n_shuffles(p) <= 2
+    assert re.search(PY_NODES, p) is None
+
+
+def test_rrf_fuse_fusion_is_list_sized(spark):
+    """rrf_fuse's plan must not re-shuffle or re-sort anything wider
+    than the k-sized inputs: no Python nodes, and the only exchanges
+    feed the full-outer join and the global k-row window."""
+    from pyspark.sql import functions as F
+
+    from zync_spark.functions.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank long")
+    df = rrf_fuse([a, b], k=5)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert re.search(PY_NODES, p) is None
+    # one window, computing the fused rank
+    assert count("Window", p) <= 1
