@@ -494,13 +494,16 @@ def test_cli_retrieve_hybrid(spark, tmp_path, capsys):
         with pytest.raises(SystemExit, match="JSON number array"):
             main(["--lake", lake, "retrieve", tspec, aspec,
                   "--query", "spark table", "--vec", bad])
-    # weighted RRF: all weight on the semantic leg -> its #1 leads
+    # weighted RRF: all weight on the semantic leg -> its #1 leads;
+    # --explain appends per-leg probe telemetry comments
     assert main(["--lake", lake, "retrieve", tspec, aspec,
                  "--query", "spark table", "--vec-id", "3",
-                 "-k", "3", "--weights", "0,1"]) == 0
-    wrows = [_json.loads(l)
-             for l in capsys.readouterr().out.strip().splitlines()]
+                 "-k", "3", "--weights", "0,1", "--explain"]) == 0
+    wlines = capsys.readouterr().out.strip().splitlines()
+    wrows = [_json.loads(l) for l in wlines if not l.startswith("#")]
     assert wrows[0]["sem_rank"] == 1
+    assert any(l.startswith("# lexical probe read") for l in wlines)
+    assert any(l.startswith("# semantic probe read") for l in wlines)
     with pytest.raises(SystemExit, match="comma-separated"):
         main(["--lake", lake, "retrieve", tspec, aspec,
               "--query", "spark table", "--vec-id", "3",

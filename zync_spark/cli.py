@@ -499,10 +499,14 @@ def cmd_retrieve(args) -> int:
         qvec = [float(x) for x in rows[0]["v"]]
         qid = args.vec_id
     qs = spark.createDataFrame([(qid, qvec)], "vec_id long, emb array<double>")
-    lex = ti.search_text(tdest, tspec, args.query, k=args.n).select(
+    tstats: dict = {}
+    astats: dict = {}
+    lex = ti.search_text(tdest, tspec, args.query, k=args.n,
+                         stats_out=tstats if args.explain else None).select(
         "doc_id", "rank")
     sem = ai.ann_query(adest, aspec, qs, id_col="vec_id", vec_col="emb",
-                       k=args.n, nprobe=args.nprobe).select(
+                       k=args.n, nprobe=args.nprobe,
+                       stats_out=astats if args.explain else None).select(
         F.col("neighbor_id").alias("doc_id"), "rank")
     weights = None
     if args.weights:
@@ -521,6 +525,13 @@ def cmd_retrieve(args) -> int:
     # post-window filter is not an API guarantee.
     for r in fused.orderBy("rank").collect():
         print(json.dumps(r.asDict()))
+    if args.explain and "probe_files" in tstats:
+        print(f"# lexical probe read {tstats['probe_files']}/"
+              f"{tstats['live_files']} files "
+              f"(+{tstats.get('dlen_files', 0)} dlen)")
+    if args.explain and "probe_files" in astats:
+        print(f"# semantic probe read {astats['probe_files']}/"
+              f"{astats['live_files']} files")
     return 0
 
 
@@ -963,6 +974,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="RRF constant (1/(c + rank))")
     p.add_argument("--weights", default=None, metavar="LEX,SEM",
                    help="weighted RRF: per-ranker weights, e.g. 0.7,0.3")
+    p.add_argument("--explain", action="store_true",
+                   help="print per-leg probe telemetry (# files read vs "
+                        "live) after the results")
     p.set_defaults(fn=cmd_retrieve)
 
     p = sub.add_parser("types", help="pool named-type registry (types.json)")
