@@ -501,13 +501,22 @@ def cmd_retrieve(args) -> int:
     qs = spark.createDataFrame([(qid, qvec)], "vec_id long, emb array<double>")
     tstats: dict = {}
     astats: dict = {}
-    lex = ti.search_text(tdest, tspec, args.query, k=args.n,
-                         stats_out=tstats if args.explain else None).select(
-        "doc_id", "rank")
-    sem = ai.ann_query(adest, aspec, qs, id_col="vec_id", vec_col="emb",
-                       k=args.n, nprobe=args.nprobe,
-                       stats_out=astats if args.explain else None).select(
-        F.col("neighbor_id").alias("doc_id"), "rank")
+    # the legs are independent and each pays a few serial driver jobs
+    # (manifest reads, metadata collects) before returning — run them
+    # concurrently; Spark job submission is thread-safe
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        lex_f = pool.submit(
+            ti.search_text, tdest, tspec, args.query, k=args.n,
+            stats_out=tstats if args.explain else None)
+        sem_f = pool.submit(
+            ai.ann_query, adest, aspec, qs, id_col="vec_id", vec_col="emb",
+            k=args.n, nprobe=args.nprobe,
+            stats_out=astats if args.explain else None)
+        lex = lex_f.result().select("doc_id", "rank")
+        sem = sem_f.result().select(
+            F.col("neighbor_id").alias("doc_id"), "rank")
     weights = None
     if args.weights:
         try:
