@@ -551,3 +551,42 @@ def test_pq_ann_recall_beats_random(spark):
     assert len(exact) == 50
     # random top-5 would overlap ~5/(n-1) per query
     assert len(pq & exact) / len(exact) >= 3 * 5.0 / (n - 1)
+
+
+def test_duplicate_spans_merges_overlapping_windows(spark):
+    """Two docs sharing a 10-token run: windows at every offset collide,
+    and gaps-and-islands must merge them into ONE maximal span per doc
+    (not 3 overlapping 8-token spans); a doc with no shared run is absent."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    df = spark.createDataFrame(
+        [
+            (1, "intro one two " + shared + " outro"),
+            (2, shared + " completely different tail here"),
+            (3, "nothing in common with the others at all whatsoever today"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in D.duplicate_spans(df, "doc_id", "text", window=8).collect()
+    }
+    assert set(rows) == {1, 2}
+    # doc 1: shared run occupies token positions 3..12
+    assert (rows[1].span_start, rows[1].span_end, rows[1].span_tokens) == (3, 12, 10)
+    # doc 2: positions 0..9
+    assert (rows[2].span_start, rows[2].span_end, rows[2].span_tokens) == (0, 9, 10)
+
+
+def test_duplicate_spans_distinct_docs_not_self_repeat(spark):
+    """A run repeated WITHIN one document only (min_docs=2 default) is not
+    a cross-doc duplicate; short docs (< window tokens) never error."""
+    rep = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, rep + " filler " + rep), (2, "tiny doc")],
+        "doc_id long, text string",
+    )
+    assert D.duplicate_spans(df, "doc_id", "text", window=8).count() == 0
+    # min_docs=1 counts within-doc repeats: two islands in doc 1
+    spans = D.duplicate_spans(df, "doc_id", "text", window=8, min_docs=1)
+    got = sorted((r.span_start, r.span_end) for r in spans.collect())
+    assert got == [(0, 7), (9, 16)]

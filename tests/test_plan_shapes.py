@@ -418,3 +418,19 @@ def test_rrf_fuse_fusion_is_list_sized(spark):
     assert re.search(PY_NODES, p) is None
     # one window, computing the fused rank
     assert count("Window", p) <= 1
+
+
+def test_substring_spans_jvm_only_bounded_shuffles(spark):
+    """dedup_substring_spans docstring claims: text never shuffles, no
+    pairwise join, JVM-only. Budget: window-hash group + join-back +
+    per-doc island window + final group = 4 data-proportional exchanges;
+    every exchanged row is (hash, doc, pos)-shaped, never document text."""
+    p = plan_of(spark, "dedup_substring_spans")
+    assert count("CartesianProduct", p) == 0
+    assert count("BroadcastNestedLoopJoin", p) == 0
+    assert re.search(PY_NODES, p) is None
+    assert n_shuffles(p) <= 5, n_shuffles(p)
+    # the text column must be pruned before any exchange: Exchange blocks
+    # list their output; none may carry the raw `text` column
+    for m in re.finditer(r"^\(\d+\) Exchange\n(?:.+\n)+?(?=^\()", p, re.M):
+        assert "text#" not in m.group(0), m.group(0)[:200]

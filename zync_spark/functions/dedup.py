@@ -510,3 +510,96 @@ def crossdoc_duplication(
             (F.col("n_dup") / F.col("n_shingles")).alias("dup_fraction"),
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-SPAN detection (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find every maximal run of
+    tokens that appears verbatim in >= `min_docs` distinct documents, as
+    token-position spans per document. This is the surgical complement to
+    the whole-document families above — boilerplate headers, licence
+    blocks, and quoted passages are REGIONS of otherwise-unique documents,
+    and span-level output is what a removal pass needs.
+
+    Algorithm (the distributed stand-in for the paper's suffix array,
+    which is inherently single-machine):
+      1. slide a `window`-token window over each document; hash each
+         window's text (md5-60bit — cross-engine reproducible);
+      2. inverted index: one shuffle of (hash, doc, pos) rows grouped by
+         hash keeps hashes seen in >= min_docs distinct docs;
+      3. join positions back on the surviving hashes;
+      4. gaps-and-islands per doc (pos - row_number) merges overlapping/
+         adjacent windows into maximal spans of >= `window` tokens.
+    Two equal-length windows match iff their texts are equal, so the
+    result is exactly "all maximal duplicated substrings of length >=
+    window tokens" — the paper's MinLen knob.
+
+    Scale: document text never shuffles — only 16-byte (hash, id, pos)
+    rows, ~one per token, shuffle once for the document-frequency group
+    and once (the surviving subset) for the per-doc island merge.
+    Cost is O(total tokens), same posture as crossdoc_duplication; no
+    pairwise join, no suffix-array global sort. Ultra-frequent windows
+    cost df(w) rows each (linear, not quadratic — positions are grouped,
+    never self-joined), so no max-freq guard is needed.
+
+    Output: (doc_id, span_start, span_end, span_tokens) — token positions
+    0-based inclusive; only documents containing at least one duplicated
+    span appear.
+    """
+    from pyspark.sql import Window
+
+    tk = tokens(F.lower(F.col(text_col)))
+    wins = (
+        df.select(F.col(id_col).alias("doc_id"), tk.alias("t"))
+        .filter(F.size("t") >= window)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - window),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        md5_long(
+                            F.concat_ws(
+                                " ", F.slice(F.col("t"), i + 1, F.lit(window))
+                            )
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    )
+    # A window is duplicated when it occurs >= 2 times anywhere AND in
+    # >= min_docs distinct docs — so min_docs=1 means "repeated, possibly
+    # within one document" (the paper's self-repeat case) and min_docs=2
+    # (default) means strictly cross-document.
+    dup_h = (
+        wins.groupBy("h")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.count(F.lit(1)).alias("nt"),
+        )
+        .filter((F.col("nd") >= min_docs) & (F.col("nt") >= 2))
+        .select("h")
+    )
+    hits = wins.join(dup_h, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = hits.withColumn("isl", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + window - 1).alias("span_end"),
+        )
+        .select(
+            "doc_id", "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )

@@ -934,6 +934,45 @@ def dedup_crossdoc_fraction(spark, sf_dir):
 
 
 @register(
+    "dedup_substring_spans",
+    r"""
+    WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)),
+                                                     '\s+') AS t
+                FROM documents),
+    wins AS (SELECT doc_id, i AS pos,
+                    array_to_string(list_slice(t, i+1, i+8), ' ') AS w
+             FROM tk, UNNEST(generate_series(0, len(t) - 8)) AS g(i)),
+    dups AS (SELECT w FROM wins GROUP BY w
+             HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, pos,
+                    pos - row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY pos) AS isl
+             FROM wins WHERE w IN (SELECT w FROM dups)),
+    spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+              FROM hits GROUP BY doc_id, isl)
+    SELECT doc_id, s AS span_start, e AS span_end,
+           (e - s + 1)::BIGINT AS span_tokens
+    FROM spans
+    """,
+)
+def dedup_substring_spans(spark, sf_dir):
+    """Exact duplicated-SPAN extraction (Lee et al. 2022 ExactSubstr):
+    every maximal token run >= 8 tokens appearing verbatim in >= 2
+    distinct documents, as per-doc position spans — what a surgical
+    span-REMOVAL pass consumes, vs the whole-doc dedup families. The
+    suffix array of the paper is single-machine; this is the distributed
+    equivalent: windowed md5 hashes -> inverted index keeps cross-doc
+    hashes -> gaps-and-islands merge into maximal spans
+    (functions/dedup.py duplicate_spans). Scale: text never shuffles —
+    one O(total tokens) shuffle of 16-byte (hash,doc,pos) rows, then the
+    surviving subset re-shuffles by doc; no pairwise join, no global
+    sort. The oracle replays the window text verbatim (hashing is an
+    internal compression, equality semantics identical)."""
+    docs = T(spark, sf_dir, "documents")
+    return D.duplicate_spans(docs, "doc_id", "text", window=8, min_docs=2)
+
+
+@register(
     "dedup_components",
     _JACCARD_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """,
     edges AS (SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.5
