@@ -101,3 +101,68 @@ def test_plan_broadcasts_thresholds_no_python(spark):
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas", plan) is None
+
+
+# ---------------------------------------------------------------------------
+# approx_topk (Misra-Gries)
+# ---------------------------------------------------------------------------
+
+
+def _zipf_rows(n_keys=200, reps=30):
+    # key i appears (n_keys - i) * reps/10-ish times: deterministic skew
+    rows = []
+    for i in range(n_keys):
+        rows.extend([(f"k{i:04d}",)] * (1 + (n_keys - i) * reps // n_keys))
+    return rows
+
+
+def test_approx_topk_mg_contract_holds(spark):
+    """Both Misra-Gries inequalities, on every key: est <= true and
+    true - est <= N/(capacity+1) (absent keys read est=0). And every key
+    heavier than N/(capacity+1) must be present."""
+    from zync_spark.functions.topk import approx_topk
+
+    rows = _zipf_rows()
+    df = spark.createDataFrame(rows, "k string").repartition(7)
+    cap = 16
+    est = {r.key: r.est for r in approx_topk(df, "k", capacity=cap).collect()}
+    true = {}
+    for (k,) in rows:
+        true[k] = true.get(k, 0) + 1
+    n = len(rows)
+    bound = n / (cap + 1)
+    for k, t in true.items():
+        e = est.get(k, 0)
+        assert e <= t, (k, e, t)
+        assert t - e <= bound, (k, e, t, bound)
+        if t > bound:
+            assert k in est, (k, t, bound)
+    for k in est:
+        assert k in true  # no fabricated keys
+
+
+def test_approx_topk_partitioning_invariant_contract(spark):
+    """Estimates may differ across partitionings; the CONTRACT may not."""
+    from zync_spark.functions.topk import approx_topk
+
+    rows = _zipf_rows(n_keys=50, reps=80)
+    true = {}
+    for (k,) in rows:
+        true[k] = true.get(k, 0) + 1
+    n = len(rows)
+    cap = 8
+    for parts in (1, 3, 13):
+        df = spark.createDataFrame(rows, "k string").repartition(parts)
+        est = {r.key: r.est
+               for r in approx_topk(df, "k", capacity=cap).collect()}
+        for k, t in true.items():
+            e = est.get(k, 0)
+            assert e <= t and t - e <= n / (cap + 1), (parts, k, e, t)
+
+
+def test_approx_topk_capacity_validation(spark):
+    from zync_spark.functions.topk import approx_topk
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError):
+        approx_topk(df, "k", capacity=0)

@@ -136,3 +136,65 @@ def grouped_topk_window(
     if rank_col is not None:
         return out.withColumn(rank_col, F.col(_RNK).cast("long")).drop(_RNK)
     return out.drop(_RNK)
+
+
+def approx_topk(
+    df: DataFrame,
+    key_col: str,
+    capacity: int = 256,
+) -> DataFrame:
+    """Misra–Gries heavy hitters: a MERGEABLE frequency sketch with at
+    most `capacity` counters per partition. The 100 TB answer to "top
+    tokens / domains / IDs" when exact groupBy-count would shuffle one
+    row per distinct key (web-scale vocabularies: billions of keys, most
+    singletons): the sketch shuffles at most `capacity` rows per map
+    partition, independent of key cardinality.
+
+    Contract (Misra–Gries 1982; merge per Agarwal et al., "Mergeable
+    Summaries", PODS'12): every estimate UNDERCOUNTS, by at most
+    N/(capacity+1) total stream length N:
+
+        true - N/(capacity+1)  <=  est  <=  true
+
+    so any key with true count > N/(capacity+1) is guaranteed present.
+    Absent keys read as est=0, which the same bound covers.
+
+    Shape: one Arrow-batched mapInPandas pass builds a per-partition
+    summary (batched MG: merge a batch's value_counts, then subtract the
+    (capacity+1)-th largest and drop non-positives — each subtraction
+    event is charged to capacity+1 arrivals, preserving the bound), then
+    one groupBy-sum over <= capacity × n_partitions summary rows merges
+    them (summing MG summaries keeps both inequalities). Python touches
+    only the sketch, never more than `capacity` live counters; the merge
+    input is sketch-sized, not data-sized.
+
+    Output: (key string, est long) — the merged underestimates, one row
+    per surviving key.
+    """
+    import pandas as pd
+
+    cap = int(capacity)
+    if cap < 1:
+        raise ValueError("capacity must be >= 1")
+
+    def _mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf["key"].value_counts()
+            for k_, c in vc.items():
+                counters[k_] = counters.get(k_, 0) + int(c)
+            if len(counters) > cap:
+                vals = sorted(counters.values(), reverse=True)
+                sub = vals[cap]  # (capacity+1)-th largest
+                counters = {k_: v - sub for k_, v in counters.items()
+                            if v > sub}
+        yield pd.DataFrame(
+            {"key": list(counters.keys()),
+             "est": list(counters.values())}
+        )
+
+    partials = (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .mapInPandas(_mg, "key string, est long")
+    )
+    return partials.groupBy("key").agg(F.sum("est").alias("est"))

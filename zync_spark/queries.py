@@ -2176,6 +2176,52 @@ def q_approx_quantile(spark, sf_dir):
     )
 
 
+@register(
+    "q_approx_topk",
+    r"""
+    WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                                     '\s+')) AS token
+                 FROM documents)
+    SELECT token, count(*)::BIGINT AS exact_cnt, TRUE AS within_bound
+    FROM tok GROUP BY token ORDER BY exact_cnt DESC, token LIMIT 10
+    """,
+)
+def q_approx_topk(spark, sf_dir):
+    """Misra-Gries heavy-hitters sketch (functions/topk.py approx_topk)
+    completing the mergeable-sketch family next to q_approx_distinct
+    (HLL) and q_approx_quantile (GK): top corpus tokens with a PINNED
+    deterministic error contract. The sketch itself shuffles at most
+    `capacity` summary rows per partition regardless of vocabulary size
+    — the 100 TB path where exact groupBy-count shuffles one row per
+    distinct key. Like the other two sketch entries, the raw estimate
+    is engine-specific so the entry pins the CONTRACT instead: for each
+    of the exact top-10 tokens (deterministic tie-break cnt desc, token
+    asc — token is the group key so the order is total), emit
+    within_bound = (est <= exact) AND (exact - est <= N/(capacity+1)),
+    the two Misra-Gries inequalities; the oracle emits literal TRUE. The
+    exact side here is the checking harness (q_approx_quantile's
+    re-rank precedent), not the production path."""
+    cap = 256
+    docs = T(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("token"))
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("token")).limit(10)
+    est = K.approx_topk(tok, "token", capacity=cap)
+    n = exact.agg(F.sum("exact_cnt").alias("n_total"))
+    e = F.coalesce(F.col("est"), F.lit(0))
+    return (
+        top.join(est, top["token"] == est["key"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "token", "exact_cnt",
+            ((e <= F.col("exact_cnt"))
+             & ((F.col("exact_cnt") - e)
+                <= F.col("n_total") / (cap + 1))).alias("within_bound"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Temporal joins (beyond-reference; zync_spark/functions/joins.py).
 # ---------------------------------------------------------------------------
