@@ -590,3 +590,37 @@ def test_duplicate_spans_distinct_docs_not_self_repeat(spark):
     spans = D.duplicate_spans(df, "doc_id", "text", window=8, min_docs=1)
     got = sorted((r.span_start, r.span_end) for r in spans.collect())
     assert got == [(0, 7), (9, 16)]
+
+
+def test_remove_duplicate_spans_surgery(spark):
+    """Removal drops exactly the span tokens, preserves case outside the
+    (lowercase-matched) spans, handles overlap from adjacent islands once,
+    and returns unaffected docs verbatim (whitespace-normalized)."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    df = spark.createDataFrame(
+        [
+            (1, "Intro ONE two " + shared + " Outro"),
+            (2, shared.upper() + " different tail entirely here now"),
+            (3, "solo   document with    odd whitespace only"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in D.remove_duplicate_spans(
+        df, "doc_id", "text", window=8).collect()}
+    assert rows[1].text == "Intro ONE two Outro"
+    assert (rows[1].n_tokens, rows[1].n_removed) == (14, 10)
+    # case preserved for the survivors; the UPPER span still matched
+    assert rows[2].text == "different tail entirely here now"
+    assert rows[3].text == "solo document with odd whitespace only"
+    assert rows[3].n_removed == 0
+
+
+def test_remove_duplicate_spans_total_removal_empty_string(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven eight"),
+         (2, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in D.remove_duplicate_spans(
+        df, "doc_id", "text", window=8).collect()}
+    assert out == {1: "", 2: ""}

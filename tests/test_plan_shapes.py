@@ -434,3 +434,14 @@ def test_substring_spans_jvm_only_bounded_shuffles(spark):
     # list their output; none may carry the raw `text` column
     for m in re.finditer(r"^\(\d+\) Exchange\n(?:.+\n)+?(?=^\()", p, re.M):
         assert "text#" not in m.group(0), m.group(0)[:200]
+
+
+def test_span_removal_stays_jvm_hof(spark):
+    """dedup_span_removal claims the token surgery is a whole-stage-codegen
+    higher-order filter: no Python nodes anywhere, no cartesian, and only
+    one corpus-sized join (doc_id) beyond duplicate_spans' budget."""
+    p = plan_of(spark, "dedup_span_removal")
+    assert re.search(PY_NODES, p) is None
+    assert count("CartesianProduct", p) == 0
+    assert count("BroadcastNestedLoopJoin", p) == 0
+    assert n_shuffles(p) <= 8, n_shuffles(p)

@@ -603,3 +603,62 @@ def duplicate_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The removal pass over `duplicate_spans` output (the ExactSubstr
+    cleanup itself): drop every token that falls inside a duplicated
+    span and reassemble the document. Removal is total — every
+    occurrence goes, the conservative variant of Lee et al.'s
+    cut-all-but-one (which needs a cross-document canonical-copy
+    election; at corpus scale the duplicated mass is boilerplate where
+    keeping zero copies is the curation intent).
+
+    Matching is case-insensitive (spans come from lowered text) but
+    positions index the ORIGINAL tokens, so reassembly preserves case.
+    Whitespace is normalized to single spaces — the same canonicalization
+    every hash in this module applies.
+
+    Scale: duplicate_spans' posture plus one doc_id-keyed join of the
+    span list back to the corpus (spans exist only for affected docs)
+    and a per-row JVM higher-order filter — token surgery never leaves
+    whole-stage codegen, no Python, no extra corpus shuffle beyond the
+    join.
+
+    Output: (doc_id, n_tokens, n_removed, text) where text is the
+    cleaned document ('' when everything was duplicated).
+    """
+    spans = duplicate_spans(df, id_col, text_col, window, min_docs)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"),
+                     F.col("span_end").alias("e"))
+        ).alias("__spans")
+    )
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     tokens(F.col(text_col)).alias("__t"))
+    j = base.join(per_doc, "doc_id", "left")
+    kept = F.transform(
+        F.filter(
+            F.transform(
+                "__t", lambda tok, i: F.struct(tok.alias("tok"), i.alias("i"))
+            ),
+            lambda x: ~F.exists(
+                F.coalesce("__spans", F.array()),
+                lambda sp: (x["i"] >= sp["s"]) & (x["i"] <= sp["e"]),
+            ),
+        ),
+        lambda x: x["tok"],
+    )
+    return j.select(
+        "doc_id",
+        F.size("__t").alias("n_tokens"),
+        (F.size("__t") - F.size(kept)).alias("n_removed"),
+        F.array_join(kept, " ").alias("text"),
+    )

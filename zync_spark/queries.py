@@ -973,6 +973,56 @@ def dedup_substring_spans(spark, sf_dir):
 
 
 @register(
+    "dedup_span_removal",
+    r"""
+    WITH tk AS (SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS tl,
+                       regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents),
+    wins AS (SELECT doc_id, i AS pos,
+                    array_to_string(list_slice(tl, i+1, i+8), ' ') AS w
+             FROM tk, UNNEST(generate_series(0, len(tl) - 8)) AS g(i)),
+    dups AS (SELECT w FROM wins GROUP BY w
+             HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, pos,
+                    pos - row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY pos) AS isl
+             FROM wins WHERE w IN (SELECT w FROM dups)),
+    spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+              FROM hits GROUP BY doc_id, isl),
+    rm AS (SELECT doc_id,
+                  list_distinct(flatten(list(generate_series(s, e)))) AS rm
+           FROM spans GROUP BY doc_id),
+    kept AS (SELECT tk.doc_id, t,
+                    [t[j+1] FOR j IN generate_series(0, len(t)-1)
+                     IF NOT list_contains(coalesce(rm, []), j)] AS kt
+             FROM tk LEFT JOIN rm ON tk.doc_id = rm.doc_id)
+    SELECT doc_id, len(t)::BIGINT AS n_tokens,
+           (len(t) - len(kt))::BIGINT AS n_removed,
+           md5(coalesce(array_to_string(kt, ' '), '')) AS cleaned_md5
+    FROM kept
+    """,
+)
+def dedup_span_removal(spark, sf_dir):
+    """The ExactSubstr REMOVAL pass (functions/dedup.py
+    remove_duplicate_spans): every token inside a cross-doc duplicated
+    span dropped, document reassembled case-preserving — checked over
+    the WHOLE corpus (every doc appears, cleaned text pinned by md5, so
+    off-by-one span arithmetic or a dropped survivor token flips the
+    hash). Overlapping spans from adjacent islands remove each position
+    once. Scale: duplicate_spans' O(total tokens) posture + one
+    doc_id-keyed join of span lists back + a whole-stage-codegen
+    higher-order token filter; no Python, no extra corpus shuffle."""
+    docs = T(spark, sf_dir, "documents")
+    out = D.remove_duplicate_spans(docs, "doc_id", "text", window=8,
+                                   min_docs=2)
+    return out.select(
+        "doc_id", "n_tokens", "n_removed",
+        F.md5("text").alias("cleaned_md5"),
+    )
+
+
+@register(
     "dedup_components",
     _JACCARD_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """,
     edges AS (SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.5
