@@ -55,6 +55,14 @@ OPS = [
     # round-5: the third index family (build O(corpus) by definition;
     # the bounded part is the per-query probe, pinned in its tests)
     "text_index_incremental",
+    # round-5 session 4: ExactSubstr span family (windowed-hash inverted
+    # index + island merge; removal adds a doc_id join + JVM HOF filter)
+    # and the Misra-Gries heavy-hitters sketch (capacity-bounded summary
+    # rows per partition; the exact-top-10 harness dominates its cost at
+    # bench scale — the sketch side alone is the 100 TB path)
+    "dedup_substring_spans",
+    "dedup_span_removal",
+    "q_approx_topk",
 ]
 
 

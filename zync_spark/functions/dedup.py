@@ -554,9 +554,14 @@ def duplicate_spans(
     """
     from pyspark.sql import Window
 
-    tk = tokens(F.lower(F.col(text_col)))
+    # tokenize + per-window md5 is the CPU-dense per-row expansion _spread
+    # exists for: an under-split scan (one fat parquet row group) would
+    # otherwise hash the whole corpus on one core. No-op when the scan
+    # already splits to cluster parallelism.
     wins = (
-        df.select(F.col(id_col).alias("doc_id"), tk.alias("t"))
+        _spread(df.select(F.col(id_col).alias("doc_id"),
+                          F.col(text_col).alias("__text")))
+        .select("doc_id", tokens(F.lower(F.col("__text"))).alias("t"))
         .filter(F.size("t") >= window)
         .select(
             "doc_id",
@@ -641,8 +646,10 @@ def remove_duplicate_spans(
                      F.col("span_end").alias("e"))
         ).alias("__spans")
     )
-    base = df.select(F.col(id_col).alias("doc_id"),
-                     tokens(F.col(text_col)).alias("__t"))
+    base = _spread(
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.col(text_col).alias("__text"))
+    ).select("doc_id", tokens(F.col("__text")).alias("__t"))
     j = base.join(per_doc, "doc_id", "left")
     kept = F.transform(
         F.filter(
