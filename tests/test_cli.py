@@ -537,3 +537,36 @@ def test_text_spec_requires_kind_discriminator(tmp_path):
     assert type(spec).__name__ == "TextIndexSpec"
     with pytest.raises(ValueError):
         load_index_spec(p)         # ...and the dedup loader refuses
+
+
+def test_cli_span_index(spark, tmp_path, capsys):
+    import yaml as _yaml
+
+    from tests.test_span_index import BATCHES, DOCS, ROW as SROW, TEXT
+    from zync_spark.pool import Pool
+
+    lake = os.path.join(tmp_path, "lake_span")
+    src = Pool.create(spark, os.path.join(lake, "src"))
+    rows, off = [], 0
+    for batch in BATCHES:
+        for d in batch:
+            rows.append((("docs", 0, off), "data", (d, TEXT[d])))
+            off += 1
+    src.load(spark.createDataFrame(rows, SROW), "backfill")
+    spec_path = os.path.join(tmp_path, "sidx.yaml")
+    with open(spec_path, "w") as f:
+        _yaml.safe_dump(
+            {"kind": "span", "name": "d", "source": "src", "dest": "sidx",
+             "topics": ["docs"], "id": "value.doc_id",
+             "text": "value.text", "window": 4}, f)
+    assert main(["--lake", lake, "span-index", "sync", spec_path]) == 0
+    assert "rows committed" in capsys.readouterr().out
+    assert main(["--lake", lake, "span-index", "compact", spec_path]) == 0
+    assert "compacted" in capsys.readouterr().out
+    assert main(["--lake", lake, "span-index", "spans", spec_path,
+                 "--docs", "0"]) == 0
+    out = [json.loads(l)
+           for l in capsys.readouterr().out.strip().splitlines()]
+    # doc 0's duplicated region is the full 16 shared tokens
+    assert out == [{"doc_id": 0, "span_start": 0, "span_end": 15,
+                    "span_tokens": 16}]

@@ -35,7 +35,13 @@ PROCEDURAL = {
     "stream_stateful_sessions",
 }
 # Python-by-design: binary decode must leave the JVM (Arrow-batched)
-PYTHON_OK = {"multimodal_features", "multimodal_resize", "multimodal_frames"}
+PYTHON_OK = {
+    "multimodal_features", "multimodal_resize", "multimodal_frames",
+    # the Misra-Gries sketch holds <= capacity live counters in Python
+    # (imperative decrement state no JVM expression expresses); Arrow-
+    # batched mapInPandas, enforced by test_python_operators_are_arrow_batched
+    "q_approx_topk",
+}
 
 # loose fleet-wide ceiling; queries with legitimately many stages
 # (iterative k-means, multi-stage tf-idf / LM / curation composites)

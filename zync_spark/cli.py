@@ -442,6 +442,44 @@ def cmd_text_index(args) -> int:
     return 0
 
 
+def cmd_span_index(args) -> int:
+    """Maintain/query an incremental duplicated-span index from a YAML
+    spec (streaming/span_index.py — the ExactSubstr operator's O(delta)
+    maintenance path). Actions:
+
+      sync     one maintenance pass: window-hash the cursor-bounded
+               delta, probe only the colliding hash buckets, append
+               window rows + newly duplicated hit positions + dup
+               markers atomically with cursors (rerun = no-op)
+      compact  range-cluster the index pool by bucket
+      spans    the accumulated maximal spans (== the batch operator
+               over the full corpus); --docs limits the read to those
+               documents' hit buckets; JSON lines
+
+    Spec YAML: see streaming.span_index.load_span_spec docstring.
+    """
+    from zync_spark.streaming import span_index as si
+
+    spec, doc = si.load_span_spec(args.spec)
+    spark = _spark()
+    dest = _pool(spark, args.lake, doc["dest"], create=True)
+    if args.action == "sync":
+        src = _pool(spark, args.lake, doc["source"])
+        n = si.sync_spans(src, dest, spec, list(doc["topics"]),
+                          auto_compact_every=args.auto_compact)
+        print(f"span-index {spec.name}: {n} rows committed")
+    elif args.action == "compact":
+        n = si.compact_spans(dest)
+        print(f"span-index {spec.name}: compacted {n} rows")
+    else:
+        ids = ([int(x) for x in args.docs.split(",")]
+               if args.docs else None)
+        view = si.spans_view(dest, spec, doc_ids=ids)
+        for line in view.orderBy("doc_id", "span_start")                 .toJSON().collect():
+            print(line)
+    return 0
+
+
 def cmd_retrieve(args) -> int:
     """Hybrid retrieval over a text index AND an ANN index: BM25 top-N
     for --query fused with cosine top-N for the query vector by
@@ -714,6 +752,9 @@ def cmd_from_kafka(args) -> int:
         elif probe.get("kind") == "text":
             from zync_spark.streaming.text_index import \
                 load_text_spec as _load
+        elif probe.get("kind") == "span":
+            from zync_spark.streaming.span_index import \
+                load_span_spec as _load
         else:
             from zync_spark.streaming.dedup_index import \
                 load_index_spec as _load
@@ -921,9 +962,9 @@ def main(argv: list[str] | None = None) -> int:
                         "micro-batch (repeatable; streaming materialized "
                         "view)")
     p.add_argument("--index", action="append", default=None,
-                   help="dedup-index, ann-index, or text-index (kind: "
-                        "text) spec YAML to keep in sync after every "
-                        "micro-batch (repeatable)")
+                   help="dedup-index, ann-index, text-index (kind: text), "
+                        "or span-index (kind: span) spec YAML to keep in "
+                        "sync after every micro-batch (repeatable)")
     p.add_argument("--auto-compact", type=int, default=None, metavar="N",
                    help="fold ingest AND index pools into a base manifest "
                         "every N delta commits (the recommended cadence: "
@@ -964,6 +1005,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--query", default=None, help="search: the query terms")
     p.add_argument("-k", type=int, default=10, help="search: top-k")
     p.set_defaults(fn=cmd_text_index)
+
+    p = sub.add_parser("span-index",
+                       help="incremental duplicated-span (ExactSubstr) index")
+    p.add_argument("action", choices=["sync", "compact", "spans"])
+    p.add_argument("spec", help="index spec YAML (see cmd_span_index docstring)")
+    p.add_argument("--auto-compact", type=int, default=None, metavar="N",
+                   help="re-cluster after N delta commits since last base")
+    p.add_argument("--docs", default=None, metavar="ID,ID",
+                   help="spans: restrict to these doc ids (bounded read)")
+    p.set_defaults(fn=cmd_span_index)
 
     p = sub.add_parser("retrieve",
                        help="hybrid BM25 + ANN retrieval (rank fusion)")

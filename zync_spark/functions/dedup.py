@@ -512,6 +512,42 @@ def crossdoc_duplication(
     )
 
 
+def window_hash_rows(
+    df: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    """(doc_id, pos, h) — one row per `window`-token sliding window, h =
+    md5-60bit of the window's lowercased text. THE shared window
+    primitive: duplicate_spans consumes it batch-side and
+    streaming/span_index.py delta-side, so the incremental index and the
+    batch operator can never disagree on what a window is. Tokenize +
+    per-window md5 is CPU-dense per-row expansion, so the scan takes the
+    module's _spread under-split guard (a no-op on real many-file
+    layouts); text never leaves the scan task."""
+    return (
+        _spread(df.select(F.col(id_col).alias("doc_id"),
+                          F.col(text_col).alias("__text")))
+        .select("doc_id", tokens(F.lower(F.col("__text"))).alias("t"))
+        .filter(F.size("t") >= window)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - window),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        md5_long(
+                            F.concat_ws(
+                                " ", F.slice(F.col("t"), i + 1, F.lit(window))
+                            )
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str,
@@ -554,33 +590,7 @@ def duplicate_spans(
     """
     from pyspark.sql import Window
 
-    # tokenize + per-window md5 is the CPU-dense per-row expansion _spread
-    # exists for: an under-split scan (one fat parquet row group) would
-    # otherwise hash the whole corpus on one core. No-op when the scan
-    # already splits to cluster parallelism.
-    wins = (
-        _spread(df.select(F.col(id_col).alias("doc_id"),
-                          F.col(text_col).alias("__text")))
-        .select("doc_id", tokens(F.lower(F.col("__text"))).alias("t"))
-        .filter(F.size("t") >= window)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - window),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        md5_long(
-                            F.concat_ws(
-                                " ", F.slice(F.col("t"), i + 1, F.lit(window))
-                            )
-                        ).alias("h"),
-                    ),
-                )
-            ).alias("w"),
-        )
-        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
-    )
+    wins = window_hash_rows(df, id_col, text_col, window)
     # A window is duplicated when it occurs >= 2 times anywhere AND in
     # >= min_docs distinct docs — so min_docs=1 means "repeated, possibly
     # within one document" (the paper's self-repeat case) and min_docs=2

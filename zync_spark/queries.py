@@ -3426,6 +3426,78 @@ def text_index_incremental(spark, sf_dir):
     return TI.search_text(dest, spec, list(_BM25_TERMS), k=10)
 
 
+@register(
+    "span_index_incremental",
+    r"""
+    WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)),
+                                                     '\s+') AS t
+                FROM documents),
+    wins AS (SELECT doc_id, i AS pos,
+                    array_to_string(list_slice(t, i+1, i+8), ' ') AS w
+             FROM tk, UNNEST(generate_series(0, len(t) - 8)) AS g(i)),
+    dups AS (SELECT w FROM wins GROUP BY w
+             HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, pos,
+                    pos - row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY pos) AS isl
+             FROM wins WHERE w IN (SELECT w FROM dups)),
+    spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+              FROM hits GROUP BY doc_id, isl)
+    SELECT doc_id, s AS span_start, e AS span_end,
+           (e - s + 1)::BIGINT AS span_tokens
+    FROM spans
+    """,
+)
+def span_index_incremental(spark, sf_dir):
+    """Incrementally maintained duplicated-span index == the batch
+    ExactSubstr operator over the full corpus: the documents table
+    lands in a source pool in two commits; streaming.span_index
+    .sync_spans window-hashes each delta with the SAME window_hash_rows
+    expression the batch operator compiles, probes only the delta
+    hashes' buckets for collisions, and appends window rows + newly
+    duplicated hit positions + exactly-once dup markers in one atomic
+    cursor-advancing commit (rerun = no-op — checked in-plan).
+    spans_view then island-merges the accumulated hits ACROSS commits,
+    so the result hash-matches the batch operator's verbatim-window-
+    text SQL oracle exactly — the dedup_substring_spans oracle, one
+    query, two execution strategies.
+
+    Scale: per-pass cost is O(delta + colliding buckets); the fourth
+    pool-backed index family (streaming/span_index.py docstring has the
+    probe-saturation honesty note and the prefix_len sizing rule)."""
+    import shutil
+
+    from zync_spark.pool import Pool
+    from zync_spark.streaming import span_index as SI
+
+    docs = T(spark, sf_dir, "documents")
+    cut = (docs.agg(F.max("doc_id")).collect()[0][0] * 3) // 5
+    env = docs.select(
+        F.struct(
+            F.lit("docs").alias("topic"),
+            F.lit(0).cast("long").alias("partition"),
+            F.col("doc_id").cast("long").alias("offset"),
+        ).alias("kafka"),
+        F.lit("data").alias("zed_type"),
+        F.struct("doc_id", "text").alias("value"),
+    )
+    lake = _scratch_dir(
+        f"zs-spanidx-{sf_dir.rstrip('/').rsplit('/', 1)[-1]}")
+    shutil.rmtree(lake, ignore_errors=True)
+    src = Pool.create(spark, f"{lake}/src")
+    dest = Pool.create(spark, f"{lake}/index")
+    spec = SI.SpanIndexSpec("docs", "value.doc_id", "value.text",
+                            window=8, min_docs=2)
+    src.load(env.filter(F.col("kafka.offset") < cut), "backfill")
+    SI.sync_spans(src, dest, spec, ["docs"])
+    src.load(env.filter(F.col("kafka.offset") >= cut), "delta")
+    SI.sync_spans(src, dest, spec, ["docs"])
+    if SI.sync_spans(src, dest, spec, ["docs"]) != 0:
+        raise RuntimeError("span_index_incremental: rerun committed rows")
+    SI.compact_spans(dest, target_rows=5000)
+    return SI.spans_view(dest, spec)
+
+
 _HYBRID_TERMS = ("vector", "merge", "hash")
 
 @register(

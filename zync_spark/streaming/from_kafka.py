@@ -93,15 +93,16 @@ class FromKafka:
         if self.indexes:
             from zync_spark.streaming.ann_index import AnnIndexSpec
             from zync_spark.streaming.dedup_index import DedupIndexSpec
+            from zync_spark.streaming.span_index import SpanIndexSpec
             from zync_spark.streaming.text_index import TextIndexSpec
 
             for spec, _d, _t in self.indexes:
                 if not isinstance(spec,
                                   (DedupIndexSpec, AnnIndexSpec,
-                                   TextIndexSpec)):
+                                   TextIndexSpec, SpanIndexSpec)):
                     raise TypeError(
                         f"index entry {spec!r}: expected DedupIndexSpec, "
-                        "AnnIndexSpec, or TextIndexSpec"
+                        "AnnIndexSpec, TextIndexSpec, or SpanIndexSpec"
                     )  # fail at construction, not mid-stream
 
     # -- resume ------------------------------------------------------------
@@ -260,12 +261,14 @@ class FromKafka:
             for spec, dest, topics in self.indexes:
                 if any(t in committed for t in topics):
                     from zync_spark.streaming import (ann_index, dedup_index,
-                                                      text_index)
+                                                      span_index, text_index)
 
                     if isinstance(spec, dedup_index.DedupIndexSpec):
                         sync = dedup_index.sync_index
                     elif isinstance(spec, text_index.TextIndexSpec):
                         sync = text_index.sync_text
+                    elif isinstance(spec, span_index.SpanIndexSpec):
+                        sync = span_index.sync_spans
                     else:
                         sync = ann_index.sync_ann
                     # the same small-files cadence commit_batch applies to
