@@ -624,3 +624,42 @@ def test_remove_duplicate_spans_total_removal_empty_string(spark):
     out = {r.doc_id: r.text for r in D.remove_duplicate_spans(
         df, "doc_id", "text", window=8).collect()}
     assert out == {1: "", 2: ""}
+
+
+def test_contaminated_spans_and_removal(spark):
+    """A verbatim benchmark run inside a training doc is located as a
+    span and excised; unrelated docs are untouched; matching is
+    case-insensitive; spans never cross the contaminated region."""
+    bench = spark.createDataFrame(
+        [(100, "What is the CAPITAL of France Paris obviously")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro words here what is the capital of france paris "
+                "obviously trailing content stays"),
+            (2, "completely unrelated training document with clean text"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = D.contaminated_spans(train, bench, "doc_id", "text", window=4)
+    got = {(r.doc_id, r.span_start, r.span_end) for r in spans.collect()}
+    # bench is 8 tokens; they sit at positions 3..10 of doc 1
+    assert got == {(1, 3, 10)}
+    out = {r.doc_id: r for r in
+           D.remove_spans(train, spans, "doc_id", "text").collect()}
+    assert out[1].text == "intro words here trailing content stays"
+    assert (out[1].n_tokens, out[1].n_removed) == (14, 8)
+    assert out[2].n_removed == 0
+
+
+def test_remove_spans_accepts_external_span_sets(spark):
+    """remove_spans is span-source-agnostic: a hand-built span frame
+    (e.g. from span_index.spans_view) drives the same surgery."""
+    df = spark.createDataFrame([(7, "a b c d e f")],
+                               "doc_id long, text string")
+    spans = spark.createDataFrame([(7, 1, 2, 2), (7, 4, 4, 1)],
+                                  "doc_id long, span_start int, "
+                                  "span_end int, span_tokens int")
+    r = D.remove_spans(df, spans, "doc_id", "text").collect()[0]
+    assert (r.text, r.n_removed) == ("a d f", 3)

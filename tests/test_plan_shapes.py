@@ -445,3 +445,14 @@ def test_span_removal_stays_jvm_hof(spark):
     assert count("CartesianProduct", p) == 0
     assert count("BroadcastNestedLoopJoin", p) == 0
     assert n_shuffles(p) <= 8, n_shuffles(p)
+
+
+def test_decontam_spans_broadcasts_benchmark(spark):
+    """decontam_span_removal claims the benchmark window-hash set
+    broadcasts (map-side semi join; no document-frequency shuffle):
+    the plan must contain a BroadcastHashJoin on the hash and no
+    Python, no cartesian."""
+    p = plan_of(spark, "decontam_span_removal")
+    assert count("BroadcastHashJoin", p) >= 1
+    assert count("CartesianProduct", p) == 0
+    assert re.search(PY_NODES, p) is None

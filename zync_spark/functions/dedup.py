@@ -588,8 +588,6 @@ def duplicate_spans(
     0-based inclusive; only documents containing at least one duplicated
     span appear.
     """
-    from pyspark.sql import Window
-
     wins = window_hash_rows(df, id_col, text_col, window)
     # A window is duplicated when it occurs >= 2 times anywhere AND in
     # >= min_docs distinct docs — so min_docs=1 means "repeated, possibly
@@ -605,6 +603,18 @@ def duplicate_spans(
         .select("h")
     )
     hits = wins.join(dup_h, "h").select("doc_id", "pos")
+    return merge_islands(hits, window)
+
+
+def merge_islands(hits: DataFrame, window: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicated window POSITIONS into maximal
+    spans: (doc_id, pos) rows → (doc_id, span_start, span_end,
+    span_tokens), span_end = last window start + window - 1. One shuffle
+    keyed by doc_id (the hits subset, not the corpus). Shared by the
+    batch operators here and streaming/span_index.spans_view, so the two
+    can never disagree on what a maximal span is."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = hits.withColumn("isl", F.col("pos") - F.row_number().over(w))
     return (
@@ -650,6 +660,27 @@ def remove_duplicate_spans(
     cleaned document ('' when everything was duplicated).
     """
     spans = duplicate_spans(df, id_col, text_col, window, min_docs)
+    return remove_spans(df, spans, id_col, text_col)
+
+
+def remove_spans(
+    df: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Apply a token-position span set to a corpus: drop every token
+    whose position falls inside any of its document's spans, reassemble.
+    `spans` is any (doc_id, span_start, span_end, ...) frame —
+    duplicate_spans output, span_index.spans_view, contaminated_spans —
+    positions indexing the whitespace tokens of `text_col` (the shared
+    text.tokens contract). Overlapping spans remove each position once.
+
+    Scale: one doc_id-keyed join of per-doc span lists back to the
+    corpus (spans exist only for affected docs) and a per-row JVM
+    higher-order filter — token surgery never leaves whole-stage
+    codegen, no Python, no extra corpus shuffle beyond the join.
+
+    Output: (doc_id, n_tokens, n_removed, text) — every input document
+    appears; text is whitespace-normalized, '' when everything was
+    removed."""
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(
             F.struct(F.col("span_start").alias("s"),
@@ -679,3 +710,37 @@ def remove_duplicate_spans(
         (F.size("__t") - F.size(kept)).alias("n_removed"),
         F.array_join(kept, " ").alias("text"),
     )
+
+
+def contaminated_spans(
+    df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    window: int = 8,
+) -> DataFrame:
+    """Spans of training documents that appear VERBATIM (window-token
+    runs, case-insensitive) anywhere in an evaluation/benchmark set —
+    the span-level decontamination that SURGICALLY excises leaked test
+    text instead of dropping whole documents (the text_decontaminate /
+    bloom / n-gram entries flag docs; this one says exactly WHAT to cut,
+    and `remove_spans` cuts it).
+
+    Scale: the benchmark side is tiny next to a training corpus, so its
+    distinct window-hash set BROADCASTS and the whole check is a
+    map-side semi join over the training windows + the island merge —
+    the corpus' text never shuffles, and the only data-proportional
+    exchange is the hits subset keyed by doc (merge_islands). The
+    duplication rule needs no document-frequency group at all here:
+    membership in the benchmark set IS the rule.
+
+    Output: (doc_id, span_start, span_end, span_tokens) over `df`.
+    """
+    wins = window_hash_rows(df, id_col, text_col, window)
+    bwins = window_hash_rows(
+        bench_df, bench_id_col or id_col, bench_text_col or text_col, window
+    ).select("h").distinct()
+    hits = wins.join(F.broadcast(bwins), "h").select("doc_id", "pos")
+    return merge_islands(hits, window)

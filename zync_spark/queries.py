@@ -1023,6 +1023,65 @@ def dedup_span_removal(spark, sf_dir):
 
 
 @register(
+    "decontam_span_removal",
+    r"""
+    WITH tk AS (SELECT doc_id, source,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS tl,
+                       regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents),
+    wins AS (SELECT doc_id, source, i AS pos,
+                    array_to_string(list_slice(tl, i+1, i+8), ' ') AS w
+             FROM tk, UNNEST(generate_series(0, len(tl) - 8)) AS g(i)),
+    ev AS (SELECT DISTINCT w FROM wins WHERE source = 'src1'),
+    hits AS (SELECT doc_id, pos,
+                    pos - row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY pos) AS isl
+             FROM wins WHERE source <> 'src1'
+               AND w IN (SELECT w FROM ev)),
+    spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+              FROM hits GROUP BY doc_id, isl),
+    rm AS (SELECT doc_id,
+                  list_distinct(flatten(list(generate_series(s, e)))) AS rm
+           FROM spans GROUP BY doc_id),
+    kept AS (SELECT tk.doc_id, t,
+                    [t[j+1] FOR j IN generate_series(0, len(t)-1)
+                     IF NOT list_contains(coalesce(rm, []), j)] AS kt
+             FROM tk LEFT JOIN rm ON tk.doc_id = rm.doc_id
+             WHERE tk.source <> 'src1')
+    SELECT doc_id, len(t)::BIGINT AS n_tokens,
+           (len(t) - len(kt))::BIGINT AS n_removed,
+           md5(coalesce(array_to_string(kt, ' '), '')) AS cleaned_md5
+    FROM kept
+    """,
+)
+def decontam_span_removal(spark, sf_dir):
+    """SPAN-LEVEL decontamination (functions/dedup.py contaminated_spans
+    + remove_spans): every verbatim 8-token run shared with the eval set
+    (source='src1' plays the benchmark) excised from the training split,
+    documents reassembled case-preserving — the surgical complement to
+    the three doc-FLAGGING decontamination entries (text_decontaminate /
+    bloom / n-gram), which say which docs leak; this says exactly WHAT
+    to cut, and cuts it. Checked over the whole training split (cleaned
+    text pinned by md5).
+
+    Scale: the benchmark window-hash set BROADCASTS (eval sets are MBs
+    against a 100 TB corpus), so contamination detection is a map-side
+    semi join — no document-frequency shuffle at all; the only
+    data-proportional exchanges are the hits subset keyed by doc and
+    the span-list join back; token surgery is the same whole-stage-
+    codegen higher-order filter as dedup_span_removal."""
+    docs = T(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src1")
+    bench = docs.filter(F.col("source") == "src1")
+    spans = D.contaminated_spans(train, bench, "doc_id", "text", window=8)
+    out = D.remove_spans(train, spans, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_tokens", "n_removed",
+        F.md5("text").alias("cleaned_md5"),
+    )
+
+
+@register(
     "dedup_components",
     _JACCARD_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """,
     edges AS (SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.5

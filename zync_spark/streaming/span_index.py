@@ -259,8 +259,6 @@ def spans_view(dest: Pool, spec: SpanIndexSpec,
     With `doc_ids`, reads only those documents' hit buckets
     (scan(bounds=) point-set skipping); without, reads the whole 'h:'
     key space (documents-with-spans sized, not window sized)."""
-    from pyspark.sql import Window
-
     plen = spec.prefix_len
     if doc_ids is not None:
         buckets = sorted({
@@ -281,19 +279,17 @@ def spans_view(dest: Pool, spec: SpanIndexSpec,
     hits = stored.filter(_is(spec, "hit")).select("doc_id", "pos")
     if doc_ids is not None:
         hits = hits.filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    islands = hits.withColumn("isl", F.col("pos") - F.row_number().over(w))
-    return (
-        islands.groupBy("doc_id", "isl")
-        .agg(F.min("pos").alias("span_start"),
-             (F.max("pos") + spec.window - 1).alias("span_end"))
-        .select(
-            "doc_id",
-            F.col("span_start").cast("long").alias("span_start"),
-            F.col("span_end").cast("long").alias("span_end"),
-            (F.col("span_end") - F.col("span_start") + 1)
-            .cast("long").alias("span_tokens"),
-        )
+    # the SAME maximal-span definition as the batch operator — one
+    # shared merge (functions.dedup.merge_islands), merging across
+    # commits because the accumulated hits are merged together
+    from zync_spark.functions.dedup import merge_islands
+
+    spans = merge_islands(hits, spec.window)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
     )
 
 
