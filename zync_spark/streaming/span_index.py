@@ -261,11 +261,15 @@ def spans_view(dest: Pool, spec: SpanIndexSpec,
     key space (documents-with-spans sized, not window sized)."""
     plen = spec.prefix_len
     if doc_ids is not None:
+        # point set: only the asked-for documents' hit buckets
         buckets = sorted({
             "h:" + format(d % (16 ** plen), f"0{plen}x") for d in doc_ids
         })
     else:
-        buckets = ["h:" + format(i, f"0{plen}x") for i in range(16 ** plen)]
+        # the whole 'h:' key space as ONE range bound ('g' > 'f' closes
+        # the hex alphabet) — skips every w:/d: file, which is the bulk
+        # of the pool (windows ~ tokens; hits ~ duplicated positions)
+        buckets = ("h:", "h:g")
     if stats_out is not None:
         stats_out["live_files"] = len(dest.committed_files())
         stats_out["hit_files"] = len(
