@@ -542,7 +542,7 @@ def test_text_spec_requires_kind_discriminator(tmp_path):
 def test_cli_span_index(spark, tmp_path, capsys):
     import yaml as _yaml
 
-    from tests.test_span_index import BATCHES, DOCS, ROW as SROW, TEXT
+    from tests.test_span_index import BATCHES, ROW as SROW, TEXT
     from zync_spark.pool import Pool
 
     lake = os.path.join(tmp_path, "lake_span")

@@ -205,3 +205,26 @@ def test_spec_validation_and_yaml_kind_guard(spark, tmp_path):
                  "text: value.text\nwindow: 6\nmin_docs: 1\n")
     spec, doc = SI.load_span_spec(str(p))
     assert (spec.window, spec.min_docs, spec.topic) == (6, 1, "spanindex:d")
+
+
+def test_drifted_spec_fails_loud(spark, tmp_path):
+    """window/min_docs/prefix_len are baked into stored hashes/ckeys: a
+    sync or view under a changed spec must raise (the persisted meta
+    contract), never silently miss stored rows."""
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    _load_batch(spark, src, BATCHES[0], 0)
+    assert SI.sync_spans(src, dest, SPEC, ["docs"]) > 0
+    _load_batch(spark, src, BATCHES[1], 2)
+    drifted = SI.SpanIndexSpec("docs", "value.doc_id", "value.text",
+                               window=4, min_docs=2, prefix_len=4)
+    with pytest.raises(ValueError, match="fixed for the life"):
+        SI.sync_spans(src, dest, drifted, ["docs"])
+    with pytest.raises(ValueError, match="fixed for the life"):
+        SI.spans_view(dest, drifted).collect()
+    wider = SI.SpanIndexSpec("docs", "value.doc_id", "value.text",
+                             window=6, min_docs=2)
+    with pytest.raises(ValueError, match="fixed for the life"):
+        SI.sync_spans(src, dest, wider, ["docs"])
+    # the true spec still works
+    assert SI.sync_spans(src, dest, SPEC, ["docs"]) > 0

@@ -29,10 +29,6 @@ spark.sparkContext.setLogLevel("ERROR")
 
 ROW = ("kafka struct<topic:string,partition:long,offset:long>, "
        "zed_type string, value struct<doc_id:long,text:string>")
-WORDS = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
-         "golf", "hotel", "india", "juliet", "kilo", "lima"]
-
-
 def _doc(i, tokens=40):
     # ~40 tokens/doc, all distinct across docs except planted repeats
     base = " ".join(f"w{i % 1009}x{j}y{i // 1009}" for j in range(tokens))

@@ -475,7 +475,8 @@ def cmd_span_index(args) -> int:
         ids = ([int(x) for x in args.docs.split(",")]
                if args.docs else None)
         view = si.spans_view(dest, spec, doc_ids=ids)
-        for line in view.orderBy("doc_id", "span_start")                 .toJSON().collect():
+        ordered = view.orderBy("doc_id", "span_start")
+        for line in ordered.toJSON().collect():
             print(line)
     return 0
 

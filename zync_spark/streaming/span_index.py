@@ -76,9 +76,13 @@ _PREFIX_LEN = 2  # see the boundedness note above: size to the DELTA
 class SpanIndexSpec:
     """Declarative index definition. `id_expr`/`text_expr`: SQL
     expressions over the source pool's rows producing the document id
-    (long) and text; `window`/`min_docs`: the duplicate_spans knobs,
-    FIXED for the life of the index (stored window hashes embed the
-    window length)."""
+    (long) and text; `window`/`min_docs`: the duplicate_spans knobs.
+    window, min_docs AND prefix_len are all FIXED for the life of the
+    index — stored hashes embed the window length and stored ckeys embed
+    the bucket fan-out. The contract is persisted in the pool at
+    creation ('meta' row) and every later sync/view validates against it
+    (_check_meta), so a drifted spec fails loud instead of silently
+    missing stored rows."""
 
     def __init__(self, name: str, id_expr: str, text_expr: str,
                  window: int = 8, min_docs: int = 2,
@@ -148,20 +152,24 @@ def _sync_spans_once(src: Pool, dest: Pool, spec: SpanIndexSpec,
             F.expr(spec.id_expr).cast("long").alias("doc_id"),
             F.expr(spec.text_expr).alias("text"),
         )
+        has_meta = _check_meta(dest, spec)
         wins_d = window_hash_rows(
             docs, "doc_id", "text", spec.window
         ).persist()
         try:
             # the delta's hash-bucket footprint — a <=16^prefix_len-value
-            # metadata collect (same shape as the other indexes' probes)
-            hexes = sorted(
-                r["hx"] for r in wins_d.select(
-                    F.lpad(F.hex(F.pmod("h", F.lit(16 ** spec.prefix_len))),
-                           spec.prefix_len, "0").alias("hx"))
+            # metadata collect (same shape as the other indexes' probes).
+            # The prefixes come from pmod_ckey ITSELF, the single shared
+            # bucketing definition, so write-side ckeys and probe values
+            # cannot drift (the same guard the other families rely on);
+            # the 'd:' space shares pmod(h), so its values are derived
+            # from the same output.
+            w_prefixes = sorted(
+                r["ck"] for r in wins_d.select(
+                    pmod_ckey("w:", F.col("h"), spec.prefix_len).alias("ck"))
                 .distinct().collect()
             )
-            hexes = [hx.lower() for hx in hexes]
-            stored_w, known_dup = _probe(dest, spec, hexes, stats_out)
+            stored_w, known_dup = _probe(dest, spec, w_prefixes, stats_out)
             d_hashes = wins_d.select("h").distinct()
             if stored_w is not None:
                 stored_w = stored_w.join(d_hashes, "h")
@@ -197,6 +205,16 @@ def _sync_spans_once(src: Pool, dest: Pool, spec: SpanIndexSpec,
                     _stamp("dup", pmod_ckey("d:", F.col("h"), plen),
                            newly_dup), allowMissingColumns=True)
             )
+            if not has_meta:
+                # persist the spec contract so a later sync or view
+                # under a DRIFTED spec fails loud (_check_meta) instead
+                # of silently missing stored rows — window and
+                # prefix_len are baked into stored hashes and ckeys
+                meta = delta.sparkSession.createDataFrame(
+                    [(spec.window, spec.min_docs, spec.prefix_len)],
+                    "window long, min_docs long, prefix_len long")
+                out = out.unionByName(_stamp("meta", F.lit("c:"), meta),
+                                      allowMissingColumns=True)
             n = dest.load(_envelope(spec, out, snapshot),
                           message or f"{spec.topic} sync",
                           cursors=new_cursors, occ_token=snapshot,
@@ -218,13 +236,42 @@ def _sync_spans_once(src: Pool, dest: Pool, spec: SpanIndexSpec,
         delta.unpersist()
 
 
-def _probe(dest: Pool, spec: SpanIndexSpec, hexes: list[str],
+def _check_meta(dest: Pool, spec: SpanIndexSpec) -> bool:
+    """Validate the caller's spec against the contract persisted at
+    index creation; returns whether a meta row exists (sync writes one
+    when it doesn't). window/min_docs/prefix_len are FIXED for the life
+    of an index — stored hashes embed the window length and stored ckeys
+    embed the bucket fan-out, so a drifted spec would not error: it
+    would silently stop seeing stored rows (missed duplicates, skipped
+    span files). One bounded 'c:' bucket read; no-op on a fresh pool."""
+    if not dest.commits():
+        return False
+    df = dest.scan(bounds={"ckey": ["c:"]})
+    if df is None or "window" not in df.columns:
+        return False  # pre-meta pool (or tombstones only)
+    rows = df.filter(_is(spec, "meta")) \
+        .select("window", "min_docs", "prefix_len").limit(1).collect()
+    if not rows:
+        return False
+    stored = (int(rows[0]["window"]), int(rows[0]["min_docs"]),
+              int(rows[0]["prefix_len"]))
+    ours = (spec.window, spec.min_docs, spec.prefix_len)
+    if stored != ours:
+        raise ValueError(
+            f"span index {spec.name!r} was created with (window, min_docs, "
+            f"prefix_len)={stored} but the spec now says {ours} — these are "
+            "fixed for the life of an index (stored hashes/ckeys embed "
+            "them); rebuild the index to change them")
+    return True
+
+
+def _probe(dest: Pool, spec: SpanIndexSpec, w_prefixes: list[str],
            stats_out: dict | None):
     """(stored win rows, stored dup markers) for the delta's hash
     buckets — one scan over the combined 'w:'/'d:' point set, file-
     skipped via the manifest's ckey stats; row-level ckey residual
     applied on top."""
-    prefixes = [f"w:{hx}" for hx in hexes] + [f"d:{hx}" for hx in hexes]
+    prefixes = w_prefixes + ["d:" + ck[2:] for ck in w_prefixes]
     if stats_out is not None:
         stats_out["live_files"] = len(dest.committed_files())
         stats_out["probe_files"] = len(
@@ -259,6 +306,7 @@ def spans_view(dest: Pool, spec: SpanIndexSpec,
     With `doc_ids`, reads only those documents' hit buckets
     (scan(bounds=) point-set skipping); without, reads the whole 'h:'
     key space (documents-with-spans sized, not window sized)."""
+    _check_meta(dest, spec)
     plen = spec.prefix_len
     if doc_ids is not None:
         # point set: only the asked-for documents' hit buckets
