@@ -401,3 +401,28 @@ def test_fresh_commits_are_boundedly_probed(spark, tmp_path):
     pairs = {(r["id_a"], r["id_b"])
              for r in DI.pairs_view(dest, SPEC).collect()}
     assert (7, 60) in pairs
+
+
+def test_drifted_spec_fails_loud(spark, tmp_path):
+    """k/num_hashes/bands/prefix_len are baked into stored signatures,
+    band keys, and ckeys — a sync or view under a changed spec must
+    raise (the persisted meta contract, round-5 session-4), never
+    silently produce incomparable signatures. threshold is a per-pass
+    policy knob and stays changeable."""
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    _load_batch(spark, src, BATCHES[0], 0)
+    assert DI.sync_index(src, dest, SPEC, ["docs"]) > 0
+    _load_batch(spark, src, BATCHES[1], 2)
+    drifted = DI.DedupIndexSpec("docs", "value.doc_id", "value.text",
+                                k=4, num_hashes=SPEC.num_hashes,
+                                bands=SPEC.bands, threshold=SPEC.threshold)
+    with pytest.raises(ValueError, match="fixed for the life"):
+        DI.sync_index(src, dest, drifted, ["docs"])
+    with pytest.raises(ValueError, match="fixed for the life"):
+        DI.pairs_view(dest, drifted)
+    # threshold-only change is allowed (policy knob, applies per pass)
+    relaxed = DI.DedupIndexSpec("docs", "value.doc_id", "value.text",
+                                k=SPEC.k, num_hashes=SPEC.num_hashes,
+                                bands=SPEC.bands, threshold=0.9)
+    assert DI.sync_index(src, dest, relaxed, ["docs"]) > 0

@@ -132,3 +132,24 @@ def test_edge_cases(spark, tmp_path):
     _load(spark, src, 10, 20)
     TI.sync_text(src, dest, SPEC, ["docs"], auto_compact_every=1)
     assert dest.commits_since_base() == 0
+
+
+def test_drifted_prefix_len_fails_loud(spark, tmp_path):
+    """prefix_len is baked into stored term/doc ckeys — a sync or search
+    under a changed value must raise (persisted meta contract), never
+    silently probe past stored posting buckets."""
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    rows = [(("docs", 0, i), "data", (i, _text(i))) for i in range(10)]
+    src.load(spark.createDataFrame(rows, ROW), "backfill")
+    assert TI.sync_text(src, dest, SPEC, ["docs"]) > 0
+    drifted = TI.TextIndexSpec("d", "value.doc_id", "value.text",
+                               prefix_len=4)
+    src.load(spark.createDataFrame(
+        [(("docs", 0, 10), "data", (10, _text(10)))], ROW), "d")
+    with pytest.raises(ValueError, match="fixed for the life"):
+        TI.sync_text(src, dest, drifted, ["docs"])
+    with pytest.raises(ValueError, match="fixed for the life"):
+        TI.search_text(dest, drifted, "spark table")
+    # the true spec still works
+    assert TI.sync_text(src, dest, SPEC, ["docs"]) > 0

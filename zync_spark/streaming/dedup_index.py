@@ -290,6 +290,39 @@ def sync_index(src: Pool, dest: Pool, spec: DedupIndexSpec,
     return n
 
 
+def _check_meta(dest: Pool, spec: DedupIndexSpec) -> bool:
+    """Validate the caller's spec against the contract persisted at index
+    creation; returns whether a meta row exists (sync writes one when it
+    doesn't — legacy pools acquire theirs on the next pass). k /
+    num_hashes / bands / prefix_len are baked into stored signatures,
+    band keys, and ckeys: a drifted spec would not error — it would
+    silently produce incomparable signatures and probe past stored
+    buckets (missed duplicates). threshold is NOT enforced: it is a
+    verification-policy knob applied per pass, stored informationally.
+    One bounded 'c:' bucket read; no-op on a fresh pool."""
+    if not dest.commits():
+        return False
+    df = dest.scan(bounds={"ckey": ["c:"]})
+    if df is None or "num_hashes" not in df.columns:
+        return False  # pre-meta (legacy) pool or tombstones only
+    rows = (df.filter(F.col("zed_type").eqNullSafe("meta")
+                      & F.col("kafka.topic").eqNullSafe(spec.topic))
+            .select("k", "num_hashes", "bands", "prefix_len")
+            .limit(1).collect())
+    if not rows:
+        return False
+    stored = tuple(int(rows[0][c])
+                   for c in ("k", "num_hashes", "bands", "prefix_len"))
+    ours = (spec.k, spec.num_hashes, spec.bands, spec.prefix_len)
+    if stored != ours:
+        raise ValueError(
+            f"dedup index {spec.name!r} was created with (k, num_hashes, "
+            f"bands, prefix_len)={stored} but the spec now says {ours} — "
+            "these are fixed for the life of an index (stored signatures/"
+            "band keys/ckeys embed them); rebuild the index to change them")
+    return True
+
+
 def _sync_index_once(src: Pool, dest: Pool, spec: DedupIndexSpec,
                      topics: list[str], message: str | None,
                      stats_out: dict | None) -> int:
@@ -309,6 +342,7 @@ def _sync_index_once(src: Pool, dest: Pool, spec: DedupIndexSpec,
         }
         if not new_cursors:
             return 0
+        has_meta = _check_meta(dest, spec)
         sigs = _sig_frame(spec, delta).persist()
         try:
             new_bands = sigs.select(
@@ -357,12 +391,12 @@ def _sync_index_once(src: Pool, dest: Pool, spec: DedupIndexSpec,
                     cand = nn.unionByName(no)
                     return _verify_and_commit(
                         dest, spec, delta, sigs, new_bands, cand, old_sets,
-                        new_cursors, snapshot, message)
+                        new_cursors, snapshot, message, has_meta)
                 finally:
                     no_raw.unpersist()
             return _verify_and_commit(
                 dest, spec, delta, sigs, new_bands, cand, old_sets,
-                new_cursors, snapshot, message)
+                new_cursors, snapshot, message, has_meta)
         finally:
             sigs.unpersist()
     finally:
@@ -373,7 +407,7 @@ def _verify_and_commit(dest: Pool, spec: DedupIndexSpec, delta: DataFrame,
                        sigs: DataFrame, new_bands: DataFrame,
                        cand: DataFrame, old_sets: DataFrame | None,
                        new_cursors: dict, snapshot: int,
-                       message: str | None) -> int:
+                       message: str | None, has_meta: bool = True) -> int:
     """Exact-Jaccard verification of the candidate pairs, then the atomic
     index+bands+pairs+cursors commit."""
     cand = cand.distinct()
@@ -403,6 +437,16 @@ def _verify_and_commit(dest: Pool, spec: DedupIndexSpec, delta: DataFrame,
                             pairs),
                      allowMissingColumns=True)
     )
+    if not has_meta:
+        # persist the spec contract so a later pass under a DRIFTED spec
+        # fails loud (_check_meta) instead of silently missing stored rows
+        meta = delta.sparkSession.createDataFrame(
+            [(spec.k, spec.num_hashes, spec.bands, spec.prefix_len,
+              float(spec.threshold))],
+            "k long, num_hashes long, bands long, prefix_len long,"
+            " threshold double")
+        out = out.unionByName(_stamp("meta", F.lit("c:"), meta),
+                              allowMissingColumns=True)
     out = _envelope(spec, out, snapshot)
     # cluster the commit itself by ckey (load records per-file stats):
     # the band/signature/pair key spaces land in separate files, so
@@ -566,6 +610,7 @@ def pairs_view(dest: Pool, spec: DedupIndexSpec,
     bucketed-pair format stay visible until compact_index rebuckets
     them. `stats_out` receives live_files/probe_files (the boundedness
     pin under test). ids=None returns the full view."""
+    _check_meta(dest, spec)
     if ids is None:
         df = dest.scan()
     else:
@@ -594,6 +639,7 @@ def pairs_view(dest: Pool, spec: DedupIndexSpec,
 
 def index_view(dest: Pool, spec: DedupIndexSpec) -> DataFrame | None:
     """The stored index: (doc_id, sh_set, bkeys)."""
+    _check_meta(dest, spec)
     df = dest.scan()
     if df is None or "zed_type" not in df.columns:
         return None

@@ -115,6 +115,33 @@ def _is(spec: TextIndexSpec, zed_type: str):
             & F.col("kafka.topic").eqNullSafe(spec.topic))
 
 
+def _check_meta(dest: Pool, spec: TextIndexSpec) -> bool:
+    """Validate the caller's prefix_len against the contract persisted
+    at index creation; returns whether a meta row exists (sync writes
+    one when it doesn't — legacy pools acquire theirs on the next
+    pass). prefix_len is baked into stored term/doc ckeys: a drifted
+    spec would not error — search would probe past stored posting
+    buckets and silently miss results. Rides the 'c:' bucket the
+    corpus stats already live in."""
+    if not dest.commits():
+        return False
+    df = dest.scan(bounds={"ckey": ["c:"]})
+    if df is None or "prefix_len" not in df.columns:
+        return False  # pre-meta (legacy) pool or tombstones only
+    rows = (df.filter(_is(spec, "meta"))
+            .select("prefix_len").limit(1).collect())
+    if not rows:
+        return False
+    stored = int(rows[0]["prefix_len"])
+    if stored != spec.prefix_len:
+        raise ValueError(
+            f"text index {spec.name!r} was created with prefix_len="
+            f"{stored} but the spec now says {spec.prefix_len} — fixed "
+            "for the life of an index (stored ckeys embed it); rebuild "
+            "the index to change it")
+    return True
+
+
 def sync_text(src: Pool, dest: Pool, spec: TextIndexSpec,
               topics: list[str], message: str | None = None,
               auto_compact_every: int | None = None) -> int:
@@ -148,6 +175,7 @@ def _sync_text_once(src: Pool, dest: Pool, spec: TextIndexSpec,
         }
         if not new_cursors:
             return 0
+        has_meta = _check_meta(dest, spec)
         docs = delta.select(
             F.expr(spec.id_expr).cast("long").alias("doc_id"),
             TX.tokens(F.lower(F.expr(spec.text_expr))).alias("toks"),
@@ -170,6 +198,13 @@ def _sync_text_once(src: Pool, dest: Pool, spec: TextIndexSpec,
             .unionByName(_stamp("cstat", F.lit("c:"), cstat),
                          allowMissingColumns=True)
         )
+        if not has_meta:
+            # persist the creation-time prefix_len so a later sync or
+            # search under a drifted spec fails loud (_check_meta)
+            meta = delta.sparkSession.createDataFrame(
+                [(spec.prefix_len,)], "prefix_len long")
+            out = out.unionByName(_stamp("meta", F.lit("c:"), meta),
+                                  allowMissingColumns=True)
         n = dest.load(_envelope(spec, out, snapshot),
                       message or f"{spec.topic} sync",
                       cursors=new_cursors, occ_token=snapshot,
@@ -224,6 +259,7 @@ def search_text(dest: Pool, spec: TextIndexSpec, query: str | list[str],
     skipping; `stats_out` receives live_files/probe_files/dlen_files —
     the boundedness contract under test). Duplicate query terms count
     once (standard bag-of-words query semantics)."""
+    _check_meta(dest, spec)
     if isinstance(query, str):
         terms = query.lower().split()  # the text.tokens contract
     else:
