@@ -570,3 +570,39 @@ def test_cli_span_index(spark, tmp_path, capsys):
     # doc 0's duplicated region is the full 16 shared tokens
     assert out == [{"doc_id": 0, "span_start": 0, "span_end": 15,
                     "span_tokens": 16}]
+
+
+def test_cli_index_rebuild_verbs(spark, tmp_path, capsys):
+    """The rebuild verbs re-bucket in place and tell the operator to
+    update the spec YAML; missing knobs fail with guidance."""
+    import pytest
+    import yaml as _yaml
+
+    from tests.test_span_index import BATCHES, ROW as SROW, TEXT
+    from zync_spark.pool import Pool
+
+    lake = os.path.join(tmp_path, "lake_rb")
+    src = Pool.create(spark, os.path.join(lake, "src"))
+    rows, off = [], 0
+    for batch in BATCHES:
+        for d in batch:
+            rows.append((("docs", 0, off), "data", (d, TEXT[d])))
+            off += 1
+    src.load(spark.createDataFrame(rows, SROW), "backfill")
+    spec_path = os.path.join(tmp_path, "sidx.yaml")
+    with open(spec_path, "w") as f:
+        _yaml.safe_dump(
+            {"kind": "span", "name": "d", "source": "src", "dest": "sidx",
+             "topics": ["docs"], "id": "value.doc_id",
+             "text": "value.text", "window": 4}, f)
+    assert main(["--lake", lake, "span-index", "sync", spec_path]) == 0
+    capsys.readouterr()
+    with pytest.raises(SystemExit, match="min-docs"):
+        main(["--lake", lake, "span-index", "rebuild", spec_path])
+    assert main(["--lake", lake, "span-index", "rebuild", spec_path,
+                 "--prefix-len", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "prefix_len=3" in out and "update the spec YAML" in out
+    # the YAML (still prefix_len=2) is now the drifted contract
+    with pytest.raises(ValueError, match="fixed for the life"):
+        main(["--lake", lake, "span-index", "spans", spec_path])

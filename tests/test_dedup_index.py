@@ -426,3 +426,27 @@ def test_drifted_spec_fails_loud(spark, tmp_path):
                                 k=SPEC.k, num_hashes=SPEC.num_hashes,
                                 bands=SPEC.bands, threshold=0.9)
     assert DI.sync_index(src, dest, relaxed, ["docs"]) > 0
+
+
+def test_rebuild_rebuckets_in_place(spark, tmp_path):
+    """rebuild_index re-buckets every key space under a new prefix_len
+    from stored rows alone; the old contract then fails loud, the new
+    one keeps incremental == batch across the rebuild."""
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    start = 0
+    for batch in BATCHES[:2]:
+        start = _load_batch(spark, src, batch, start)
+        assert DI.sync_index(src, dest, SPEC, ["docs"]) > 0
+    new_spec = DI.rebuild_index(dest, SPEC, prefix_len=3)
+    assert new_spec.prefix_len == 3
+    with pytest.raises(ValueError, match="fixed for the life"):
+        DI.pairs_view(dest, SPEC)
+    _load_batch(spark, src, BATCHES[2], start)
+    assert DI.sync_index(src, dest, new_spec, ["docs"]) > 0
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DI.pairs_view(dest, new_spec).collect()
+    }
+    assert got == _batch_pairs(spark)
+    assert (2, 4) in got  # the cross-batch pair found through new buckets

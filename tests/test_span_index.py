@@ -228,3 +228,51 @@ def test_drifted_spec_fails_loud(spark, tmp_path):
         SI.sync_spans(src, dest, wider, ["docs"])
     # the true spec still works
     assert SI.sync_spans(src, dest, SPEC, ["docs"]) > 0
+
+
+def test_rebuild_changes_contract_in_place(spark, tmp_path):
+    """rebuild_spans re-derives hits/markers under a new min_docs and
+    re-buckets under a new prefix_len from the STORED windows alone (no
+    source re-read), rewrites the meta row, and later syncs under the
+    returned spec keep incremental == batch."""
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    start = 0
+    for batch in BATCHES[:2]:
+        start = _load_batch(spark, src, batch, start)
+        assert SI.sync_spans(src, dest, SPEC, ["docs"]) > 0
+    new_spec = SI.rebuild_spans(dest, SPEC, min_docs=1, prefix_len=3)
+    assert (new_spec.min_docs, new_spec.prefix_len) == (1, 3)
+    # the old contract is now the drifted one
+    with pytest.raises(ValueError, match="fixed for the life"):
+        SI.spans_view(dest, SPEC).collect()
+    # hits were re-derived: docs 3/5 self-repeat "same batch twin",
+    # visible only under min_docs=1
+    docs_so_far = [d for b in BATCHES[:2] for d in b]
+    batch_now = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(
+            spark.createDataFrame([(d, TEXT[d]) for d in docs_so_far],
+                                  "doc_id long, text string"),
+            "doc_id", "text", window=4, min_docs=1).collect()
+    }
+    got_now = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in SI.spans_view(dest, new_spec).collect()
+    }
+    assert got_now == batch_now
+    assert any(d == 3 for d, *_ in got_now)
+    # maintenance continues under the new contract across the rebuild
+    _load_batch(spark, src, BATCHES[2], start)
+    assert SI.sync_spans(src, dest, new_spec, ["docs"]) > 0
+    want = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(
+            spark.createDataFrame(DOCS, "doc_id long, text string"),
+            "doc_id", "text", window=4, min_docs=1).collect()
+    }
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in SI.spans_view(dest, new_spec).collect()
+    }
+    assert got == want

@@ -153,3 +153,29 @@ def test_drifted_prefix_len_fails_loud(spark, tmp_path):
         TI.search_text(dest, drifted, "spark table")
     # the true spec still works
     assert TI.sync_text(src, dest, SPEC, ["docs"]) > 0
+
+
+def test_rebuild_rebuckets_in_place(spark, tmp_path):
+    """rebuild_text re-buckets postings and dlens under a new prefix_len
+    from stored rows alone; search through the new buckets matches the
+    pre-rebuild results and later syncs continue under the new spec."""
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    rows = [(("docs", 0, i), "data", (i, _text(i))) for i in range(30)]
+    src.load(spark.createDataFrame(rows, ROW), "backfill")
+    assert TI.sync_text(src, dest, SPEC, ["docs"]) > 0
+    before = [(r["doc_id"], r["rank"], r["score"])
+              for r in TI.search_text(dest, SPEC, "spark table", k=5)
+              .collect()]
+    new_spec = TI.rebuild_text(dest, SPEC, prefix_len=3, target_rows=50)
+    with pytest.raises(ValueError, match="fixed for the life"):
+        TI.search_text(dest, SPEC, "spark table")
+    stats = {}
+    after = [(r["doc_id"], r["rank"], r["score"])
+             for r in TI.search_text(dest, new_spec, "spark table", k=5,
+                                     stats_out=stats).collect()]
+    assert after == before and before
+    assert 0 < stats["probe_files"] < stats["live_files"]
+    src.load(spark.createDataFrame(
+        [(("docs", 0, 30), "data", (30, _text(3)))], ROW), "d")
+    assert TI.sync_text(src, dest, new_spec, ["docs"]) > 0

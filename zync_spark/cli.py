@@ -275,6 +275,10 @@ def cmd_dedup_index(args) -> int:
                skip non-colliding files (run on small-files cadence)
       migrate  upgrade a pre-band-row pool (one commit; see
                streaming/dedup_index.py migrate_band_rows)
+      rebuild  re-bucket every key space at a new --prefix-len in
+               place, source-free (one OCC base commit; k/num_hashes/
+               bands need a source re-ingest — they are burned into
+               the stored signatures)
 
     Spec YAML:
       name: docs
@@ -309,6 +313,13 @@ def cmd_dedup_index(args) -> int:
     elif args.action == "migrate":
         n = di.migrate_band_rows(dest, spec)
         print(f"dedup-index {spec.name}: {n} band rows migrated")
+    elif args.action == "rebuild":
+        if args.prefix_len is None:
+            raise SystemExit("dedup-index rebuild requires --prefix-len "
+                             "(the one parameter changeable source-free)")
+        new = di.rebuild_index(dest, spec, prefix_len=args.prefix_len)
+        print(f"dedup-index {spec.name}: rebucketed to prefix_len="
+              f"{new.prefix_len}; update the spec YAML to match")
     elif args.action == "pairs":
         ids = ([int(x) for x in args.ids.split(",")] if args.ids else None)
         stats: dict = {}
@@ -417,6 +428,7 @@ def cmd_text_index(args) -> int:
       compact  range-cluster the index pool by bucket
       search   BM25 top-k for --query terms (reads only the terms'
                posting buckets); JSON lines (doc_id, rank, score)
+      rebuild  re-bucket postings/dlens at a new --prefix-len in place
 
     Spec YAML: see streaming.text_index.load_text_spec docstring.
     """
@@ -433,6 +445,12 @@ def cmd_text_index(args) -> int:
     elif args.action == "compact":
         n = ti.compact_text(dest)
         print(f"text-index {spec.name}: compacted {n} rows")
+    elif args.action == "rebuild":
+        if args.prefix_len is None:
+            raise SystemExit("text-index rebuild requires --prefix-len")
+        new = ti.rebuild_text(dest, spec, prefix_len=args.prefix_len)
+        print(f"text-index {spec.name}: rebucketed to prefix_len="
+              f"{new.prefix_len}; update the spec YAML to match")
     else:
         if not args.query:
             raise SystemExit("text-index search requires --query")
@@ -455,6 +473,9 @@ def cmd_span_index(args) -> int:
       spans    the accumulated maximal spans (== the batch operator
                over the full corpus); --docs limits the read to those
                documents' hit buckets; JSON lines
+      rebuild  change --min-docs (hits re-derived from stored windows)
+               and/or --prefix-len (re-bucket) in place, source-free;
+               window needs a source re-ingest (burned into hashes)
 
     Spec YAML: see streaming.span_index.load_span_spec docstring.
     """
@@ -471,6 +492,16 @@ def cmd_span_index(args) -> int:
     elif args.action == "compact":
         n = si.compact_spans(dest)
         print(f"span-index {spec.name}: compacted {n} rows")
+    elif args.action == "rebuild":
+        if args.min_docs is None and args.prefix_len is None:
+            raise SystemExit("span-index rebuild requires --min-docs "
+                             "and/or --prefix-len (window cannot change "
+                             "source-free: it is burned into the hashes)")
+        new = si.rebuild_spans(dest, spec, min_docs=args.min_docs,
+                               prefix_len=args.prefix_len)
+        print(f"span-index {spec.name}: rebuilt to min_docs="
+              f"{new.min_docs} prefix_len={new.prefix_len}; update the "
+              "spec YAML to match")
     else:
         ids = ([int(x) for x in args.docs.split(",")]
                if args.docs else None)
@@ -999,7 +1030,9 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_ann_index)
 
     p = sub.add_parser("text-index", help="incremental BM25 text index")
-    p.add_argument("action", choices=["sync", "compact", "search"])
+    p.add_argument("action", choices=["sync", "compact", "search", "rebuild"])
+    p.add_argument("--prefix-len", type=int, default=None, metavar="P",
+                   help="rebuild: re-bucket at 16^P buckets (in place)")
     p.add_argument("spec", help="index spec YAML (see cmd_text_index docstring)")
     p.add_argument("--auto-compact", type=int, default=None, metavar="N",
                    help="re-cluster after N delta commits since last base")
@@ -1009,8 +1042,12 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("span-index",
                        help="incremental duplicated-span (ExactSubstr) index")
-    p.add_argument("action", choices=["sync", "compact", "spans"])
+    p.add_argument("action", choices=["sync", "compact", "spans", "rebuild"])
     p.add_argument("spec", help="index spec YAML (see cmd_span_index docstring)")
+    p.add_argument("--min-docs", type=int, default=None, metavar="M",
+                   help="rebuild: re-derive hits under a new rule")
+    p.add_argument("--prefix-len", type=int, default=None, metavar="P",
+                   help="rebuild: re-bucket at 16^P buckets (in place)")
     p.add_argument("--auto-compact", type=int, default=None, metavar="N",
                    help="re-cluster after N delta commits since last base")
     p.add_argument("--docs", default=None, metavar="ID,ID",
@@ -1067,9 +1104,13 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("dedup-index",
                        help="incremental MinHash-LSH dedup index")
     p.add_argument("action",
-                   choices=["sync", "pairs", "index", "compact", "migrate"])
+                   choices=["sync", "pairs", "index", "compact", "migrate",
+                            "rebuild"])
     p.add_argument("spec",
                    help="index spec YAML (see cmd_dedup_index docstring)")
+    p.add_argument("--prefix-len", type=int, default=None, metavar="P",
+                   help="rebuild: re-bucket every key space at 16^P "
+                        "buckets (in place, source-free)")
     p.add_argument("--auto-compact", type=int, default=None, metavar="N",
                    help="re-cluster after N delta commits since last base")
     p.add_argument("--ids", default=None, metavar="ID,ID,...",

@@ -555,6 +555,78 @@ def compact_index(dest: Pool, target_rows: int = 4_000_000,
                         cluster_by=["ckey"])
 
 
+def rebuild_index(dest: Pool, spec: DedupIndexSpec,
+                  prefix_len: int,
+                  target_rows: int = 4_000_000,
+                  message: str = "dedupindex rebuild") -> DedupIndexSpec:
+    """The executable answer to _check_meta's "rebuild the index" for
+    the one parameter changeable source-free: prefix_len. Stored index
+    rows carry doc_id + bkeys, pair rows id_a — every key space
+    re-buckets under the new fan-out, with band rows regenerated by
+    exploding the stored bkeys (which also self-heals legacy pools that
+    predate band rows, the migrate_band_rows upgrade folded in). One
+    atomic Pool.compact publish (OCC claim; a concurrent sync aborts
+    the rebuild); cursors carry forward; the meta row is rewritten.
+
+    k / num_hashes / bands CANNOT change here: they are burned into the
+    stored signatures (text is never stored) — changing them means
+    re-ingesting the source into a fresh index."""
+    if not 1 <= int(prefix_len) <= 8:
+        raise ValueError("prefix_len must be 1..8 hex chars")
+    new_pl = int(prefix_len)
+
+    def _tx(df: DataFrame) -> DataFrame:
+        if "doc_id" not in df.columns or "bkeys" not in df.columns:
+            raise ValueError(
+                f"rebuild_index: index {spec.name!r} has no stored rows")
+        idx = df.filter(_is_index(spec)).select(
+            "kafka", "doc_id", "sh_set", "bkeys")
+        bands = idx.select("kafka", "doc_id",
+                           F.explode("bkeys").alias("bkey"))
+        pair_cols = ["kafka", "id_a", "id_b", "jaccard"]
+        pairs = (df.filter(_is_pair(spec)).select(*pair_cols)
+                 if "id_a" in df.columns else None)
+        meta = df.sparkSession.createDataFrame(
+            [(spec.k, spec.num_hashes, spec.bands, new_pl,
+              float(spec.threshold))],
+            "k long, num_hashes long, bands long, prefix_len long,"
+            " threshold double")
+        out = (
+            idx.select(
+                "kafka", F.lit("index").alias("zed_type"),
+                _doc_ckey(F.col("doc_id"), new_pl).alias("ckey"),
+                "doc_id", "sh_set", "bkeys")
+            .unionByName(bands.select(
+                "kafka", F.lit("band").alias("zed_type"),
+                _band_ckey(F.col("bkey"), new_pl).alias("ckey"),
+                "doc_id", "bkey"), allowMissingColumns=True)
+        )
+        if pairs is not None:
+            out = out.unionByName(pairs.select(
+                "kafka", F.lit("duppair").alias("zed_type"),
+                _pair_ckey(F.col("id_a"), new_pl).alias("ckey"),
+                "id_a", "id_b", "jaccard"), allowMissingColumns=True)
+        out = out.unionByName(meta.select(
+            F.struct(
+                F.lit(spec.topic).alias("topic"),
+                F.lit(-2).cast("long").alias("partition"),
+                F.monotonically_increasing_id().alias("offset"),
+            ).alias("kafka"),
+            F.lit("meta").alias("zed_type"),
+            F.lit("c:").alias("ckey"),
+            "k", "num_hashes", "bands", "prefix_len", "threshold"),
+            allowMissingColumns=True)
+        others = df.filter(~F.col("kafka.topic").eqNullSafe(spec.topic))
+        return out.unionByName(others, allowMissingColumns=True)
+
+    dest.compact(target_rows=target_rows, message=message, transform=_tx,
+                 cluster_by=["ckey"])
+    return DedupIndexSpec(spec.name, spec.id_expr, spec.text_expr,
+                          k=spec.k, num_hashes=spec.num_hashes,
+                          bands=spec.bands, threshold=spec.threshold,
+                          prefix_len=new_pl)
+
+
 def migrate_band_rows(dest: Pool, spec: DedupIndexSpec) -> int:
     """One-time upgrade of a pool written before the band-row format:
     explode the bkeys of every stored index row that has no band rows

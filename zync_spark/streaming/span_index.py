@@ -287,6 +287,82 @@ def _probe(dest: Pool, spec: SpanIndexSpec, w_prefixes: list[str],
     return wins, dups
 
 
+def rebuild_spans(dest: Pool, spec: SpanIndexSpec,
+                  min_docs: int | None = None,
+                  prefix_len: int | None = None,
+                  target_rows: int = 4_000_000,
+                  message: str = "spanindex rebuild") -> SpanIndexSpec:
+    """The executable answer to _check_meta's "rebuild the index" —
+    change min_docs and/or prefix_len IN PLACE, source-free: the stored
+    window rows carry every occurrence, so the duplication rule is
+    re-derived from scratch under the new min_docs (hits and dup markers
+    recomputed exactly as a from-zero ingest would), and every key space
+    re-buckets under the new prefix_len. One atomic Pool.compact
+    publish under the usual OCC claim (a concurrent sync aborts the
+    rebuild, never splits the index across two contracts); cursors carry
+    forward, the meta row is rewritten, and the returned spec is the
+    new contract to sync/view with.
+
+    `window` CANNOT change here: it is burned into the stored hashes
+    (text is never stored) — changing it means re-ingesting the source
+    into a fresh index, and asking for it raises."""
+    new_md = spec.min_docs if min_docs is None else int(min_docs)
+    new_pl = spec.prefix_len if prefix_len is None else int(prefix_len)
+    if not 1 <= new_pl <= 8:
+        raise ValueError("prefix_len must be 1..8 hex chars")
+    if new_md < 1:
+        raise ValueError("min_docs must be >= 1")
+
+    def _tx(df: DataFrame) -> DataFrame:
+        if "h" not in df.columns or "pos" not in df.columns:
+            raise ValueError(
+                f"rebuild_spans: index {spec.name!r} has no stored windows")
+        wins = df.filter(_is(spec, "win")).select("h", "doc_id", "pos")
+        satisfied = (
+            wins.groupBy("h")
+            .agg(F.count_distinct("doc_id").alias("nd"),
+                 F.count(F.lit(1)).alias("nt"))
+            .filter((F.col("nd") >= new_md) & (F.col("nt") >= 2))
+            .select("h")
+        )
+        hits = wins.join(satisfied, "h").select("doc_id", "pos")
+        meta = df.sparkSession.createDataFrame(
+            [(spec.window, new_md, new_pl)],
+            "window long, min_docs long, prefix_len long")
+        out = (
+            _stamp("win", pmod_ckey("w:", F.col("h"), new_pl), wins)
+            .unionByName(
+                _stamp("hit", pmod_ckey("h:", F.col("doc_id"), new_pl),
+                       hits), allowMissingColumns=True)
+            .unionByName(
+                _stamp("dup", pmod_ckey("d:", F.col("h"), new_pl),
+                       satisfied), allowMissingColumns=True)
+            .unionByName(_stamp("meta", F.lit("c:"), meta),
+                         allowMissingColumns=True)
+        )
+        # fresh labels on the reserved partition -2 (the rebuild_ann
+        # convention): the base manifest is the only commit at its seq,
+        # so labels cannot collide with any sync pass's rows
+        out = out.select(
+            F.struct(
+                F.lit(spec.topic).alias("topic"),
+                F.lit(-2).cast("long").alias("partition"),
+                F.monotonically_increasing_id().alias("offset"),
+            ).alias("kafka"),
+            *[F.col(c) for c in out.columns],
+        )
+        # cursor tombstones and other topics sharing the pool pass
+        # through untouched
+        others = df.filter(~F.col("kafka.topic").eqNullSafe(spec.topic))
+        return out.unionByName(others, allowMissingColumns=True)
+
+    dest.compact(target_rows=target_rows, message=message, transform=_tx,
+                 cluster_by=["ckey"])
+    return SpanIndexSpec(spec.name, spec.id_expr, spec.text_expr,
+                         window=spec.window, min_docs=new_md,
+                         prefix_len=new_pl)
+
+
 def compact_spans(dest: Pool, target_rows: int = 4_000_000,
                   message: str = "spanindex compact") -> int:
     """Range-cluster the pool by ckey so each output file covers a

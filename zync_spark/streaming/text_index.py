@@ -237,6 +237,65 @@ def compact_text(dest: Pool, target_rows: int = 4_000_000,
                         cluster_by=["ckey"])
 
 
+def rebuild_text(dest: Pool, spec: TextIndexSpec,
+                 prefix_len: int,
+                 target_rows: int = 4_000_000,
+                 message: str = "textindex rebuild") -> TextIndexSpec:
+    """The executable answer to _check_meta's "rebuild the index" —
+    change prefix_len IN PLACE, source-free: stored posting rows carry
+    the term and dlen rows the doc_id, so every key space re-buckets
+    under the new fan-out in one atomic Pool.compact publish (OCC claim;
+    a concurrent sync aborts the rebuild). Cursors carry forward; the
+    meta row is rewritten; the returned spec is the new contract."""
+    if not 1 <= int(prefix_len) <= 8:
+        raise ValueError("prefix_len must be 1..8 hex chars")
+    new_pl = int(prefix_len)
+
+    def _tx(df: DataFrame) -> DataFrame:
+        if "term" not in df.columns:
+            raise ValueError(
+                f"rebuild_text: index {spec.name!r} has no stored postings")
+        mine = df.filter(F.col("kafka.topic").eqNullSafe(spec.topic))
+        posts = mine.filter(F.col("zed_type").eqNullSafe("post")) \
+            .select("kafka", "term", "doc_id", "tf")
+        dlens = mine.filter(F.col("zed_type").eqNullSafe("dlen")) \
+            .select("kafka", "doc_id", "dl")
+        cstat = mine.filter(F.col("zed_type").eqNullSafe("cstat")) \
+            .select("kafka", "n_docs", "dl_sum")
+        meta = df.sparkSession.createDataFrame(
+            [(new_pl,)], "prefix_len long")
+        out = (
+            posts.select(
+                "kafka", F.lit("post").alias("zed_type"),
+                _term_ckey(F.col("term"), new_pl).alias("ckey"),
+                "term", "doc_id", "tf")
+            .unionByName(dlens.select(
+                "kafka", F.lit("dlen").alias("zed_type"),
+                _dl_ckey(F.col("doc_id"), new_pl).alias("ckey"),
+                "doc_id", "dl"), allowMissingColumns=True)
+            .unionByName(cstat.select(
+                "kafka", F.lit("cstat").alias("zed_type"),
+                F.lit("c:").alias("ckey"), "n_docs", "dl_sum"),
+                allowMissingColumns=True)
+            .unionByName(meta.select(
+                F.struct(
+                    F.lit(spec.topic).alias("topic"),
+                    F.lit(-2).cast("long").alias("partition"),
+                    F.monotonically_increasing_id().alias("offset"),
+                ).alias("kafka"),
+                F.lit("meta").alias("zed_type"),
+                F.lit("c:").alias("ckey"), "prefix_len"),
+                allowMissingColumns=True)
+        )
+        others = df.filter(~F.col("kafka.topic").eqNullSafe(spec.topic))
+        return out.unionByName(others, allowMissingColumns=True)
+
+    dest.compact(target_rows=target_rows, message=message, transform=_tx,
+                 cluster_by=["ckey"])
+    return TextIndexSpec(spec.name, id_expr=spec.id_expr,
+                         text_expr=spec.text_expr, prefix_len=new_pl)
+
+
 def corpus_stats(dest: Pool, spec: TextIndexSpec) -> tuple[int, int]:
     """(n_docs, dl_sum) from the mergeable cstat partials — one bounded
     bucket read, never a corpus scan."""
