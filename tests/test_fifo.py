@@ -564,3 +564,38 @@ def test_streaming_text_index_maintenance(spark, tmp_path):
     assert TI.corpus_stats(idx, TSPEC)[0] == 20  # fresh within one batch
     hits = TI.search_text(idx, TSPEC, "spark", k=3)
     assert hits.count() == 3
+
+
+def test_streaming_span_index_maintenance(spark, tmp_path):
+    """FromKafka(indexes=[(SpanIndexSpec, ...)]) keeps the duplicated-
+    span index fresh to within one micro-batch — fourth index family,
+    same dispatch contract; a cross-batch duplicate surfaces as soon as
+    its later member's batch commits."""
+    from tests.test_span_index import SPEC as SSPEC, TEXT
+    from zync_spark.streaming import span_index as SI
+
+    reg = MemoryRegistry()
+    doc_t = S([Fld("doc_id", LongType()), Fld("text", StringType())])
+    pool = Pool.create(spark, str(tmp_path / "docs"))
+    idx = Pool.create(spark, str(tmp_path / "idx"))
+    fk = FromKafka(spark, {"docs": pool}, KEY_T, doc_t, registry=reg,
+                   format="avro", indexes=[(SSPEC, idx, ["docs"])])
+
+    def frame(rows, lo):
+        typed = spark.createDataFrame(
+            [("docs", 0, lo + j, (d,), (d, TEXT[d]))
+             for j, d in enumerate(rows)],
+            S([Fld("topic", StringType()), Fld("partition", LongType()),
+               Fld("offset", LongType()), Fld("key", KEY_T),
+               Fld("value", doc_t)]))
+        wire = encode_column(typed, "key", KEY_T, reg)
+        return encode_column(wire, "value", doc_t, reg)
+
+    # doc 0 alone: no duplicates yet
+    assert fk.commit_batch(frame([0, 1], 0)) == {"docs": 2}
+    assert SI.spans_view(idx, SSPEC).count() == 0
+    # doc 2 shares tokens 0..9 with doc 0 → spans appear this batch
+    assert fk.commit_batch(frame([2], 2)) == {"docs": 1}
+    got = {(r["doc_id"], r["span_start"])
+           for r in SI.spans_view(idx, SSPEC).collect()}
+    assert got == {(0, 0), (2, 0)}
