@@ -41,6 +41,7 @@ PYTHON_OK = {
     # (imperative decrement state no JVM expression expresses); Arrow-
     # batched mapInPandas, enforced by test_python_operators_are_arrow_batched
     "q_approx_topk",
+    "q_grouped_approx_topk",
 }
 
 # loose fleet-wide ceiling; queries with legitimately many stages

@@ -166,3 +166,42 @@ def test_approx_topk_capacity_validation(spark):
     df = spark.createDataFrame([("a",)], "k string")
     with pytest.raises(ValueError):
         approx_topk(df, "k", capacity=0)
+
+
+def test_grouped_approx_topk_per_group_contract(spark):
+    """The MG inequalities hold WITHIN each group over its own stream
+    length, under multiple partitionings; no fabricated (group, key)."""
+    from zync_spark.functions.topk import grouped_approx_topk
+
+    rows = []
+    for g, n_keys, reps in (("a", 40, 60), ("b", 15, 25), ("c", 3, 5)):
+        for i in range(n_keys):
+            rows.extend([(g, f"k{i:03d}")] * (1 + (n_keys - i) * reps // n_keys))
+    true, n_g = {}, {}
+    for g, k in rows:
+        true[(g, k)] = true.get((g, k), 0) + 1
+        n_g[g] = n_g.get(g, 0) + 1
+    cap = 8
+    for parts in (1, 5):
+        df = spark.createDataFrame(rows, "g string, k string") \
+            .repartition(parts)
+        est = {(r.g, r.key): r.est
+               for r in grouped_approx_topk(df, "g", "k",
+                                            capacity=cap).collect()}
+        for (g, k), t in true.items():
+            e = est.get((g, k), 0)
+            bound = n_g[g] / (cap + 1)
+            assert e <= t, (parts, g, k)
+            assert t - e <= bound, (parts, g, k, e, t, bound)
+            if t > bound:
+                assert (g, k) in est
+        for gk in est:
+            assert gk in true
+
+
+def test_grouped_approx_topk_validation(spark):
+    from zync_spark.functions.topk import grouped_approx_topk
+
+    df = spark.createDataFrame([("g", "a")], "g string, k string")
+    with pytest.raises(ValueError):
+        grouped_approx_topk(df, "g", "k", capacity=0)

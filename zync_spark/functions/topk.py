@@ -198,3 +198,63 @@ def approx_topk(
         .mapInPandas(_mg, "key string, est long")
     )
     return partials.groupBy("key").agg(F.sum("est").alias("est"))
+
+
+def grouped_approx_topk(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    capacity: int = 256,
+) -> DataFrame:
+    """Per-group Misra-Gries heavy hitters — "top domains per language",
+    "top tokens per source" — with `approx_topk`'s contract holding
+    WITHIN each group g over its own stream length N_g:
+
+        true_g(key) - N_g/(capacity+1)  <=  est  <=  true_g(key)
+
+    (each partition's per-group summary undercounts that group by at
+    most n_{g,p}/(capacity+1); both inequalities survive the summing
+    merge, per the same Mergeable Summaries argument). Spark has no
+    native grouped frequent-items; the exact alternative shuffles one
+    row per distinct (group, key) — web-scale vocabularies again.
+
+    Shape: one Arrow-batched mapInPandas pass holds an independent
+    MG summary per group seen in the partition (<= capacity counters
+    each; group cardinality is assumed summary-scale — languages,
+    sources, shards — the same assumption any per-group sketch makes),
+    then one groupBy-sum over summary rows merges across partitions.
+
+    Output: (group string, key string, est long).
+    """
+    import pandas as pd
+
+    cap = int(capacity)
+    if cap < 1:
+        raise ValueError("capacity must be >= 1")
+
+    def _mg(batches):
+        groups: dict = {}
+        for pdf in batches:
+            vc = pdf.groupby(["grp", "key"]).size()
+            for (g, k_), c in vc.items():
+                counters = groups.setdefault(g, {})
+                counters[k_] = counters.get(k_, 0) + int(c)
+            for g, counters in groups.items():
+                if len(counters) > cap:
+                    vals = sorted(counters.values(), reverse=True)
+                    sub = vals[cap]
+                    groups[g] = {k_: v - sub for k_, v in counters.items()
+                                 if v > sub}
+        yield pd.DataFrame(
+            [(g, k_, v) for g, counters in groups.items()
+             for k_, v in counters.items()],
+            columns=["grp", "key", "est"],
+        )
+
+    partials = (
+        df.select(F.col(group_col).cast("string").alias("grp"),
+                  F.col(key_col).cast("string").alias("key"))
+        .mapInPandas(_mg, "grp string, key string, est long")
+    )
+    return (partials.groupBy("grp", "key").agg(F.sum("est").alias("est"))
+            .select(F.col("grp").alias(group_col), "key", "est"))

@@ -2363,6 +2363,61 @@ def q_asof_join(spark, sf_dir):
 
 
 @register(
+    "q_grouped_approx_topk",
+    r"""
+    WITH tok AS (SELECT lang,
+                        unnest(regexp_split_to_array(trim(lower(text)),
+                                                     '\s+')) AS token
+                 FROM documents),
+    c AS (SELECT lang, token, count(*)::BIGINT AS exact_cnt
+          FROM tok GROUP BY 1, 2)
+    SELECT lang, token, exact_cnt, TRUE AS within_bound FROM (
+      SELECT lang, token, exact_cnt,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY exact_cnt DESC, token) AS rk
+      FROM c) WHERE rk <= 3
+    """,
+)
+def q_grouped_approx_topk(spark, sf_dir):
+    """Per-GROUP Misra-Gries heavy hitters (functions/topk.py
+    grouped_approx_topk): top tokens per language, with the MG contract
+    holding within each group over its own stream length — est <= true
+    and true - est <= N_g/(capacity+1), pinned as booleans over each
+    group's exact top-3 (deterministic tie-break) that the oracle pins
+    TRUE. Spark has no native grouped frequent-items; the exact
+    alternative shuffles one row per distinct (group, key). The exact
+    side here is the checking harness (the sketch-family recipe)."""
+    cap = 256
+    docs = T(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(TX.tokens(F.lower(F.col("text")))).alias("token"))
+    exact = tok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("exact_cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("exact_cnt"),
+                                           F.asc("token"))
+    top = (exact.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= 3).drop("rk"))
+    est = K.grouped_approx_topk(tok, "lang", "token", capacity=cap)
+    ng = exact.groupBy("lang").agg(F.sum("exact_cnt").alias("n_g"))
+    e = F.coalesce(F.col("est"), F.lit(0))
+    return (
+        top.join(est,
+                 (top["lang"] == est["lang"]) & (top["token"] == est["key"]),
+                 "left")
+        .drop(est["lang"]).drop("key")
+        .join(ng, "lang")
+        .select(
+            "lang", "token", "exact_cnt",
+            ((e <= F.col("exact_cnt"))
+             & ((F.col("exact_cnt") - e)
+                <= F.col("n_g") / (cap + 1))).alias("within_bound"),
+        )
+    )
+
+
+@register(
     "q_range_join",
     """
     SELECT e.event_id, e.user_id, count(c.event_id) AS n_clicks
