@@ -276,3 +276,27 @@ def test_rebuild_changes_contract_in_place(spark, tmp_path):
         for r in SI.spans_view(dest, new_spec).collect()
     }
     assert got == want
+
+
+def test_rebuild_requires_current_spec_and_legacy_width_guard(
+        spark, tmp_path):
+    """(a) rebuild under an already-drifted spec raises instead of
+    blessing the drifted immutable window into the meta row; (b) on a
+    pre-meta pool, _check_meta bootstrap-validates prefix_len against
+    the stored ckey width."""
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    _load_batch(spark, src, BATCHES[0], 0)
+    assert SI.sync_spans(src, dest, SPEC, ["docs"]) > 0
+    drifted = SI.SpanIndexSpec("docs", "value.doc_id", "value.text",
+                               window=6, min_docs=2)
+    with pytest.raises(ValueError, match="fixed for the life"):
+        SI.rebuild_spans(dest, drifted, prefix_len=3)
+    # legacy pool: same rows minus the meta row
+    legacy = Pool.create(spark, str(tmp_path / "legacy"))
+    legacy.load(dest.scan().filter(F.col("zed_type") != "meta"), "copy")
+    wide = SI.SpanIndexSpec("docs", "value.doc_id", "value.text",
+                            window=4, min_docs=2, prefix_len=4)
+    with pytest.raises(ValueError, match="hex chars wide"):
+        SI._check_meta(legacy, wide)
+    assert SI._check_meta(legacy, SPEC) is False  # right width: tolerated

@@ -185,7 +185,7 @@ def test_grouped_approx_topk_per_group_contract(spark):
     for parts in (1, 5):
         df = spark.createDataFrame(rows, "g string, k string") \
             .repartition(parts)
-        est = {(r.g, r.key): r.est
+        est = {(r.g, r.k): r.est
                for r in grouped_approx_topk(df, "g", "k",
                                             capacity=cap).collect()}
         for (g, k), t in true.items():

@@ -224,13 +224,16 @@ def grouped_approx_topk(
     sources, shards — the same assumption any per-group sketch makes),
     then one groupBy-sum over summary rows merges across partitions.
 
-    Output: (group string, key string, est long).
+    Output: (group_col string, key_col string, est long) — both input
+    column names restored.
     """
     import pandas as pd
 
     cap = int(capacity)
     if cap < 1:
         raise ValueError("capacity must be >= 1")
+    if group_col == key_col:
+        raise ValueError("group_col and key_col must differ")
 
     def _mg(batches):
         groups: dict = {}
@@ -257,4 +260,5 @@ def grouped_approx_topk(
         .mapInPandas(_mg, "grp string, key string, est long")
     )
     return (partials.groupBy("grp", "key").agg(F.sum("est").alias("est"))
-            .select(F.col("grp").alias(group_col), "key", "est"))
+            .select(F.col("grp").alias(group_col),
+                    F.col("key").alias(key_col), "est"))

@@ -2403,10 +2403,11 @@ def q_grouped_approx_topk(spark, sf_dir):
     ng = exact.groupBy("lang").agg(F.sum("exact_cnt").alias("n_g"))
     e = F.coalesce(F.col("est"), F.lit(0))
     return (
-        top.join(est,
-                 (top["lang"] == est["lang"]) & (top["token"] == est["key"]),
-                 "left")
-        .drop(est["lang"]).drop("key")
+        top.join(
+            est.withColumnRenamed("token", "est_token"),
+            (top["lang"] == est["lang"])
+            & (top["token"] == F.col("est_token")), "left")
+        .drop(est["lang"]).drop("est_token")
         .join(ng, "lang")
         .select(
             "lang", "token", "exact_cnt",

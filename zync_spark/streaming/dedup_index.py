@@ -303,13 +303,33 @@ def _check_meta(dest: Pool, spec: DedupIndexSpec) -> bool:
     if not dest.commits():
         return False
     df = dest.scan(bounds={"ckey": ["c:"]})
-    if df is None or "num_hashes" not in df.columns:
-        return False  # pre-meta (legacy) pool or tombstones only
-    rows = (df.filter(F.col("zed_type").eqNullSafe("meta")
-                      & F.col("kafka.topic").eqNullSafe(spec.topic))
-            .select("k", "num_hashes", "bands", "prefix_len")
-            .limit(1).collect())
+    rows = []
+    if df is not None and "num_hashes" in df.columns:
+        rows = (df.filter(F.col("zed_type").eqNullSafe("meta")
+                          & F.col("kafka.topic").eqNullSafe(spec.topic))
+                .select("k", "num_hashes", "bands", "prefix_len")
+                .limit(1).collect())
     if not rows:
+        # pre-meta (legacy) pool: bootstrap-validate prefix_len against
+        # the width of any stored bucketed ckey so the first
+        # post-upgrade sync cannot bless a drifted fan-out as the
+        # creation contract (review finding). k/num_hashes/bands are not
+        # derivable from stored hashes — the meta row exists for that.
+        full = dest.scan()
+        if full is not None and "ckey" in full.columns:
+            sample = (full.filter(
+                F.col("kafka.topic").eqNullSafe(spec.topic)
+                & F.col("ckey").isNotNull()
+                # exclude the widthless legacy constant pair bucket and
+                # the stats bucket
+                & (~F.col("ckey").isin("p:", "c:")))
+                .select("ckey").limit(1).collect())
+            if sample and len(sample[0]["ckey"]) - 2 != spec.prefix_len:
+                raise ValueError(
+                    f"dedup index {spec.name!r}: stored ckeys are "
+                    f"{len(sample[0]['ckey']) - 2} hex chars wide but the "
+                    f"spec says prefix_len={spec.prefix_len} — fixed for "
+                    "the life of an index; rebuild the index to change it")
         return False
     stored = tuple(int(rows[0][c])
                    for c in ("k", "num_hashes", "bands", "prefix_len"))
@@ -573,6 +593,11 @@ def rebuild_index(dest: Pool, spec: DedupIndexSpec,
     re-ingesting the source into a fresh index."""
     if not 1 <= int(prefix_len) <= 8:
         raise ValueError("prefix_len must be 1..8 hex chars")
+    # the CALLER's spec must be the index's CURRENT contract — otherwise
+    # a rebuild run with an already-drifted YAML would bless drifted
+    # k/num_hashes/bands into the meta row, after which syncs compute
+    # incomparable signatures, silently (review finding)
+    _check_meta(dest, spec)
     new_pl = int(prefix_len)
 
     def _tx(df: DataFrame) -> DataFrame:
@@ -580,11 +605,9 @@ def rebuild_index(dest: Pool, spec: DedupIndexSpec,
             raise ValueError(
                 f"rebuild_index: index {spec.name!r} has no stored rows")
         idx = df.filter(_is_index(spec)).select(
-            "kafka", "doc_id", "sh_set", "bkeys")
-        bands = idx.select("kafka", "doc_id",
-                           F.explode("bkeys").alias("bkey"))
-        pair_cols = ["kafka", "id_a", "id_b", "jaccard"]
-        pairs = (df.filter(_is_pair(spec)).select(*pair_cols)
+            "doc_id", "sh_set", "bkeys")
+        bands = idx.select("doc_id", F.explode("bkeys").alias("bkey"))
+        pairs = (df.filter(_is_pair(spec)).select("id_a", "id_b", "jaccard")
                  if "id_a" in df.columns else None)
         meta = df.sparkSession.createDataFrame(
             [(spec.k, spec.num_hashes, spec.bands, new_pl,
@@ -593,29 +616,37 @@ def rebuild_index(dest: Pool, spec: DedupIndexSpec,
             " threshold double")
         out = (
             idx.select(
-                "kafka", F.lit("index").alias("zed_type"),
+                F.lit("index").alias("zed_type"),
                 _doc_ckey(F.col("doc_id"), new_pl).alias("ckey"),
                 "doc_id", "sh_set", "bkeys")
             .unionByName(bands.select(
-                "kafka", F.lit("band").alias("zed_type"),
+                F.lit("band").alias("zed_type"),
                 _band_ckey(F.col("bkey"), new_pl).alias("ckey"),
                 "doc_id", "bkey"), allowMissingColumns=True)
         )
         if pairs is not None:
             out = out.unionByName(pairs.select(
-                "kafka", F.lit("duppair").alias("zed_type"),
+                F.lit("duppair").alias("zed_type"),
                 _pair_ckey(F.col("id_a"), new_pl).alias("ckey"),
                 "id_a", "id_b", "jaccard"), allowMissingColumns=True)
         out = out.unionByName(meta.select(
+            F.lit("meta").alias("zed_type"),
+            F.lit("c:").alias("ckey"),
+            "k", "num_hashes", "bands", "prefix_len", "threshold"),
+            allowMissingColumns=True)
+        # fresh labels on the reserved partition -2 for EVERY rebuilt row
+        # (the rebuild_spans/rebuild_ann convention): exploded band rows
+        # must not inherit their parent index row's label — ~bands+1 rows
+        # sharing one (topic, partition, offset) would break the unique-
+        # label invariant _envelope documents as load-bearing (review)
+        out = out.select(
             F.struct(
                 F.lit(spec.topic).alias("topic"),
                 F.lit(-2).cast("long").alias("partition"),
                 F.monotonically_increasing_id().alias("offset"),
             ).alias("kafka"),
-            F.lit("meta").alias("zed_type"),
-            F.lit("c:").alias("ckey"),
-            "k", "num_hashes", "bands", "prefix_len", "threshold"),
-            allowMissingColumns=True)
+            *[F.col(c) for c in out.columns],
+        )
         others = df.filter(~F.col("kafka.topic").eqNullSafe(spec.topic))
         return out.unionByName(others, allowMissingColumns=True)
 

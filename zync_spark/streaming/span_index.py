@@ -247,11 +247,28 @@ def _check_meta(dest: Pool, spec: SpanIndexSpec) -> bool:
     if not dest.commits():
         return False
     df = dest.scan(bounds={"ckey": ["c:"]})
-    if df is None or "window" not in df.columns:
-        return False  # pre-meta pool (or tombstones only)
-    rows = df.filter(_is(spec, "meta")) \
-        .select("window", "min_docs", "prefix_len").limit(1).collect()
+    rows = []
+    if df is not None and "window" in df.columns:
+        rows = df.filter(_is(spec, "meta")) \
+            .select("window", "min_docs", "prefix_len").limit(1).collect()
     if not rows:
+        # pre-meta pool: bootstrap-validate prefix_len against the WIDTH
+        # of any stored bucketed ckey (it is sitting in the pool) so the
+        # first post-upgrade sync cannot bless a drifted fan-out as the
+        # creation contract (review finding). window is not derivable
+        # from stored hashes — the meta row exists for exactly that.
+        full = dest.scan()
+        if full is not None and "ckey" in full.columns:
+            sample = (full.filter(
+                F.col("kafka.topic").eqNullSafe(spec.topic)
+                & F.col("ckey").isNotNull() & (F.col("ckey") != "c:"))
+                .select("ckey").limit(1).collect())
+            if sample and len(sample[0]["ckey"]) - 2 != spec.prefix_len:
+                raise ValueError(
+                    f"span index {spec.name!r}: stored ckeys are "
+                    f"{len(sample[0]['ckey']) - 2} hex chars wide but the "
+                    f"spec says prefix_len={spec.prefix_len} — fixed for "
+                    "the life of an index; rebuild the index to change it")
         return False
     stored = (int(rows[0]["window"]), int(rows[0]["min_docs"]),
               int(rows[0]["prefix_len"]))
@@ -306,6 +323,12 @@ def rebuild_spans(dest: Pool, spec: SpanIndexSpec,
     `window` CANNOT change here: it is burned into the stored hashes
     (text is never stored) — changing it means re-ingesting the source
     into a fresh index, and asking for it raises."""
+    # the CALLER's spec must be the index's CURRENT contract — otherwise
+    # a rebuild run with an already-drifted YAML would bless the drifted
+    # immutable window into the meta row, after which every sync
+    # window-hashes deltas against incomparable stored hashes, silently
+    # (review finding). _check_meta raises on mismatch.
+    _check_meta(dest, spec)
     new_md = spec.min_docs if min_docs is None else int(min_docs)
     new_pl = spec.prefix_len if prefix_len is None else int(prefix_len)
     if not 1 <= new_pl <= 8:

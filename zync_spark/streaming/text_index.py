@@ -126,11 +126,27 @@ def _check_meta(dest: Pool, spec: TextIndexSpec) -> bool:
     if not dest.commits():
         return False
     df = dest.scan(bounds={"ckey": ["c:"]})
-    if df is None or "prefix_len" not in df.columns:
-        return False  # pre-meta (legacy) pool or tombstones only
-    rows = (df.filter(_is(spec, "meta"))
-            .select("prefix_len").limit(1).collect())
+    rows = []
+    if df is not None and "prefix_len" in df.columns:
+        rows = (df.filter(_is(spec, "meta"))
+                .select("prefix_len").limit(1).collect())
     if not rows:
+        # pre-meta (legacy) pool: bootstrap-validate prefix_len against
+        # the width of any stored bucketed ckey so the first
+        # post-upgrade sync cannot bless a drifted fan-out as the
+        # creation contract (review finding)
+        full = dest.scan()
+        if full is not None and "ckey" in full.columns:
+            sample = (full.filter(
+                F.col("kafka.topic").eqNullSafe(spec.topic)
+                & F.col("ckey").isNotNull() & (F.col("ckey") != "c:"))
+                .select("ckey").limit(1).collect())
+            if sample and len(sample[0]["ckey"]) - 2 != spec.prefix_len:
+                raise ValueError(
+                    f"text index {spec.name!r}: stored ckeys are "
+                    f"{len(sample[0]['ckey']) - 2} hex chars wide but the "
+                    f"spec says prefix_len={spec.prefix_len} — fixed for "
+                    "the life of an index; rebuild the index to change it")
         return False
     stored = int(rows[0]["prefix_len"])
     if stored != spec.prefix_len:
@@ -249,6 +265,9 @@ def rebuild_text(dest: Pool, spec: TextIndexSpec,
     meta row is rewritten; the returned spec is the new contract."""
     if not 1 <= int(prefix_len) <= 8:
         raise ValueError("prefix_len must be 1..8 hex chars")
+    # the CALLER's spec must be the index's CURRENT contract (review
+    # finding — same rationale as rebuild_spans/rebuild_index)
+    _check_meta(dest, spec)
     new_pl = int(prefix_len)
 
     def _tx(df: DataFrame) -> DataFrame:
