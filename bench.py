@@ -230,6 +230,12 @@ def main() -> None:
         for f in os.listdir(sf_dir) if f.endswith(".parquet"))
     shuffle_parts = 8 if corpus_bytes < 32 << 20 else (
         16 if corpus_bytes < 96 << 20 else 32)
+    # Console progress bars write \r-spam that interleaves with the
+    # one-line JSON contract under merged-stream capture — the round-4
+    # driver artifact recorded parsed:null exactly because of it. The
+    # conf is static (read at context build), so it rides an env var the
+    # session builder honors.
+    os.environ["SPARK_GRAFT_NO_PROGRESS"] = "1"
     spark = get_spark("zync-spark-bench", shuffle_partitions=shuffle_parts,
                       adaptive=False)
     spark.sparkContext.setLogLevel("ERROR")

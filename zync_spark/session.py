@@ -52,6 +52,12 @@ def get_spark(app_name: str = "zync-spark", master: str | None = None,
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    if os.environ.get("SPARK_GRAFT_NO_PROGRESS"):
+        # one-line-output contexts (bench.py): console progress \r-spam
+        # interleaves with the JSON line under merged-stream capture.
+        # Static conf — effective only at context build, which is why it
+        # rides an env var rather than a post-create conf.set
+        builder = builder.config("spark.ui.showConsoleProgress", "false")
     if master or not os.environ.get("SPARK_MASTER"):
         builder = builder.master(master or f"local[{cpus}]")
     return builder.getOrCreate()
