@@ -57,6 +57,11 @@ def main():
     from zync_spark.queries import ORACLE_SQL, QUERIES
     from zync_spark.session import get_spark
 
+    # progress \r-spam swallows PASS lines in piped captures (this
+    # file's own docstring warns about it) — same cure as bench.py.
+    # Vanilla mode stays truly vanilla: the driver's own session has
+    # progress bars too, and confs don't change results, only logs.
+    os.environ["SPARK_GRAFT_NO_PROGRESS"] = "1"
     if os.environ.get("SPARK_GRAFT_VANILLA"):
         # Driver-mimic mode: the external gate builds its OWN SparkSession
         # with none of our confs (no UTC tz, no AQE tuning). Catching a
@@ -65,7 +70,7 @@ def main():
 
         spark = SparkSession.builder.master("local[16]").appName(
             "oracle-check-vanilla"
-        ).getOrCreate()
+        ).config("spark.ui.showConsoleProgress", "false").getOrCreate()
     else:
         spark = get_spark("oracle-check", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
