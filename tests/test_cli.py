@@ -537,6 +537,16 @@ def test_text_spec_requires_kind_discriminator(tmp_path):
     assert type(spec).__name__ == "TextIndexSpec"
     with pytest.raises(ValueError):
         load_index_spec(p)         # ...and the dedup loader refuses
+    doc["kind"] = "span"
+    doc["window"] = 4
+    with open(p, "w") as f:
+        _yaml.safe_dump(doc, f)
+    with pytest.raises(ValueError):
+        load_index_spec(p)         # dedup loader refuses span YAMLs too
+    from zync_spark.streaming.span_index import load_span_spec
+
+    spec, _ = load_span_spec(p)
+    assert type(spec).__name__ == "SpanIndexSpec" and spec.window == 4
 
 
 def test_cli_span_index(spark, tmp_path, capsys):
