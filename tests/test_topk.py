@@ -205,3 +205,35 @@ def test_grouped_approx_topk_validation(spark):
     df = spark.createDataFrame([("g", "a")], "g string, k string")
     with pytest.raises(ValueError):
         grouped_approx_topk(df, "g", "k", capacity=0)
+
+
+def test_approx_topk_counts_null_keys(spark):
+    """A frequent null key must satisfy the MG contract like any other
+    key — pandas value_counts drops NaN by default, which would read a
+    heavy null as est=0 and break the documented bound (round-6 review)."""
+    from zync_spark.functions.topk import approx_topk
+
+    rows = [(None,)] * 60 + [("a",)] * 30 + [(f"r{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    cap = 8
+    out = approx_topk(df, "k", capacity=cap).collect()
+    est = {r.key: r.est for r in out}
+    n = len(rows)
+    bound = n / (cap + 1)
+    # null is the heaviest key: it must be present and within the bound
+    assert None in est
+    assert est[None] <= 60 and 60 - est[None] <= bound
+    assert est.get("a", 0) <= 30 and 30 - est.get("a", 0) <= bound
+
+
+def test_grouped_approx_topk_counts_null_keys(spark):
+    from zync_spark.functions.topk import grouped_approx_topk
+
+    rows = ([("g1", None)] * 40 + [("g1", "x")] * 10
+            + [(None, "y")] * 40 + [(None, "z")] * 10)
+    df = spark.createDataFrame(rows, "g string, k string").repartition(3)
+    est = {(r.g, r.k): r.est
+           for r in grouped_approx_topk(df, "g", "k", capacity=8).collect()}
+    bound = 50 / 9  # per-group stream length 50
+    assert ("g1", None) in est and 40 - est[("g1", None)] <= bound
+    assert (None, "y") in est and 40 - est[(None, "y")] <= bound

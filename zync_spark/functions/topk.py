@@ -180,8 +180,13 @@ def approx_topk(
     def _mg(batches):
         counters: dict = {}
         for pdf in batches:
-            vc = pdf["key"].value_counts()
+            # dropna=False: a null key is a key like any other — an
+            # exact Spark groupBy counts it, so the sketch must too or
+            # the "absent keys read est=0 under the bound" contract
+            # breaks for a frequent null (round-6 review).
+            vc = pdf["key"].value_counts(dropna=False)
             for k_, c in vc.items():
+                k_ = None if pd.isna(k_) else k_
                 counters[k_] = counters.get(k_, 0) + int(c)
             if len(counters) > cap:
                 vals = sorted(counters.values(), reverse=True)
@@ -238,8 +243,12 @@ def grouped_approx_topk(
     def _mg(batches):
         groups: dict = {}
         for pdf in batches:
-            vc = pdf.groupby(["grp", "key"]).size()
+            # dropna=False for the same null-key contract reason as
+            # approx_topk: exact groupBy counts null groups/keys.
+            vc = pdf.groupby(["grp", "key"], dropna=False).size()
             for (g, k_), c in vc.items():
+                g = None if pd.isna(g) else g
+                k_ = None if pd.isna(k_) else k_
                 counters = groups.setdefault(g, {})
                 counters[k_] = counters.get(k_, 0) + int(c)
             for g, counters in groups.items():

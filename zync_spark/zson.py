@@ -672,22 +672,35 @@ def read_lines(spark, path: str):
     """
     lines = spark.read.text(path)
 
-    def _shapes(it):
-        seen = set()
-        for row in it:
+    def _shapes(pidx, it):
+        seen = {}
+        for pos, row in enumerate(it):
             parsed = _parse_line(row.value)
             if parsed is None:
                 continue
             _, dt, per = parsed
             key = (_freeze_type(dt), tuple(sorted(per.items())))
             if key not in seen:
-                seen.add(key)
-                yield key
+                seen[key] = (pidx, pos)
+        return iter(seen.items())
 
     unified = None
     names: dict[str, str] = {}
     any_ztype = False
-    for dt, per_items in lines.rdd.mapPartitions(_shapes).distinct().collect():
+    # Fold shapes in FIRST-APPEARANCE file order, not collect() order:
+    # .distinct().collect() order is nondeterministic and _merge_types
+    # unions struct fields first-seen, so an unsorted fold could yield
+    # run-dependent column order for heterogeneous files (round-6
+    # review). Each partition reports its shapes tagged with (partition
+    # index, line offset); the driver keeps the minimum tag per shape
+    # and folds in that order — deterministic (text partitions follow
+    # file offsets) and identical to the driver `read` path's order.
+    first_seen: dict = {}
+    for key, tag in lines.rdd.mapPartitionsWithIndex(_shapes).collect():
+        if key not in first_seen or tag < first_seen[key]:
+            first_seen[key] = tag
+    shapes = sorted(first_seen, key=first_seen.__getitem__)
+    for dt, per_items in shapes:
         per = dict(per_items)
         if per.pop("", None) is not None:
             any_ztype = True
