@@ -616,3 +616,62 @@ def test_cli_index_rebuild_verbs(spark, tmp_path, capsys):
     # the YAML (still prefix_len=2) is now the drifted contract
     with pytest.raises(ValueError, match="fixed for the life"):
         main(["--lake", lake, "span-index", "spans", spec_path])
+
+
+def test_cli_index_delete_verbs(spark, tmp_path, capsys):
+    """Each index family's `delete` verb tombstones ids out of the
+    LATEST state: the view/search verbs stop serving them immediately
+    (mask), and `compact` folds the tombstones physically."""
+    import yaml as _yaml
+
+    from tests.test_text_index import ROW as TROW, _text
+    from zync_spark.pool import Pool
+
+    lake = os.path.join(tmp_path, "lake_del")
+    src = Pool.create(spark, os.path.join(lake, "src"))
+    rows = [(("docs", 0, i), "data", (i, _text(i))) for i in range(30)]
+    src.load(spark.createDataFrame(rows, TROW), "backfill")
+
+    tspec = os.path.join(tmp_path, "t.yaml")
+    with open(tspec, "w") as f:
+        _yaml.safe_dump(
+            {"kind": "text", "name": "d", "source": "src", "dest": "tidx",
+             "topics": ["docs"], "id": "value.doc_id",
+             "text": "value.text"}, f)
+    assert main(["--lake", lake, "text-index", "sync", tspec]) == 0
+    capsys.readouterr()
+    assert main(["--lake", lake, "text-index", "search", tspec,
+                 "--query", "spark table", "-k", "30"]) == 0
+    before = {json.loads(l)["doc_id"]
+              for l in capsys.readouterr().out.strip().splitlines()}
+    victims = sorted(before)[:2]
+    assert main(["--lake", lake, "text-index", "delete", tspec,
+                 "--ids", ",".join(map(str, victims))]) == 0
+    assert "tombstone rows committed" in capsys.readouterr().out
+    assert main(["--lake", lake, "text-index", "search", tspec,
+                 "--query", "spark table", "-k", "30"]) == 0
+    after = {json.loads(l)["doc_id"]
+             for l in capsys.readouterr().out.strip().splitlines()}
+    assert not (after & set(victims)) and after
+    assert main(["--lake", lake, "text-index", "compact", tspec]) == 0
+
+    sspec = os.path.join(tmp_path, "s.yaml")
+    with open(sspec, "w") as f:
+        _yaml.safe_dump(
+            {"kind": "span", "name": "d", "source": "src", "dest": "sidx",
+             "topics": ["docs"], "id": "value.doc_id",
+             "text": "value.text", "window": 4, "min_docs": 2}, f)
+    assert main(["--lake", lake, "span-index", "sync", sspec]) == 0
+    capsys.readouterr()
+    assert main(["--lake", lake, "span-index", "spans", sspec]) == 0
+    spans = [json.loads(l)
+             for l in capsys.readouterr().out.strip().splitlines()]
+    if spans:
+        victim = spans[0]["doc_id"]
+        assert main(["--lake", lake, "span-index", "delete", sspec,
+                     "--ids", str(victim)]) == 0
+        assert "committed" in capsys.readouterr().out
+        assert main(["--lake", lake, "span-index", "spans", sspec]) == 0
+        left = [json.loads(l)
+                for l in capsys.readouterr().out.strip().splitlines()]
+        assert all(sp["doc_id"] != victim for sp in left)

@@ -1,0 +1,203 @@
+"""Index health policy (streaming/health.py): each family's check flags
+its real degradation mode, the recommendation names the rebuild that
+cures it, and running that rebuild restores the pinned gate."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from zync_spark.pool import Pool
+from zync_spark.streaming import ann_index as AI
+from zync_spark.streaming import dedup_index as DI
+from zync_spark.streaming import span_index as SI
+from zync_spark.streaming import text_index as TI
+from zync_spark.streaming.health import (check_ann_health,
+                                         check_dedup_health,
+                                         check_span_health,
+                                         check_text_health)
+
+
+def _env(spark, rows, part=0, topic="docs",
+         schema="doc_id long, text string", fields=("doc_id", "text")):
+    df = spark.createDataFrame(rows, schema)
+    return df.select(
+        F.struct(F.lit(topic).alias("topic"),
+                 F.lit(part).cast("long").alias("partition"),
+                 F.col(fields[0]).cast("long").alias("offset")
+                 ).alias("kafka"),
+        F.lit("data").alias("zed_type"),
+        F.struct(*fields).alias("value"))
+
+
+def test_ann_health_lifecycle(spark, tmp_path):
+    """A quantizer frozen on two clusters splits a LATER third cluster
+    (vectors straddling the two centroid directions) across both cells —
+    nprobe=1 recall collapses to ~0.5. Health flags it; the recommended
+    rebuild_ann retrains, gives the straddle region its own cell, and
+    recall returns above the gate."""
+    import math
+
+    def vec(axis, i, dim=8):
+        # unit vector near `axis` with a small deterministic wobble in
+        # the next dimension — clusters are tight and well separated
+        v = [0.0] * dim
+        w = 0.05 * ((i % 5) - 2)
+        v[axis] = math.sqrt(1 - w * w)
+        v[(axis + 3) % dim] = w
+        return v
+
+    rows = []
+    # backfill: clusters around e0 and e1 (ids 0..15) — trains 2 cells
+    for i in range(8):
+        rows.append((i, vec(0, i)))
+        rows.append((8 + i, vec(1, i)))
+    # drift: a third cluster straddling e0/e1 — alternating tiny lean
+    # toward e0 or e1 decides which frozen cell each lands in
+    straddle = []
+    for i in range(24):
+        lean = 0.08 if i % 2 == 0 else -0.08
+        a = 1 / math.sqrt(2)
+        v = [0.0] * 8
+        v[0], v[1] = a + lean, a - lean
+        n = math.sqrt(sum(x * x for x in v))
+        straddle.append((100 + i, [x / n for x in v]))
+    rows_all = rows + straddle
+
+    def env(rs, part=0):
+        df = spark.createDataFrame(rs, "vec_id long, embedding array<double>")
+        return df.select(
+            F.struct(F.lit("emb").alias("topic"),
+                     F.lit(part).cast("long").alias("partition"),
+                     F.col("vec_id").cast("long").alias("offset")
+                     ).alias("kafka"),
+            F.lit("data").alias("zed_type"),
+            F.struct("vec_id", "embedding").alias("value"))
+
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dst = Pool.create(spark, str(tmp_path / "idx"))
+    spec = AI.AnnIndexSpec("e", "value.vec_id", "value.embedding",
+                           n_cells=2, iterations=2)
+    src.load(env(rows), "backfill")
+    AI.sync_ann(src, dst, spec, ["emb"])
+    src.load(env(straddle, part=1), "drift")
+    AI.sync_ann(src, dst, spec, ["emb"])
+    AI.compact_ann(dst)
+
+    h = check_ann_health(dst, spec, k=10, nprobe=1, sample=64,
+                         min_recall=0.8)
+    assert not h["healthy"], h
+    assert "rebuild_ann" in h["recommendation"]
+    assert h["avg_recall"] < 0.8
+
+    # the recommended cure: retrain over everything stored, more cells
+    AI.rebuild_ann(dst, spec, n_cells=3)
+    h2 = check_ann_health(dst, spec, k=10, nprobe=1, sample=64,
+                          min_recall=0.8)
+    assert h2["healthy"], h2
+    assert h2["avg_recall"] > h["avg_recall"]
+    assert h2["recommendation"] is None
+
+
+def test_span_health_lifecycle(spark, tmp_path):
+    """prefix_len=1 (16 buckets) saturates under document-sized deltas;
+    health projects the coverage, recommends a prefix_len from the
+    sizing rule, and the rebuild restores the gate."""
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(60)))
+            for i in range(6)]
+    spec = SI.SpanIndexSpec("s", "value.doc_id", "value.text",
+                            window=8, min_docs=2, prefix_len=1)
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dst = Pool.create(spark, str(tmp_path / "idx"))
+    src.load(_env(spark, rows), "all")
+    SI.sync_spans(src, dst, spec, ["docs"])
+
+    h = check_span_health(dst, spec, max_coverage=0.5)
+    assert not h["healthy"], h
+    assert h["projected_probe_coverage"] > 0.5
+    assert "rebuild_spans" in h["recommendation"]
+    rec_plen = int(h["recommendation"].split("prefix_len=")[1].split(")")[0])
+    spec2 = SI.rebuild_spans(dst, spec, prefix_len=rec_plen)
+    h2 = check_span_health(dst, spec2, max_coverage=0.5)
+    assert h2["healthy"], h2
+    assert h2["projected_probe_coverage"] < h["projected_probe_coverage"]
+
+
+def test_text_health_lifecycle(spark, tmp_path):
+    """Terms-per-bucket read amplification: 16 buckets over ~300 terms
+    fails a 10-terms-per-bucket gate; the recommended rebuild passes."""
+    rows = [(i, " ".join(f"t{i}q{j}" for j in range(50)))
+            for i in range(6)]
+    spec = TI.TextIndexSpec("d", "value.doc_id", "value.text",
+                            prefix_len=1)
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dst = Pool.create(spark, str(tmp_path / "idx"))
+    src.load(_env(spark, rows), "all")
+    TI.sync_text(src, dst, spec, ["docs"])
+
+    h = check_text_health(dst, spec, max_terms_per_bucket=10.0)
+    assert not h["healthy"], h
+    assert "rebuild_text" in h["recommendation"]
+    rec_plen = int(h["recommendation"].split("prefix_len=")[1].split(")")[0])
+    spec2 = TI.rebuild_text(dst, spec, prefix_len=rec_plen)
+    h2 = check_text_health(dst, spec2, max_terms_per_bucket=10.0)
+    assert h2["healthy"], h2
+    assert h2["terms_per_bucket"] < h["terms_per_bucket"]
+
+
+def test_dedup_health_flags_saturation_and_collisions(spark, tmp_path):
+    """Probe saturation flags with a rebuild recommendation; a heavily
+    duplicated corpus raises the collision advisory instead (which
+    honestly says banding changes need a source re-ingest)."""
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away tonight")
+    # heavily duplicated corpus: every doc near-identical
+    rows = [(i, base + f" v{i}") for i in range(12)]
+    spec = DI.DedupIndexSpec("d", "value.doc_id", "value.text",
+                             prefix_len=1)
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dst = Pool.create(spark, str(tmp_path / "idx"))
+    src.load(_env(spark, rows), "all")
+    DI.sync_index(src, dst, spec, ["docs"])
+
+    # 12 docs x 16 bands = 192 band rows vs 16 buckets: saturated
+    h = check_dedup_health(dst, spec, max_coverage=0.5)
+    assert not h["healthy"], h
+    assert "rebuild_index" in h["recommendation"]
+    rec_plen = int(h["recommendation"].split("prefix_len=")[1].split(")")[0])
+    spec2 = DI.rebuild_index(dst, spec, prefix_len=rec_plen)
+    h2 = check_dedup_health(dst, spec2, max_coverage=0.5)
+    assert h2["projected_probe_coverage"] < h["projected_probe_coverage"]
+    # near-identical docs collide in almost every band: the collision
+    # advisory fires once saturation is cured
+    h3 = check_dedup_health(dst, spec2, max_coverage=1.0,
+                            max_collision_rate=0.2)
+    assert not h3["healthy"] and "re-ingest" in h3["recommendation"]
+    assert h3["collision_rate"] > 0.2
+
+
+def test_cli_health_verbs(spark, tmp_path, capsys):
+    """`*-index health` prints one JSON verdict."""
+    import os
+
+    import yaml as _yaml
+
+    from zync_spark.cli import main
+
+    lake = os.path.join(tmp_path, "lake")
+    src = Pool.create(spark, os.path.join(lake, "src"))
+    rows = [(i, " ".join(f"c{i}w{j}" for j in range(30)))
+            for i in range(5)]
+    src.load(_env(spark, rows), "all")
+    sspec = os.path.join(tmp_path, "s.yaml")
+    with open(sspec, "w") as f:
+        _yaml.safe_dump(
+            {"kind": "span", "name": "d", "source": "src", "dest": "sidx",
+             "topics": ["docs"], "id": "value.doc_id",
+             "text": "value.text", "window": 8, "prefix_len": 1}, f)
+    assert main(["--lake", lake, "span-index", "sync", sspec]) == 0
+    capsys.readouterr()
+    assert main(["--lake", lake, "span-index", "health", sspec]) == 0
+    v = json.loads(capsys.readouterr().out.strip())
+    assert v["family"] == "span" and not v["healthy"]
+    assert "rebuild_spans" in v["recommendation"]

@@ -279,6 +279,13 @@ def cmd_dedup_index(args) -> int:
                place, source-free (one OCC base commit; k/num_hashes/
                bands need a source re-ingest — they are burned into
                the stored signatures)
+      delete   tombstone --ids out of the LATEST state (one O(1)
+               commit; pairs with a dead member disappear; the fold
+               happens at the next compact) — the CDC update flow is
+               delete, republish, sync
+      health   band-collision rate + probe-saturation projection vs
+               --max-coverage; JSON verdict with a rebuild
+               recommendation when unhealthy
 
     Spec YAML:
       name: docs
@@ -313,6 +320,17 @@ def cmd_dedup_index(args) -> int:
     elif args.action == "migrate":
         n = di.migrate_band_rows(dest, spec)
         print(f"dedup-index {spec.name}: {n} band rows migrated")
+    elif args.action == "delete":
+        if not args.ids:
+            raise SystemExit("dedup-index delete requires --ids ID,ID")
+        n = di.tombstone_index(dest, spec,
+                               [int(x) for x in args.ids.split(",")])
+        print(f"dedup-index {spec.name}: {n} tombstone rows committed")
+    elif args.action == "health":
+        from zync_spark.streaming.health import check_dedup_health
+
+        print(json.dumps(check_dedup_health(
+            dest, spec, max_coverage=args.max_coverage)))
     elif args.action == "rebuild":
         if args.prefix_len is None:
             raise SystemExit("dedup-index rebuild requires --prefix-len "
@@ -350,6 +368,10 @@ def cmd_ann_index(args) -> int:
                with cursors (rerun = no-op)
       compact  range-cluster the index pool by cell so ann_query reads
                only probed cells' files
+      delete   tombstone --ids out of the LATEST state (one O(1)
+               commit; masked at query time, folded at compact/rebuild)
+      health   sampled avg recall@10 vs --min-recall (+ cell balance);
+               JSON verdict recommending rebuild when degraded
       rebuild  retrain the quantizer over the FULL stored corpus and
                re-shard every vector in one atomic base commit (the
                retrain path of the frozen-quantizer contract; use
@@ -380,6 +402,18 @@ def cmd_ann_index(args) -> int:
         n = ai.rebuild_ann(dest, spec, n_cells=args.n_cells)
         print(f"ann-index {spec.name}: rebuilt {n} rows"
               + (f" at {args.n_cells} cells" if args.n_cells else ""))
+    elif args.action == "delete":
+        if not args.ids:
+            raise SystemExit("ann-index delete requires --ids ID,ID")
+        n = ai.tombstone_ann(dest, spec,
+                             [int(x) for x in args.ids.split(",")])
+        print(f"ann-index {spec.name}: {n} tombstone rows committed")
+    elif args.action == "health":
+        from zync_spark.streaming.health import check_ann_health
+
+        print(json.dumps(check_ann_health(
+            dest, spec, sample=args.queries,
+            min_recall=args.min_recall)))
     elif args.action == "recall":
         cents = ai.stored_centroids(dest, spec)
         if cents is None:
@@ -429,6 +463,11 @@ def cmd_text_index(args) -> int:
       search   BM25 top-k for --query terms (reads only the terms'
                posting buckets); JSON lines (doc_id, rank, score)
       rebuild  re-bucket postings/dlens at a new --prefix-len in place
+      delete   tombstone --ids out of the LATEST state (one bounded
+               commit; a negative corpus-stat partial keeps BM25
+               exact) — the CDC update flow is delete, republish, sync
+      health   one-term read amplification vs --max-terms-per-bucket;
+               JSON verdict recommending rebuild when oversubscribed
 
     Spec YAML: see streaming.text_index.load_text_spec docstring.
     """
@@ -451,6 +490,18 @@ def cmd_text_index(args) -> int:
         new = ti.rebuild_text(dest, spec, prefix_len=args.prefix_len)
         print(f"text-index {spec.name}: rebucketed to prefix_len="
               f"{new.prefix_len}; update the spec YAML to match")
+    elif args.action == "delete":
+        if not args.ids:
+            raise SystemExit("text-index delete requires --ids ID,ID")
+        n = ti.tombstone_text(dest, spec,
+                              [int(x) for x in args.ids.split(",")])
+        print(f"text-index {spec.name}: {n} tombstone rows committed")
+    elif args.action == "health":
+        from zync_spark.streaming.health import check_text_health
+
+        print(json.dumps(check_text_health(
+            dest, spec,
+            max_terms_per_bucket=args.max_terms_per_bucket)))
     else:
         if not args.query:
             raise SystemExit("text-index search requires --query")
@@ -476,6 +527,14 @@ def cmd_span_index(args) -> int:
       rebuild  change --min-docs (hits re-derived from stored windows)
                and/or --prefix-len (re-bucket) in place, source-free;
                window needs a source re-ingest (burned into hashes)
+      delete   tombstone --ids out of the LATEST state — also RETRACTS
+               the duplication status of surviving docs whose spans
+               lost their only partner (bounded by the dying docs'
+               hash buckets; requires the forward key space — legacy
+               pools: rebuild once)
+      health   probe-saturation projection for the typical delta vs
+               --max-coverage; JSON verdict with the prefix_len the
+               sizing rule recommends when saturated
 
     Spec YAML: see streaming.span_index.load_span_spec docstring.
     """
@@ -502,6 +561,23 @@ def cmd_span_index(args) -> int:
         print(f"span-index {spec.name}: rebuilt to min_docs="
               f"{new.min_docs} prefix_len={new.prefix_len}; update the "
               "spec YAML to match")
+    elif args.action == "delete":
+        if not args.ids:
+            raise SystemExit("span-index delete requires --ids ID,ID")
+        stats: dict = {}
+        n = si.tombstone_spans(dest, spec,
+                               [int(x) for x in args.ids.split(",")],
+                               stats_out=stats)
+        probe = (f" (probe read {stats['probe_files']}/"
+                 f"{stats['live_files']} files)"
+                 if "probe_files" in stats else "")
+        print(f"span-index {spec.name}: {n} tombstone/retraction rows "
+              f"committed{probe}")
+    elif args.action == "health":
+        from zync_spark.streaming.health import check_span_health
+
+        print(json.dumps(check_span_health(
+            dest, spec, max_coverage=args.max_coverage)))
     else:
         ids = ([int(x) for x in args.docs.split(",")]
                if args.docs else None)
@@ -1019,7 +1095,13 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("ann-index", help="incremental IVF ANN index")
     p.add_argument("action",
-                   choices=["sync", "compact", "rebuild", "recall", "cells"])
+                   choices=["sync", "compact", "rebuild", "recall", "cells",
+                            "delete", "health"])
+    p.add_argument("--min-recall", type=float, default=0.5,
+                   help="health: flag when sampled avg recall@10 drops "
+                        "below this")
+    p.add_argument("--ids", default=None, metavar="ID,ID",
+                   help="delete: tombstone these vector ids")
     p.add_argument("spec", help="index spec YAML (see cmd_ann_index docstring)")
     p.add_argument("--auto-compact", type=int, default=None, metavar="N",
                    help="re-cluster after N delta commits since last base")
@@ -1030,9 +1112,15 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_ann_index)
 
     p = sub.add_parser("text-index", help="incremental BM25 text index")
-    p.add_argument("action", choices=["sync", "compact", "search", "rebuild"])
+    p.add_argument("action", choices=["sync", "compact", "search",
+                                      "rebuild", "delete", "health"])
+    p.add_argument("--max-terms-per-bucket", type=float, default=4096.0,
+                   help="health: flag when a one-term search reads more "
+                        "than this many terms' postings")
     p.add_argument("--prefix-len", type=int, default=None, metavar="P",
                    help="rebuild: re-bucket at 16^P buckets (in place)")
+    p.add_argument("--ids", default=None, metavar="ID,ID",
+                   help="delete: tombstone these doc ids")
     p.add_argument("spec", help="index spec YAML (see cmd_text_index docstring)")
     p.add_argument("--auto-compact", type=int, default=None, metavar="N",
                    help="re-cluster after N delta commits since last base")
@@ -1042,8 +1130,15 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("span-index",
                        help="incremental duplicated-span (ExactSubstr) index")
-    p.add_argument("action", choices=["sync", "compact", "spans", "rebuild"])
+    p.add_argument("action", choices=["sync", "compact", "spans",
+                                      "rebuild", "delete", "health"])
+    p.add_argument("--max-coverage", type=float, default=0.5,
+                   help="health: flag when the typical delta's projected "
+                        "probe coverage exceeds this fraction")
     p.add_argument("spec", help="index spec YAML (see cmd_span_index docstring)")
+    p.add_argument("--ids", default=None, metavar="ID,ID",
+                   help="delete: tombstone these doc ids (retracts "
+                        "surviving docs' un-duplicated spans too)")
     p.add_argument("--min-docs", type=int, default=None, metavar="M",
                    help="rebuild: re-derive hits under a new rule")
     p.add_argument("--prefix-len", type=int, default=None, metavar="P",
@@ -1105,7 +1200,10 @@ def main(argv: list[str] | None = None) -> int:
                        help="incremental MinHash-LSH dedup index")
     p.add_argument("action",
                    choices=["sync", "pairs", "index", "compact", "migrate",
-                            "rebuild"])
+                            "rebuild", "delete", "health"])
+    p.add_argument("--max-coverage", type=float, default=0.5,
+                   help="health: flag when the typical delta's projected "
+                        "probe coverage exceeds this fraction")
     p.add_argument("spec",
                    help="index spec YAML (see cmd_dedup_index docstring)")
     p.add_argument("--prefix-len", type=int, default=None, metavar="P",

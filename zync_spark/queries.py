@@ -6368,3 +6368,320 @@ def zed_agg_where(spark, sf_dir):
         " mn_big := min(value) where value > 50,"
         " n := count() by event_type",
     )
+
+
+# -- tombstone (update/delete) propagation entries (round 6) -------------
+#
+# One entry per index family. Each builds the incremental index over the
+# full table, then DELETES doc_id%10==7 and UPDATES doc_id%10==3
+# (tombstone first, republish at shifted offsets, re-sync — the CDC
+# flow), folds the tombstones in a compaction, and answers from the
+# masked+folded index. The oracle computes the BATCH semantics over the
+# LATEST-state corpus in SQL — so a hash match proves delete/update
+# propagation end to end, including the span family's duplication-status
+# retraction for SURVIVING documents.
+
+_LATEST_DOCS = """
+    latest AS (SELECT doc_id,
+                      CASE WHEN doc_id % 10 = 3
+                           THEN text || ' zzupdated fresh tokens'
+                           ELSE text END AS text
+               FROM documents WHERE doc_id % 10 <> 7)
+"""
+
+
+def _tomb_update_docs(spark, sf_dir, tag, sync, tombstone):
+    """Shared driver for the document-indexed tombstone entries: build
+    src+index pools, ingest in two commits, delete %10==7 + update
+    %10==3 through `tombstone`/`sync` callbacks, and return the dest
+    pool. The latest-state corpus it produces is exactly _LATEST_DOCS."""
+    import shutil
+
+    from zync_spark.pool import Pool
+
+    docs = T(spark, sf_dir, "documents")
+    maxid = docs.agg(F.max("doc_id")).collect()[0][0]
+    cut = (maxid * 3) // 5
+
+    def env(df, shift=0):
+        return df.select(
+            F.struct(
+                F.lit("docs").alias("topic"),
+                F.lit(0).cast("long").alias("partition"),
+                (F.col("doc_id") + F.lit(shift)).cast("long").alias("offset"),
+            ).alias("kafka"),
+            F.lit("data").alias("zed_type"),
+            F.struct("doc_id", "text").alias("value"),
+        )
+
+    lake = _scratch_dir(
+        f"zs-{tag}-{sf_dir.rstrip('/').rsplit('/', 1)[-1]}")
+    shutil.rmtree(lake, ignore_errors=True)
+    src = Pool.create(spark, f"{lake}/src")
+    dest = Pool.create(spark, f"{lake}/index")
+    src.load(env(docs.filter(F.col("doc_id") < cut)), "backfill")
+    sync(src, dest)
+    src.load(env(docs.filter(F.col("doc_id") >= cut)), "delta")
+    sync(src, dest)
+    # CDC: tombstone FIRST (deletes %7 for good; %3 pending re-publish)…
+    dying = docs.filter((F.col("doc_id") % 10).isin(3, 7)).select("doc_id")
+    tombstone(dest, dying)
+    # …then republish the updated versions at shifted offsets and sync
+    updated = docs.filter(F.col("doc_id") % 10 == 3).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" zzupdated fresh tokens"))
+        .alias("text"))
+    src.load(env(updated, shift=maxid + 1), "updates")
+    sync(src, dest)
+    return dest
+
+
+_BM25_TOMB_TERMS = ("query", "spark", "zzupdated")
+
+@register(
+    "text_index_tombstone",
+    f"""
+    WITH {_LATEST_DOCS.strip()},
+    t AS (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+          FROM latest),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM t GROUP BY 1),
+    st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+    tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM t
+           WHERE tok IN {_BM25_TOMB_TERMS!r} GROUP BY 1, 2),
+    df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    idf AS (SELECT df.tok,
+                   floor(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                         * 1000000)::BIGINT AS idf_unats
+            FROM df, st),
+    parts AS (SELECT tf.doc_id,
+                     floor(idf.idf_unats * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 *
+                              (dl.dl * st.n_docs / st.sum_dl))))::BIGINT AS part
+              FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id) CROSS JOIN st),
+    sc AS (SELECT doc_id, sum(part)::BIGINT AS score FROM parts GROUP BY 1)
+    SELECT doc_id, rank, score FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM sc) WHERE rank <= 10
+    """,
+)
+def text_index_tombstone(spark, sf_dir):
+    """BM25 index under interleaved deletes + updates == batch BM25 over
+    the LATEST corpus: tombstone rows mask old posting sets by commit-seq
+    comparison, a NEGATIVE cstat partial keeps N/avg-doclen exact, the
+    fold (compact_text) drops masked rows physically, and search_text
+    hash-matches the oracle's full SQL replay over the latest-state
+    corpus — document frequencies included, which is what masking AFTER
+    df computation would get wrong (streaming/tombstones.py).
+
+    Scale: a delete costs O(deleted docs' buckets) — one bounded 'd:'
+    read for the negative partial, one 'x:'-bucketed tombstone commit;
+    the corpus is never rescanned."""
+    from zync_spark.streaming import text_index as TI
+
+    spec = TI.TextIndexSpec("docs", "value.doc_id", "value.text")
+    dest = _tomb_update_docs(
+        spark, sf_dir, "texttomb",
+        sync=lambda s, d: TI.sync_text(s, d, spec, ["docs"]),
+        tombstone=lambda d, ids: TI.tombstone_text(d, spec, ids))
+    TI.compact_text(dest, target_rows=5000)  # folds the tombstones
+    return TI.search_text(dest, spec, list(_BM25_TOMB_TERMS), k=10)
+
+
+@register(
+    "dedup_index_tombstone",
+    f"""
+    WITH {_LATEST_DOCS.strip()},
+    toks AS (SELECT doc_id, {_TOKS} AS toks FROM latest),
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS sh FROM toks WHERE len(toks) >= 3),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b,
+                     c / (ca.n + cb.n - c) AS jaccard
+              FROM inter
+              JOIN cnt ca ON ca.doc_id = id_a
+              JOIN cnt cb ON cb.doc_id = id_b)
+    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+    """,
+)
+def dedup_index_tombstone(spark, sf_dir):
+    """MinHash-LSH dedup index under interleaved deletes + updates ==
+    batch near-dup pairs over the LATEST corpus: a pair dies when EITHER
+    member's tombstone is later than the pair's commit (a duplicate
+    claim about a dead version is dead), the sync's stored-index probes
+    mask deleted docs so a delta can never pair against a dead version,
+    and an updated document's pairs are re-discovered against the live
+    index only. compact_index folds the masked rows; pairs_view
+    hash-matches the exact-Jaccard oracle over the latest-state corpus.
+
+    Scale: a delete is one O(1) tombstone commit — no stored read at
+    all (masking a nonexistent id is harmless, so no presence probe)."""
+    from zync_spark.streaming import dedup_index as DI
+
+    spec = DI.DedupIndexSpec(
+        "docs", "value.doc_id", "value.text",
+        k=3, num_hashes=64, bands=16, threshold=0.5)
+    dest = _tomb_update_docs(
+        spark, sf_dir, "deduptomb",
+        sync=lambda s, d: DI.sync_index(s, d, spec, ["docs"]),
+        tombstone=lambda d, ids: DI.tombstone_index(d, spec, ids))
+    DI.compact_index(dest, spec=spec)  # folds the tombstones
+    pv = DI.pairs_view(dest, spec)
+    return pv.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard")
+
+
+@register(
+    "span_index_tombstone",
+    rf"""
+    WITH {_LATEST_DOCS.strip()},
+    tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)),
+                                                '\s+') AS t
+           FROM latest),
+    wins AS (SELECT doc_id, i AS pos,
+                    array_to_string(list_slice(t, i+1, i+8), ' ') AS w
+             FROM tk, UNNEST(generate_series(0, len(t) - 8)) AS g(i)),
+    dups AS (SELECT w FROM wins GROUP BY w
+             HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, pos,
+                    pos - row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY pos) AS isl
+             FROM wins WHERE w IN (SELECT w FROM dups)),
+    spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+              FROM hits GROUP BY doc_id, isl)
+    SELECT doc_id, s AS span_start, e AS span_end,
+           (e - s + 1)::BIGINT AS span_tokens
+    FROM spans
+    """,
+)
+def span_index_tombstone(spark, sf_dir):
+    """Duplicated-span index under interleaved deletes + updates == the
+    batch ExactSubstr operator over the LATEST corpus — including the
+    retraction semantics no simple row mask can express: deleting one
+    copy of a twice-occurring span UN-duplicates the surviving copy, so
+    tombstone_spans re-derives the duplication rule over the live
+    occurrences of just the dying docs' hashes (found via their 'f:'
+    forward buckets) and commits 'undup'/'unhit' retractions alongside
+    the tombstones, all in one OCC commit. A re-published update
+    re-satisfies rules at a later seq and hits re-emit. compact_spans
+    folds everything; spans_view hash-matches the batch operator's
+    verbatim-window-text oracle over the latest-state corpus.
+
+    Scale: a delete costs O(dying docs' hash buckets) — the same
+    boundedness (and saturation honesty note) as a sync pass."""
+    from zync_spark.streaming import span_index as SI
+
+    spec = SI.SpanIndexSpec("docs", "value.doc_id", "value.text",
+                            window=8, min_docs=2)
+    dest = _tomb_update_docs(
+        spark, sf_dir, "spantomb",
+        sync=lambda s, d: SI.sync_spans(s, d, spec, ["docs"]),
+        tombstone=lambda d, ids: SI.tombstone_spans(d, spec, ids))
+    SI.compact_spans(dest, target_rows=5000)  # folds the tombstones
+    return SI.spans_view(dest, spec)
+
+
+ORACLE_SQL["ann_index_tombstone"] = f"""
+    WITH {_kmeans_cte(16, _ANN_IDX_TRAIN)},
+    c3 AS (SELECT cluster, pos, (sum(x) // count(*))::BIGINT AS c
+           FROM e JOIN a2 USING (vec_id) GROUP BY cluster, pos),
+    cents AS (SELECT cluster, list(c / 1048576.0 ORDER BY pos) AS cv
+              FROM c3 GROUP BY cluster),
+    v AS (SELECT vec_id,
+                 CASE WHEN vec_id % 10 = 3
+                      THEN list_transform(embedding, x -> -(x::DOUBLE))
+                      ELSE list_transform(embedding, x -> x::DOUBLE)
+                 END AS v
+          FROM embeddings WHERE vec_id % 10 <> 7),
+    cscore AS (SELECT v.vec_id, v.v, c.cluster,
+                      {_cos_sql('v.v', 'c.cv')} AS cs
+               FROM v, cents c),
+    cassign AS (SELECT vec_id, v, cluster FROM (
+                  SELECT vec_id, v, cluster,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cs DESC, cluster) AS rn
+                  FROM cscore) WHERE rn = 1),
+    q AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings WHERE vec_id < 10),
+    qscore AS (SELECT q.vec_id, q.v, c.cluster,
+                      {_cos_sql('q.v', 'c.cv')} AS cs
+               FROM q, cents c),
+    qprobe AS (SELECT vec_id, v, cluster FROM (
+                  SELECT vec_id, v, cluster,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cs DESC, cluster) AS rn
+                  FROM qscore) WHERE rn <= 2),
+    cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    {_cos_sql('q.v', 'c.v')} AS cos
+             FROM qprobe q JOIN cassign c
+               ON c.cluster = q.cluster AND c.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM cand) WHERE rank <= 5
+"""
+
+
+@register("ann_index_tombstone")
+def ann_index_tombstone(spark, sf_dir):
+    """IVF ANN index under interleaved deletes + updates == batch IVF
+    with the same frozen centroids over the LATEST corpus: the quantizer
+    stays frozen (trained on the backfill — deletes never retrain),
+    tombstones mask dead vectors at query time, and an updated vector
+    (here: negated, which flips its cell) re-assigns map-side on
+    re-ingest. compact_ann folds the masked vec rows; ann_query
+    hash-matches the oracle's frozen-centroid replay over the
+    latest-state vectors (queries are the original probe vectors).
+
+    Scale: a delete is one O(1) tombstone commit — vec rows are bucketed
+    by CELL, so the no-presence-probe design is what keeps deletes from
+    scanning the index."""
+    import shutil
+
+    from zync_spark.pool import Pool
+    from zync_spark.streaming import ann_index as AI
+
+    emb = T(spark, sf_dir, "embeddings")
+    maxid = emb.agg(F.max("vec_id")).collect()[0][0]
+    cut = (maxid * 3) // 5
+
+    def env(df, shift=0):
+        return df.select(
+            F.struct(
+                F.lit("emb").alias("topic"),
+                F.lit(0).cast("long").alias("partition"),
+                (F.col("vec_id") + F.lit(shift)).cast("long").alias("offset"),
+            ).alias("kafka"),
+            F.lit("data").alias("zed_type"),
+            F.struct("vec_id", "embedding").alias("value"),
+        )
+
+    lake = _scratch_dir(
+        f"zs-anntomb-{sf_dir.rstrip('/').rsplit('/', 1)[-1]}")
+    shutil.rmtree(lake, ignore_errors=True)
+    src = Pool.create(spark, f"{lake}/src")
+    dest = Pool.create(spark, f"{lake}/index")
+    spec = AI.AnnIndexSpec("emb", "value.vec_id", "value.embedding",
+                           n_cells=16, iterations=2)
+    src.load(env(emb.filter(F.col("vec_id") < cut)), "backfill")
+    AI.sync_ann(src, dest, spec, ["emb"])
+    src.load(env(emb.filter(F.col("vec_id") >= cut)), "delta")
+    AI.sync_ann(src, dest, spec, ["emb"])
+    # CDC: tombstone first, then republish the updated (negated) vectors
+    AI.tombstone_ann(
+        dest, spec,
+        emb.filter((F.col("vec_id") % 10).isin(3, 7)).select("vec_id"))
+    updated = emb.filter(F.col("vec_id") % 10 == 3).select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"))
+    src.load(env(updated, shift=maxid + 1), "updates")
+    AI.sync_ann(src, dest, spec, ["emb"])
+    AI.compact_ann(dest, target_rows=5000)  # folds the tombstones
+    return AI.ann_query(dest, spec, emb.filter(F.col("vec_id") < 10),
+                        k=5, nprobe=2)

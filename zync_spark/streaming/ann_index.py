@@ -225,6 +225,30 @@ def _sync_ann_once(src: Pool, dest: Pool, spec: AnnIndexSpec,
         delta.unpersist()
 
 
+def tombstone_ann(dest: Pool, spec: AnnIndexSpec, ids) -> int:
+    """Delete vectors from the index's LATEST state — O(1 commit), no
+    read of the stored cells at all: a tombstone row per id (zed_type
+    'tomb', ckey 'x:<pmod(id)>', upto = this pass's commit seq) masks
+    every vec row committed before it; ann_query/ann_exact_topk apply
+    the mask, compact_ann/rebuild_ann fold it physically. Tombstoning
+    an id the index never stored is harmless (masks nothing) — so no
+    presence probe is needed, which is what keeps this O(deletes) when
+    vec rows are bucketed by CELL, not id.
+
+    UPDATE flow (CDC): tombstone FIRST, then publish the new embedding
+    to the source and sync_ann — the tombstone masks everything
+    committed before it, so a too-early re-ingest would be masked too.
+    Returns rows committed."""
+    from zync_spark.streaming.tombstones import (commit_with_retry,
+                                                 tomb_rows)
+
+    def build(seq: int) -> DataFrame:
+        rows = tomb_rows(dest.spark, ids, upto=seq, prefix_len=2)
+        return _envelope(spec, rows, seq)
+
+    return commit_with_retry(dest, build, f"{spec.topic} tombstone")
+
+
 def rebuild_ann(dest: Pool, spec: AnnIndexSpec,
                 n_cells: int | None = None, iterations: int | None = None,
                 target_rows: int = 4_000_000,
@@ -260,6 +284,11 @@ def rebuild_ann(dest: Pool, spec: AnnIndexSpec,
         if "vec_id" not in df.columns or "v" not in df.columns:
             raise ValueError(
                 f"rebuild_ann: index {spec.name!r} has no stored vectors")
+        # fold tombstones FIRST: deleted vectors must not train the new
+        # quantizer or re-shard into the rebuilt cells
+        from zync_spark.streaming.tombstones import fold_tombstones
+
+        df = fold_tombstones(df)
         vecs = df.filter(_is_vec(spec)).select("kafka", "vec_id", "v", "vn")
         cents = S.kmeans_centroids(vecs, k=k, iterations=iters,
                                    id_col="vec_id", vec_col="v")
@@ -306,24 +335,38 @@ def compact_ann(dest: Pool, target_rows: int = 4_000_000,
     """Range-cluster the index pool by ckey so each output file covers a
     narrow cell range (per-file [min,max] in the manifest) — ann_query's
     bounded probe then skips non-probed cells at FILE granularity. Until
-    it runs, fresh commits carry no stats and are simply always read."""
+    it runs, fresh commits carry no stats and are simply always read.
+    Tombstones FOLD here: masked vec rows and the tombstone rows leave
+    together in the base rewrite (streaming.tombstones.fold_tombstones)."""
+    from zync_spark.streaming.tombstones import fold_tombstones
+
     return dest.compact(target_rows=target_rows, message=message,
-                        cluster_by=["ckey"])
+                        transform=fold_tombstones, cluster_by=["ckey"])
 
 
 def ann_exact_topk(dest: Pool, spec: AnnIndexSpec, queries: DataFrame,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   k: int = 10) -> DataFrame:
+                   k: int = 10,
+                   where_ids: DataFrame | None = None) -> DataFrame:
     """Exact brute-force cosine top-k over the STORED corpus — the
     ground truth ann_recall measures against. Split out so a
     recall-vs-nprobe sweep computes it ONCE and passes it to each
     ann_recall call via `exact=` (it is nprobe-independent and the
-    dominant cost of the measurement — round-5 review)."""
+    dominant cost of the measurement — round-5 review). `where_ids`
+    restricts the corpus — the exact side of the recall-under-filter
+    measurement."""
+    from zync_spark.streaming.tombstones import mask_rows, read_tombs
+
     stored = dest.scan()
     if stored is None or "vec_id" not in stored.columns:
         raise ValueError(f"ann_recall: index {spec.name!r} is empty")
-    corpus = stored.filter(_is_vec(spec)).select(
+    corpus = mask_rows(stored.filter(_is_vec(spec)),
+                       read_tombs(dest, spec.topic), "vec_id").select(
         "vec_id", F.col("v").alias("emb"))
+    if where_ids is not None:
+        allowed = where_ids.select(
+            F.col(where_ids.columns[0]).cast("long").alias("vec_id"))
+        corpus = corpus.join(allowed, "vec_id", "left_semi")
     q = queries.select(F.col(id_col).alias("vec_id"),
                        F.col(vec_col).alias("emb"))
     return S.cosine_topk(corpus, q, "vec_id", "emb", k=k)
@@ -397,7 +440,8 @@ def load_ann_spec(path: str) -> tuple[AnnIndexSpec, dict]:
 def ann_query(dest: Pool, spec: AnnIndexSpec, queries: DataFrame,
               id_col: str = "vec_id", vec_col: str = "embedding",
               k: int = 5, nprobe: int = 2,
-              stats_out: dict | None = None) -> DataFrame:
+              stats_out: dict | None = None,
+              where_ids: DataFrame | None = None) -> DataFrame:
     """Approximate top-k against the stored index: assign the query
     batch to its `nprobe` nearest cells (map-side vs the frozen
     centroids), then score ONLY those cells' stored vectors. The probed
@@ -405,7 +449,19 @@ def ann_query(dest: Pool, spec: AnnIndexSpec, queries: DataFrame,
     index serves the query from ~nprobe/n_cells of its files —
     `stats_out` receives probe_files/live_files, the boundedness
     contract under test. Output shape matches ivf_ann_topk:
-    (query_id, neighbor_id, rank, cos)."""
+    (query_id, neighbor_id, rank, cos).
+
+    `where_ids` (filtered retrieval): a frame whose FIRST column is the
+    allowed neighbor ids. The filter applies to the probed cells'
+    candidates BEFORE the top-k window — so unlike fetch-then-filter
+    systems there is no over-fetch factor to tune: within the probed
+    cells the filtered answer is EXACT (every matching candidate was
+    scored). The residual approximation is nprobe itself — matches
+    living in unprobed cells are missed, the classic pre/post-filter
+    recall trade — and recall-under-filter rises monotonically with
+    nprobe to 1.0 at full probe (pinned by test_retrieval). The
+    semi-join's big side is the filter scan (predicate pushed down);
+    AQE broadcasts whichever side is small."""
     cents = stored_centroids(dest, spec)
     if cents is None:
         raise ValueError(f"ann_query: index {spec.name!r} is empty "
@@ -438,8 +494,11 @@ def ann_query(dest: Pool, spec: AnnIndexSpec, queries: DataFrame,
         # crash — mirror the output schema
         return queries.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, rank long, cos double")
+    from zync_spark.streaming.tombstones import mask_rows, read_tombs
+
     cand = (
-        stored.filter(_is_vec(spec) & F.col("ckey").isin(ckeys))
+        mask_rows(stored.filter(_is_vec(spec) & F.col("ckey").isin(ckeys)),
+                  read_tombs(dest, spec.topic), "vec_id")
         .select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("v").alias("cv"),
@@ -447,6 +506,10 @@ def ann_query(dest: Pool, spec: AnnIndexSpec, queries: DataFrame,
             F.col("cell").alias("__cell"),
         )
     )
+    if where_ids is not None:
+        allowed = where_ids.select(
+            F.col(where_ids.columns[0]).cast("long").alias("neighbor_id"))
+        cand = cand.join(allowed, "neighbor_id", "left_semi")
     scored = (
         cand.join(F.broadcast(q), "__cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))

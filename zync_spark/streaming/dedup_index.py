@@ -199,16 +199,49 @@ def _envelope(spec: DedupIndexSpec, df: DataFrame, seq: int) -> DataFrame:
     )
 
 
+def tombstone_index(dest: Pool, spec: DedupIndexSpec, ids) -> int:
+    """Delete documents from the index's LATEST state — O(1 commit), no
+    read of the stored index: a tombstone row per id (zed_type 'tomb',
+    ckey 'x:<pmod(id)>', upto = this pass's commit seq) masks every
+    index/band row of the id committed before it, and every pair row
+    EITHER of whose members is masked (a duplicate claim about a dead
+    document is dead). pairs_view/index_view and sync_index's probes
+    apply the mask; compact_index/rebuild_index fold it physically.
+    Tombstoning an absent id masks nothing (idempotent, no presence
+    probe needed).
+
+    UPDATE flow (CDC): tombstone FIRST, then publish the new version to
+    the source and sync_index — the sync re-discovers the new version's
+    pairs against the live index, so a re-inserted near-duplicate pair
+    simply reappears at a later commit seq (live), while every claim
+    about the old version stays masked. Returns rows committed."""
+    from zync_spark.streaming.tombstones import (commit_with_retry,
+                                                 tomb_rows)
+
+    _check_meta(dest, spec)
+
+    def build(seq: int) -> DataFrame:
+        rows = tomb_rows(dest.spark, ids, upto=seq,
+                         prefix_len=spec.prefix_len)
+        return _envelope(spec, rows, seq)
+
+    return commit_with_retry(dest, build, f"{spec.topic} tombstone")
+
+
 def _probe_old_bands(dest: Pool, spec: DedupIndexSpec,
                      prefixes: list[str],
-                     stats_out: dict | None) -> DataFrame | None:
+                     stats_out: dict | None,
+                     tombs: DataFrame | None = None) -> DataFrame | None:
     """(old_id, bkey) rows of the stored index that can collide with the
     delta — read through `scan(bounds=)` so compacted band buckets
     outside the delta's prefixes are skipped at FILE granularity (the
     row-level ckey filter then lets parquet row-group stats prune within
-    kept files). Legacy pools (no band rows) fall back to exploding the
-    index rows' bkeys arrays — correct but O(index); migrate_band_rows()
-    upgrades them."""
+    kept files). `tombs` masks deleted documents so a delta can never
+    pair against a dead version (streaming.tombstones). Legacy pools
+    (no band rows) fall back to exploding the index rows' bkeys arrays
+    — correct but O(index); migrate_band_rows() upgrades them."""
+    from zync_spark.streaming.tombstones import mask_rows
+
     if stats_out is not None:
         stats_out["live_files"] = len(dest.committed_files())
         stats_out["probe_files"] = len(
@@ -221,7 +254,9 @@ def _probe_old_bands(dest: Pool, spec: DedupIndexSpec,
         return None
     if "bkey" in stored.columns:
         ob = (
-            stored.filter(_is_band(spec) & F.col("ckey").isin(prefixes))
+            mask_rows(stored.filter(_is_band(spec)
+                                    & F.col("ckey").isin(prefixes)),
+                      tombs, "doc_id")
             .select(F.col("doc_id").alias("old_id"), "bkey")
         )
         if "bkeys" in stored.columns and "ckey" in stored.columns:
@@ -231,23 +266,30 @@ def _probe_old_bands(dest: Pool, spec: DedupIndexSpec,
             # after migrate_band_rows + compact_index (which backfills
             # ckey); until then duplicates with the band rows are
             # possible and cand.distinct() absorbs them.
-            legacy = stored.filter(_is_index(spec) & F.col("ckey").isNull())
+            legacy = mask_rows(
+                stored.filter(_is_index(spec) & F.col("ckey").isNull()),
+                tombs, "doc_id")
             ob = ob.unionByName(legacy.select(
                 F.col("doc_id").alias("old_id"),
                 F.explode("bkeys").alias("bkey")))
         return ob
     if "bkeys" in stored.columns:  # legacy layout: bands live in arrays
-        return stored.filter(_is_index(spec)).select(
+        return mask_rows(stored.filter(_is_index(spec)), tombs,
+                         "doc_id").select(
             F.col("doc_id").alias("old_id"), F.explode("bkeys").alias("bkey"))
     return None
 
 
 def _fetch_old_sets(dest: Pool, spec: DedupIndexSpec,
                     dbuckets: list[str],
-                    stats_out: dict | None) -> DataFrame | None:
+                    stats_out: dict | None,
+                    tombs: DataFrame | None = None) -> DataFrame | None:
     """(doc_id, sh_set) for previously indexed documents in the given
     signature buckets — the exact-Jaccard verification needs the old
-    side's shingle set, and only colliding documents' buckets are read."""
+    side's shingle set, and only colliding documents' buckets are read
+    (`tombs` masks deleted versions, streaming.tombstones)."""
+    from zync_spark.streaming.tombstones import mask_rows
+
     if not dbuckets:
         return None
     if stats_out is not None:
@@ -262,7 +304,7 @@ def _fetch_old_sets(dest: Pool, spec: DedupIndexSpec,
         # rows have no ckey and must be kept)
         idx = idx.filter(F.col("ckey").isNull()
                          | F.col("ckey").isin(dbuckets))
-    return idx.select("doc_id", "sh_set")
+    return mask_rows(idx, tombs, "doc_id").select("doc_id", "sh_set")
 
 
 def sync_index(src: Pool, dest: Pool, spec: DedupIndexSpec,
@@ -387,7 +429,11 @@ def _sync_index_once(src: Pool, dest: Pool, spec: DedupIndexSpec,
             )
             cand = nn
             old_sets = None
-            old_bands = (_probe_old_bands(dest, spec, prefixes, stats_out)
+            from zync_spark.streaming.tombstones import read_tombs
+
+            tombs = read_tombs(dest, spec.topic) if prefixes else None
+            old_bands = (_probe_old_bands(dest, spec, prefixes, stats_out,
+                                          tombs=tombs)
                          if prefixes else None)
             if old_bands is not None:
                 no_raw = (new_bands.join(old_bands, "bkey")
@@ -404,7 +450,7 @@ def _sync_index_once(src: Pool, dest: Pool, spec: DedupIndexSpec,
                         .distinct().collect()
                     )
                     old_sets = _fetch_old_sets(dest, spec, dbuckets,
-                                               stats_out)
+                                               stats_out, tombs=tombs)
                     no = no_raw.select(
                         F.least("doc_id", "old_id").alias("id_a"),
                         F.greatest("doc_id", "old_id").alias("id_b"))
@@ -569,9 +615,15 @@ def compact_index(dest: Pool, target_rows: int = 4_000_000,
     cadence (commits_since_base); until it runs, fresh commits carry no
     file stats and are simply always read — boundedness degrades,
     correctness never."""
+    from zync_spark.streaming.tombstones import fold_tombstones
+
     plen = spec.prefix_len if spec is not None else _PREFIX_LEN
+    # upgrade first (legacy rows gain band rows + ckeys), THEN fold —
+    # the fold drops a dead doc's migrated band rows along with its
+    # index/pair rows and the tombstones themselves
     return dest.compact(target_rows=target_rows, message=message,
-                        transform=lambda df: _upgrade_and_fill(df, plen),
+                        transform=lambda df: fold_tombstones(
+                            _upgrade_and_fill(df, plen)),
                         cluster_by=["ckey"])
 
 
@@ -604,6 +656,11 @@ def rebuild_index(dest: Pool, spec: DedupIndexSpec,
         if "doc_id" not in df.columns or "bkeys" not in df.columns:
             raise ValueError(
                 f"rebuild_index: index {spec.name!r} has no stored rows")
+        # fold tombstones FIRST: masked rows must not re-bucket, and the
+        # topic's tomb rows must not be dropped un-applied below
+        from zync_spark.streaming.tombstones import fold_tombstones
+
+        df = fold_tombstones(df)
         idx = df.filter(_is_index(spec)).select(
             "doc_id", "sh_set", "bkeys")
         bands = idx.select("doc_id", F.explode("bkeys").alias("bkey"))
@@ -732,7 +789,11 @@ def pairs_view(dest: Pool, spec: DedupIndexSpec,
         # only cursor tombstones committed so far: empty typed frame
         return df.sparkSession.createDataFrame(
             [], "id_a long, id_b long, jaccard double")
-    out = df.filter(_is_pair(spec)).select("id_a", "id_b", "jaccard")
+    from zync_spark.streaming.tombstones import mask_rows, read_tombs
+
+    tombs = read_tombs(dest, spec.topic)
+    out = mask_rows(mask_rows(df.filter(_is_pair(spec)), tombs, "id_a"),
+                    tombs, "id_b").select("id_a", "id_b", "jaccard")
     if ids is not None:
         # the row-level residual of the file-level skip (ckey is a pure
         # function of id_a, so this filter alone is the true predicate)
@@ -749,7 +810,11 @@ def index_view(dest: Pool, spec: DedupIndexSpec) -> DataFrame | None:
     if "doc_id" not in df.columns:
         return df.sparkSession.createDataFrame(
             [], "doc_id long, sh_set array<long>, bkeys array<string>")
-    return df.filter(_is_index(spec)).select("doc_id", "sh_set", "bkeys")
+    from zync_spark.streaming.tombstones import mask_rows, read_tombs
+
+    return mask_rows(df.filter(_is_index(spec)),
+                     read_tombs(dest, spec.topic),
+                     "doc_id").select("doc_id", "sh_set", "bkeys")
 
 
 def load_index_spec(path: str) -> tuple[DedupIndexSpec, dict]:

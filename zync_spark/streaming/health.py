@@ -1,0 +1,234 @@
+"""Index health policy — decide WHEN to rebuild (round 6).
+
+The rebuild verbs exist (`rebuild_ann` / `rebuild_text` / `rebuild_spans`
+/ `rebuild_index`, round 5) but nothing triggered them: a drifting
+corpus silently degrades IVF recall, and a span/text index sized for
+small deltas saturates its prefix buckets until every "bounded" probe
+reads most of the pool. `check_*_health(dest, spec)` measures each
+family's failure mode against an explicit threshold and returns
+
+    {"healthy": bool, ...measured metrics..., "recommendation": str|None}
+
+so a maintenance loop can gate `rebuild_*` on it (CLI: `*-index health`).
+
+Per-family policy (what is measured, and why that metric):
+
+- ANN (`check_ann_health`): retrieval QUALITY — avg recall@k of
+  `ann_query` vs exact cosine top-k over a deterministic sample of the
+  STORED vectors (the same measurement `ann_recall` pins in the
+  catalog's bounded-error entry). A quantizer frozen on an
+  unrepresentative backfill, or a corpus that drifted away from it,
+  scores low; `rebuild_ann` retrains on everything stored. Cell balance
+  (max cell size / mean) is reported as an advisory — imbalance is a
+  COST symptom, recall is the correctness one.
+- span (`check_span_health`): probe-bucket SATURATION — a sync pass
+  probes ~1-(1-1/B)^H of the 'w:'/'d:' spaces for a delta of H window
+  hashes (module note in span_index.py), so the policy estimates H from
+  the stored per-pass win-row counts and flags when the projected
+  coverage exceeds `max_coverage`. `rebuild_spans(prefix_len=...)`
+  re-buckets; the recommended prefix_len re-applies the sizing rule
+  B >= headroom x H.
+- text (`check_text_health`): posting-bucket READ AMPLIFICATION — a
+  one-term search reads its whole 't:' bucket, i.e. ~distinct_terms/B
+  terms' postings; the policy flags when terms-per-bucket exceeds
+  `max_terms_per_bucket`. `rebuild_text(prefix_len=...)` re-buckets.
+- dedup (`check_dedup_health`): band-collision rate — the fraction of
+  stored band rows that share their band key with another document
+  (collisions are exactly the candidate-pair generator, so the rate IS
+  the per-doc verification cost multiplier) plus the same
+  bucket-saturation projection as span for the probe. High collision
+  with low Jaccard-confirm yield means the banding is too coarse for
+  the corpus; that needs a source re-ingest (k/num_hashes/bands are
+  burned into signatures), which the recommendation says honestly.
+
+All checks read ONLY the index pool (never source text) and aggregate
+narrow columns; they are maintenance passes, priced like a compaction
+decision, not like a query. Reference parity: the reference has no
+index surface at all (beyond-reference module).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from zync_spark.pool import Pool
+
+
+def _sync_pass_avg(df, row_filter, partition_col="kafka.partition"):
+    """Average rows per SYNC pass (partition >= 0 — migrations/rebuilds
+    use the reserved -1/-2 labels and say nothing about delta size)."""
+    per = (df.filter(row_filter & (F.expr(partition_col) >= 0))
+           .groupBy(F.expr(partition_col).alias("__p"))
+           .agg(F.count("*").alias("__n"))
+           .agg(F.avg("__n").alias("a")).collect()[0]["a"])
+    return float(per) if per is not None else None
+
+
+def _coverage(buckets: int, hashes: float) -> float:
+    """Expected fraction of B buckets touched by H uniform hashes."""
+    if hashes is None or buckets <= 0:
+        return 0.0
+    return 1.0 - (1.0 - 1.0 / buckets) ** hashes
+
+
+def _plen_for(target_buckets: float) -> int:
+    """Smallest prefix_len whose 16^p fan-out meets the target."""
+    return max(1, min(8, math.ceil(math.log(max(target_buckets, 16), 16))))
+
+
+def check_ann_health(dest: Pool, spec, k: int = 10, nprobe: int = 2,
+                     sample: int = 32,
+                     min_recall: float = 0.5) -> dict:
+    """Recall@k of the stored index on a deterministic sample of its own
+    vectors, vs `min_recall`. The sample is the lowest-id stored vectors
+    (stable across runs); the exact side is one measurement scan — the
+    same cost note as ann_recall."""
+    from zync_spark.streaming import ann_index as AI
+    from zync_spark.streaming.tombstones import mask_rows, read_tombs
+
+    stored = dest.scan()
+    if stored is None or "vec_id" not in stored.columns:
+        raise ValueError(f"ann index {spec.name!r} is empty")
+    vecs = mask_rows(stored.filter(AI._is_vec(spec)),
+                     read_tombs(dest, spec.topic), "vec_id")
+    n_vecs = vecs.count()
+    qs = (vecs.orderBy("vec_id").limit(int(sample))
+          .select("vec_id", F.col("v").alias("emb")))
+    rec = (AI.ann_recall(dest, spec, qs, id_col="vec_id", vec_col="emb",
+                         k=k, nprobe=nprobe)
+           .agg(F.avg("recall").alias("a")).collect()[0]["a"])
+    cells = (vecs.groupBy("cell").agg(F.count("*").alias("n"))
+             .agg(F.max("n").alias("mx"), F.avg("n").alias("av"),
+                  F.count("*").alias("nc")).collect()[0])
+    balance = (float(cells["mx"]) / float(cells["av"])
+               if cells["av"] else 1.0)
+    healthy = rec is not None and float(rec) >= min_recall
+    return {
+        "family": "ann", "healthy": bool(healthy),
+        "avg_recall": round(float(rec or 0.0), 4),
+        "min_recall": min_recall, "k": k, "nprobe": nprobe,
+        "sample": int(sample), "n_vectors": int(n_vecs),
+        "cells_used": int(cells["nc"] or 0),
+        "cell_balance": round(balance, 2),
+        "recommendation": None if healthy else (
+            f"rebuild_ann(dest, spec) — retrain the frozen quantizer on "
+            f"all {n_vecs} stored vectors (recall {float(rec or 0):.3f} < "
+            f"{min_recall}); consider a larger n_cells if the corpus "
+            "has grown"),
+    }
+
+
+def check_span_health(dest: Pool, spec,
+                      max_coverage: float = 0.5,
+                      headroom: float = 10.0) -> dict:
+    """Projected probe coverage 1-(1-1/B)^H for the TYPICAL delta (H =
+    avg win rows per stored sync pass) vs `max_coverage`. The
+    recommendation re-applies the module's sizing rule: pick prefix_len
+    so B >= headroom x H."""
+    from zync_spark.streaming.span_index import _check_meta, _is
+
+    _check_meta(dest, spec)
+    df = dest.scan()
+    if df is None or "h" not in df.columns:
+        raise ValueError(f"span index {spec.name!r} is empty")
+    avg_h = _sync_pass_avg(df, _is(spec, "win"))
+    buckets = 16 ** spec.prefix_len
+    cov = _coverage(buckets, avg_h)
+    healthy = cov <= max_coverage
+    rec_plen = _plen_for(headroom * (avg_h or 1.0))
+    return {
+        "family": "span", "healthy": bool(healthy),
+        "buckets": buckets, "prefix_len": spec.prefix_len,
+        "avg_delta_hashes": round(avg_h or 0.0, 1),
+        "projected_probe_coverage": round(cov, 4),
+        "max_coverage": max_coverage,
+        "recommendation": None if healthy else (
+            f"rebuild_spans(dest, spec, prefix_len={rec_plen}) — "
+            f"{buckets} buckets saturate at ~{cov:.0%} per typical "
+            f"delta (~{avg_h:.0f} hashes); {16 ** rec_plen} buckets "
+            f"project to ~{_coverage(16 ** rec_plen, avg_h):.0%}"),
+    }
+
+
+def check_text_health(dest: Pool, spec,
+                      max_terms_per_bucket: float = 4096.0) -> dict:
+    """Read amplification of a one-term search: ~distinct_terms/B terms'
+    postings come back per probed bucket. Flags when terms-per-bucket
+    exceeds the threshold; rebuild_text re-buckets in place."""
+    from zync_spark.streaming.text_index import _check_meta, _is
+
+    _check_meta(dest, spec)
+    df = dest.scan()
+    if df is None or "term" not in df.columns:
+        raise ValueError(f"text index {spec.name!r} is empty")
+    n_terms = (df.filter(_is(spec, "post"))
+               .agg(F.count_distinct("term").alias("t"))
+               .collect()[0]["t"]) or 0
+    buckets = 16 ** spec.prefix_len
+    tpb = n_terms / buckets
+    healthy = tpb <= max_terms_per_bucket
+    rec_plen = _plen_for(n_terms / max(max_terms_per_bucket, 1.0))
+    return {
+        "family": "text", "healthy": bool(healthy),
+        "buckets": buckets, "prefix_len": spec.prefix_len,
+        "distinct_terms": int(n_terms),
+        "terms_per_bucket": round(tpb, 1),
+        "max_terms_per_bucket": max_terms_per_bucket,
+        "recommendation": None if healthy else (
+            f"rebuild_text(dest, spec, prefix_len={rec_plen}) — "
+            f"{tpb:.0f} terms share each of {buckets} buckets; "
+            f"{16 ** rec_plen} buckets bring a one-term read down to "
+            f"~{n_terms / 16 ** rec_plen:.0f} terms' postings"),
+    }
+
+
+def check_dedup_health(dest: Pool, spec,
+                       max_coverage: float = 0.5,
+                       max_collision_rate: float = 0.5,
+                       headroom: float = 10.0) -> dict:
+    """Band-collision rate (fraction of band rows sharing their band key
+    — each collision is a candidate pair the exact-Jaccard verifier must
+    pay for) plus the same probe-saturation projection as the span
+    family (H = avg band rows per sync pass)."""
+    from zync_spark.streaming.dedup_index import _check_meta, _is_band
+
+    _check_meta(dest, spec)
+    df = dest.scan()
+    if df is None or "bkey" not in df.columns:
+        raise ValueError(f"dedup index {spec.name!r} has no band rows")
+    bands = df.filter(_is_band(spec))
+    agg = bands.agg(F.count("*").alias("n"),
+                    F.count_distinct("bkey").alias("d")).collect()[0]
+    n, d = int(agg["n"] or 0), int(agg["d"] or 0)
+    collision = (1.0 - d / n) if n else 0.0
+    avg_h = _sync_pass_avg(df, _is_band(spec))
+    buckets = 16 ** spec.prefix_len
+    cov = _coverage(buckets, avg_h)
+    sat_ok = cov <= max_coverage
+    col_ok = collision <= max_collision_rate
+    rec_plen = _plen_for(headroom * (avg_h or 1.0))
+    rec = None
+    if not sat_ok:
+        rec = (f"rebuild_index(dest, spec, prefix_len={rec_plen}) — "
+               f"{buckets} buckets saturate at ~{cov:.0%} per typical "
+               f"delta (~{avg_h:.0f} band rows)")
+    elif not col_ok:
+        rec = (f"band-collision rate {collision:.0%} exceeds "
+               f"{max_collision_rate:.0%}: either the corpus is heavily "
+               "duplicated (expected — confirm via pairs_view yield) or "
+               "the banding is too coarse; k/num_hashes/bands are burned "
+               "into stored signatures, so changing them means "
+               "re-ingesting the source into a fresh index")
+    return {
+        "family": "dedup", "healthy": bool(sat_ok and col_ok),
+        "buckets": buckets, "prefix_len": spec.prefix_len,
+        "band_rows": n, "distinct_band_keys": d,
+        "collision_rate": round(collision, 4),
+        "max_collision_rate": max_collision_rate,
+        "avg_delta_band_rows": round(avg_h or 0.0, 1),
+        "projected_probe_coverage": round(cov, 4),
+        "max_coverage": max_coverage,
+        "recommendation": rec,
+    }

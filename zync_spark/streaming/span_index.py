@@ -22,6 +22,17 @@ scan(bounds=) file-skipping contract):
   lives in the same probed bucket space) and emit hits for their OWN
   delta positions only. A (doc, pos) belongs to exactly one hash, so no
   hit row is ever written twice.
+- `fwd` rows (doc_id, h), ckey 'f:<pmod(doc_id) hex>': the FORWARD
+  index — each doc's distinct window hashes, bucketed by doc. Written
+  so `tombstone_spans` can find a deleted doc's hashes boundedly (win
+  rows are bucketed by HASH; without the forward rows a delete would
+  scan the whole 'w:' space). The price of delete support.
+- `tomb`/`undup`/`unhit` rows: delete machinery (tombstone_spans) —
+  doc tombstones in 'x:' buckets; per-hash duplication RETRACTIONS in
+  the same 'd:' buckets the dup markers live in; per-(doc,pos) hit
+  retractions in the same 'h:' buckets the hits live in. All masked by
+  commit-seq comparison (streaming/tombstones.py) and folded physically
+  at compaction/rebuild.
 
 Per pass: cursor-bounded delta scan → window rows (the SAME
 `window_hash_rows` expression the batch operator compiles, so the two
@@ -51,9 +62,15 @@ Whatever the coverage, text itself is never re-read: the probe moves
 16-byte (h, doc, pos) rows, and a saturated probe degrades to the batch
 operator's cost — never worse.
 
-Append-only contract: same as the other families — each doc_id ingests
-once (cursor-bounded delta); updates take the CDC path (compact source
-with keep_latest_by_key, rebuild).
+Updates/deletes: `tombstone_spans` deletes documents from the LATEST
+state in O(deleted docs' hash buckets) — it masks the docs' rows AND
+retracts the duplication status of SURVIVING docs whose hashes no
+longer satisfy the rule (the non-trivial part: removing one copy of a
+twice-occurring span un-duplicates the other copy). The CDC update flow
+is tombstone FIRST, then re-publish + sync — a hash whose rule is
+re-satisfied by the new version re-dups and its hits re-emit at a later
+commit seq, exactly reproducing the batch operator over the latest
+corpus (differential-tested).
 
 Reference parity: the reference has no dedup surface (beyond-reference
 module); the commit/cursor machinery mirrors its done-marker design
@@ -169,7 +186,11 @@ def _sync_spans_once(src: Pool, dest: Pool, spec: SpanIndexSpec,
                     pmod_ckey("w:", F.col("h"), spec.prefix_len).alias("ck"))
                 .distinct().collect()
             )
-            stored_w, known_dup = _probe(dest, spec, w_prefixes, stats_out)
+            from zync_spark.streaming.tombstones import read_tombs
+
+            tombs = read_tombs(dest, spec.topic)
+            stored_w, known_dup = _probe(dest, spec, w_prefixes, stats_out,
+                                         tombs=tombs)
             d_hashes = wins_d.select("h").distinct()
             if stored_w is not None:
                 stored_w = stored_w.join(d_hashes, "h")
@@ -195,6 +216,9 @@ def _sync_spans_once(src: Pool, dest: Pool, spec: SpanIndexSpec,
                 hits_new = hits_new.unionByName(
                     wins_d.join(known_dup, "h").select("doc_id", "pos"))
             plen = spec.prefix_len
+            # forward rows: each delta doc's distinct hashes, bucketed
+            # by doc — what makes tombstone_spans's retraction bounded
+            fwd = wins_d.select("doc_id", "h").distinct()
             out = (
                 _stamp("win", pmod_ckey("w:", F.col("h"), plen),
                        wins_d.select("h", "doc_id", "pos"))
@@ -204,15 +228,22 @@ def _sync_spans_once(src: Pool, dest: Pool, spec: SpanIndexSpec,
                 .unionByName(
                     _stamp("dup", pmod_ckey("d:", F.col("h"), plen),
                            newly_dup), allowMissingColumns=True)
+                .unionByName(
+                    _stamp("fwd", pmod_ckey("f:", F.col("doc_id"), plen),
+                           fwd), allowMissingColumns=True)
             )
             if not has_meta:
                 # persist the spec contract so a later sync or view
                 # under a DRIFTED spec fails loud (_check_meta) instead
                 # of silently missing stored rows — window and
                 # prefix_len are baked into stored hashes and ckeys
+                # forward=1 records that every synced doc has fwd rows
+                # — the capability tombstone_spans requires (legacy
+                # pools lack it until rebuild_spans regenerates them)
                 meta = delta.sparkSession.createDataFrame(
-                    [(spec.window, spec.min_docs, spec.prefix_len)],
-                    "window long, min_docs long, prefix_len long")
+                    [(spec.window, spec.min_docs, spec.prefix_len, 1)],
+                    "window long, min_docs long, prefix_len long,"
+                    " forward long")
                 out = out.unionByName(_stamp("meta", F.lit("c:"), meta),
                                       allowMissingColumns=True)
             n = dest.load(_envelope(spec, out, snapshot),
@@ -283,11 +314,16 @@ def _check_meta(dest: Pool, spec: SpanIndexSpec) -> bool:
 
 
 def _probe(dest: Pool, spec: SpanIndexSpec, w_prefixes: list[str],
-           stats_out: dict | None):
-    """(stored win rows, stored dup markers) for the delta's hash
-    buckets — one scan over the combined 'w:'/'d:' point set, file-
+           stats_out: dict | None, tombs: DataFrame | None = None):
+    """(LIVE stored win rows, LIVE dup-marker hash set) for the delta's
+    hash buckets — one scan over the combined 'w:'/'d:' point set, file-
     skipped via the manifest's ckey stats; row-level ckey residual
-    applied on top."""
+    applied on top. `tombs` masks deleted documents' win rows; a dup
+    marker is live iff no LATER undup retraction exists for its hash
+    (commit-seq comparison — both marker types share the 'd:' buckets,
+    so the probe that finds one finds the other)."""
+    from zync_spark.streaming.tombstones import mask_rows
+
     prefixes = w_prefixes + ["d:" + ck[2:] for ck in w_prefixes]
     if stats_out is not None:
         stats_out["live_files"] = len(dest.committed_files())
@@ -299,9 +335,141 @@ def _probe(dest: Pool, spec: SpanIndexSpec, w_prefixes: list[str],
         return None, None
     if "ckey" in stored.columns:
         stored = stored.filter(F.col("ckey").isin(prefixes))
-    wins = stored.filter(_is(spec, "win")).select("h", "doc_id", "pos")
-    dups = stored.filter(_is(spec, "dup")).select("h")
+    wins = mask_rows(stored.filter(_is(spec, "win")), tombs,
+                     "doc_id").select("h", "doc_id", "pos")
+    dups = _live_dup_set(stored, spec)
     return wins, dups
+
+
+def _live_dup_set(stored: DataFrame, spec: SpanIndexSpec) -> DataFrame:
+    """(h) hashes whose duplication status is currently asserted: the
+    latest marker per hash wins (dup at seq D is retracted by an undup
+    at seq U > D; a later re-dup at seq > U re-asserts). Marker rows are
+    single-purpose and tiny relative to wins."""
+    dup_m = (stored.filter(_is(spec, "dup"))
+             .groupBy("h").agg(F.max("kafka.partition").alias("__d")))
+    undup_m = (stored.filter(_is(spec, "undup"))
+               .groupBy("h").agg(F.max("kafka.partition").alias("__u")))
+    return (dup_m.join(undup_m, "h", "left")
+            .filter(F.col("__u").isNull() | (F.col("__d") >= F.col("__u")))
+            .select("h"))
+
+
+def _has_forward(dest: Pool, spec: SpanIndexSpec) -> bool:
+    """Does the stored meta row assert the forward ('f:') key space?
+    (Written by every post-round-6 sync; legacy pools acquire it via
+    rebuild_spans, which regenerates fwd rows from the stored wins.)"""
+    df = dest.scan(bounds={"ckey": ["c:"]})
+    if df is None or "forward" not in df.columns:
+        return False
+    rows = (df.filter(_is(spec, "meta")).select("forward")
+            .limit(1).collect())
+    return bool(rows) and rows[0]["forward"] == 1
+
+
+def tombstone_spans(dest: Pool, spec: SpanIndexSpec, ids,
+                    stats_out: dict | None = None) -> int:
+    """Delete documents from the index's LATEST state — O(deleted docs'
+    hash buckets), never a corpus scan — in ONE atomic commit carrying:
+
+    - a tombstone row per id ('x:' bucket): masks the docs' win/hit/fwd
+      rows everywhere (views, sync probes, folds);
+    - 'undup' retraction markers ('d:' buckets): for each hash the
+      deleted docs touched whose duplication rule is NO LONGER satisfied
+      by the live occurrences, the dup assertion is retracted — the
+      non-trivial delete semantics: removing one copy of a
+      twice-occurring span un-duplicates the OTHER copy;
+    - 'unhit' rows ('h:' buckets): per-(doc,pos) hit retractions for the
+      SURVIVING docs' positions at those no-longer-duplicated hashes.
+
+    The deleted docs' hashes come from their 'f:' forward buckets (one
+    point-set read), the recount probes only those hashes' 'w:'/'d:'
+    buckets — the same boundedness (and the same saturation honesty
+    note) as a sync pass. Tombstoning an absent or already-deleted id
+    retracts nothing (idempotent). Requires the forward key space
+    (every post-round-6 index; legacy pools: run rebuild_spans once).
+
+    UPDATE flow (CDC): tombstone FIRST, then re-publish + sync_spans —
+    a rule re-satisfied by the new version re-dups at a later seq and
+    its hits re-emit for every live occurrence (differential-tested
+    against the batch operator over the latest corpus)."""
+    from zync_spark.streaming.tombstones import (commit_with_retry,
+                                                 id_buckets, ids_frame,
+                                                 read_tombs, tomb_rows)
+
+    _check_meta(dest, spec)
+    if not _has_forward(dest, spec):
+        raise ValueError(
+            f"span index {spec.name!r} predates the forward ('f:') key "
+            "space that deletes need to find a doc's window hashes "
+            "boundedly — run rebuild_spans() once to regenerate it from "
+            "the stored windows")
+    plen = spec.prefix_len
+    idf = ids_frame(dest.spark, ids).persist()
+    dying = idf.withColumnRenamed("did", "doc_id")
+
+    def build(seq: int) -> DataFrame:
+        from zync_spark.streaming.tombstones import mask_rows
+
+        spark = dest.spark
+        out = tomb_rows(spark, idf, upto=seq, prefix_len=plen)
+        tombs_prev = read_tombs(dest, spec.topic)
+        # a <=16^prefix_len-value bucket collect — the delete set itself
+        # stays a DataFrame end to end
+        fbuckets = id_buckets(idf, "f:", plen)
+        fstored = dest.scan(bounds={"ckey": fbuckets})
+        affected = None
+        if fstored is not None and "h" in fstored.columns:
+            affected = (mask_rows(
+                fstored.filter(_is(spec, "fwd"))
+                .join(dying, "doc_id", "left_semi"),
+                tombs_prev, "doc_id")
+                .select("h").distinct().persist())
+        if affected is None:
+            return _envelope(spec, out, seq)
+        try:
+            w_prefixes = sorted(
+                r["ck"] for r in affected.select(
+                    pmod_ckey("w:", F.col("h"), plen).alias("ck"))
+                .distinct().collect())
+            if not w_prefixes:
+                return _envelope(spec, out, seq)
+            stored_w, live_dup = _probe(dest, spec, w_prefixes, stats_out,
+                                        tombs=tombs_prev)
+            if stored_w is None:
+                return _envelope(spec, out, seq)
+            # live occurrences AFTER this delete: stored wins already
+            # masked by prior tombs, restricted to the affected hashes,
+            # minus the dying docs themselves
+            live = (stored_w.join(affected, "h")
+                    .join(dying, "doc_id", "left_anti"))
+            still = (
+                live.groupBy("h")
+                .agg(F.count_distinct("doc_id").alias("nd"),
+                     F.count(F.lit(1)).alias("nt"))
+                .filter((F.col("nd") >= spec.min_docs)
+                        & (F.col("nt") >= 2))
+                .select("h"))
+            dying_dup = (live_dup.join(affected, "h")
+                         .join(still, "h", "left_anti")
+                         if live_dup is not None else None)
+            if dying_dup is not None:
+                unhit = live.join(dying_dup, "h").select("doc_id", "pos")
+                out = (out.unionByName(
+                    _stamp("undup", pmod_ckey("d:", F.col("h"), plen),
+                           dying_dup), allowMissingColumns=True)
+                    .unionByName(
+                        _stamp("unhit",
+                               pmod_ckey("h:", F.col("doc_id"), plen),
+                               unhit), allowMissingColumns=True))
+            return _envelope(spec, out, seq)
+        finally:
+            affected.unpersist()
+
+    try:
+        return commit_with_retry(dest, build, f"{spec.topic} tombstone")
+    finally:
+        idf.unpersist()
 
 
 def rebuild_spans(dest: Pool, spec: SpanIndexSpec,
@@ -340,6 +508,12 @@ def rebuild_spans(dest: Pool, spec: SpanIndexSpec,
         if "h" not in df.columns or "pos" not in df.columns:
             raise ValueError(
                 f"rebuild_spans: index {spec.name!r} has no stored windows")
+        # fold tombstones/retractions FIRST: deleted docs' windows must
+        # not enter the re-derivation, and retraction history is
+        # consumed (the regenerated markers ARE the latest state)
+        from zync_spark.streaming.tombstones import fold_tombstones
+
+        df = fold_tombstones(df)
         wins = df.filter(_is(spec, "win")).select("h", "doc_id", "pos")
         satisfied = (
             wins.groupBy("h")
@@ -349,9 +523,12 @@ def rebuild_spans(dest: Pool, spec: SpanIndexSpec,
             .select("h")
         )
         hits = wins.join(satisfied, "h").select("doc_id", "pos")
+        # the forward key space regenerates from the stored wins — this
+        # is also how LEGACY pools acquire delete support
+        fwd = wins.select("doc_id", "h").distinct()
         meta = df.sparkSession.createDataFrame(
-            [(spec.window, new_md, new_pl)],
-            "window long, min_docs long, prefix_len long")
+            [(spec.window, new_md, new_pl, 1)],
+            "window long, min_docs long, prefix_len long, forward long")
         out = (
             _stamp("win", pmod_ckey("w:", F.col("h"), new_pl), wins)
             .unionByName(
@@ -360,6 +537,9 @@ def rebuild_spans(dest: Pool, spec: SpanIndexSpec,
             .unionByName(
                 _stamp("dup", pmod_ckey("d:", F.col("h"), new_pl),
                        satisfied), allowMissingColumns=True)
+            .unionByName(
+                _stamp("fwd", pmod_ckey("f:", F.col("doc_id"), new_pl),
+                       fwd), allowMissingColumns=True)
             .unionByName(_stamp("meta", F.lit("c:"), meta),
                          allowMissingColumns=True)
         )
@@ -391,9 +571,14 @@ def compact_spans(dest: Pool, target_rows: int = 4_000_000,
     """Range-cluster the pool by ckey so each output file covers a
     narrow bucket range — the probe and spans_view skip at FILE
     granularity. Fresh commits are already load-clustered; this folds
-    small-file accretion on the usual cadence."""
+    small-file accretion on the usual cadence. Tombstones FOLD here:
+    deleted docs' win/hit/fwd rows, retracted hits/dup markers, and the
+    tombstone/retraction rows themselves all leave in the base rewrite
+    (streaming.tombstones.fold_tombstones)."""
+    from zync_spark.streaming.tombstones import fold_tombstones
+
     return dest.compact(target_rows=target_rows, message=message,
-                        cluster_by=["ckey"])
+                        transform=fold_tombstones, cluster_by=["ckey"])
 
 
 def spans_view(dest: Pool, spec: SpanIndexSpec,
@@ -427,7 +612,24 @@ def spans_view(dest: Pool, spec: SpanIndexSpec,
     stored = dest.scan(bounds={"ckey": buckets})
     if stored is None or "pos" not in stored.columns:
         return empty
-    hits = stored.filter(_is(spec, "hit")).select("doc_id", "pos")
+    # masking (streaming/tombstones): doc tombstones kill a deleted
+    # doc's hits; 'unhit' retractions (same 'h:' buckets as the hits
+    # they retract, so this read already has them) kill a surviving
+    # doc's hits whose hash lost its duplication status to a delete
+    from zync_spark.streaming.tombstones import mask_rows, read_tombs
+
+    hits = mask_rows(stored.filter(_is(spec, "hit")),
+                     read_tombs(dest, spec.topic), "doc_id")
+    unhits = (stored.filter(_is(spec, "unhit"))
+              .groupBy(F.col("doc_id").alias("__d"),
+                       F.col("pos").alias("__p"))
+              .agg(F.max("kafka.partition").alias("__u")))
+    hits = (hits.join(F.broadcast(unhits),
+                      (F.col("doc_id") == F.col("__d"))
+                      & (F.col("pos") == F.col("__p")), "left")
+            .filter(F.col("__u").isNull()
+                    | (F.col("kafka.partition") >= F.col("__u")))
+            .select("doc_id", "pos"))
     if doc_ids is not None:
         hits = hits.filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
     # the SAME maximal-span definition as the batch operator — one

@@ -35,15 +35,16 @@ micro-nats before the per-term products (the text_ppl_unigram
 determinism recipe): per-(doc, term) partials floor to longs, so the
 per-doc sum is exact and order-independent — cross-engine hash-stable.
 
-Append-only contract (shared by all three index families): each doc_id
-is ingested ONCE — the cursor-bounded delta guarantees a given source
-offset is never reprocessed, and the source is treated as an immutable
-log (the reference's own model). Re-publishing an UPDATED document
-under the same doc_id at a new offset would append a second posting set
-(tf split across rows, df over-counted); the supported update path is
-the CDC one — compact the SOURCE pool with keep_latest_by_key and
-rebuild the index, or publish updates under fresh doc_ids and drop the
-old ids at query time.
+Updates/deletes (round 6): `tombstone_text` deletes documents from the
+LATEST state in O(deleted docs' buckets) — a tombstone row per id masks
+its post/dlen rows by commit-seq comparison (streaming/tombstones.py)
+and a NEGATIVE cstat partial keeps the mergeable corpus stats exact.
+The CDC update flow is tombstone FIRST, then re-publish under the same
+doc_id at a new offset and sync — the new posting set is live (written
+after the tombstone), every older one is masked, and search_text
+answers identically to a fresh index over the latest corpus
+(differential-tested, catalog-oracled). compact_text/rebuild_text fold
+masked rows physically.
 
 Reference parity: the reference has no search surface (this module is
 beyond-reference); the commit/cursor machinery mirrors its done-marker
@@ -240,6 +241,60 @@ def _sync_text_once(src: Pool, dest: Pool, spec: TextIndexSpec,
         delta.unpersist()
 
 
+def tombstone_text(dest: Pool, spec: TextIndexSpec, ids) -> int:
+    """Delete documents from the index's LATEST state — O(deleted docs'
+    buckets), never a corpus scan: one atomic commit carrying (a) a
+    tombstone row per id (zed_type 'tomb', ckey 'x:<pmod(id)>', upto =
+    this pass's commit seq) that masks every post/dlen row committed
+    before it, and (b) a NEGATIVE cstat partial (-n_live, -sum dl) so
+    the mergeable corpus stats stay exact without rescanning anything —
+    negative partials are partials (the incremental-rollup trick run
+    backwards). The live doc-lengths come from one bounded 'd:' bucket
+    read of just the target ids, already masked by any earlier
+    tombstones, so deleting an absent or already-deleted id subtracts
+    exactly nothing (idempotent).
+
+    UPDATE flow (CDC): tombstone FIRST, then publish the new version to
+    the source and sync_text. search_text masks at query time;
+    compact_text/rebuild_text fold masked rows physically. Returns rows
+    committed."""
+    from zync_spark.streaming.tombstones import (commit_with_retry,
+                                                 id_buckets, ids_frame,
+                                                 mask_rows, read_tombs,
+                                                 tomb_rows)
+
+    _check_meta(dest, spec)
+    idf = ids_frame(dest.spark, ids).persist()
+
+    def build(seq: int) -> DataFrame:
+        out = tomb_rows(dest.spark, idf, upto=seq,
+                        prefix_len=spec.prefix_len)
+        # a <=16^prefix_len-value bucket collect — delete-set size never
+        # reaches the driver (the ids stay a DataFrame end to end)
+        dbuckets = id_buckets(idf, "d:", spec.prefix_len)
+        stored = dest.scan(bounds={"ckey": dbuckets})
+        if stored is not None and "dl" in stored.columns:
+            live = mask_rows(
+                stored.filter(_is(spec, "dlen"))
+                .join(idf.withColumnRenamed("did", "doc_id"),
+                      "doc_id", "left_semi"),
+                read_tombs(dest, spec.topic), "doc_id")
+            row = live.agg(F.count("*").cast("long").alias("n"),
+                           F.sum("dl").cast("long").alias("s")).collect()[0]
+            if int(row["n"] or 0) > 0:
+                neg = dest.spark.createDataFrame(
+                    [(-int(row["n"]), -int(row["s"]))],
+                    "n_docs long, dl_sum long")
+                out = out.unionByName(_stamp("cstat", F.lit("c:"), neg),
+                                      allowMissingColumns=True)
+        return _envelope(spec, out, seq)
+
+    try:
+        return commit_with_retry(dest, build, f"{spec.topic} tombstone")
+    finally:
+        idf.unpersist()
+
+
 def compact_text(dest: Pool, target_rows: int = 4_000_000,
                  message: str = "textindex compact") -> int:
     """Range-cluster the index pool by ckey so each output file covers a
@@ -248,9 +303,14 @@ def compact_text(dest: Pool, target_rows: int = 4_000_000,
     folds the small-file accretion on the usual cadence. (No spec
     parameter, unlike compact_index: there is no legacy layout to
     self-heal and ckeys carry no spec-dependent width here — term
-    buckets are md5 prefixes whose stored length IS the truth.)"""
+    buckets are md5 prefixes whose stored length IS the truth.)
+    Tombstones FOLD here: masked post/dlen rows and the tombstone rows
+    leave together in the base rewrite; the negative cstat partials
+    persist (they ARE the corrected stats — mergeable partials)."""
+    from zync_spark.streaming.tombstones import fold_tombstones
+
     return dest.compact(target_rows=target_rows, message=message,
-                        cluster_by=["ckey"])
+                        transform=fold_tombstones, cluster_by=["ckey"])
 
 
 def rebuild_text(dest: Pool, spec: TextIndexSpec,
@@ -274,6 +334,12 @@ def rebuild_text(dest: Pool, spec: TextIndexSpec,
         if "term" not in df.columns:
             raise ValueError(
                 f"rebuild_text: index {spec.name!r} has no stored postings")
+        # fold tombstones FIRST: masked rows must not re-bucket into the
+        # rebuilt index, and the topic's tomb rows must not be silently
+        # dropped un-applied by the type filters below
+        from zync_spark.streaming.tombstones import fold_tombstones
+
+        df = fold_tombstones(df)
         mine = df.filter(F.col("kafka.topic").eqNullSafe(spec.topic))
         posts = mine.filter(F.col("zed_type").eqNullSafe("post")) \
             .select("kafka", "term", "doc_id", "tf")
@@ -328,7 +394,8 @@ def corpus_stats(dest: Pool, spec: TextIndexSpec) -> tuple[int, int]:
 
 
 def search_text(dest: Pool, spec: TextIndexSpec, query: str | list[str],
-                k: int = 10, stats_out: dict | None = None) -> DataFrame:
+                k: int = 10, stats_out: dict | None = None,
+                where_ids: DataFrame | None = None) -> DataFrame:
     """BM25 top-k over the stored index: (doc_id, rank, score) with
     score in integer micro-nat-scaled units (exact long — hash-stable).
 
@@ -336,7 +403,18 @@ def search_text(dest: Pool, spec: TextIndexSpec, query: str | list[str],
     dlen buckets, and the 'c:' stat bucket (`scan(bounds=)` point-set
     skipping; `stats_out` receives live_files/probe_files/dlen_files —
     the boundedness contract under test). Duplicate query terms count
-    once (standard bag-of-words query semantics)."""
+    once (standard bag-of-words query semantics).
+
+    `where_ids` (filtered retrieval): a frame whose FIRST column is the
+    allowed doc ids (e.g. `metadata.filter(pred).select(id)` — the
+    predicate pushes down to the metadata scan). Candidates are
+    restricted AFTER the posting intersection — EXACT for BM25, since a
+    filtered-out doc without the query terms scores 0 anyway — and the
+    dlen fetch then reads only the surviving candidates' buckets, so
+    probe cost stays bounded. df/N/avgdl stay CORPUS-level (the standard
+    filtered-retrieval contract: rerank within the filter using the
+    global model; the SQL oracle mirrors this). The semi-join's big
+    side is the filter scan; AQE broadcasts whichever side is small."""
     _check_meta(dest, spec)
     if isinstance(query, str):
         terms = query.lower().split()  # the text.tokens contract
@@ -358,14 +436,26 @@ def search_text(dest: Pool, spec: TextIndexSpec, query: str | list[str],
     empty = spark.createDataFrame([], "doc_id long, rank long, score long")
     if stored is None or "term" not in stored.columns:
         return empty
-    posts = (stored.filter(_is(spec, "post") & F.col("term").isin(terms))
-             .select("term", "doc_id", "tf"))
+    # mask deleted documents BEFORE df/idf are computed: a dead doc in
+    # the postings would inflate every term's document frequency, not
+    # just leak into the candidates (one bounded 'x:' read, O(deletes))
+    from zync_spark.streaming.tombstones import mask_rows, read_tombs
+
+    tombs = read_tombs(dest, spec.topic)
+    posts = mask_rows(
+        stored.filter(_is(spec, "post") & F.col("term").isin(terms)),
+        tombs, "doc_id").select("term", "doc_id", "tf")
     n_docs, dl_sum = corpus_stats(dest, spec)
     if n_docs == 0:
         return empty
     # document-frequency per term: postings are unique per (doc, term)
-    # by construction, so a count IS the df
+    # by construction, so a count IS the df — computed BEFORE the
+    # where_ids restriction (corpus-level stats, see docstring)
     dfreq = posts.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    if where_ids is not None:
+        allowed = where_ids.select(
+            F.col(where_ids.columns[0]).cast("long").alias("doc_id"))
+        posts = posts.join(allowed, "doc_id", "left_semi")
     # candidate docs' length buckets — a <=256-value metadata collect
     # bounding the dlen fetch, same shape as the dedup index's set fetch
     dbuckets = sorted(
@@ -378,8 +468,9 @@ def search_text(dest: Pool, spec: TextIndexSpec, query: str | list[str],
     if stats_out is not None:
         stats_out["dlen_files"] = len(
             dest.committed_files(bounds={"ckey": dbuckets}))
-    dl_df = (dest.scan(bounds={"ckey": dbuckets})
-             .filter(_is(spec, "dlen")).select("doc_id", "dl"))
+    dl_df = mask_rows(
+        dest.scan(bounds={"ckey": dbuckets}).filter(_is(spec, "dlen")),
+        tombs, "doc_id").select("doc_id", "dl")
     # BM25 with idf quantized to integer micro-nats BEFORE the per-term
     # product, and the product floored to a long — the per-doc sum is
     # then exact and order-independent (text_ppl_unigram recipe). The
