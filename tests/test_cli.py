@@ -675,3 +675,53 @@ def test_cli_index_delete_verbs(spark, tmp_path, capsys):
         left = [json.loads(l)
                 for l in capsys.readouterr().out.strip().splitlines()]
         assert all(sp["doc_id"] != victim for sp in left)
+
+
+def test_cli_retrieve_where(spark, tmp_path, capsys):
+    """`retrieve --where` filters BOTH legs through a metadata predicate
+    over the text source pool's rows."""
+    import json as _json
+
+    import pytest
+    import yaml as _yaml
+
+    from tests.test_ann_index import ROW as AROW, _vec
+    from tests.test_text_index import ROW as TROW, _text
+    from zync_spark.pool import Pool
+
+    lake = os.path.join(tmp_path, "lake_hw")
+    tsrc = Pool.create(spark, os.path.join(lake, "tsrc"))
+    tsrc.load(spark.createDataFrame(
+        [(("docs", 0, i), "data", (i, _text(i))) for i in range(24)], TROW),
+        "backfill")
+    asrc = Pool.create(spark, os.path.join(lake, "asrc"))
+    asrc.load(spark.createDataFrame(
+        [(("emb", 0, i), "data", (i, _vec(i))) for i in range(24)], AROW),
+        "backfill")
+    tspec = os.path.join(tmp_path, "tidx.yaml")
+    with open(tspec, "w") as f:
+        _yaml.safe_dump(
+            {"kind": "text", "name": "d", "source": "tsrc", "dest": "tidx",
+             "topics": ["docs"], "id": "value.doc_id",
+             "text": "value.text"}, f)
+    aspec = os.path.join(tmp_path, "aidx.yaml")
+    with open(aspec, "w") as f:
+        _yaml.safe_dump(
+            {"name": "emb", "source": "asrc", "dest": "aidx",
+             "topics": ["emb"], "id": "value.vec_id", "vec": "value.emb",
+             "n_cells": 4}, f)
+    assert main(["--lake", lake, "text-index", "sync", tspec]) == 0
+    assert main(["--lake", lake, "ann-index", "sync", aspec]) == 0
+    capsys.readouterr()
+    assert main(["--lake", lake, "retrieve", tspec, aspec,
+                 "--query", "spark table", "--vec-id", "3",
+                 "-k", "8", "-n", "12", "--nprobe", "4",
+                 "--where", "value.doc_id % 2 = 0"]) == 0
+    rows = [_json.loads(l)
+            for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows and all(r["doc_id"] % 2 == 0 for r in rows)
+    # a bad predicate fails cleanly
+    with pytest.raises(SystemExit, match="bad --where"):
+        main(["--lake", lake, "retrieve", tspec, aspec,
+              "--query", "spark table", "--vec-id", "3",
+              "--where", "no_such_column ="])

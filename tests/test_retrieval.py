@@ -102,3 +102,86 @@ def test_rrf_validation(spark):
     for bad in (["rank", "x"], ["rrf", "x"], ["doc_id", "x"], ["x", "x"]):
         with pytest.raises(ValueError, match="unique and disjoint"):
             rrf_fuse([a, a], names=bad)
+
+
+def test_ann_recall_under_filter_monotone_and_full_probe_exact(spark, tmp_path):
+    """Filtered ANN retrieval (where_ids): recall vs the exact filtered
+    ground truth rises monotonically with nprobe and reaches 1.0 at full
+    probe — the pre/post-filter trade is exactly nprobe, never a
+    truncation artifact (the filter applies BEFORE the top-k window, so
+    there is no over-fetch factor to get wrong)."""
+    from pyspark.sql import functions as F
+
+    from zync_spark.pool import Pool
+    from zync_spark.streaming import ann_index as AI
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(300)
+    env = emb.select(
+        F.struct(F.lit("emb").alias("topic"),
+                 F.lit(0).cast("long").alias("partition"),
+                 F.col("vec_id").cast("long").alias("offset")
+                 ).alias("kafka"),
+        F.lit("data").alias("zed_type"),
+        F.struct("vec_id", "embedding").alias("value"))
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dst = Pool.create(spark, str(tmp_path / "idx"))
+    spec = AI.AnnIndexSpec("e", "value.vec_id", "value.embedding",
+                           n_cells=16)
+    src.load(env, "all")
+    AI.sync_ann(src, dst, spec, ["emb"])
+    AI.compact_ann(dst, target_rows=5000)
+
+    where = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    qs = emb.filter(F.col("vec_id") < 8)
+    exact = AI.ann_exact_topk(dst, spec, qs, k=10, where_ids=where)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    assert exact_pairs and all(n % 3 == 0 for _, n in exact_pairs)
+    per_q = {}
+    for q, _ in exact_pairs:
+        per_q[q] = per_q.get(q, 0) + 1
+    last = -1.0
+    for nprobe in (1, 4, 16):
+        got = AI.ann_query(dst, spec, qs, k=10, nprobe=nprobe,
+                           where_ids=where).collect()
+        assert all(r.neighbor_id % 3 == 0 for r in got)
+        hits = sum((r.query_id, r.neighbor_id) in exact_pairs for r in got)
+        recall = hits / len(exact_pairs)
+        assert recall >= last - 1e-9, (nprobe, recall, last)
+        last = recall
+    assert last == 1.0  # full probe == exact filtered ground truth
+
+
+def test_filtered_search_pushes_predicate_to_metadata_scan(spark, tmp_path):
+    """The where_ids frame is a filtered parquet scan: the predicate
+    must reach the scan (PushedFilters) and the leg must join it as a
+    semi-join — never a cartesian, never a driver-side id collect."""
+    from pyspark.sql import functions as F
+
+    from zync_spark.pool import Pool
+    from zync_spark.streaming import text_index as TI
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    env = docs.select(
+        F.struct(F.lit("docs").alias("topic"),
+                 F.lit(0).cast("long").alias("partition"),
+                 F.col("doc_id").cast("long").alias("offset")
+                 ).alias("kafka"),
+        F.lit("data").alias("zed_type"),
+        F.struct("doc_id", "text").alias("value"))
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dst = Pool.create(spark, str(tmp_path / "idx"))
+    spec = TI.TextIndexSpec("d", "value.doc_id", "value.text")
+    src.load(env, "all")
+    TI.sync_text(src, dst, spec, ["docs"])
+
+    where = docs.filter(F.col("lang") == "en").select("doc_id")
+    out = TI.search_text(dst, spec, ["spark", "table"], k=10,
+                         where_ids=where)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(lang,en)" in plan and "IsNotNull(lang)" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+    # and the filter actually bites
+    en = {r.doc_id for r in where.collect()}
+    assert all(r.doc_id in en for r in out.collect())

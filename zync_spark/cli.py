@@ -645,6 +645,24 @@ def cmd_retrieve(args) -> int:
         qvec = [float(x) for x in rows[0]["v"]]
         qid = args.vec_id
     qs = spark.createDataFrame([(qid, qvec)], "vec_id long, emb array<double>")
+    where_ids = None
+    if args.where:
+        # metadata predicate over the TEXT source pool's rows (the two
+        # indexes share an id space by contract, so the same allowed-id
+        # frame serves both legs). The predicate pushes down to the
+        # source scan; the legs semi-join their bounded candidates
+        # against it (exact for BM25 post-intersection; exact within
+        # the probed cells for ANN — raise --nprobe to trade cost for
+        # recall under selective filters).
+        meta = _pool(spark, args.lake, tdoc["source"]).scan()
+        if meta is None:
+            raise SystemExit("retrieve: --where given but the text "
+                             "source pool is empty")
+        try:
+            where_ids = meta.filter(F.expr(args.where)).select(
+                F.expr(tspec.id_expr).cast("long").alias("doc_id"))
+        except Exception as e:
+            raise SystemExit(f"retrieve: bad --where predicate: {e}")
     tstats: dict = {}
     astats: dict = {}
     # the legs are independent and each pays a few serial driver jobs
@@ -655,11 +673,13 @@ def cmd_retrieve(args) -> int:
     with ThreadPoolExecutor(max_workers=2) as pool:
         lex_f = pool.submit(
             ti.search_text, tdest, tspec, args.query, k=args.n,
-            stats_out=tstats if args.explain else None)
+            stats_out=tstats if args.explain else None,
+            where_ids=where_ids)
         sem_f = pool.submit(
             ai.ann_query, adest, aspec, qs, id_col="vec_id", vec_col="emb",
             k=args.n, nprobe=args.nprobe,
-            stats_out=astats if args.explain else None)
+            stats_out=astats if args.explain else None,
+            where_ids=where_ids)
         lex = lex_f.result().select("doc_id", "rank")
         sem = sem_f.result().select(
             F.col("neighbor_id").alias("doc_id"), "rank")
@@ -1167,6 +1187,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="RRF constant (1/(c + rank))")
     p.add_argument("--weights", default=None, metavar="LEX,SEM",
                    help="weighted RRF: per-ranker weights, e.g. 0.7,0.3")
+    p.add_argument("--where", default=None, metavar="PRED",
+                   help="metadata predicate over the text source pool's "
+                        "rows (e.g. \"value.lang = 'en'\"); filters "
+                        "BOTH legs — exact for BM25, exact-within-"
+                        "probed-cells for ANN (raise --nprobe under "
+                        "selective filters)")
     p.add_argument("--explain", action="store_true",
                    help="print per-leg probe telemetry (# files read vs "
                         "live) after the results")

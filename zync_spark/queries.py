@@ -6685,3 +6685,112 @@ def ann_index_tombstone(spark, sf_dir):
     AI.compact_ann(dest, target_rows=5000)  # folds the tombstones
     return AI.ann_query(dest, spec, emb.filter(F.col("vec_id") < 10),
                         k=5, nprobe=2)
+
+
+@register(
+    "hybrid_retrieval_filtered",
+    f"""
+    WITH allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    t AS (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+          FROM documents),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM t GROUP BY 1),
+    st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+    tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM t
+           WHERE tok IN {_HYBRID_TERMS!r} GROUP BY 1, 2),
+    df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    idf AS (SELECT df.tok,
+                   floor(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                         * 1000000)::BIGINT AS idf_unats
+            FROM df, st),
+    parts AS (SELECT tf.doc_id,
+                     floor(idf.idf_unats * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 *
+                              (dl.dl * st.n_docs / st.sum_dl))))::BIGINT AS part
+              FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id) CROSS JOIN st),
+    sc AS (SELECT doc_id, sum(part)::BIGINT AS score FROM parts GROUP BY 1),
+    lex AS (SELECT doc_id, lex_rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+        FROM sc JOIN allowed USING (doc_id)) WHERE lex_rank <= 20),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    cosd AS (SELECT c.vec_id AS doc_id, {_cos_sql("q.qv", "c.v")} AS cos
+             FROM q, e c JOIN allowed a ON a.doc_id = c.vec_id
+             WHERE c.vec_id <> 0),
+    sem AS (SELECT doc_id, sem_rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+        FROM cosd) WHERE sem_rank <= 20),
+    f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+                 coalesce(1.0::DOUBLE / (60 + lex_rank), 0.0::DOUBLE)
+                 + coalesce(1.0::DOUBLE / (60 + sem_rank), 0.0::DOUBLE) AS rrf
+          FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id)
+    SELECT doc_id, lex_rank, sem_rank, rrf, rank FROM (
+      SELECT doc_id, lex_rank, sem_rank, rrf,
+             row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM f)
+    WHERE rank <= 10
+    """,
+)
+def hybrid_retrieval_filtered(spark, sf_dir):
+    """Filtered hybrid retrieval (round 6): the same BM25+cosine RRF
+    fusion as hybrid_retrieval_rrf under a metadata predicate
+    (lang = 'en') pushed into BOTH legs — real RAG queries carry
+    source/date/language filters:
+
+    - BM25 leg: candidates restricted AFTER the posting intersection
+      (exact — a filtered-out doc without the query terms scores 0
+      anyway); df/N/avgdl stay corpus-level (the standard contract,
+      mirrored by the oracle); the dlen fetch then reads only the
+      SURVIVING candidates' buckets, so the filter SHRINKS the probe.
+    - ANN leg: the classic pre/post-filter problem — here the filter
+      applies inside the probed cells BEFORE the top-k window, so
+      within those cells the filtered answer is exact with NO
+      over-fetch factor; the residual is nprobe (matches in unprobed
+      cells), driven to zero in this entry by probing every cell, which
+      is what makes the whole pipeline hash-comparable. The
+      recall-vs-nprobe trade under partial probing is pinned separately
+      (test_retrieval recall-under-filter monotonicity).
+
+    The predicate itself pushes down to the documents parquet scan
+    (PushedFilters — pinned in test_plan_shapes); the allowed-id frame
+    never materializes driver-side."""
+    import shutil
+
+    from zync_spark.functions import retrieval as R
+    from zync_spark.pool import Pool
+    from zync_spark.streaming import ann_index as AI
+    from zync_spark.streaming import text_index as TI
+
+    docs = T(spark, sf_dir, "documents")
+    emb = T(spark, sf_dir, "embeddings")
+    lake = _scratch_dir(
+        f"zs-hybfilt-{sf_dir.rstrip('/').rsplit('/', 1)[-1]}")
+    shutil.rmtree(lake, ignore_errors=True)
+    src = Pool.create(spark, f"{lake}/src")
+    tdest = Pool.create(spark, f"{lake}/tindex")
+    adest = Pool.create(spark, f"{lake}/aindex")
+    src.load(docs.select(
+        F.struct(F.lit("docs").alias("topic"),
+                 F.lit(0).cast("long").alias("partition"),
+                 F.col("doc_id").cast("long").alias("offset")).alias("kafka"),
+        F.lit("data").alias("zed_type"),
+        F.struct("doc_id", "text").alias("value")), "docs")
+    src.load(emb.select(
+        F.struct(F.lit("emb").alias("topic"),
+                 F.lit(0).cast("long").alias("partition"),
+                 F.col("vec_id").cast("long").alias("offset")).alias("kafka"),
+        F.lit("data").alias("zed_type"),
+        F.struct("vec_id", "embedding").alias("value")), "emb")
+    tspec = TI.TextIndexSpec("docs", "value.doc_id", "value.text")
+    aspec = AI.AnnIndexSpec("emb", "value.vec_id", "value.embedding",
+                            n_cells=16, iterations=2)
+    TI.sync_text(src, tdest, tspec, ["docs"])
+    AI.sync_ann(src, adest, aspec, ["emb"])
+    AI.compact_ann(adest, target_rows=5000)
+    where = docs.filter(F.col("lang") == "en").select("doc_id")
+    lex = TI.search_text(tdest, tspec, list(_HYBRID_TERMS), k=20,
+                         where_ids=where).select("doc_id", "rank")
+    sem = AI.ann_query(adest, aspec, emb.filter(F.col("vec_id") == 0),
+                       k=20, nprobe=16, where_ids=where).select(
+        F.col("neighbor_id").alias("doc_id"), "rank")
+    return R.rrf_fuse([lex, sem], names=["lex_rank", "sem_rank"],
+                      k=10, c=60)
