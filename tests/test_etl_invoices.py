@@ -260,24 +260,108 @@ def test_compiled_plan_shape(spark, tmp_path):
         assert "LeftAnti" not in plan2
 
 
-def test_multipartition_input_fails_loudly(spark, tmp_path):
-    # markers key on (topic, offset): a partition-1 record with the same
-    # offset as a processed partition-0 record would be silently
-    # suppressed — the pipeline must refuse multi-partition input instead
+def _repartition(batch, parts=2):
+    """Shard a demo batch across `parts` partitions by key id, with each
+    partition getting its own offset sequence STARTING AT THE ORIGINAL
+    OFFSET NUMBERS — so sibling partitions deliberately reuse offset
+    numbers (Kafka's model: offsets are per-partition sequences), the
+    exact collision the round-5 pipeline refused."""
+    return [((t, key[0] % parts, o), key, value, zt)
+            for (t, _p, o), key, value, zt in batch]
+
+
+def _values_state(staging):
+    df = staging.scan()
+    rows = df.collect()
+    data = sorted(
+        ((r["value"]["ID"], r["value"]["customer"], r["value"]["item"],
+          r["value"]["invoice_status"])
+         for r in rows if r["zed_type"] == "data"),
+        key=repr,  # stateless status rows carry null customer/item
+    )
+    done = sorted(
+        (r["kafka"]["topic"], r["kafka"]["partition"], r["kafka"]["offset"])
+        for r in rows if r["zed_type"] == "done"
+    )
+    return data, done
+
+
+def test_multipartition_cdc_end_to_end(spark, tmp_path):
+    """Round 6: multi-partition CDC input is SUPPORTED — markers, the
+    anti-join, cursors, and output offsets all key per (topic,
+    partition), so colliding offset numbers across sibling partitions
+    (Kafka's normal state) process exactly once each. Value-level output
+    must match the single-partition golden run; per-partition output
+    offsets are consecutive from 0 with no cross-partition collisions;
+    reruns are no-ops."""
+    # reference run: the stock single-partition demo
+    raw1 = Pool.create(spark, os.path.join(tmp_path, "Raw1"))
+    st1 = Pool.create(spark, os.path.join(tmp_path, "St1"))
+    p1 = EtlPipeline(spark, load_config(INVOICES_YAML),
+                     {"Raw": raw1, "Staging": st1})
+    # multi-partition run: same events sharded by id parity, offsets
+    # colliding across partitions
+    raw2 = Pool.create(spark, os.path.join(tmp_path, "Raw2"))
+    st2 = Pool.create(spark, os.path.join(tmp_path, "St2"))
+    p2 = EtlPipeline(spark, load_config(INVOICES_YAML),
+                     {"Raw": raw2, "Staging": st2})
+
+    for batch_no, batch in enumerate(BATCHES, start=1):
+        raw1.load(spark.createDataFrame(batch, ROW_SCHEMA), f"b{batch_no}")
+        p1.run(f"etl-{batch_no}")
+        raw2.load(spark.createDataFrame(_repartition(batch), ROW_SCHEMA),
+                  f"b{batch_no}")
+        p2.run(f"etl-{batch_no}")
+        assert p2.run("rerun") == 0  # per-partition markers: idempotent
+
+    want_vals, _ = _values_state(st1)
+    got_vals, got_done = _values_state(st2)
+    assert got_vals == want_vals  # value-level parity with the golden
+
+    # done markers carry the SOURCE partition: both partitions present,
+    # and the marker set is exactly the consumed (t, p, o) triples
+    assert {p for _t, p, _o in got_done} == {0, 1}
+
+    # output offsets: per (topic, partition) consecutive from 0, never
+    # colliding across partitions of one topic
+    outs = [
+        (r["kafka"]["topic"], r["kafka"]["partition"], r["kafka"]["offset"])
+        for r in st2.scan().collect() if r["zed_type"] == "data"
+    ]
+    assert len(outs) == len(set(outs))
+    per_part: dict = {}
+    for t, p, o in outs:
+        per_part.setdefault((t, p), []).append(o)
+    for (t, p), offs in per_part.items():
+        assert sorted(offs) == list(range(len(offs))), (t, p, offs)
+
+
+def test_multipartition_cursors_pend_independently(spark, tmp_path):
+    """A pending row holds back ONLY its own partition's cursor; stored
+    cursors carry per-partition keys plus the topic-level floor (min) for
+    manifest pruning and pre-round-6 readers."""
     raw = Pool.create(spark, os.path.join(tmp_path, "Raw"))
     staging = Pool.create(spark, os.path.join(tmp_path, "Staging"))
-    pipeline = EtlPipeline(
-        spark, load_config(INVOICES_YAML), {"Raw": raw, "Staging": staging}
-    )
-    batch = [
-        (r[0], r[1], r[2], r[3]) for r in BATCHES[0]
-    ]
-    # clone one record onto partition 1 with a colliding offset
-    t, _p, o = batch[0][0]
-    bad = [((t, 1, o), *batch[0][1:])] + batch
-    raw.load(spark.createDataFrame(bad, ROW_SCHEMA), "bad")
-    with pytest.raises(ValueError, match="single-partition CDC contract"):
-        pipeline.run("etl")
+    pipeline = EtlPipeline(spark, load_config(INVOICES_YAML),
+                           {"Raw": raw, "Staging": staging})
+    # batches 1+2 sharded: Dan (id 103, partition 1) stays pending —
+    # his InvoiceStatus partner only arrives in batch 3
+    raw.load(spark.createDataFrame(
+        _repartition(BATCHES[0] + BATCHES[1]), ROW_SCHEMA), "b12")
+    pipeline.run()
+    cur = staging.stored_cursors()
+    # partition 1 of Invoices is stuck at Dan's offset (4); partition 0
+    # (Charlie, id 102 -> offset 3) completed and advanced past it
+    assert cur["Invoices#1"] == 4
+    assert cur["Invoices#0"] == 4  # max scanned (3) + 1
+    assert cur["Invoices"] == min(cur["Invoices#0"], cur["Invoices#1"])
+    # batch 3 resolves Dan; partition-1 cursor advances
+    raw.load(spark.createDataFrame(_repartition(BATCHES[2]), ROW_SCHEMA),
+             "b3")
+    pipeline.run()
+    cur2 = staging.stored_cursors()
+    assert cur2["Invoices#1"] > 4
+    assert pipeline.run("rerun") == 0
 
 
 def test_concurrent_etl_commit_aborts(spark, tmp_path, monkeypatch):

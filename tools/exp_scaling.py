@@ -72,6 +72,14 @@ def main() -> None:
     # the curve a decade past the shipped corpus). The reported ratio is
     # last-dir / first-dir, labeled by the span.
     sfs = sys.argv[1:] or SFS
+    global OPS
+    if os.environ.get("SPARK_GRAFT_OPS"):
+        # round-6 gsf10 run: subset the op list (the two planted-corpus
+        # quadratics and the triple-rebuild entry are named and bounded
+        # in SCALING §9; re-running them a decade up buys no new
+        # information at hours of wall)
+        keep = set(os.environ["SPARK_GRAFT_OPS"].split(","))
+        OPS = [o for o in OPS if o in keep]
     spark = get_spark("zync-spark-exp-scaling", shuffle_partitions=8,
                       adaptive=False)
     spark.sparkContext.setLogLevel("ERROR")

@@ -81,5 +81,11 @@ def run(prefix_len, backfill=6000, deltas=6, per=1, target_rows=300):
 
 
 if __name__ == "__main__":
-    for plen in (2, 4):
-        run(prefix_len=plen)
+    # optional CLI override: BACKFILL [PLEN] — the round-6 gsf10-decade
+    # run pushes the stored-index size 10x past the default
+    if len(sys.argv) > 1:
+        run(prefix_len=int(sys.argv[2]) if len(sys.argv) > 2 else 4,
+            backfill=int(sys.argv[1]), target_rows=3000)
+    else:
+        for plen in (2, 4):
+            run(prefix_len=plen)

@@ -69,4 +69,10 @@ def main(backfill=3000, deltas=8, per=200):
 
 
 if __name__ == "__main__":
-    main()
+    # optional CLI override: BACKFILL [DELTAS] — the round-6 gsf10-decade
+    # run pushes the stored-index size 10-30x past the default
+    if len(sys.argv) > 1:
+        main(backfill=int(sys.argv[1]),
+             deltas=int(sys.argv[2]) if len(sys.argv) > 2 else 8)
+    else:
+        main()

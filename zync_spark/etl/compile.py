@@ -22,6 +22,19 @@ Differences from the reference, by design (Spark-first):
 Unmatched records (no rule matches / denorm row without a partner) produce
 no output AND no done marker, so they are retried on the next run —
 the reference's "Dan row pending" behavior (README.md:465-476).
+
+Multi-partition CDC (round 6 — beyond the reference, which pins
+partition 0, fifo/consumer.go:59-63): markers, the anti-join, cursors,
+and output offset assignment are all keyed per (topic, PARTITION) —
+offsets are per-partition sequences in Kafka, so (topic, offset) alone
+cannot disambiguate siblings. Ordering is guaranteed WITHIN a partition
+(all Kafka itself guarantees); outputs inherit their driving input's
+partition, each output partition gets its own consecutive offset
+sequence, and cursors persist both per-partition ("topic#p") and as the
+topic-level floor ("topic" = min over partitions, which is what the
+manifest pruner and pre-round-6 readers understand). With one input
+partition everything degenerates to the reference's exact behavior
+(golden-tested).
 """
 
 from __future__ import annotations
@@ -38,6 +51,50 @@ from zync_spark.pool import Pool
 from zync_spark.zedexpr import Context, compile_assignments, compile_expr
 
 
+def _cursor_filter(cursors: dict[int, int]) -> Column:
+    """Row-level cursor predicate for per-partition cursors, in the
+    OR-of-ANDs form parquet pushdown understands:
+
+        (p = p0 AND o >= c0) OR ... OR p NOT IN (known partitions)
+
+    The trailing disjunct keeps rows of partitions with no stored cursor
+    (a newly appearing partition starts at offset 0 — a flat global
+    `offset >= min(cursors)` floor would silently DROP its early rows,
+    so there is deliberately no such floor). With a single uniform
+    cursor this degenerates to the reference-era single-bound filter."""
+    if not cursors:
+        return F.col("kafka.offset") >= 0
+    per = [
+        (F.col("kafka.partition") == int(p))
+        & (F.col("kafka.offset") >= int(c))
+        for p, c in sorted(cursors.items())
+    ]
+    pred = reduce(lambda a, b: a | b, per)
+    return pred | ~F.col("kafka.partition").isin(
+        [int(p) for p in cursors])
+
+
+def _tp_cursors(stored: dict[str, int], topic: str) -> dict[int, int]:
+    """The per-partition cursor view of one topic from the stored cursor
+    dict: "topic#p" keys are per-partition (round 6); a legacy plain
+    "topic" key was written under the single-partition contract and
+    bounds partition 0 only (also re-written by new runs as the min
+    floor — reading it as p0's cursor is a safe lower bound that the
+    "topic#0" overlay then sharpens)."""
+    out: dict[int, int] = {}
+    if topic in stored:
+        out[0] = int(stored[topic])
+    prefix = topic + "#"
+    for k, v in stored.items():
+        if k.startswith(prefix):
+            try:
+                out[int(k.rsplit("#", 1)[1])] = max(
+                    int(v), out.get(int(k.rsplit("#", 1)[1]), 0))
+            except ValueError:
+                continue
+    return out
+
+
 class EtlPipeline:
     def __init__(self, spark: SparkSession, transform: Transform,
                  pools: dict[str, Pool]):
@@ -48,31 +105,35 @@ class EtlPipeline:
         # out-pool → cursor-advance plan for the latest build (see
         # _build_group); collected and committed by run().
         self._cursor_plans: dict[str, DataFrame] = {}
-        self._violation_plans: dict[str, DataFrame] = {}
 
     # -- plan construction -------------------------------------------------
 
     def _unprocessed(self, topic: str, out_pool: str,
-                     cursor: int = 0) -> DataFrame | None:
+                     cursors: dict[int, int] | None = None
+                     ) -> DataFrame | None:
         """Raw records of `topic` minus those with done markers in the
         output pool (the anti-join of etl/build.go:111-116).
 
-        `cursor` is the topic's contiguous done prefix (Pool.done_cursors):
-        the raw scan and the marker scan are both range-limited to
-        offset >= cursor — whole commits prune via manifest stats, row
-        groups via parquet min/max, and the anti-join build side shrinks
-        to the non-contiguous tail. The reference scans the full pool
-        every run and flags exactly this as its missing optimization
-        (etl/build.go:9-18)."""
+        `cursors` maps partition -> that partition's contiguous done
+        prefix: the raw scan and the marker scan are both range-limited
+        per partition — whole commits prune via manifest per-partition
+        stats, row groups via parquet min/max, and the anti-join build
+        side shrinks to the non-contiguous tail. The reference scans the
+        full pool every run and flags exactly this as its missing
+        optimization (etl/build.go:9-18). The anti-join keys on (topic,
+        partition, offset) — offsets are per-partition sequences, so
+        sibling partitions legally reuse offset numbers."""
+        cursors = cursors or {}
         pool = self.pools[self.t.pool_for_topic(topic)]
-        bounds = {topic: cursor}
+        bounds = {topic: cursors} if cursors else {topic: 0}
+        cfilter = _cursor_filter(cursors)
         raw = pool.scan(lower_bounds=bounds)
         if raw is None:
             return None
         raw = raw.filter(
             (F.col("kafka.topic") == topic)
             & (F.col("zed_type") == ZED_TYPE_DATA)
-            & (F.col("kafka.offset") >= cursor)
+            & cfilter
         )
         out_state = self.pools[out_pool].scan(lower_bounds=bounds)
         if out_state is None:
@@ -81,16 +142,18 @@ class EtlPipeline:
             out_state.filter(
                 (F.col("zed_type") == ZED_TYPE_DONE)
                 & (F.col("kafka.topic") == topic)
-                & (F.col("kafka.offset") >= cursor)
+                & cfilter
             )
             .select(
                 F.col("kafka.topic").alias("__d_topic"),
+                F.col("kafka.partition").alias("__d_part"),
                 F.col("kafka.offset").alias("__d_offset"),
             )
         )
         return raw.join(
             done,
             (F.col("kafka.topic") == F.col("__d_topic"))
+            & (F.col("kafka.partition") == F.col("__d_part"))
             & (F.col("kafka.offset") == F.col("__d_offset")),
             "left_anti",
         )
@@ -146,12 +209,15 @@ class EtlPipeline:
                 F.col("kafka.offset").alias("__sort_offset"),
                 F.lit(i).alias("__rule_idx"),
                 F.col("kafka.topic").alias("__src_topic"),
+                F.col("kafka.partition").alias("__src_part"),
                 F.col("kafka.offset").alias("__src_offset"),
                 F.col("kafka.offset").alias("__tie"),
                 F.lit(rule.out).alias("__out_topic"),
             )
             consumed = mine.select(
-                F.col("kafka.topic").alias("topic"), F.col("kafka.offset").alias("offset")
+                F.col("kafka.topic").alias("topic"),
+                F.col("kafka.partition").alias("partition"),
+                F.col("kafka.offset").alias("offset"),
             )
             return outputs, consumed
 
@@ -186,6 +252,9 @@ class EtlPipeline:
             F.col("left.kafka.offset").alias("__sort_offset"),
             F.lit(i).alias("__rule_idx"),
             F.col("left.kafka.topic").alias("__src_topic"),
+            # the DRIVING (left) side's partition orders the output —
+            # a cross-partition join pair lands on the left's sequence
+            F.col("left.kafka.partition").alias("__src_part"),
             F.col("left.kafka.offset").alias("__src_offset"),
             # right-side offset breaks ties when one left row joins several
             # right rows — without it the window order below has duplicate
@@ -199,11 +268,13 @@ class EtlPipeline:
         consumed = (
             joined.select(
                 F.col("left.kafka.topic").alias("topic"),
+                F.col("left.kafka.partition").alias("partition"),
                 F.col("left.kafka.offset").alias("offset"),
             )
             .unionByName(
                 joined.select(
                     F.col("right.kafka.topic").alias("topic"),
+                    F.col("right.kafka.partition").alias("partition"),
                     F.col("right.kafka.offset").alias("offset"),
                 )
             )
@@ -251,9 +322,9 @@ class EtlPipeline:
         group_topics = {
             t for _, r in group for t in (r.in_topic, r.left, r.right) if t
         }
-        cursors = self.pools[out_pool].stored_cursors()
+        stored = self.pools[out_pool].stored_cursors()
         scans = [
-            self._unprocessed(t, out_pool, cursor=cursors.get(t, 0))
+            self._unprocessed(t, out_pool, cursors=_tp_cursors(stored, t))
             for t in self.t.input_topics()
             if t in group_topics
         ]
@@ -263,18 +334,6 @@ class EtlPipeline:
         # fuse the per-topic scans (schemas may differ across pools)
         records = reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), scans
-        )
-        # CDC ETL inherits the reference's single-partition ordering
-        # contract (README.md:198-199; the consumer pins partition 0,
-        # fifo/consumer.go:59-63): markers and the anti-join key on
-        # (topic, offset) alone, which is only unambiguous within one
-        # partition. Multi-partition input is a configuration error that
-        # must fail loudly (run() evaluates this plan), never silently
-        # suppress same-numbered offsets of sibling partitions.
-        self._violation_plans[out_pool] = (
-            records.filter(F.col("kafka.partition") != 0)
-            .select("kafka.topic", "kafka.partition", "kafka.offset")
-            .limit(1)
         )
         routed = self._route(records, group)
 
@@ -288,44 +347,57 @@ class EtlPipeline:
         )
         markers = reduce(lambda a, b: a.unionByName(b), consumed).distinct()
 
-        # Cursor advance (persisted with the commit in run()): per topic,
-        # the min offset scanned-but-not-consumed this run (still pending),
-        # else max scanned + 1. Safe lower bound for the NEXT run's scans:
-        # everything below it either carries a done marker or does not
-        # exist — the range limit of etl/build.go:9-18.
+        # Cursor advance (persisted with the commit in run()): per
+        # (topic, PARTITION), the min offset scanned-but-not-consumed
+        # this run (still pending), else max scanned + 1. Safe lower
+        # bound for the NEXT run's scans: everything below it either
+        # carries a done marker or does not exist — the range limit of
+        # etl/build.go:9-18, per partition because offsets are
+        # per-partition sequences.
         scanned = records.select(
-            F.col("kafka.topic").alias("t"), F.col("kafka.offset").alias("o")
+            F.col("kafka.topic").alias("t"),
+            F.col("kafka.partition").alias("p"),
+            F.col("kafka.offset").alias("o"),
         )
         pend = scanned.join(
-            markers.select(F.col("topic").alias("t"), F.col("offset").alias("o")),
-            ["t", "o"],
+            markers.select(F.col("topic").alias("t"),
+                           F.col("partition").alias("p"),
+                           F.col("offset").alias("o")),
+            ["t", "p", "o"],
             "left_anti",
         )
         self._cursor_plans[out_pool] = (
-            scanned.groupBy("t")
+            scanned.groupBy("t", "p")
             .agg(F.max("o").alias("mx"))
-            .join(pend.groupBy("t").agg(F.min("o").alias("pmin")), "t", "left")
+            .join(pend.groupBy("t", "p").agg(F.min("o").alias("pmin")),
+                  ["t", "p"], "left")
         )
 
-        # Per-output-topic consecutive offsets: window function over a
-        # deterministic order (driving input offset, rule order, source) —
-        # replaces the reference's driver-side loop (etl/pipeline.go:127-164).
-        base = self.pools[out_pool].next_producer_offsets()
+        # Per-(output-topic, partition) consecutive offsets: window
+        # function over a deterministic order (driving input offset, rule
+        # order, source) — replaces the reference's driver-side loop
+        # (etl/pipeline.go:127-164). Outputs inherit the DRIVING input's
+        # partition (ordering is per-partition, Kafka's own guarantee),
+        # and each output partition gets its own offset base — two
+        # partitions' sequences can never collide.
+        base = self.pools[out_pool].next_producer_offsets_by_partition()
         base_map = F.create_map(
             *[F.lit(x) for kv in base.items() for x in kv]
         ) if base else None
-        w = Window.partitionBy("__out_topic").orderBy(
+        w = Window.partitionBy("__out_topic", "__src_part").orderBy(
             "__sort_offset", "__rule_idx", "__src_topic", "__src_offset", "__tie"
         )
+        tp_key = F.concat(F.col("__out_topic"), F.lit("#"),
+                          F.col("__src_part").cast("string"))
         start = (
-            F.coalesce(base_map[F.col("__out_topic")], F.lit(0))
+            F.coalesce(base_map[tp_key], F.lit(0))
             if base_map is not None
             else F.lit(0)
         )
         out_env = outputs.select(
             F.struct(
                 F.col("__out_topic").alias("topic"),
-                F.lit(0).cast("long").alias("partition"),
+                F.col("__src_part").cast("long").alias("partition"),
                 (start + F.row_number().over(w) - 1).cast("long").alias("offset"),
             ).alias("kafka"),
             F.col("__out.key").alias("key"),
@@ -335,7 +407,7 @@ class EtlPipeline:
         marker_env = markers.select(
             F.struct(
                 F.col("topic"),
-                F.lit(0).cast("long").alias("partition"),
+                F.col("partition").cast("long").alias("partition"),
                 F.col("offset").cast("long").alias("offset"),
             ).alias("kafka"),
             F.lit(ZED_TYPE_DONE).alias("zed_type"),
@@ -365,28 +437,26 @@ class EtlPipeline:
         for pool_name, (outputs, markers) in self.build_all().items():
             if outputs is None:
                 continue
-            violation = self._violation_plans.get(pool_name)
-            if violation is not None:
-                bad = violation.collect()
-                if bad:
-                    r = bad[0]
-                    raise ValueError(
-                        f"etl: input record (topic={r['topic']!r}, "
-                        f"partition={r['partition']}, offset={r['offset']}) "
-                        "violates the single-partition CDC contract "
-                        "(README.md:198-199) — markers key on (topic, offset) "
-                        "and cannot disambiguate partitions"
-                    )
             pool = self.pools[pool_name]
             # Advance scan cursors monotonically; committed atomically with
             # outputs+markers so the bound is exactly as durable as the
-            # markers it summarizes.
+            # markers it summarizes. Per-partition keys ("t#p") carry the
+            # precise bounds; the plain topic key is re-written as the min
+            # over that topic's partition cursors — the topic-level floor
+            # manifest pruning and pre-round-6 readers understand.
             cursors = dict(pool.stored_cursors())
             plan = self._cursor_plans.get(pool_name)
             if plan is not None:
+                touched: set[str] = set()
                 for r in plan.collect():
                     nxt = r["pmin"] if r["pmin"] is not None else r["mx"] + 1
-                    cursors[r["t"]] = max(int(nxt), cursors.get(r["t"], 0))
+                    key = f"{r['t']}#{int(r['p'])}"
+                    cursors[key] = max(int(nxt), cursors.get(key, 0))
+                    touched.add(r["t"])
+                for t in touched:
+                    per = _tp_cursors(cursors, t)
+                    floor = min(per.values()) if per else 0
+                    cursors[t] = max(floor, 0)
             # one materialization: load() evaluates its frame for count,
             # write, and stats — persist so the anti-join/route/window DAG
             # (the most expensive plan here) runs once, not three times

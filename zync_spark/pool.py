@@ -668,6 +668,24 @@ class Pool:
         )
         return {r["topic"]: r["mx"] + 1 for r in rows}
 
+    def next_producer_offsets_by_partition(self) -> dict[str, int]:
+        """max(kafka.offset)+1 per (topic, partition) over data records,
+        keyed "topic#partition" — where newly produced records for each
+        output partition should start. The multi-partition ETL's offset
+        bases: output offsets are per-partition sequences (Kafka's own
+        model), so two partitions' windows must never share a base."""
+        df = self.scan()
+        if df is None:
+            return {}
+        rows = (
+            df.filter(F.col("zed_type") == "data")
+            .groupBy(F.col("kafka.topic").alias("topic"),
+                     F.col("kafka.partition").alias("p"))
+            .agg(F.max(F.col("kafka.offset")).alias("mx"))
+            .collect()
+        )
+        return {f"{r['topic']}#{int(r['p'])}": r["mx"] + 1 for r in rows}
+
     def stored_cursors(self) -> dict[str, int]:
         """Per input topic, the scan cursor persisted with the most recent
         commit that recorded one: every existing offset below the cursor is
