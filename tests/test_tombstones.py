@@ -390,3 +390,149 @@ def test_mask_rows_seq_semantics(spark):
     assert got == [(1, 5), (2, 3)]
     # tombs=None is the fast path: frame unchanged
     assert mask_rows(rows, None, "id") is rows
+
+
+# ------------------------------------------------------------- upserts
+
+
+def test_text_upsert_sync_one_call_cdc(spark, tmp_path):
+    """sync_text(upsert=True): re-published doc_ids replace their old
+    posting sets in ONE commit — search and corpus stats match a fresh
+    index over the latest corpus, and within-batch duplicates collapse
+    to the highest offset."""
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dst = Pool.create(spark, str(tmp_path / "idx"))
+    src.load(_env(spark, TEXT_ROWS), "all")
+    TI.sync_text(src, dst, TSPEC, ["docs"], upsert=True)
+
+    # re-publish docs 1 and 4 with new text, plus TWO in-batch versions
+    # of doc 2 (offsets 102 then 107 — the later one must win)
+    upd = [(1, "table query table"), (4, "nothing relevant here")]
+    env2 = _env(spark, upd, part=0).withColumn(
+        "kafka", F.struct(
+            F.col("kafka.topic").alias("topic"),
+            F.col("kafka.partition").alias("partition"),
+            (F.col("kafka.offset") + 100).alias("offset")))
+    dup2 = _env(spark, [(2, "stale version"), (2, "spark query final")])
+    dup2 = dup2.withColumn(
+        "kafka", F.struct(
+            F.col("kafka.topic").alias("topic"),
+            F.col("kafka.partition").alias("partition"),
+            (F.col("kafka.offset") + F.when(
+                F.col("value.text") == "stale version",
+                F.lit(100)).otherwise(F.lit(105))).alias("offset")))
+    src.load(env2.unionByName(dup2), "updates")
+    TI.sync_text(src, dst, TSPEC, ["docs"], upsert=True)
+
+    live = [upd[0], (2, "spark query final"), TEXT_ROWS[2], upd[1],
+            TEXT_ROWS[4]]
+    got = [(r.doc_id, r.rank, r.score)
+           for r in TI.search_text(dst, TSPEC, TERMS).collect()]
+    assert got == _bm25_fresh(spark, tmp_path, "u", live)
+    assert TI.corpus_stats(dst, TSPEC) == (
+        5, sum(len(t.split()) for _, t in live))
+    # rerun is still a no-op
+    assert TI.sync_text(src, dst, TSPEC, ["docs"], upsert=True) == 0
+
+
+def test_dedup_upsert_sync_one_call_cdc(spark, tmp_path):
+    """sync_index(upsert=True): a re-published near-duplicate's pairs
+    re-derive against the LIVE index only — never against the version
+    it supersedes."""
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dst = Pool.create(spark, str(tmp_path / "idx"))
+    src.load(_env(spark, DEDUP_ROWS), "all")
+    DI.sync_index(src, dst, DSPEC, ["docs"], upsert=True)
+
+    # doc 2 becomes a near-dup of doc 3 instead of doc 1/4
+    upd = [(2, DEDUP_ROWS[2][1] + " stuff")]
+    env2 = _env(spark, upd).withColumn(
+        "kafka", F.struct(
+            F.col("kafka.topic").alias("topic"),
+            F.col("kafka.partition").alias("partition"),
+            (F.col("kafka.offset") + 100).alias("offset")))
+    src.load(env2, "upd")
+    DI.sync_index(src, dst, DSPEC, ["docs"], upsert=True)
+    live = [DEDUP_ROWS[0], upd[0], DEDUP_ROWS[2], DEDUP_ROWS[3],
+            DEDUP_ROWS[4]]
+    assert _pairs(dst, DSPEC) == _pairs_fresh(spark, tmp_path, "u", live)
+    assert DI.sync_index(src, dst, DSPEC, ["docs"], upsert=True) == 0
+
+
+def test_span_upsert_sync_retracts_in_one_commit(spark, tmp_path):
+    """sync_spans(upsert=True): superseding the only partner of a
+    duplicated span retracts the survivor's span in the SAME commit —
+    and a later re-publish re-duplicates it."""
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dst = Pool.create(spark, str(tmp_path / "idx"))
+    src.load(_env(spark, SPAN_ROWS), "all")
+    SI.sync_spans(src, dst, SSPEC, ["docs"], upsert=True)
+    assert _view(dst, SSPEC) == _batch_spans(spark, SPAN_ROWS)
+
+    # doc 2 loses both shared regions; doc 4 loses SHARED too — doc 1's
+    # TAIL span must retract (partner gone) while SHARED survives only
+    # until doc 4's update lands in the same batch
+    upd = [(2, "entirely new content with no shared windows anywhere"),
+           (4, "also completely rewritten private text for doc four")]
+    env2 = _env(spark, upd).withColumn(
+        "kafka", F.struct(
+            F.col("kafka.topic").alias("topic"),
+            F.col("kafka.partition").alias("partition"),
+            (F.col("kafka.offset") + 100).alias("offset")))
+    src.load(env2, "upd")
+    SI.sync_spans(src, dst, SSPEC, ["docs"], upsert=True)
+    live = [SPAN_ROWS[0], upd[0], SPAN_ROWS[2], upd[1]]
+    assert _view(dst, SSPEC) == _batch_spans(spark, live)
+
+    # re-publish doc 2's ORIGINAL text: the retracted rules re-satisfy
+    env3 = _env(spark, [SPAN_ROWS[1]]).withColumn(
+        "kafka", F.struct(
+            F.col("kafka.topic").alias("topic"),
+            F.col("kafka.partition").alias("partition"),
+            (F.col("kafka.offset") + 200).alias("offset")))
+    src.load(env3, "repub")
+    SI.sync_spans(src, dst, SSPEC, ["docs"], upsert=True)
+    live = [SPAN_ROWS[0], SPAN_ROWS[1], SPAN_ROWS[2], upd[1]]
+    assert _view(dst, SSPEC) == _batch_spans(spark, live)
+    # fold keeps the answers
+    SI.compact_spans(dst, target_rows=5000)
+    _no_machinery(dst)
+    assert _view(dst, SSPEC) == _batch_spans(spark, live)
+
+
+def test_ann_upsert_sync_one_call_cdc(spark, tmp_path):
+    """sync_ann(upsert=True): a re-published embedding replaces its old
+    vector (old one masked, new one re-assigned against the frozen
+    centroids)."""
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    def env(df, shift=0):
+        return df.select(
+            F.struct(F.lit("emb").alias("topic"),
+                     F.lit(0).cast("long").alias("partition"),
+                     (F.col("vec_id") + F.lit(shift)).cast("long")
+                     .alias("offset")).alias("kafka"),
+            F.lit("data").alias("zed_type"),
+            F.struct("vec_id", "embedding").alias("value"))
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dst = Pool.create(spark, str(tmp_path / "idx"))
+    spec = AI.AnnIndexSpec("e", "value.vec_id", "value.embedding",
+                           n_cells=4)
+    src.load(env(emb), "all")
+    AI.sync_ann(src, dst, spec, ["emb"], upsert=True)
+    # negate vectors 5..9 and re-publish
+    upd = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10)) \
+        .select("vec_id",
+                F.transform("embedding", lambda x: -x).alias("embedding"))
+    src.load(env(upd, shift=1000), "upd")
+    AI.sync_ann(src, dst, spec, ["emb"], upsert=True)
+    # exactly one live vec row per id, and ids 5..9 carry negated values
+    from zync_spark.streaming.tombstones import mask_rows, read_tombs
+    live = mask_rows(dst.scan().filter(F.col("zed_type") == "vec"),
+                     read_tombs(dst, spec.topic), "vec_id")
+    counts = live.groupBy("vec_id").count().filter("count > 1").count()
+    assert counts == 0
+    v5 = live.filter(F.col("vec_id") == 5).select("v").collect()[0][0]
+    orig5 = emb.filter(F.col("vec_id") == 5).collect()[0]["embedding"]
+    assert abs(v5[0] + float(orig5[0])) < 1e-9
+    assert AI.sync_ann(src, dst, spec, ["emb"], upsert=True) == 0

@@ -894,6 +894,7 @@ def cmd_from_kafka(args) -> int:
         format=args.format, shaper=args.shaper,
         rollups=rollups, indexes=indexes,
         auto_compact_every=args.auto_compact,
+        upsert_indexes=args.upsert_indexes,
     )
     if args.transport.startswith("file:"):
         from zync_spark.sources.filequeue import FileQueue
@@ -1097,6 +1098,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="fold ingest AND index pools into a base manifest "
                         "every N delta commits (the recommended cadence: "
                         "bounded probes degrade without it)")
+    p.add_argument("--upsert-indexes", action="store_true",
+                   help="CDC semantics for --index entries: re-published "
+                        "ids replace their previous versions (same-commit "
+                        "tombstones) instead of accumulating")
     p.set_defaults(fn=cmd_from_kafka)
 
     p = sub.add_parser("to-kafka", help="pool -> topic egress from the HWM")

@@ -116,7 +116,8 @@ def stored_centroids(dest: Pool,
 
 def sync_ann(src: Pool, dest: Pool, spec: AnnIndexSpec,
              topics: list[str], message: str | None = None,
-             auto_compact_every: int | None = None) -> int:
+             auto_compact_every: int | None = None,
+             upsert: bool = False) -> int:
     """One incremental maintenance pass. The FIRST pass trains the
     quantizer on its delta (the backfill) and commits centroid rows;
     every pass assigns its delta map-side against the frozen centroids
@@ -124,8 +125,14 @@ def sync_ann(src: Pool, dest: Pool, spec: AnnIndexSpec,
     new vectors; reruns are no-ops). `auto_compact_every`: re-cluster
     (compact_ann) after that many delta commits since the last base, so
     ann_query's cell-bounded reads keep biting (un-compacted commits
-    are always read); single-writer maintenance only."""
-    n = _sync_ann_once(src, dest, spec, topics, message)
+    are always read); single-writer maintenance only.
+
+    `upsert=True` (one-call CDC): every delta vec_id's previous versions
+    are tombstoned in the SAME commit (re-published embeddings replace,
+    not accumulate — the new vector re-assigns against the frozen
+    centroids map-side); within-batch duplicates collapse to the latest
+    offset first. Costs one delta-sized keyed shuffle + tombstone rows."""
+    n = _sync_ann_once(src, dest, spec, topics, message, upsert=upsert)
     if (n and auto_compact_every
             and dest.commits_since_base() >= auto_compact_every):
         compact_ann(dest)
@@ -133,7 +140,8 @@ def sync_ann(src: Pool, dest: Pool, spec: AnnIndexSpec,
 
 
 def _sync_ann_once(src: Pool, dest: Pool, spec: AnnIndexSpec,
-                   topics: list[str], message: str | None) -> int:
+                   topics: list[str], message: str | None,
+                   upsert: bool = False) -> int:
     snapshot = len(dest.commits())
     cursors = _spec_cursors(spec, dest.stored_cursors(), topics)
     delta = scan_delta(src, cursors, topics)
@@ -150,8 +158,16 @@ def _sync_ann_once(src: Pool, dest: Pool, spec: AnnIndexSpec,
         }
         if not new_cursors:
             return 0
+        src_rows = delta
+        tombs_new = None
+        if upsert:
+            from zync_spark.streaming.tombstones import keep_latest_versions
+
+            src_rows = keep_latest_versions(delta, spec.id_expr)
+            tombs_new = src_rows.select(
+                F.expr(spec.id_expr).cast("long").alias("did"))
         vecs = (
-            delta.select(
+            src_rows.select(
                 F.expr(spec.id_expr).cast("long").alias("vec_id"),
                 F.expr(spec.vec_expr).alias("v"),
             )
@@ -200,6 +216,13 @@ def _sync_ann_once(src: Pool, dest: Pool, spec: AnnIndexSpec,
             if cent_rows is not None:
                 out = _stamp("centroid", F.lit("c:"), cent_rows).unionByName(
                     out, allowMissingColumns=True)
+        if tombs_new is not None:
+            from zync_spark.streaming.tombstones import tomb_rows
+
+            trows = tomb_rows(delta.sparkSession, tombs_new,
+                              upto=snapshot, prefix_len=2)
+            out = (trows if out is None else
+                   out.unionByName(trows, allowMissingColumns=True))
         n = 0
         if out is not None:
             # ckey-clustered commit: cell buckets land in separate files

@@ -310,9 +310,19 @@ def _fetch_old_sets(dest: Pool, spec: DedupIndexSpec,
 def sync_index(src: Pool, dest: Pool, spec: DedupIndexSpec,
                topics: list[str], message: str | None = None,
                stats_out: dict | None = None,
-               auto_compact_every: int | None = None) -> int:
+               auto_compact_every: int | None = None,
+               upsert: bool = False) -> int:
     """One incremental maintenance pass. Returns rows appended (index +
     band + pair rows; 0 = no new documents, reruns are no-ops).
+
+    `upsert=True` (one-call CDC): every delta doc_id's PREVIOUS versions
+    are tombstoned in the SAME atomic commit — re-published documents
+    replace their old index rows/pairs instead of accumulating next to
+    them. The pass's stored-state probes mask the superseded versions
+    too (a delta row can never pair against the version it replaces),
+    and within-batch duplicates collapse to the latest offset before
+    indexing. Costs one delta-sized keyed shuffle + the tombstone rows;
+    append-only ingest (the default) pays nothing.
 
     `stats_out` (optional dict) receives the pass's file-skipping
     telemetry: live_files (pool total), probe_files (band probe read),
@@ -325,7 +335,8 @@ def sync_index(src: Pool, dest: Pool, spec: DedupIndexSpec,
     un-compacted commits are always read; same cadence policy as
     FromKafka's auto_compact_every. Single-writer maintenance only (a
     concurrent load would abort the compaction)."""
-    n = _sync_index_once(src, dest, spec, topics, message, stats_out)
+    n = _sync_index_once(src, dest, spec, topics, message, stats_out,
+                         upsert=upsert)
     if (n and auto_compact_every
             and dest.commits_since_base() >= auto_compact_every):
         compact_index(dest, spec=spec)
@@ -387,7 +398,7 @@ def _check_meta(dest: Pool, spec: DedupIndexSpec) -> bool:
 
 def _sync_index_once(src: Pool, dest: Pool, spec: DedupIndexSpec,
                      topics: list[str], message: str | None,
-                     stats_out: dict | None) -> int:
+                     stats_out: dict | None, upsert: bool = False) -> int:
     snapshot = len(dest.commits())
     cursors = _spec_cursors(spec, dest.stored_cursors(), topics)
     delta = scan_delta(src, cursors, topics)
@@ -405,7 +416,17 @@ def _sync_index_once(src: Pool, dest: Pool, spec: DedupIndexSpec,
         if not new_cursors:
             return 0
         has_meta = _check_meta(dest, spec)
-        sigs = _sig_frame(spec, delta).persist()
+        tombs_new = None
+        if upsert:
+            from zync_spark.streaming.tombstones import (
+                keep_latest_versions, with_upserts)
+
+            latest = keep_latest_versions(delta, spec.id_expr)
+            tombs_new = latest.select(
+                F.expr(spec.id_expr).cast("long").alias("did"))
+            sigs = _sig_frame(spec, latest).persist()
+        else:
+            sigs = _sig_frame(spec, delta).persist()
         try:
             new_bands = sigs.select(
                 "doc_id", F.explode("bkeys").alias("bkey"))
@@ -429,9 +450,14 @@ def _sync_index_once(src: Pool, dest: Pool, spec: DedupIndexSpec,
             )
             cand = nn
             old_sets = None
-            from zync_spark.streaming.tombstones import read_tombs
+            from zync_spark.streaming.tombstones import (read_tombs,
+                                                          with_upserts)
 
             tombs = read_tombs(dest, spec.topic) if prefixes else None
+            if upsert and prefixes:
+                # superseded versions of THIS pass's ids must not pair
+                # against the delta either — mask them at probe time
+                tombs = with_upserts(tombs, tombs_new, snapshot)
             old_bands = (_probe_old_bands(dest, spec, prefixes, stats_out,
                                           tombs=tombs)
                          if prefixes else None)
@@ -457,12 +483,14 @@ def _sync_index_once(src: Pool, dest: Pool, spec: DedupIndexSpec,
                     cand = nn.unionByName(no)
                     return _verify_and_commit(
                         dest, spec, delta, sigs, new_bands, cand, old_sets,
-                        new_cursors, snapshot, message, has_meta)
+                        new_cursors, snapshot, message, has_meta,
+                        tombs_new=tombs_new)
                 finally:
                     no_raw.unpersist()
             return _verify_and_commit(
                 dest, spec, delta, sigs, new_bands, cand, old_sets,
-                new_cursors, snapshot, message, has_meta)
+                new_cursors, snapshot, message, has_meta,
+                tombs_new=tombs_new)
         finally:
             sigs.unpersist()
     finally:
@@ -473,7 +501,8 @@ def _verify_and_commit(dest: Pool, spec: DedupIndexSpec, delta: DataFrame,
                        sigs: DataFrame, new_bands: DataFrame,
                        cand: DataFrame, old_sets: DataFrame | None,
                        new_cursors: dict, snapshot: int,
-                       message: str | None, has_meta: bool = True) -> int:
+                       message: str | None, has_meta: bool = True,
+                       tombs_new: DataFrame | None = None) -> int:
     """Exact-Jaccard verification of the candidate pairs, then the atomic
     index+bands+pairs+cursors commit."""
     cand = cand.distinct()
@@ -503,6 +532,13 @@ def _verify_and_commit(dest: Pool, spec: DedupIndexSpec, delta: DataFrame,
                             pairs),
                      allowMissingColumns=True)
     )
+    if tombs_new is not None:
+        from zync_spark.streaming.tombstones import tomb_rows
+
+        out = out.unionByName(
+            tomb_rows(delta.sparkSession, tombs_new, upto=snapshot,
+                      prefix_len=spec.prefix_len),
+            allowMissingColumns=True)
     if not has_meta:
         # persist the spec contract so a later pass under a DRIFTED spec
         # fails loud (_check_meta) instead of silently missing stored rows

@@ -50,6 +50,7 @@ class FromKafka:
         dead_letter_pool: Pool | None = None,
         rollups: list[tuple] | None = None,
         indexes: list[tuple] | None = None,
+        upsert_indexes: bool = False,
     ):
         self.spark = spark
         self.topic_pools = topic_pools
@@ -75,6 +76,12 @@ class FromKafka:
         # O(new data) per batch, exactly the rollup contract
         # (streaming/dedup_index.py, streaming/ann_index.py).
         self.indexes = indexes or []
+        # upsert CDC semantics for the index entries: each micro-batch's
+        # doc/vec ids tombstone their previous versions in the same
+        # index commit (sync_*(upsert=True)) — re-published entities
+        # replace instead of accumulate. Append-only ingest (default)
+        # pays nothing.
+        self.upsert_indexes = upsert_indexes
         for kind, entries in (("rollup", self.rollups),
                               ("index", self.indexes)):
             for spec, _dest, topics in entries:
@@ -277,7 +284,8 @@ class FromKafka:
                     # contract silently degrades to full index reads
                     sync(self.topic_pools[topics[0]], dest, spec,
                          list(topics),
-                         auto_compact_every=self.auto_compact_every)
+                         auto_compact_every=self.auto_compact_every,
+                         upsert=self.upsert_indexes)
         return committed
 
     # -- streaming entry ---------------------------------------------------

@@ -132,14 +132,26 @@ def _is(spec: SpanIndexSpec, zed_type: str):
 def sync_spans(src: Pool, dest: Pool, spec: SpanIndexSpec,
                topics: list[str], message: str | None = None,
                stats_out: dict | None = None,
-               auto_compact_every: int | None = None) -> int:
+               auto_compact_every: int | None = None,
+               upsert: bool = False) -> int:
     """One incremental maintenance pass; returns rows appended (win +
     hit + dup; 0 = no new documents, reruns are no-ops). `stats_out`
     receives live_files/probe_files — the file-skipping telemetry under
     test. `auto_compact_every`: re-cluster (compact_spans) after that
     many delta commits since the last base; single-writer maintenance
-    only — the same cadence contract as the other index maintainers."""
-    n = _sync_spans_once(src, dest, spec, topics, message, stats_out)
+    only — the same cadence contract as the other index maintainers.
+
+    `upsert=True` (one-call CDC): every delta doc_id's previous versions
+    are tombstoned in the SAME atomic commit, INCLUDING the retraction
+    math — the old versions' window hashes (from their 'f:' forward
+    buckets) join the recount scope, so a rule that the superseded
+    version alone satisfied is retracted (undup/unhit) and one the new
+    version re-satisfies re-emits, exactly as a tombstone_spans +
+    republish + sync sequence would produce. Within-batch duplicates
+    collapse to the latest offset first. Requires the forward key space
+    (any post-round-6 index; legacy pools: rebuild_spans once)."""
+    n = _sync_spans_once(src, dest, spec, topics, message, stats_out,
+                         upsert=upsert)
     if (n and auto_compact_every
             and dest.commits_since_base() >= auto_compact_every):
         compact_spans(dest)
@@ -148,7 +160,7 @@ def sync_spans(src: Pool, dest: Pool, spec: SpanIndexSpec,
 
 def _sync_spans_once(src: Pool, dest: Pool, spec: SpanIndexSpec,
                      topics: list[str], message: str | None,
-                     stats_out: dict | None) -> int:
+                     stats_out: dict | None, upsert: bool = False) -> int:
     snapshot = len(dest.commits())
     cursors = _spec_cursors(spec, dest.stored_cursors(), topics)
     delta = scan_delta(src, cursors, topics)
@@ -165,7 +177,19 @@ def _sync_spans_once(src: Pool, dest: Pool, spec: SpanIndexSpec,
         }
         if not new_cursors:
             return 0
-        docs = delta.select(
+        src_rows = delta
+        tombs_new = None
+        if upsert:
+            from zync_spark.streaming.tombstones import keep_latest_versions
+
+            if dest.commits() and not _has_forward(dest, spec):
+                raise ValueError(
+                    f"span index {spec.name!r}: upsert sync needs the "
+                    "forward ('f:') key space — run rebuild_spans() once")
+            src_rows = keep_latest_versions(delta, spec.id_expr)
+            tombs_new = src_rows.select(
+                F.expr(spec.id_expr).cast("long").alias("did")).distinct()
+        docs = src_rows.select(
             F.expr(spec.id_expr).cast("long").alias("doc_id"),
             F.expr(spec.text_expr).alias("text"),
         )
@@ -186,12 +210,39 @@ def _sync_spans_once(src: Pool, dest: Pool, spec: SpanIndexSpec,
                     pmod_ckey("w:", F.col("h"), spec.prefix_len).alias("ck"))
                 .distinct().collect()
             )
-            from zync_spark.streaming.tombstones import read_tombs
+            from zync_spark.streaming.tombstones import (mask_rows,
+                                                          read_tombs,
+                                                          with_upserts)
 
             tombs = read_tombs(dest, spec.topic)
+            d_hashes = wins_d.select("h").distinct()
+            if tombs_new is not None:
+                # the SUPERSEDED versions' hashes join the recount scope
+                # (their 'f:' forward buckets, masked by prior tombs
+                # only — the rows being superseded are exactly the ones
+                # whose hashes we need), and the probe must also cover
+                # their buckets so retraction sees the stored state
+                from zync_spark.streaming.tombstones import id_buckets
+
+                fbuckets = id_buckets(tombs_new, "f:", spec.prefix_len)
+                fstored = dest.scan(bounds={"ckey": fbuckets})
+                if fstored is not None and "h" in fstored.columns:
+                    old_h = (mask_rows(
+                        fstored.filter(_is(spec, "fwd"))
+                        .join(tombs_new.withColumnRenamed("did", "doc_id"),
+                              "doc_id", "left_semi"),
+                        tombs, "doc_id")
+                        .select("h").distinct())
+                    d_hashes = d_hashes.unionByName(old_h).distinct()
+                    w_prefixes = sorted({
+                        r["ck"] for r in d_hashes.select(
+                            pmod_ckey("w:", F.col("h"),
+                                      spec.prefix_len).alias("ck"))
+                        .distinct().collect()})
+                # stored reads must not see the superseded versions
+                tombs = with_upserts(tombs, tombs_new, snapshot)
             stored_w, known_dup = _probe(dest, spec, w_prefixes, stats_out,
                                          tombs=tombs)
-            d_hashes = wins_d.select("h").distinct()
             if stored_w is not None:
                 stored_w = stored_w.join(d_hashes, "h")
             if known_dup is not None:
@@ -212,9 +263,23 @@ def _sync_spans_once(src: Pool, dest: Pool, spec: SpanIndexSpec,
             newly_dup = (satisfied.join(known_dup, "h", "left_anti")
                          if known_dup is not None else satisfied)
             hits_new = occ.join(newly_dup, "h").select("doc_id", "pos")
+            undup_new = unhit_new = None
+            if tombs_new is not None and known_dup is not None:
+                # retraction: scoped hashes whose rule the superseded
+                # versions alone satisfied (live recount fails) — same
+                # math as tombstone_spans, inside the one commit. A
+                # retracted hash must NOT emit delta hits below (its new
+                # hit rows would outlive the same-seq unhit/undup), so
+                # the known-dup hit branch keeps only still-satisfied
+                # hashes on the upsert path.
+                undup_new = known_dup.join(satisfied, "h", "left_anti")
+                unhit_new = occ.join(undup_new, "h").select("doc_id", "pos")
+                known_for_hits = known_dup.join(satisfied, "h", "left_semi")
+            elif known_dup is not None:
+                known_for_hits = known_dup
             if known_dup is not None:
                 hits_new = hits_new.unionByName(
-                    wins_d.join(known_dup, "h").select("doc_id", "pos"))
+                    wins_d.join(known_for_hits, "h").select("doc_id", "pos"))
             plen = spec.prefix_len
             # forward rows: each delta doc's distinct hashes, bucketed
             # by doc — what makes tombstone_spans's retraction bounded
@@ -232,6 +297,21 @@ def _sync_spans_once(src: Pool, dest: Pool, spec: SpanIndexSpec,
                     _stamp("fwd", pmod_ckey("f:", F.col("doc_id"), plen),
                            fwd), allowMissingColumns=True)
             )
+            if tombs_new is not None:
+                from zync_spark.streaming.tombstones import tomb_rows
+
+                out = out.unionByName(
+                    tomb_rows(delta.sparkSession, tombs_new,
+                              upto=snapshot, prefix_len=plen),
+                    allowMissingColumns=True)
+                if undup_new is not None:
+                    out = (out.unionByName(
+                        _stamp("undup", pmod_ckey("d:", F.col("h"), plen),
+                               undup_new), allowMissingColumns=True)
+                        .unionByName(
+                            _stamp("unhit",
+                                   pmod_ckey("h:", F.col("doc_id"), plen),
+                                   unhit_new), allowMissingColumns=True))
             if not has_meta:
                 # persist the spec contract so a later sync or view
                 # under a DRIFTED spec fails loud (_check_meta) instead

@@ -161,13 +161,21 @@ def _check_meta(dest: Pool, spec: TextIndexSpec) -> bool:
 
 def sync_text(src: Pool, dest: Pool, spec: TextIndexSpec,
               topics: list[str], message: str | None = None,
-              auto_compact_every: int | None = None) -> int:
+              auto_compact_every: int | None = None,
+              upsert: bool = False) -> int:
     """One incremental maintenance pass; returns rows appended (post +
     dlen + cstat; 0 = no new documents, reruns are no-ops).
     `auto_compact_every`: re-cluster (compact_text) after that many
     delta commits since the last base — same cadence contract as the
-    other index maintainers; single-writer maintenance only."""
-    n = _sync_text_once(src, dest, spec, topics, message)
+    other index maintainers; single-writer maintenance only.
+
+    `upsert=True` (one-call CDC): every delta doc_id's previous posting
+    set is tombstoned in the SAME atomic commit, with the matching
+    NEGATIVE cstat partial (one bounded 'd:' bucket read of just the
+    delta ids) so corpus stats stay exact — re-published documents
+    replace their old version instead of double-counting tf/df.
+    Within-batch duplicates collapse to the latest offset first."""
+    n = _sync_text_once(src, dest, spec, topics, message, upsert=upsert)
     if (n and auto_compact_every
             and dest.commits_since_base() >= auto_compact_every):
         compact_text(dest)
@@ -175,7 +183,8 @@ def sync_text(src: Pool, dest: Pool, spec: TextIndexSpec,
 
 
 def _sync_text_once(src: Pool, dest: Pool, spec: TextIndexSpec,
-                    topics: list[str], message: str | None) -> int:
+                    topics: list[str], message: str | None,
+                    upsert: bool = False) -> int:
     snapshot = len(dest.commits())
     cursors = _spec_cursors(spec, dest.stored_cursors(), topics)
     delta = scan_delta(src, cursors, topics)
@@ -193,7 +202,15 @@ def _sync_text_once(src: Pool, dest: Pool, spec: TextIndexSpec,
         if not new_cursors:
             return 0
         has_meta = _check_meta(dest, spec)
-        docs = delta.select(
+        src_rows = delta
+        tombs_new = None
+        if upsert:
+            from zync_spark.streaming.tombstones import keep_latest_versions
+
+            src_rows = keep_latest_versions(delta, spec.id_expr)
+            tombs_new = src_rows.select(
+                F.expr(spec.id_expr).cast("long").alias("did")).distinct()
+        docs = src_rows.select(
             F.expr(spec.id_expr).cast("long").alias("doc_id"),
             TX.tokens(F.lower(F.expr(spec.text_expr))).alias("toks"),
         ).filter(F.size("toks") > 0)
@@ -215,6 +232,36 @@ def _sync_text_once(src: Pool, dest: Pool, spec: TextIndexSpec,
             .unionByName(_stamp("cstat", F.lit("c:"), cstat),
                          allowMissingColumns=True)
         )
+        if tombs_new is not None:
+            from zync_spark.streaming.tombstones import (id_buckets,
+                                                         mask_rows,
+                                                         read_tombs,
+                                                         tomb_rows)
+
+            out = out.unionByName(
+                tomb_rows(delta.sparkSession, tombs_new, upto=snapshot,
+                          prefix_len=spec.prefix_len),
+                allowMissingColumns=True)
+            # negative cstat partial for the superseded versions' live
+            # dlen rows — one bounded 'd:' bucket read of the delta ids
+            dbuckets = id_buckets(tombs_new, "d:", spec.prefix_len)
+            stored = dest.scan(bounds={"ckey": dbuckets})
+            if stored is not None and "dl" in stored.columns:
+                live = mask_rows(
+                    stored.filter(_is(spec, "dlen"))
+                    .join(tombs_new.withColumnRenamed("did", "doc_id"),
+                          "doc_id", "left_semi"),
+                    read_tombs(dest, spec.topic), "doc_id")
+                row = live.agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("dl").cast("long").alias("s")).collect()[0]
+                if int(row["n"] or 0) > 0:
+                    neg = delta.sparkSession.createDataFrame(
+                        [(-int(row["n"]), -int(row["s"]))],
+                        "n_docs long, dl_sum long")
+                    out = out.unionByName(
+                        _stamp("cstat", F.lit("c:"), neg),
+                        allowMissingColumns=True)
         if not has_meta:
             # persist the creation-time prefix_len so a later sync or
             # search under a drifted spec fails loud (_check_meta)

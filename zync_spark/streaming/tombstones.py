@@ -273,3 +273,33 @@ def commit_with_retry(dest: Pool, build_frame, message: str,
             continue
     raise ConcurrentWriteError(
         f"{message}: lost the commit race repeatedly; re-run")
+
+
+def keep_latest_versions(delta: DataFrame, id_expr: str) -> DataFrame:
+    """Within-batch CDC collapse for upsert syncs: when one micro-batch
+    carries several versions of the same id, only the LATEST (highest
+    kafka.offset; partition as tie-break across pathological multi-
+    partition same-id publishes) may be indexed — the same-commit
+    tombstone masks stored rows but not sibling delta rows, so earlier
+    in-batch versions must leave before indexing. One delta-sized keyed
+    shuffle, only paid on the upsert path."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.expr(id_expr)).orderBy(
+        F.col("kafka.offset").desc(), F.col("kafka.partition").desc())
+    return (delta.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def with_upserts(tombs: DataFrame | None, ids: DataFrame,
+                 upto: int) -> DataFrame:
+    """The masking view an upsert pass must probe stored state with: the
+    pool's live tombstones PLUS this pass's delta ids at upto=snapshot —
+    so the pass can never pair/count a delta row against a stored
+    version it is about to supersede."""
+    new = ids.select(F.col(ids.columns[0]).cast("long").alias("did"),
+                     F.lit(int(upto)).cast("long").alias("__upto"))
+    if tombs is None:
+        return new
+    return (tombs.unionByName(new)
+            .groupBy("did").agg(F.max("__upto").alias("__upto")))
