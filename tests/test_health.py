@@ -201,3 +201,70 @@ def test_cli_health_verbs(spark, tmp_path, capsys):
     v = json.loads(capsys.readouterr().out.strip())
     assert v["family"] == "span" and not v["healthy"]
     assert "rebuild_spans" in v["recommendation"]
+
+
+def test_fromkafka_health_cadence_auto_rebuild(spark, tmp_path):
+    """The streaming maintenance loop's health cadence: an unhealthy
+    verdict warns with the JSON verdict, and auto_rebuild applies the
+    structured recommendation AND swaps the rebuilt spec into the index
+    entry so later syncs validate against the new contract."""
+    import warnings
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from zync_spark.streaming.from_kafka import FromKafka
+
+    rows = [(i, " ".join(f"k{i}w{j}" for j in range(60)))
+            for i in range(6)]
+    spec = SI.SpanIndexSpec("s", "value.doc_id", "value.text",
+                            window=8, min_docs=2, prefix_len=1)
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dst = Pool.create(spark, str(tmp_path / "idx"))
+    src.load(_env(spark, rows), "all")
+    SI.sync_spans(src, dst, spec, ["docs"])
+
+    sub = StructType([StructField("x", LongType())])
+    fk = FromKafka(spark, {"docs": src}, sub, sub, format="json",
+                   indexes=[(spec, dst, ["docs"])],
+                   health_every=2, auto_rebuild=True)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        verdicts = fk._run_health_checks()
+    assert len(verdicts) == 1 and not verdicts[0]["healthy"]
+    assert any("unhealthy" in str(x.message) for x in w)
+    # the rebuilt spec replaced the entry — new prefix_len, new contract
+    new_spec = fk.indexes[0][0]
+    assert new_spec.prefix_len == verdicts[0]["rebuild_args"]["prefix_len"]
+    assert new_spec.prefix_len > 1
+    # second pass: healthy, no rebuild, spec unchanged
+    v2 = fk._run_health_checks()
+    assert v2[0]["healthy"] and fk.indexes[0][0] is new_spec
+    # and the rebuilt index still answers (spans_view under new spec)
+    SI.spans_view(dst, new_spec).count()
+
+
+def test_fromkafka_health_no_auto_rebuild_warns_only(spark, tmp_path):
+    import warnings
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from zync_spark.streaming.from_kafka import FromKafka
+
+    rows = [(i, " ".join(f"m{i}w{j}" for j in range(60)))
+            for i in range(6)]
+    spec = SI.SpanIndexSpec("s", "value.doc_id", "value.text",
+                            window=8, min_docs=2, prefix_len=1)
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dst = Pool.create(spark, str(tmp_path / "idx"))
+    src.load(_env(spark, rows), "all")
+    SI.sync_spans(src, dst, spec, ["docs"])
+    sub = StructType([StructField("x", LongType())])
+    fk = FromKafka(spark, {"docs": src}, sub, sub, format="json",
+                   indexes=[(spec, dst, ["docs"])], health_every=1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        verdicts = fk._run_health_checks()
+    assert not verdicts[0]["healthy"]
+    assert any("unhealthy" in str(x.message) for x in w)
+    assert fk.indexes[0][0] is spec  # warn-only: nothing rebuilt

@@ -895,6 +895,8 @@ def cmd_from_kafka(args) -> int:
         rollups=rollups, indexes=indexes,
         auto_compact_every=args.auto_compact,
         upsert_indexes=args.upsert_indexes,
+        health_every=args.health_every,
+        auto_rebuild=args.auto_rebuild,
     )
     if args.transport.startswith("file:"):
         from zync_spark.sources.filequeue import FileQueue
@@ -1102,6 +1104,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="CDC semantics for --index entries: re-published "
                         "ids replace their previous versions (same-commit "
                         "tombstones) instead of accumulating")
+    p.add_argument("--health-every", type=int, default=None, metavar="N",
+                   help="run each --index entry's health check every N "
+                        "index-syncing micro-batches (unhealthy verdicts "
+                        "warn with the JSON verdict)")
+    p.add_argument("--auto-rebuild", action="store_true",
+                   help="with --health-every: APPLY the structured "
+                        "rebuild recommendation when a check fails (the "
+                        "ingest loop is the single writer, so the "
+                        "rebuild's OCC publish cannot collide)")
     p.set_defaults(fn=cmd_from_kafka)
 
     p = sub.add_parser("to-kafka", help="pool -> topic egress from the HWM")

@@ -51,6 +51,8 @@ class FromKafka:
         rollups: list[tuple] | None = None,
         indexes: list[tuple] | None = None,
         upsert_indexes: bool = False,
+        health_every: int | None = None,
+        auto_rebuild: bool = False,
     ):
         self.spark = spark
         self.topic_pools = topic_pools
@@ -82,6 +84,18 @@ class FromKafka:
         # replace instead of accumulate. Append-only ingest (default)
         # pays nothing.
         self.upsert_indexes = upsert_indexes
+        # Health cadence (streaming/health.py): every `health_every`
+        # micro-batches that synced an index, run its family's
+        # check_*_health; unhealthy verdicts WARN with the JSON verdict.
+        # With auto_rebuild=True the loop also APPLIES the structured
+        # recommendation (rebuild_args) — safe here because this loop is
+        # the index pool's single writer, so the rebuild's OCC publish
+        # cannot collide with a concurrent sync. A rebuild that changes
+        # prefix_len returns a NEW spec, which replaces the entry in
+        # place so later syncs/validations use the new contract.
+        self.health_every = health_every
+        self.auto_rebuild = auto_rebuild
+        self._batches_since_health = 0
         for kind, entries in (("rollup", self.rollups),
                               ("index", self.indexes)):
             for spec, _dest, topics in entries:
@@ -286,7 +300,51 @@ class FromKafka:
                          list(topics),
                          auto_compact_every=self.auto_compact_every,
                          upsert=self.upsert_indexes)
+            if self.indexes and self.health_every:
+                self._batches_since_health += 1
+                if self._batches_since_health >= self.health_every:
+                    self._batches_since_health = 0
+                    self._run_health_checks()
         return committed
+
+    def _run_health_checks(self) -> list[dict]:
+        """One health pass over every index entry (see __init__ note);
+        returns the verdicts (tests hook this directly)."""
+        import json as _json
+        import warnings
+
+        from zync_spark.streaming import (ann_index, dedup_index, health,
+                                          span_index, text_index)
+
+        verdicts = []
+        for i, (spec, dest, topics) in enumerate(list(self.indexes)):
+            if isinstance(spec, dedup_index.DedupIndexSpec):
+                check, rebuild = health.check_dedup_health,                     dedup_index.rebuild_index
+            elif isinstance(spec, text_index.TextIndexSpec):
+                check, rebuild = health.check_text_health,                     text_index.rebuild_text
+            elif isinstance(spec, span_index.SpanIndexSpec):
+                check, rebuild = health.check_span_health,                     span_index.rebuild_spans
+            else:
+                check, rebuild = health.check_ann_health,                     ann_index.rebuild_ann
+            try:
+                v = check(dest, spec)
+            except ValueError:
+                continue  # empty index: nothing to measure yet
+            verdicts.append(v)
+            if v["healthy"]:
+                continue
+            warnings.warn(
+                f"index {spec.name!r} unhealthy: {_json.dumps(v)}",
+                stacklevel=2)
+            if not self.auto_rebuild or v.get("rebuild_args") is None:
+                continue
+            new = rebuild(dest, spec, **v["rebuild_args"])
+            # span/text/dedup rebuilds return the NEW spec contract
+            # (prefix_len changed); ann returns a row count and the
+            # spec is unchanged
+            if new is not None and not isinstance(new, int):
+                self.indexes[i] = (new, dest, topics)
+        return verdicts
 
     # -- streaming entry ---------------------------------------------------
 

@@ -9,7 +9,12 @@ family's failure mode against an explicit threshold and returns
 
     {"healthy": bool, ...measured metrics..., "recommendation": str|None}
 
-so a maintenance loop can gate `rebuild_*` on it (CLI: `*-index health`).
+so a maintenance loop can gate `rebuild_*` on it (CLI: `*-index
+health`; FromKafka(health_every=, auto_rebuild=) runs the check on a
+micro-batch cadence and can apply the recommendation itself). When the
+cure is expressible as rebuild arguments, `rebuild_args` carries them
+structured (e.g. {"prefix_len": 3}) — None means the recommendation
+needs a human (source re-ingest).
 
 Per-family policy (what is measured, and why that metric):
 
@@ -117,6 +122,7 @@ def check_ann_health(dest: Pool, spec, k: int = 10, nprobe: int = 2,
             f"all {n_vecs} stored vectors (recall {float(rec or 0):.3f} < "
             f"{min_recall}); consider a larger n_cells if the corpus "
             "has grown"),
+        "rebuild_args": None if healthy else {},
     }
 
 
@@ -149,6 +155,7 @@ def check_span_health(dest: Pool, spec,
             f"{buckets} buckets saturate at ~{cov:.0%} per typical "
             f"delta (~{avg_h:.0f} hashes); {16 ** rec_plen} buckets "
             f"project to ~{_coverage(16 ** rec_plen, avg_h):.0%}"),
+        "rebuild_args": None if healthy else {"prefix_len": rec_plen},
     }
 
 
@@ -181,6 +188,7 @@ def check_text_health(dest: Pool, spec,
             f"{tpb:.0f} terms share each of {buckets} buckets; "
             f"{16 ** rec_plen} buckets bring a one-term read down to "
             f"~{n_terms / 16 ** rec_plen:.0f} terms' postings"),
+        "rebuild_args": None if healthy else {"prefix_len": rec_plen},
     }
 
 
@@ -231,4 +239,7 @@ def check_dedup_health(dest: Pool, spec,
         "projected_probe_coverage": round(cov, 4),
         "max_coverage": max_coverage,
         "recommendation": rec,
+        # only the saturation cure is auto-applicable; the collision
+        # advisory needs a source re-ingest (banding is burned in)
+        "rebuild_args": {"prefix_len": rec_plen} if not sat_ok else None,
     }
