@@ -393,3 +393,37 @@ def test_concurrent_etl_commit_aborts(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(Pool, "load", real_load)
     # rerun from the advanced state completes normally
     assert pipeline.run("etl-retry") > 0
+
+
+def test_late_appearing_partition_zero_not_skipped(spark, tmp_path):
+    """Round-6 review regression: the topic-level floor cursor must not
+    be read back as partition 0's bound — producers that start on
+    partitions 1/2 and only LATER write partition 0 must still have
+    p0's early offsets scanned and processed (a phantom p0 cursor would
+    skip them silently forever)."""
+    raw = Pool.create(spark, os.path.join(tmp_path, "Raw"))
+    staging = Pool.create(spark, os.path.join(tmp_path, "Staging"))
+    pipeline = EtlPipeline(spark, load_config(INVOICES_YAML),
+                           {"Raw": raw, "Staging": staging})
+
+    def on_part(rows, part):
+        return [((t, part, o), k, v, z) for (t, _p, o), k, v, z in rows]
+
+    # batches 1+2 land ONLY on partitions 1 and 2 (high offsets)
+    b12 = on_part(BATCHES[0], 1) + on_part(BATCHES[1], 2)
+    raw.load(spark.createDataFrame(b12, ROW_SCHEMA), "b12")
+    pipeline.run()
+    cur = staging.stored_cursors()
+    assert "Invoices#1" in cur and "Invoices" in cur
+    # NOW partition 0 appears, with offsets BELOW the stored floor —
+    # batch 3's status updates resolve Dan; they must be scanned
+    b3 = on_part(BATCHES[2], 0)
+    raw.load(spark.createDataFrame(b3, ROW_SCHEMA), "b3")
+    n = pipeline.run()
+    assert n > 0, "late partition-0 rows were silently skipped"
+    done = [
+        (r["kafka"]["topic"], r["kafka"]["partition"], r["kafka"]["offset"])
+        for r in staging.scan().collect() if r["zed_type"] == "done"
+    ]
+    assert ("InvoiceStatus", 0, 4) in done  # Dan's resolver, p0 offset 4
+    assert pipeline.run("rerun") == 0

@@ -536,3 +536,19 @@ def test_ann_upsert_sync_one_call_cdc(spark, tmp_path):
     orig5 = emb.filter(F.col("vec_id") == 5).collect()[0]["embedding"]
     assert abs(v5[0] + float(orig5[0])) < 1e-9
     assert AI.sync_ann(src, dst, spec, ["emb"], upsert=True) == 0
+
+
+def test_upsert_refuses_cross_partition_versions(spark, tmp_path):
+    """Round-6 review regression: within one upsert batch, the same id
+    on two partitions has no version order (offsets are per-partition
+    sequences) — the sync must refuse instead of indexing an arbitrary
+    version."""
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dst = Pool.create(spark, str(tmp_path / "idx"))
+    rows0 = _env(spark, [(1, "version from partition zero")], part=0)
+    rows1 = _env(spark, [(1, "version from partition one")], part=1)
+    src.load(rows0.unionByName(rows1), "both")
+    with pytest.raises(ValueError, match="multiple partitions"):
+        TI.sync_text(src, dst, TSPEC, ["docs"], upsert=True)
+    # non-upsert append-only ingest of the same batch is still legal
+    assert TI.sync_text(src, dst, TSPEC, ["docs"]) > 0

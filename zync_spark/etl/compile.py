@@ -76,22 +76,26 @@ def _cursor_filter(cursors: dict[int, int]) -> Column:
 
 def _tp_cursors(stored: dict[str, int], topic: str) -> dict[int, int]:
     """The per-partition cursor view of one topic from the stored cursor
-    dict: "topic#p" keys are per-partition (round 6); a legacy plain
-    "topic" key was written under the single-partition contract and
-    bounds partition 0 only (also re-written by new runs as the min
-    floor — reading it as p0's cursor is a safe lower bound that the
-    "topic#0" overlay then sharpens)."""
+    dict. "topic#p" keys are per-partition (round 6) and AUTHORITATIVE:
+    when any exist, the plain "topic" key is IGNORED — new runs rewrite
+    it as the min-over-partitions floor, and reading a floor as
+    partition 0's cursor would fabricate a bound for a partition that
+    may never have produced data (a late-appearing partition 0's early
+    rows would be silently skipped forever — round-6 review). Only a
+    pure-legacy dict (plain key, no "#p" keys — written under the old
+    single-partition contract, when partition 0 was the only legal
+    producer) reads the plain key as p0's cursor."""
     out: dict[int, int] = {}
-    if topic in stored:
-        out[0] = int(stored[topic])
     prefix = topic + "#"
     for k, v in stored.items():
         if k.startswith(prefix):
             try:
-                out[int(k.rsplit("#", 1)[1])] = max(
-                    int(v), out.get(int(k.rsplit("#", 1)[1]), 0))
+                p = int(k.rsplit("#", 1)[1])
             except ValueError:
                 continue
+            out[p] = max(int(v), out.get(p, 0))
+    if not out and topic in stored:
+        out[0] = int(stored[topic])
     return out
 
 

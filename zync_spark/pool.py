@@ -200,48 +200,39 @@ class Pool:
         writer wins per path — same semantics as the zed type context
         rebinding a name.
 
-        The read-merge-write runs under an exclusive lockfile so two
+        The read-merge-write runs under an exclusive flock so two
         concurrent writers cannot interleave (each would otherwise
         rewrite from its own stale read and drop the other's paths —
-        round-4 review finding). Stale locks (a crashed holder) are
-        broken after 10s, ATOMICALLY: the breaker first os.rename()s the
-        stale lock to a unique temp name — rename is atomic, so exactly
-        one of N concurrent breakers wins and unlinks the renamed file;
-        the losers see FileNotFoundError and retry acquisition. An
-        unlink-by-path break (previous design) could race a second
-        breaker's break-then-reacquire and delete the second waiter's
-        LIVE lock, re-admitting the lost update (round-6 review)."""
+        round-4 review finding). flock is the right primitive here
+        (round-6 review): the kernel releases it automatically when the
+        holder's fd closes — including on a CRASH — so there is no
+        stale-lock file to break and therefore no break/reacquire race
+        at all (both the round-5 identity-check unlink and the interim
+        rename-break could still delete a freshly acquired live lock in
+        a narrow window). A stuck-but-alive holder is bounded by the
+        10s acquisition timeout."""
         if not names:
             return
+        import fcntl
+
         lock = os.path.join(self.path, "types.json.lock")
-        for attempt in range(2000):
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                break
-            except FileExistsError:
-                try:
-                    st = os.stat(lock)
-                    if time.time() - st.st_mtime > 10.0:
-                        # Atomic break: only one breaker wins the rename
-                        # of this particular lock file; whoever loses
-                        # gets FileNotFoundError and loops back to the
-                        # O_EXCL create.
-                        grave = f"{lock}.stale.{os.getpid()}.{attempt}"
-                        os.rename(lock, grave)
-                        os.unlink(grave)
-                        continue
-                except OSError:
-                    continue  # holder released / another breaker won
-                time.sleep(0.005)
-        else:
-            raise ConcurrentWriteError(
-                f"could not acquire {lock} (held >10s by a live writer?)")
+        fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
         try:
+            deadline = time.time() + 10.0
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if time.time() >= deadline:
+                        raise ConcurrentWriteError(
+                            f"could not acquire {lock} "
+                            "(held >10s by a live writer?)")
+                    time.sleep(0.005)
             merged = {**self.type_names(), **names}
             _atomic_write_json(os.path.join(self.path, "types.json"), merged)
         finally:
-            os.unlink(lock)
+            os.close(fd)  # releases the flock
 
     def _merge_type_names_post_commit(self, names: dict[str, str]) -> None:
         """Sidecar merge for a load whose manifest ALREADY published: a

@@ -387,9 +387,10 @@ def ann_exact_topk(dest: Pool, spec: AnnIndexSpec, queries: DataFrame,
                        read_tombs(dest, spec.topic), "vec_id").select(
         "vec_id", F.col("v").alias("emb"))
     if where_ids is not None:
-        allowed = where_ids.select(
-            F.col(where_ids.columns[0]).cast("long").alias("vec_id"))
-        corpus = corpus.join(allowed, "vec_id", "left_semi")
+        from zync_spark.streaming.tombstones import allowed_ids
+
+        corpus = corpus.join(allowed_ids(where_ids, "vec_id"),
+                             "vec_id", "left_semi")
     q = queries.select(F.col(id_col).alias("vec_id"),
                        F.col(vec_col).alias("emb"))
     return S.cosine_topk(corpus, q, "vec_id", "emb", k=k)
@@ -530,9 +531,10 @@ def ann_query(dest: Pool, spec: AnnIndexSpec, queries: DataFrame,
         )
     )
     if where_ids is not None:
-        allowed = where_ids.select(
-            F.col(where_ids.columns[0]).cast("long").alias("neighbor_id"))
-        cand = cand.join(allowed, "neighbor_id", "left_semi")
+        from zync_spark.streaming.tombstones import allowed_ids
+
+        cand = cand.join(allowed_ids(where_ids, "neighbor_id"),
+                         "neighbor_id", "left_semi")
     scored = (
         cand.join(F.broadcast(q), "__cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -99,6 +99,13 @@ def check_ann_health(dest: Pool, spec, k: int = 10, nprobe: int = 2,
     vecs = mask_rows(stored.filter(AI._is_vec(spec)),
                      read_tombs(dest, spec.topic), "vec_id")
     n_vecs = vecs.count()
+    if n_vecs == 0:
+        # all vectors tombstoned: nothing to measure AND nothing a
+        # rebuild could retrain on — raising (like the empty-pool case)
+        # keeps auto_rebuild from attempting a retrain that must fail
+        # (round-6 review)
+        raise ValueError(
+            f"ann index {spec.name!r} has no live vectors to measure")
     qs = (vecs.orderBy("vec_id").limit(int(sample))
           .select("vec_id", F.col("v").alias("emb")))
     rec = (AI.ann_recall(dest, spec, qs, id_col="vec_id", vec_col="emb",

@@ -233,35 +233,18 @@ def _sync_text_once(src: Pool, dest: Pool, spec: TextIndexSpec,
                          allowMissingColumns=True)
         )
         if tombs_new is not None:
-            from zync_spark.streaming.tombstones import (id_buckets,
-                                                         mask_rows,
-                                                         read_tombs,
-                                                         tomb_rows)
+            from zync_spark.streaming.tombstones import read_tombs, tomb_rows
 
             out = out.unionByName(
                 tomb_rows(delta.sparkSession, tombs_new, upto=snapshot,
                           prefix_len=spec.prefix_len),
                 allowMissingColumns=True)
             # negative cstat partial for the superseded versions' live
-            # dlen rows — one bounded 'd:' bucket read of the delta ids
-            dbuckets = id_buckets(tombs_new, "d:", spec.prefix_len)
-            stored = dest.scan(bounds={"ckey": dbuckets})
-            if stored is not None and "dl" in stored.columns:
-                live = mask_rows(
-                    stored.filter(_is(spec, "dlen"))
-                    .join(tombs_new.withColumnRenamed("did", "doc_id"),
-                          "doc_id", "left_semi"),
-                    read_tombs(dest, spec.topic), "doc_id")
-                row = live.agg(
-                    F.count("*").cast("long").alias("n"),
-                    F.sum("dl").cast("long").alias("s")).collect()[0]
-                if int(row["n"] or 0) > 0:
-                    neg = delta.sparkSession.createDataFrame(
-                        [(-int(row["n"]), -int(row["s"]))],
-                        "n_docs long, dl_sum long")
-                    out = out.unionByName(
-                        _stamp("cstat", F.lit("c:"), neg),
-                        allowMissingColumns=True)
+            # dlen rows — the SAME helper the delete verb uses
+            neg = _neg_cstat(dest, spec, tombs_new,
+                             read_tombs(dest, spec.topic))
+            if neg is not None:
+                out = out.unionByName(neg, allowMissingColumns=True)
         if not has_meta:
             # persist the creation-time prefix_len so a later sync or
             # search under a drifted spec fails loud (_check_meta)
@@ -288,6 +271,34 @@ def _sync_text_once(src: Pool, dest: Pool, spec: TextIndexSpec,
         delta.unpersist()
 
 
+def _neg_cstat(dest: Pool, spec: TextIndexSpec, idf: DataFrame,
+               tombs: DataFrame | None) -> DataFrame | None:
+    """The negative corpus-stat partial for the LIVE dlen rows of the
+    ids in `idf` (did long), masked by `tombs` — ONE definition shared
+    by tombstone_text and the upsert sync (round-6 review: the two
+    paths must never diverge on what gets subtracted). One bounded 'd:'
+    bucket read; None when the ids own no live length rows (absent or
+    already-deleted ids subtract exactly nothing — idempotent)."""
+    from zync_spark.streaming.tombstones import id_buckets, mask_rows
+
+    dbuckets = id_buckets(idf, "d:", spec.prefix_len)
+    stored = dest.scan(bounds={"ckey": dbuckets})
+    if stored is None or "dl" not in stored.columns:
+        return None
+    live = mask_rows(
+        stored.filter(_is(spec, "dlen"))
+        .join(idf.withColumnRenamed("did", "doc_id"), "doc_id",
+              "left_semi"),
+        tombs, "doc_id")
+    row = live.agg(F.count("*").cast("long").alias("n"),
+                   F.sum("dl").cast("long").alias("s")).collect()[0]
+    if int(row["n"] or 0) == 0:
+        return None
+    neg = dest.spark.createDataFrame(
+        [(-int(row["n"]), -int(row["s"]))], "n_docs long, dl_sum long")
+    return _stamp("cstat", F.lit("c:"), neg)
+
+
 def tombstone_text(dest: Pool, spec: TextIndexSpec, ids) -> int:
     """Delete documents from the index's LATEST state — O(deleted docs'
     buckets), never a corpus scan: one atomic commit carrying (a) a
@@ -306,8 +317,7 @@ def tombstone_text(dest: Pool, spec: TextIndexSpec, ids) -> int:
     compact_text/rebuild_text fold masked rows physically. Returns rows
     committed."""
     from zync_spark.streaming.tombstones import (commit_with_retry,
-                                                 id_buckets, ids_frame,
-                                                 mask_rows, read_tombs,
+                                                 ids_frame, read_tombs,
                                                  tomb_rows)
 
     _check_meta(dest, spec)
@@ -316,24 +326,9 @@ def tombstone_text(dest: Pool, spec: TextIndexSpec, ids) -> int:
     def build(seq: int) -> DataFrame:
         out = tomb_rows(dest.spark, idf, upto=seq,
                         prefix_len=spec.prefix_len)
-        # a <=16^prefix_len-value bucket collect — delete-set size never
-        # reaches the driver (the ids stay a DataFrame end to end)
-        dbuckets = id_buckets(idf, "d:", spec.prefix_len)
-        stored = dest.scan(bounds={"ckey": dbuckets})
-        if stored is not None and "dl" in stored.columns:
-            live = mask_rows(
-                stored.filter(_is(spec, "dlen"))
-                .join(idf.withColumnRenamed("did", "doc_id"),
-                      "doc_id", "left_semi"),
-                read_tombs(dest, spec.topic), "doc_id")
-            row = live.agg(F.count("*").cast("long").alias("n"),
-                           F.sum("dl").cast("long").alias("s")).collect()[0]
-            if int(row["n"] or 0) > 0:
-                neg = dest.spark.createDataFrame(
-                    [(-int(row["n"]), -int(row["s"]))],
-                    "n_docs long, dl_sum long")
-                out = out.unionByName(_stamp("cstat", F.lit("c:"), neg),
-                                      allowMissingColumns=True)
+        neg = _neg_cstat(dest, spec, idf, read_tombs(dest, spec.topic))
+        if neg is not None:
+            out = out.unionByName(neg, allowMissingColumns=True)
         return _envelope(spec, out, seq)
 
     try:
@@ -500,9 +495,10 @@ def search_text(dest: Pool, spec: TextIndexSpec, query: str | list[str],
     # where_ids restriction (corpus-level stats, see docstring)
     dfreq = posts.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     if where_ids is not None:
-        allowed = where_ids.select(
-            F.col(where_ids.columns[0]).cast("long").alias("doc_id"))
-        posts = posts.join(allowed, "doc_id", "left_semi")
+        from zync_spark.streaming.tombstones import allowed_ids
+
+        posts = posts.join(allowed_ids(where_ids, "doc_id"),
+                           "doc_id", "left_semi")
     # candidate docs' length buckets — a <=256-value metadata collect
     # bounding the dlen fetch, same shape as the dedup index's set fetch
     dbuckets = sorted(

@@ -70,6 +70,18 @@ def ids_frame(spark, ids) -> DataFrame:
     return spark.createDataFrame([(i,) for i in vals], "did long")
 
 
+def allowed_ids(where_ids: DataFrame, alias: str) -> DataFrame:
+    """The ONE definition of the where_ids contract every filtered-read
+    consumer shares (search_text / ann_query / ann_exact_topk): the
+    frame's FIRST column is the allowed id, cast to long under the
+    caller's join alias. No distinct — left_semi joins are insensitive
+    to right-side duplicates, and deduping a big filter scan would cost
+    a shuffle for nothing (round-6 review: one definition, not three
+    inlined copies of the convention)."""
+    return where_ids.select(
+        F.col(where_ids.columns[0]).cast("long").alias(alias))
+
+
 def id_buckets(ids: DataFrame, prefix: str, prefix_len: int) -> list[str]:
     """The distinct cluster-key buckets a delete set touches — a
     <=16^prefix_len-value metadata collect (the same class as the index
@@ -278,15 +290,32 @@ def commit_with_retry(dest: Pool, build_frame, message: str,
 def keep_latest_versions(delta: DataFrame, id_expr: str) -> DataFrame:
     """Within-batch CDC collapse for upsert syncs: when one micro-batch
     carries several versions of the same id, only the LATEST (highest
-    kafka.offset; partition as tie-break across pathological multi-
-    partition same-id publishes) may be indexed — the same-commit
-    tombstone masks stored rows but not sibling delta rows, so earlier
-    in-batch versions must leave before indexing. One delta-sized keyed
-    shuffle, only paid on the upsert path."""
+    kafka.offset WITHIN the id's partition) may be indexed — the
+    same-commit tombstone masks stored rows but not sibling delta rows,
+    so earlier in-batch versions must leave before indexing. One
+    delta-sized keyed shuffle, only paid on the upsert path.
+
+    An id spread across PARTITIONS in one batch is refused loudly:
+    offsets are per-partition sequences, so no cross-partition version
+    order exists (comparing them would silently index an arbitrary —
+    possibly stale — version; round-6 review). Kafka's own contract
+    keys CDC topics by entity, so versions of one id share a partition;
+    a topic that violates that must upsert per partition instead.
+    Cross-BATCH multi-partition republish is fine — the later batch's
+    same-commit tombstone masks whatever any earlier batch indexed."""
     from pyspark.sql import Window
 
+    multi = (delta.groupBy(F.expr(id_expr).alias("__id"))
+             .agg(F.count_distinct("kafka.partition").alias("__np"))
+             .filter(F.col("__np") > 1).limit(1).collect())
+    if multi:
+        raise ValueError(
+            f"upsert: id {multi[0]['__id']!r} appears in multiple "
+            "partitions within one batch — offsets are per-partition "
+            "sequences, so no cross-partition version order exists; "
+            "key the CDC topic by id, or sync each partition separately")
     w = Window.partitionBy(F.expr(id_expr)).orderBy(
-        F.col("kafka.offset").desc(), F.col("kafka.partition").desc())
+        F.col("kafka.offset").desc())
     return (delta.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn"))
 
