@@ -139,7 +139,30 @@ def _read_table(spark: SparkSession, path: str) -> DataFrame:
             os.path.join(path, f) for f in os.listdir(path)
             if f.endswith(".parquet"))
         if files:
-            return read_packed(spark, files)
+            df = read_packed(spark, files)
+            # Buffer-cache policy for the engine's NATIVE layout: a
+            # directory table is pool-style (many small files), so every
+            # materialization re-pays per-file open + footer decode on a
+            # table that is by definition dimension-sized when it is
+            # small. Pin tables under the broadcast threshold (10 MB
+            # compressed — the same "this is a dim" size rule the join
+            # planner uses) in the columnar cache: broadcast builds and
+            # repeated scans then read memory, exactly what a warehouse
+            # dim cache / Delta disk cache does. Large (fact) tables are
+            # never pinned; single-file reads stay vanilla scans with
+            # parquet pushdown (pinned in test_plan_shapes).
+            try:
+                total = sum(os.path.getsize(f) for f in files)
+            except OSError:
+                return df
+            try:  # conf accepts "10485760", "10MB", or "-1" (disabled)
+                thresh = int(spark.conf.get(
+                    "spark.sql.autoBroadcastJoinThreshold", "10485760"))
+            except ValueError:
+                thresh = 10 << 20
+            if 0 < total < thresh:
+                df = df.persist()
+            return df
     return spark.read.parquet(path)
 
 
@@ -212,7 +235,14 @@ def q1_pricing_summary(spark, sf_dir):
     sum_qty = (dec("_qty") / 100).cast("double")
     sum_base = (dec("_ep") / 100).cast("double")
     cnt = F.sum("_n")
-    return partial.groupBy("l_returnflag", "l_linestatus").agg(
+    # Phase-2 merge runs as a GATHER (coalesce(1)) instead of a second hash
+    # exchange: its input is provably tiny — one row per (key, map task),
+    # i.e. 6 x #tasks rows of pre-summed longs (a few MB even at 100 TB
+    # task counts) — so a single-task merge replaces a whole exchange +
+    # 8-task stage. coalesce is narrow: the merge task reads the phase-1
+    # shuffle outputs directly, the same gather-node shape every MPP uses
+    # for low-cardinality final aggregation.
+    return partial.coalesce(1).groupBy("l_returnflag", "l_linestatus").agg(
         sum_qty.alias("sum_qty"),
         sum_base.alias("sum_base_price"),
         (dec("_dp") / 10000).cast("double").alias("sum_disc_price"),
@@ -293,7 +323,9 @@ def q5_regional_revenue(spark, sf_dir):
                  F.spark_partition_id().alias("_p"))
         .agg(F.sum(ep * (100 - disc)).alias("_rev"))
     )
-    return partial.groupBy("nation").agg(
+    # Gather merge (see q1): phase-2 input is <= 25 nations x #map-tasks
+    # pre-summed rows, so one task replaces an exchange + an 8-task stage.
+    return partial.coalesce(1).groupBy("nation").agg(
         (F.sum(F.col("_rev").cast("decimal(38,0)")) / 10000)
         .cast("double").alias("revenue")
     )
@@ -6489,9 +6521,10 @@ def text_index_tombstone(spark, sf_dir):
     return TI.search_text(dest, spec, list(_BM25_TOMB_TERMS), k=10)
 
 
-@register(
-    "dedup_index_tombstone",
-    f"""
+# Exact-Jaccard near-dup pairs over the LATEST corpus — shared by the
+# dedup tombstone entry and the retention-policy entry (same lifecycle,
+# the latter adds the health-driven fold + vacuum).
+_DEDUP_LATEST_PAIRS_SQL = f"""
     WITH {_LATEST_DOCS.strip()},
     toks AS (SELECT doc_id, {_TOKS} AS toks FROM latest),
     sh AS (SELECT doc_id, unnest({_SHINGLES}) AS sh FROM toks WHERE len(toks) >= 3),
@@ -6505,7 +6538,12 @@ def text_index_tombstone(spark, sf_dir):
               JOIN cnt ca ON ca.doc_id = id_a
               JOIN cnt cb ON cb.doc_id = id_b)
     SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
-    """,
+    """
+
+
+@register(
+    "dedup_index_tombstone",
+    _DEDUP_LATEST_PAIRS_SQL,
 )
 def dedup_index_tombstone(spark, sf_dir):
     """MinHash-LSH dedup index under interleaved deletes + updates ==
@@ -6584,6 +6622,50 @@ def span_index_tombstone(spark, sf_dir):
         tombstone=lambda d, ids: SI.tombstone_spans(d, spec, ids))
     SI.compact_spans(dest, target_rows=5000)  # folds the tombstones
     return SI.spans_view(dest, spec)
+
+
+@register(
+    "index_pool_retention",
+    _DEDUP_LATEST_PAIRS_SQL,
+)
+def index_pool_retention(spark, sf_dir):
+    """The retention POLICY closing the delete lifecycle (round 7):
+    tombstones make deletes O(1), but only a compaction folds them —
+    check_pool_health measures the masked-row fraction with the SAME
+    fold_tombstones transform the cure applies (policy and cure cannot
+    drift), flags the delete-heavy pool, fold_compact reclaims the dead
+    rows + tombstones in one base rewrite, and Pool.vacuum(0) physically
+    deletes the superseded files. pairs_view hash-matches the exact-
+    Jaccard latest-corpus oracle ACROSS the whole maintenance pass —
+    the reads just stop paying the mask join (read_tombs goes None).
+
+    Scale: the health check is two narrow-column counts (priced like the
+    compaction decision it gates); the fold rides the base rewrite the
+    pool was paying anyway; vacuum is driver-side file deletion."""
+    from zync_spark.streaming import dedup_index as DI
+    from zync_spark.streaming.health import check_pool_health
+    from zync_spark.streaming.tombstones import fold_compact, read_tombs
+
+    spec = DI.DedupIndexSpec(
+        "docs", "value.doc_id", "value.text",
+        k=3, num_hashes=64, bands=16, threshold=0.5)
+    dest = _tomb_update_docs(
+        spark, sf_dir, "poolret",
+        sync=lambda s, d: DI.sync_index(s, d, spec, ["docs"]),
+        tombstone=lambda d, ids: DI.tombstone_index(d, spec, ids))
+    v = check_pool_health(dest, max_masked_fraction=0.05)
+    assert not v["healthy"] and v["masked_rows"] > 0, v
+    assert "fold_compact" in v["recommendation"], v
+    fold_compact(dest, specs=[spec], target_rows=5000)
+    dest.vacuum(retention_s=0.0)  # single-writer: immediate reclaim
+    v2 = check_pool_health(dest, max_masked_fraction=0.05)
+    assert v2["healthy"] and v2["masked_rows"] == 0, v2
+    assert read_tombs(dest, "docs") is None  # reads drop the mask join
+    pv = DI.pairs_view(dest, spec)
+    return pv.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard")
 
 
 ORACLE_SQL["ann_index_tombstone"] = f"""
