@@ -231,14 +231,17 @@ def test_fromkafka_health_cadence_auto_rebuild(spark, tmp_path):
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         verdicts = fk._run_health_checks()
-    assert len(verdicts) == 1 and not verdicts[0]["healthy"]
+    fam = [v for v in verdicts if v["family"] == "span"]
+    assert len(fam) == 1 and not fam[0]["healthy"]
+    # round 7: the retention pass appends one pool verdict per dest pool
+    assert [v["family"] for v in verdicts].count("pool") == 1
     assert any("unhealthy" in str(x.message) for x in w)
     # the rebuilt spec replaced the entry — new prefix_len, new contract
     new_spec = fk.indexes[0][0]
-    assert new_spec.prefix_len == verdicts[0]["rebuild_args"]["prefix_len"]
+    assert new_spec.prefix_len == fam[0]["rebuild_args"]["prefix_len"]
     assert new_spec.prefix_len > 1
     # second pass: healthy, no rebuild, spec unchanged
-    v2 = fk._run_health_checks()
+    v2 = [v for v in fk._run_health_checks() if v["family"] == "span"]
     assert v2[0]["healthy"] and fk.indexes[0][0] is new_spec
     # and the rebuilt index still answers (spans_view under new spec)
     SI.spans_view(dst, new_spec).count()
@@ -265,6 +268,7 @@ def test_fromkafka_health_no_auto_rebuild_warns_only(spark, tmp_path):
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         verdicts = fk._run_health_checks()
-    assert not verdicts[0]["healthy"]
+    fam = [v for v in verdicts if v["family"] == "span"]
+    assert not fam[0]["healthy"]
     assert any("unhealthy" in str(x.message) for x in w)
     assert fk.indexes[0][0] is spec  # warn-only: nothing rebuilt

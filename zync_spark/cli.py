@@ -897,6 +897,10 @@ def cmd_from_kafka(args) -> int:
         upsert_indexes=args.upsert_indexes,
         health_every=args.health_every,
         auto_rebuild=args.auto_rebuild,
+        health_opts=(
+            {"pool": {"max_masked_fraction": args.max_masked_fraction}}
+            if args.max_masked_fraction is not None else None),
+        auto_vacuum_s=args.auto_vacuum_s,
     )
     if args.transport.startswith("file:"):
         from zync_spark.sources.filequeue import FileQueue
@@ -977,6 +981,66 @@ def cmd_compact(args) -> int:
             "superseded file(s)"
         )
     print(msg)
+    return 0
+
+
+def cmd_index_pool(args) -> int:
+    """Family-agnostic index-pool retention maintenance (round 7).
+
+    Actions:
+      health   check_pool_health: masked-row fraction (what a
+               fold-compaction would reclaim — measured with the SAME
+               fold_tombstones transform the cure applies) + live
+               tombstone count vs thresholds; JSON verdict with a
+               structured recommendation
+      fold     fold_compact: ONE base rewrite that drops masked rows,
+               tombstones, and retraction markers for ALL families
+               sharing the pool (multi-tenant pools fold together);
+               pass --spec (repeatable) when a dedup index lives here
+               so its legacy self-heal knows the prefix_len
+      vacuum   physically delete superseded data files older than
+               --retention seconds (time travel past them stops)
+
+    The streaming maintainer runs the same loop automatically
+    (from-kafka --health-every N --auto-rebuild [--auto-vacuum-s S]);
+    this command is the manual/one-shot form.
+    """
+    from zync_spark.streaming.health import EmptyIndexError, check_pool_health
+    from zync_spark.streaming.tombstones import fold_compact
+
+    spark = _spark()
+    dest = _pool(spark, args.lake, args.pool)
+    if args.action == "health":
+        try:
+            v = check_pool_health(
+                dest, max_masked_fraction=args.max_masked_fraction,
+                max_tombstones=args.max_tombstones,
+                vacuum_after_s=args.retention if args.vacuum else None)
+        except EmptyIndexError as e:
+            print(json.dumps({"family": "pool", "healthy": True,
+                              "empty": True, "note": str(e)}))
+            return 0
+        print(json.dumps(v))
+        return 0 if v["healthy"] else 1
+    if args.action == "fold":
+        specs = []
+        for spec_path in args.spec or []:
+            import yaml as _yaml
+
+            with open(spec_path) as f:
+                probe = _yaml.safe_load(f)
+            if "vec" in probe or probe.get("kind") in ("text", "span"):
+                continue  # only the dedup family's prefix_len matters
+            from zync_spark.streaming.dedup_index import load_index_spec
+
+            specs.append(load_index_spec(spec_path)[0])
+        n = fold_compact(dest, specs=specs, target_rows=args.target_rows)
+        print(f"index-pool {args.pool}: folded to {n} live rows in "
+              f"{len(dest.committed_files())} file(s)")
+        return 0
+    # vacuum
+    n = dest.vacuum(retention_s=args.retention)
+    print(f"index-pool {args.pool}: vacuumed {n} superseded file(s)")
     return 0
 
 
@@ -1113,6 +1177,18 @@ def main(argv: list[str] | None = None) -> int:
                         "rebuild recommendation when a check fails (the "
                         "ingest loop is the single writer, so the "
                         "rebuild's OCC publish cannot collide)")
+    p.add_argument("--max-masked-fraction", type=float, default=None,
+                   metavar="F",
+                   help="with --health-every: retention threshold — when "
+                        "more than this fraction of an index pool's rows "
+                        "are dead (tombstone-masked), recommend (and with "
+                        "--auto-rebuild, run) a fold-compaction "
+                        "(default 0.2)")
+    p.add_argument("--auto-vacuum-s", type=float, default=None, metavar="S",
+                   help="after a retention-driven fold-compaction, "
+                        "physically delete superseded data files older "
+                        "than S seconds (Pool.vacuum retention window; "
+                        "time travel past the fold stops working)")
     p.set_defaults(fn=cmd_from_kafka)
 
     p = sub.add_parser("to-kafka", help="pool -> topic egress from the HWM")
@@ -1257,6 +1333,32 @@ def main(argv: list[str] | None = None) -> int:
                    help="pairs: bounded lookup by canonical smaller "
                         "member (reads only the colliding buckets)")
     p.set_defaults(fn=cmd_dedup_index)
+
+    p = sub.add_parser("index-pool",
+                       help="index-pool retention: masked-fraction health, "
+                            "family-agnostic fold-compaction, vacuum")
+    p.add_argument("action", choices=["health", "fold", "vacuum"])
+    p.add_argument("pool")
+    p.add_argument("--spec", action="append", default=None,
+                   help="fold: index spec YAML(s) living in this pool "
+                        "(repeatable; needed when a dedup index is a "
+                        "tenant so the legacy self-heal knows prefix_len)")
+    p.add_argument("--max-masked-fraction", type=float, default=0.2,
+                   help="health: flag when more than this fraction of "
+                        "rows are dead (tombstone-masked)")
+    p.add_argument("--max-tombstones", type=int, default=100_000,
+                   help="health: flag when more live tombstones than this "
+                        "ride every masking read")
+    p.add_argument("--target-rows", type=int, default=4_000_000,
+                   help="fold: rows per output file")
+    p.add_argument("--vacuum", action="store_true",
+                   help="health: also report unreferenced_files older "
+                        "than --retention")
+    p.add_argument("--retention", type=float, default=3600.0,
+                   help="vacuum: unreferenced dirs younger than this are "
+                        "kept (in-flight concurrent writers). 0 = "
+                        "single-writer immediate reclaim")
+    p.set_defaults(fn=cmd_index_pool)
 
     p = sub.add_parser("compact", help="compact a pool's small commits")
     p.add_argument("pool")

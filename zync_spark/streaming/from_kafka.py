@@ -53,6 +53,8 @@ class FromKafka:
         upsert_indexes: bool = False,
         health_every: int | None = None,
         auto_rebuild: bool = False,
+        health_opts: dict[str, dict] | None = None,
+        auto_vacuum_s: float | None = None,
     ):
         self.spark = spark
         self.topic_pools = topic_pools
@@ -95,6 +97,25 @@ class FromKafka:
         # place so later syncs/validations use the new contract.
         self.health_every = health_every
         self.auto_rebuild = auto_rebuild
+        # Per-index check thresholds, keyed by spec.name (kwargs passed
+        # straight to that family's check_*_health — e.g.
+        # {"embeddings_ann": {"min_recall": 0.8, "nprobe": 4}}); the
+        # reserved key "pool" configures the retention pass
+        # (check_pool_health kwargs, e.g. {"max_masked_fraction": 0.1}).
+        # Hard-coded defaults made auto_rebuild a footgun: a workload
+        # that structurally can't clear a default re-paid a full
+        # O(corpus) rebuild every cadence (round-6 ADVICE) — now the
+        # thresholds are per-deployment AND _applied_rebuilds backstops
+        # repeats with a no-improvement cooldown.
+        self.health_opts = health_opts or {}
+        # Age-based vacuum knob: after a retention-driven fold_compact,
+        # physically reclaim superseded data files older than this
+        # (Pool.vacuum retention window — in-flight writers' fresh
+        # files survive). None = keep them for time travel.
+        self.auto_vacuum_s = auto_vacuum_s
+        # spec.name -> json(rebuild_args) of the last APPLIED rebuild;
+        # cleared when the index measures healthy again
+        self._applied_rebuilds: dict[str, str] = {}
         self._batches_since_health = 0
         for kind, entries in (("rollup", self.rollups),
                               ("index", self.indexes)):
@@ -308,13 +329,18 @@ class FromKafka:
         return committed
 
     def _run_health_checks(self) -> list[dict]:
-        """One health pass over every index entry (see __init__ note);
-        returns the verdicts (tests hook this directly)."""
+        """One health pass over every index entry (see __init__ note),
+        then one RETENTION pass per distinct index POOL (round 7:
+        check_pool_health — masked-fraction / live-tombstone thresholds
+        → fold_compact + optional vacuum). Returns the verdicts (tests
+        hook this directly)."""
         import json as _json
         import warnings
 
+        from zync_spark.pool import ConcurrentWriteError
         from zync_spark.streaming import (ann_index, dedup_index, health,
                                           span_index, text_index)
+        from zync_spark.streaming.tombstones import fold_compact
 
         verdicts = []
         for i, (spec, dest, topics) in enumerate(list(self.indexes)):
@@ -327,23 +353,76 @@ class FromKafka:
             else:
                 check, rebuild = health.check_ann_health,                     ann_index.rebuild_ann
             try:
-                v = check(dest, spec)
-            except ValueError:
-                continue  # empty index: nothing to measure yet
+                # empty index: nothing to measure yet. A spec-drift
+                # ValueError (from _check_meta) PROPAGATES — skipping it
+                # would silently bless a misconfigured maintainer
+                # (round-6 ADVICE).
+                v = check(dest, spec,
+                          **self.health_opts.get(spec.name, {}))
+            except health.EmptyIndexError:
+                continue
             verdicts.append(v)
             if v["healthy"]:
+                # a later healthy verdict clears the no-improvement
+                # cooldown: the index recovered (organic growth, manual
+                # fix), so a future degradation may rebuild again
+                self._applied_rebuilds.pop(spec.name, None)
                 continue
             warnings.warn(
                 f"index {spec.name!r} unhealthy: {_json.dumps(v)}",
                 stacklevel=2)
             if not self.auto_rebuild or v.get("rebuild_args") is None:
                 continue
+            args_key = _json.dumps(v["rebuild_args"], sort_keys=True)
+            if self._applied_rebuilds.get(spec.name) == args_key:
+                # no-improvement cooldown (round-6 ADVICE): we already
+                # applied EXACTLY this cure and the verdict is still
+                # unhealthy — the workload structurally can't clear the
+                # threshold, so re-running the same O(corpus) rebuild
+                # every cadence would burn the cluster for nothing.
+                # A DIFFERENT recommendation (e.g. a larger prefix_len
+                # as the index grows) still applies.
+                warnings.warn(
+                    f"index {spec.name!r}: rebuild {args_key} already "
+                    "applied without clearing the threshold — cooldown; "
+                    "tune health_opts or re-ingest", stacklevel=2)
+                continue
             new = rebuild(dest, spec, **v["rebuild_args"])
+            self._applied_rebuilds[spec.name] = args_key
             # span/text/dedup rebuilds return the NEW spec contract
             # (prefix_len changed); ann returns a row count and the
             # spec is unchanged
             if new is not None and not isinstance(new, int):
                 self.indexes[i] = (new, dest, topics)
+
+        # Retention pass: one check per distinct POOL (multi-tenant
+        # pools fold all co-tenant families in the one compaction they
+        # were paying anyway — fold_tombstones is family-agnostic).
+        pools: dict[str, tuple] = {}
+        for spec, dest, _topics in self.indexes:
+            pools.setdefault(dest.path, (dest, []))[1].append(spec)
+        pool_opts = self.health_opts.get("pool", {})
+        for dest, specs in pools.values():
+            try:
+                v = health.check_pool_health(
+                    dest, vacuum_after_s=self.auto_vacuum_s, **pool_opts)
+            except health.EmptyIndexError:
+                continue
+            verdicts.append(v)
+            if v["healthy"]:
+                continue
+            warnings.warn(
+                f"index pool {dest.path} needs retention maintenance: "
+                f"{_json.dumps(v)}", stacklevel=2)
+            if not self.auto_rebuild:
+                continue
+            try:
+                fold_compact(dest, specs=specs,
+                             message="health fold-compact")
+            except ConcurrentWriteError:
+                continue  # another writer landed mid-rewrite: next cadence
+            if self.auto_vacuum_s is not None:
+                dest.vacuum(retention_s=self.auto_vacuum_s)
         return verdicts
 
     # -- streaming entry ---------------------------------------------------

@@ -61,6 +61,16 @@ from pyspark.sql import functions as F
 from zync_spark.pool import Pool
 
 
+class EmptyIndexError(ValueError):
+    """An index pool has nothing to measure (no rows, or every row
+    tombstoned) AND nothing a rebuild could retrain on. Subclass of
+    ValueError for callers that treated both alike before round 7;
+    maintenance loops catch THIS and skip, while a spec-drift
+    ValueError (from _check_meta — a real misconfiguration) propagates
+    loudly instead of being mistaken for an empty index (round-6
+    ADVICE)."""
+
+
 def _sync_pass_avg(df, row_filter, partition_col="kafka.partition"):
     """Average rows per SYNC pass (partition >= 0 — migrations/rebuilds
     use the reserved -1/-2 labels and say nothing about delta size)."""
@@ -95,7 +105,7 @@ def check_ann_health(dest: Pool, spec, k: int = 10, nprobe: int = 2,
 
     stored = dest.scan()
     if stored is None or "vec_id" not in stored.columns:
-        raise ValueError(f"ann index {spec.name!r} is empty")
+        raise EmptyIndexError(f"ann index {spec.name!r} is empty")
     vecs = mask_rows(stored.filter(AI._is_vec(spec)),
                      read_tombs(dest, spec.topic), "vec_id")
     n_vecs = vecs.count()
@@ -104,7 +114,7 @@ def check_ann_health(dest: Pool, spec, k: int = 10, nprobe: int = 2,
         # rebuild could retrain on — raising (like the empty-pool case)
         # keeps auto_rebuild from attempting a retrain that must fail
         # (round-6 review)
-        raise ValueError(
+        raise EmptyIndexError(
             f"ann index {spec.name!r} has no live vectors to measure")
     qs = (vecs.orderBy("vec_id").limit(int(sample))
           .select("vec_id", F.col("v").alias("emb")))
@@ -145,7 +155,7 @@ def check_span_health(dest: Pool, spec,
     _check_meta(dest, spec)
     df = dest.scan()
     if df is None or "h" not in df.columns:
-        raise ValueError(f"span index {spec.name!r} is empty")
+        raise EmptyIndexError(f"span index {spec.name!r} is empty")
     avg_h = _sync_pass_avg(df, _is(spec, "win"))
     buckets = 16 ** spec.prefix_len
     cov = _coverage(buckets, avg_h)
@@ -176,7 +186,7 @@ def check_text_health(dest: Pool, spec,
     _check_meta(dest, spec)
     df = dest.scan()
     if df is None or "term" not in df.columns:
-        raise ValueError(f"text index {spec.name!r} is empty")
+        raise EmptyIndexError(f"text index {spec.name!r} is empty")
     n_terms = (df.filter(_is(spec, "post"))
                .agg(F.count_distinct("term").alias("t"))
                .collect()[0]["t"]) or 0
@@ -212,7 +222,7 @@ def check_dedup_health(dest: Pool, spec,
     _check_meta(dest, spec)
     df = dest.scan()
     if df is None or "bkey" not in df.columns:
-        raise ValueError(f"dedup index {spec.name!r} has no band rows")
+        raise EmptyIndexError(f"dedup index {spec.name!r} has no band rows")
     bands = df.filter(_is_band(spec))
     agg = bands.agg(F.count("*").alias("n"),
                     F.count_distinct("bkey").alias("d")).collect()[0]
@@ -249,4 +259,104 @@ def check_dedup_health(dest: Pool, spec,
         # only the saturation cure is auto-applicable; the collision
         # advisory needs a source re-ingest (banding is burned in)
         "rebuild_args": {"prefix_len": rec_plen} if not sat_ok else None,
+    }
+
+def check_pool_health(dest: Pool,
+                      max_masked_fraction: float = 0.2,
+                      max_tombstones: int = 100_000,
+                      vacuum_after_s: float | None = None) -> dict:
+    """Retention policy for a TOMBSTONED index pool (round 7): decide
+    WHEN to fold, the way check_*_health decides when to rebuild.
+
+    Tombstones make deletes O(1), but they only leave physically when a
+    compaction happens to run — a delete-heavy pool with no organic
+    small-files pressure pays the mask join on every read and carries
+    dead rows forever. This check measures exactly what a fold-compaction
+    would reclaim:
+
+    - `masked_fraction`: 1 - live/total where live counts the rows that
+      survive `fold_tombstones` — the SAME transform `fold_compact`
+      applies, so the policy metric and the cure can never drift. Covers
+      sequence-masked rows, the tombstone rows themselves, span
+      retraction markers, and the hit/dup rows they retract.
+    - `live_tombstones`: size of the 'x:' space (every masking read
+      broadcasts this; it is the per-read overhead deletes cost).
+    - `unreferenced_files` (only when `vacuum_after_s` is given): data
+      files a past compaction superseded that are older than the window
+      — what `Pool.vacuum(retention_s=vacuum_after_s)` would delete.
+
+    Unhealthy when masked_fraction or live_tombstones exceed their
+    thresholds; `compact_args` carries the structured cure for a
+    maintenance loop (`fold_compact(dest, specs=...)` — family-agnostic,
+    one pass folds every co-tenant family). Cost: two narrow-column
+    counts over the pool — priced like the compaction decision it is.
+
+    Family-agnostic on purpose: multi-tenant pools (text + span over one
+    corpus) fold in ONE compaction, so their retention policy must also
+    be one check per POOL, not one per spec."""
+    import os
+    import time as _time
+
+    from zync_spark.streaming.tombstones import (TOMB_BOUNDS,
+                                                 fold_tombstones)
+
+    df = dest.scan()
+    if df is None:
+        raise EmptyIndexError(f"pool {dest.path} is empty")
+    total = df.count()
+    if total == 0:
+        raise EmptyIndexError(f"pool {dest.path} has no rows")
+    live = fold_tombstones(df).count()
+    masked = total - live
+    frac = masked / total
+    tombs = 0
+    if "upto" in df.columns and "did" in df.columns:
+        tdf = dest.scan(bounds={"ckey": TOMB_BOUNDS})
+        if tdf is not None:
+            tombs = (tdf.filter(F.col("zed_type").eqNullSafe("tomb"))
+                     .count())
+    unref = None
+    if vacuum_after_s is not None:
+        live_files = set(dest.committed_files())
+        now = _time.time()
+        unref = 0
+        data_root = os.path.join(dest.path, "data")
+        for d in os.listdir(data_root):
+            sub = os.path.join(data_root, d)
+            parts = [f for f in os.listdir(sub) if f.endswith(".parquet")]
+            if not parts or any(os.path.join(sub, f) in live_files
+                                for f in parts):
+                continue
+            try:
+                if now - os.path.getmtime(sub) >= vacuum_after_s:
+                    unref += len(parts)
+            except OSError:
+                continue
+    frac_ok = frac <= max_masked_fraction
+    tomb_ok = tombs <= max_tombstones
+    healthy = frac_ok and tomb_ok
+    rec = None
+    if not healthy:
+        why = (f"{masked} of {total} rows ({frac:.0%}) are dead"
+               if not frac_ok else
+               f"{tombs} live tombstones ride every masking read")
+        rec = (f"fold_compact(dest) — {why}; the base rewrite drops "
+               "masked rows and the tombstones together"
+               + ("" if vacuum_after_s is None else
+                  f", then vacuum(retention_s={vacuum_after_s:g}) "
+                  f"reclaims superseded files"))
+    return {
+        "family": "pool", "healthy": bool(healthy),
+        "rows": int(total), "live_rows": int(live),
+        "masked_rows": int(masked),
+        "masked_fraction": round(frac, 4),
+        "max_masked_fraction": max_masked_fraction,
+        "live_tombstones": int(tombs),
+        "max_tombstones": int(max_tombstones),
+        "commits_since_base": dest.commits_since_base(),
+        "unreferenced_files": unref,
+        "recommendation": rec,
+        # structured cure, rebuild_args-style: {} means "fold_compact
+        # with defaults" (the loop adds its own specs/vacuum knobs)
+        "compact_args": None if healthy else {},
     }

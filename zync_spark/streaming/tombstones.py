@@ -332,3 +332,38 @@ def with_upserts(tombs: DataFrame | None, ids: DataFrame,
         return new
     return (tombs.unionByName(new)
             .groupBy("did").agg(F.max("__upto").alias("__upto")))
+
+def fold_compact(dest: Pool, specs=(), target_rows: int = 4_000_000,
+                 message: str = "pool fold-compact") -> int:
+    """Family-AGNOSTIC fold compaction: one base rewrite that drops every
+    masked row, tombstone, and retraction marker for ALL index families
+    sharing the pool (fold_tombstones is keyed on globally-distinct
+    zed_type names, so one pass serves any co-tenant mix — the
+    multi-tenant contract the per-family compact_* wrappers each
+    delegate to implicitly).
+
+    `specs`: the index specs living in this pool, when known. Only the
+    dedup family needs one (its legacy self-heal — band migration + ckey
+    backfill — is prefix_len-dependent); two dedup specs with different
+    prefix_lens in one pool would make the backfill ambiguous and are
+    refused loudly. Other families' specs are accepted and ignored.
+
+    Single-writer maintenance semantics: a concurrent load makes the
+    base publish fail with ConcurrentWriteError (never data loss) — the
+    maintenance loop catches it and retries next cadence."""
+    plens = sorted({s.prefix_len for s in specs
+                    if type(s).__name__ == "DedupIndexSpec"})
+    if len(plens) > 1:
+        raise ValueError(
+            f"fold_compact: dedup specs with different prefix_lens "
+            f"{plens} share pool {dest.path} — the legacy-row backfill "
+            "is prefix_len-dependent; give each dedup index its own pool")
+
+    def transform(df: DataFrame) -> DataFrame:
+        if plens:
+            from zync_spark.streaming.dedup_index import _upgrade_and_fill
+            df = _upgrade_and_fill(df, plens[0])
+        return fold_tombstones(df)
+
+    return dest.compact(target_rows=target_rows, message=message,
+                        transform=transform, cluster_by=["ckey"])
