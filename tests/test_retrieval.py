@@ -185,3 +185,65 @@ def test_filtered_search_pushes_predicate_to_metadata_scan(spark, tmp_path):
     # and the filter actually bites
     en = {r.doc_id for r in where.collect()}
     assert all(r.doc_id in en for r in out.collect())
+
+
+def test_attr_ids_colocated_filter_lifecycle(spark, tmp_path):
+    """Metadata co-location (round 7): attr rows answer the filter from
+    the index pool alone, track CDC updates (an update that flips the
+    attribute moves the doc out of the filter), respect deletes, and
+    survive the fold."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from zync_spark.pool import Pool
+    from zync_spark.streaming import text_index as TI
+    from zync_spark.streaming.health import EmptyIndexError
+    from zync_spark.streaming.tombstones import fold_compact
+
+    rows = [(i, f"alpha beta doc{i} words here", "en" if i % 2 == 0
+             else "fr") for i in range(10)]
+
+    def env(rs, shift=0):
+        df = spark.createDataFrame(rs, "doc_id long, text string, lang string")
+        return df.select(
+            F.struct(F.lit("docs").alias("topic"),
+                     F.lit(0).cast("long").alias("partition"),
+                     (F.col("doc_id") + shift).cast("long").alias("offset")
+                     ).alias("kafka"),
+            F.lit("data").alias("zed_type"),
+            F.struct("doc_id", "text", "lang").alias("value"))
+
+    spec = TI.TextIndexSpec("docs", "value.doc_id", "value.text",
+                            attrs={"lang": "value.lang"})
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dst = Pool.create(spark, str(tmp_path / "idx"))
+    src.load(env(rows), "backfill")
+    TI.sync_text(src, dst, spec, ["docs"])
+
+    ids = lambda df: sorted(r["doc_id"] for r in df.collect())  # noqa: E731
+    assert ids(TI.attr_ids(dst, spec, "lang = 'en'")) == [0, 2, 4, 6, 8]
+    # the filter never touches the source pool (index-resident)
+    plan = TI.attr_ids(dst, spec, "lang = 'en'")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert str(tmp_path / "src") not in plan
+
+    # CDC update: doc 2 flips en->fr (tombstone first, republish, sync)
+    TI.tombstone_text(dst, spec, [2])
+    src.load(env([(2, "alpha beta doc2 words here", "fr")], shift=100),
+             "update")
+    TI.sync_text(src, dst, spec, ["docs"])
+    assert ids(TI.attr_ids(dst, spec, "lang = 'en'")) == [0, 4, 6, 8]
+    assert 2 in ids(TI.attr_ids(dst, spec, "lang = 'fr'"))
+
+    # delete: doc 4 leaves every filter
+    TI.tombstone_text(dst, spec, [4])
+    assert ids(TI.attr_ids(dst, spec, "lang = 'en'")) == [0, 6, 8]
+
+    # fold: physically reclaims, answers unchanged
+    fold_compact(dst, specs=[spec])
+    assert ids(TI.attr_ids(dst, spec, "lang = 'en'")) == [0, 6, 8]
+
+    # attr-less spec fails loud (the CLI falls back to the source scan)
+    bare = TI.TextIndexSpec("docs", "value.doc_id", "value.text")
+    with pytest.raises(EmptyIndexError):
+        TI.attr_ids(dst, bare, "lang = 'en'")

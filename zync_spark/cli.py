@@ -654,13 +654,41 @@ def cmd_retrieve(args) -> int:
         # against it (exact for BM25 post-intersection; exact within
         # the probed cells for ANN — raise --nprobe to trade cost for
         # recall under selective filters).
-        meta = _pool(spark, args.lake, tdoc["source"]).scan()
-        if meta is None:
-            raise SystemExit("retrieve: --where given but the text "
-                             "source pool is empty")
+        # Index-resident attrs first (round 7, metadata co-location):
+        # when the text spec declares `attrs`, the filter resolves from
+        # the index pool ALONE — a bounded 'a:' read of narrow rows.
+        # Only a spec without attrs falls back to scanning the SOURCE
+        # pool's metadata, which at 100 TB costs a corpus-metadata read
+        # per retrieve (the reason attrs exist).
+        from zync_spark.streaming.health import EmptyIndexError
+
         try:
-            where_ids = meta.filter(F.expr(args.where)).select(
-                F.expr(tspec.id_expr).cast("long").alias("doc_id"))
+            where_ids = ti.attr_ids(tdest, tspec, args.where)
+        except EmptyIndexError:
+            meta = _pool(spark, args.lake, tdoc["source"]).scan()
+            if meta is None:
+                raise SystemExit("retrieve: --where given but the text "
+                                 "source pool is empty")
+            try:
+                # LATEST version per id first, THEN the predicate: under
+                # upsert CDC a superseded version's metadata could
+                # otherwise admit a doc whose current version no longer
+                # matches (and the indexes only answer for current
+                # versions). Same latest-wins rule as
+                # compact(keep_latest_by_key): highest kafka.offset per
+                # entity. Round-6 ADVICE.
+                from pyspark.sql import Window
+
+                w = Window.partitionBy(F.expr(tspec.id_expr)).orderBy(
+                    F.col("kafka.offset").desc())
+                latest = (meta.withColumn("__rn", F.row_number().over(w))
+                          .filter(F.col("__rn") == 1).drop("__rn"))
+                where_ids = latest.filter(F.expr(args.where)).select(
+                    F.expr(tspec.id_expr).cast("long").alias("doc_id"))
+            except SystemExit:
+                raise
+            except Exception as e:
+                raise SystemExit(f"retrieve: bad --where predicate: {e}")
         except Exception as e:
             raise SystemExit(f"retrieve: bad --where predicate: {e}")
     tstats: dict = {}
@@ -1280,11 +1308,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--weights", default=None, metavar="LEX,SEM",
                    help="weighted RRF: per-ranker weights, e.g. 0.7,0.3")
     p.add_argument("--where", default=None, metavar="PRED",
-                   help="metadata predicate over the text source pool's "
-                        "rows (e.g. \"value.lang = 'en'\"); filters "
-                        "BOTH legs — exact for BM25, exact-within-"
-                        "probed-cells for ANN (raise --nprobe under "
-                        "selective filters)")
+                   help="metadata predicate filtering BOTH legs — exact "
+                        "for BM25, exact-within-probed-cells for ANN "
+                        "(raise --nprobe under selective filters). When "
+                        "the text spec declares `attrs:` it resolves "
+                        "from index-resident attr rows over the attr "
+                        "NAMES (e.g. \"lang = 'en'\") with no source "
+                        "scan; otherwise it evaluates over the source "
+                        "pool's LATEST version per id (e.g. "
+                        "\"value.lang = 'en'\")")
     p.add_argument("--explain", action="store_true",
                    help="print per-leg probe telemetry (# files read vs "
                         "live) after the results")

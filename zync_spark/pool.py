@@ -335,7 +335,11 @@ class Pool:
         # one tiny file per shuffle partition (a 20k-row commit is 1 file,
         # not 32) — file-count bloat is what kills manifest-driven lakes
         # at scale. Large batches keep their parallelism.
-        target = max(1, min(df.rdd.getNumPartitions(), n // 500_000 + 1))
+        # _plan_num_partitions probes the executed plan JVM-side — df.rdd
+        # here paid an extra javaToPython wrapper stage + py4j round-trip
+        # on EVERY commit (round-6 ADVICE; the helper already serves
+        # rebalance_for_compute)
+        target = max(1, min(_plan_num_partitions(df), n // 500_000 + 1))
         if cluster_by:
             # file-granularity skipping needs several key-space-disjoint
             # files per commit to bite (a probe always skips the OTHER

@@ -6769,9 +6769,10 @@ def ann_index_tombstone(spark, sf_dir):
                         k=5, nprobe=2)
 
 
-@register(
-    "hybrid_retrieval_filtered",
-    f"""
+# Filtered hybrid retrieval oracle — shared by the source-filtered and
+# the index-resident-attr-filtered entries (the filter semantics are
+# identical; only WHERE the allowed-id frame comes from differs).
+_HYBRID_FILTERED_SQL = f"""
     WITH allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),
     t AS (SELECT doc_id,
                  unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
@@ -6810,7 +6811,12 @@ def ann_index_tombstone(spark, sf_dir):
       SELECT doc_id, lex_rank, sem_rank, rrf,
              row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM f)
     WHERE rank <= 10
-    """,
+    """
+
+
+@register(
+    "hybrid_retrieval_filtered",
+    _HYBRID_FILTERED_SQL,
 )
 def hybrid_retrieval_filtered(spark, sf_dir):
     """Filtered hybrid retrieval (round 6): the same BM25+cosine RRF
@@ -6869,6 +6875,69 @@ def hybrid_retrieval_filtered(spark, sf_dir):
     AI.sync_ann(src, adest, aspec, ["emb"])
     AI.compact_ann(adest, target_rows=5000)
     where = docs.filter(F.col("lang") == "en").select("doc_id")
+    lex = TI.search_text(tdest, tspec, list(_HYBRID_TERMS), k=20,
+                         where_ids=where).select("doc_id", "rank")
+    sem = AI.ann_query(adest, aspec, emb.filter(F.col("vec_id") == 0),
+                       k=20, nprobe=16, where_ids=where).select(
+        F.col("neighbor_id").alias("doc_id"), "rank")
+    return R.rrf_fuse([lex, sem], names=["lex_rank", "sem_rank"],
+                      k=10, c=60)
+
+
+@register(
+    "hybrid_retrieval_attr_filtered",
+    _HYBRID_FILTERED_SQL,
+)
+def hybrid_retrieval_attr_filtered(spark, sf_dir):
+    """Metadata CO-LOCATION (round 7): the same filtered hybrid
+    retrieval, but the allowed-id frame resolves from the INDEX pool
+    alone — the text spec declares `attrs={'lang': 'value.lang'}`, the
+    sync stores one narrow 'attr' row per indexed doc in its own 'a:'
+    key space, and `attr_ids(tdest, tspec, "lang = 'en'")` answers the
+    filter with a bounded index read. The SOURCE pool is never scanned
+    on the retrieve path (asserted against the optimized plan below);
+    at 100 TB that is the difference between a filter costing O(#docs
+    narrow rows) and re-reading the corpus's metadata per query. Same
+    oracle as hybrid_retrieval_filtered — co-locating the metadata must
+    not change a single answer."""
+    import shutil
+
+    from zync_spark.functions import retrieval as R
+    from zync_spark.pool import Pool
+    from zync_spark.streaming import ann_index as AI
+    from zync_spark.streaming import text_index as TI
+
+    docs = T(spark, sf_dir, "documents")
+    emb = T(spark, sf_dir, "embeddings")
+    lake = _scratch_dir(
+        f"zs-hybattr-{sf_dir.rstrip('/').rsplit('/', 1)[-1]}")
+    shutil.rmtree(lake, ignore_errors=True)
+    src = Pool.create(spark, f"{lake}/src")
+    tdest = Pool.create(spark, f"{lake}/tindex")
+    adest = Pool.create(spark, f"{lake}/aindex")
+    src.load(docs.select(
+        F.struct(F.lit("docs").alias("topic"),
+                 F.lit(0).cast("long").alias("partition"),
+                 F.col("doc_id").cast("long").alias("offset")).alias("kafka"),
+        F.lit("data").alias("zed_type"),
+        F.struct("doc_id", "text", "lang").alias("value")), "docs")
+    src.load(emb.select(
+        F.struct(F.lit("emb").alias("topic"),
+                 F.lit(0).cast("long").alias("partition"),
+                 F.col("vec_id").cast("long").alias("offset")).alias("kafka"),
+        F.lit("data").alias("zed_type"),
+        F.struct("vec_id", "embedding").alias("value")), "emb")
+    tspec = TI.TextIndexSpec("docs", "value.doc_id", "value.text",
+                             attrs={"lang": "value.lang"})
+    aspec = AI.AnnIndexSpec("emb", "value.vec_id", "value.embedding",
+                            n_cells=16, iterations=2)
+    TI.sync_text(src, tdest, tspec, ["docs"])
+    AI.sync_ann(src, adest, aspec, ["emb"])
+    AI.compact_ann(adest, target_rows=5000)
+    where = TI.attr_ids(tdest, tspec, "lang = 'en'")
+    # plan pin: the retrieval filter must never touch the source pool
+    plan = where._jdf.queryExecution().executedPlan().toString()
+    assert f"{lake}/src" not in plan, "attr filter scanned the source pool"
     lex = TI.search_text(tdest, tspec, list(_HYBRID_TERMS), k=20,
                          where_ids=where).select("doc_id", "rank")
     sem = AI.ann_query(adest, aspec, emb.filter(F.col("vec_id") == 0),

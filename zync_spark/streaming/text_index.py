@@ -93,10 +93,20 @@ def _dl_ckey(doc_id, prefix_len: int = _PREFIX_LEN) -> F.Column:
 class TextIndexSpec:
     """Declarative index definition. `id_expr`/`text_expr`: SQL
     expressions over the source pool's rows producing the document id
-    (long) and text."""
+    (long) and text.
+
+    `attrs` (round 7, metadata co-location): {attr name: SQL expr over
+    source rows} — narrow filterable attributes (lang, source, date)
+    the sync stores as index-RESIDENT 'attr' rows in their own 'a:'
+    key space, values cast to string in a map column (mergeable across
+    co-tenant schemas). `attr_ids(dest, spec, predicate)` then resolves
+    a retrieval filter from the index pool ALONE — at 100 TB the
+    alternative is re-scanning the source corpus's metadata on every
+    `retrieve --where`."""
 
     def __init__(self, name: str, id_expr: str, text_expr: str,
-                 prefix_len: int = _PREFIX_LEN):
+                 prefix_len: int = _PREFIX_LEN,
+                 attrs: dict[str, str] | None = None):
         if not 1 <= prefix_len <= 8:
             raise ValueError("prefix_len must be 1..8 hex chars")
         self.name = name
@@ -104,6 +114,7 @@ class TextIndexSpec:
         self.id_expr = id_expr
         self.text_expr = text_expr
         self.prefix_len = prefix_len
+        self.attrs = dict(attrs) if attrs else {}
 
     # duck-types RollupSpec for _spec_cursors' key namespace
     @property
@@ -210,10 +221,16 @@ def _sync_text_once(src: Pool, dest: Pool, spec: TextIndexSpec,
             src_rows = keep_latest_versions(delta, spec.id_expr)
             tombs_new = src_rows.select(
                 F.expr(spec.id_expr).cast("long").alias("did")).distinct()
-        docs = src_rows.select(
+        doc_cols = [
             F.expr(spec.id_expr).cast("long").alias("doc_id"),
             TX.tokens(F.lower(F.expr(spec.text_expr))).alias("toks"),
-        ).filter(F.size("toks") > 0)
+        ]
+        if spec.attrs:
+            pairs: list = []
+            for k in sorted(spec.attrs):
+                pairs += [F.lit(k), F.expr(spec.attrs[k]).cast("string")]
+            doc_cols.append(F.create_map(*pairs).alias("attrs"))
+        docs = src_rows.select(*doc_cols).filter(F.size("toks") > 0)
         toks = docs.select(
             "doc_id", F.explode("toks").alias("term")
         ).filter(F.col("term") != "")
@@ -232,6 +249,17 @@ def _sync_text_once(src: Pool, dest: Pool, spec: TextIndexSpec,
             .unionByName(_stamp("cstat", F.lit("c:"), cstat),
                          allowMissingColumns=True)
         )
+        if spec.attrs:
+            # index-resident metadata: one 'attr' row per indexed doc in
+            # its own 'a:' key space — retrieval filters resolve from
+            # the index pool alone (attr_ids), never the source corpus
+            from zync_spark.streaming.dedup_index import pmod_ckey
+
+            out = out.unionByName(
+                _stamp("attr",
+                       pmod_ckey("a:", F.col("doc_id"), spec.prefix_len),
+                       docs.select("doc_id", "attrs")),
+                allowMissingColumns=True)
         if tombs_new is not None:
             from zync_spark.streaming.tombstones import read_tombs, tomb_rows
 
@@ -568,6 +596,9 @@ def load_text_spec(path: str) -> tuple[TextIndexSpec, dict]:
       id: value.doc_id
       text: value.text
       prefix_len: 2     # optional
+      attrs:            # optional: index-resident metadata for
+        lang: value.lang    # retrieve --where (round 7) — filters
+        source: value.source  # resolve from the index pool alone
     """
     import yaml
 
@@ -584,5 +615,51 @@ def load_text_spec(path: str) -> tuple[TextIndexSpec, dict]:
         id_expr=doc["id"],
         text_expr=doc["text"],
         prefix_len=int(doc.get("prefix_len", _PREFIX_LEN)),
+        attrs=doc.get("attrs"),
     )
     return spec, doc
+
+
+# the whole 'a:' attr key space as one range bound ('a:g' closes the
+# hex alphabet) — width-independent, mirrors tombstones.TOMB_BOUNDS
+ATTR_BOUNDS = ("a:", "a:g")
+
+
+def attr_ids(dest: Pool, spec: TextIndexSpec, predicate: str) -> DataFrame:
+    """Resolve a metadata filter from the INDEX pool alone (round 7):
+    the allowed-id frame for `predicate` over the spec's co-located
+    attrs — no source-pool scan, which at 100 TB is the difference
+    between a retrieval filter costing O(#docs narrow attr rows) and
+    re-reading the corpus's metadata columns per query.
+
+    Attr names are exposed as string columns (`lang = 'en'`); numeric
+    attrs compare via cast (`cast(n_chars as bigint) > 100`). Latest
+    version per doc wins (commit-seq, then offset) and tombstoned docs
+    are masked — under the CDC contract (tombstone first, republish,
+    sync) a superseded version's metadata can never admit a doc whose
+    current version no longer matches. Raises EmptyIndexError when the
+    index carries no attr rows (spec without `attrs`, or a legacy
+    index) so callers can fall back to the source-pool scan loudly."""
+    from pyspark.sql import Window
+
+    from zync_spark.streaming.health import EmptyIndexError
+    from zync_spark.streaming.tombstones import mask_rows, read_tombs
+
+    if not spec.attrs:
+        raise EmptyIndexError(
+            f"text index {spec.name!r}: spec declares no attrs — "
+            "co-located filtering needs attrs at sync time")
+    df = dest.scan(bounds={"ckey": ATTR_BOUNDS})
+    if df is None or "attrs" not in df.columns:
+        raise EmptyIndexError(
+            f"text index {spec.name!r} has no attr rows (synced before "
+            "the spec declared attrs?) — rebuild or re-sync first")
+    rows = mask_rows(df.filter(_is(spec, "attr")),
+                     read_tombs(dest, spec.topic), "doc_id")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("kafka.partition").desc(), F.col("kafka.offset").desc())
+    latest = (rows.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1))
+    cols = [F.col("doc_id")] + [
+        F.col("attrs").getItem(k).alias(k) for k in sorted(spec.attrs)]
+    return latest.select(*cols).filter(F.expr(predicate)).select("doc_id")

@@ -183,7 +183,8 @@ def fold_tombstones(df: DataFrame) -> DataFrame:
     # null-SAFE type predicates: schema-widened rows have a null
     # zed_type, and a bare ~isin(null) is null (row silently dropped
     # from every branch — data loss); coalesce pins them to `rest`
-    by_doc = ("index", "band", "post", "dlen", "win", "hit", "fwd")
+    by_doc = ("index", "band", "post", "dlen", "win", "hit", "fwd",
+              "attr")
     is_doc = (F.coalesce(F.col("zed_type").isin(*by_doc), F.lit(False))
               & F.col("doc_id").isNotNull()) if "doc_id" in df.columns \
         else F.lit(False)
