@@ -247,3 +247,95 @@ def test_attr_ids_colocated_filter_lifecycle(spark, tmp_path):
     bare = TI.TextIndexSpec("docs", "value.doc_id", "value.text")
     with pytest.raises(EmptyIndexError):
         TI.attr_ids(dst, bare, "lang = 'en'")
+
+
+def test_attr_ids_guards_and_rebuild_survival(spark, tmp_path):
+    """Round-7 review regressions: (1) rebuild_text re-buckets attr rows
+    and keeps attrs on the returned spec (auto-rebuild must not kill
+    co-located filtering); (2) untokenizable docs still get attr rows
+    (the ANN leg must not lose them); (3) an index with pre-attrs docs
+    fails LOUD instead of silently filtering to recent docs only."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from zync_spark.pool import Pool
+    from zync_spark.streaming import text_index as TI
+
+    def env(rs, shift=0):
+        df = spark.createDataFrame(rs, "doc_id long, text string, lang string")
+        return df.select(
+            F.struct(F.lit("docs").alias("topic"),
+                     F.lit(0).cast("long").alias("partition"),
+                     (F.col("doc_id") + shift).cast("long").alias("offset")
+                     ).alias("kafka"),
+            F.lit("data").alias("zed_type"),
+            F.struct("doc_id", "text", "lang").alias("value"))
+
+    spec = TI.TextIndexSpec("docs", "value.doc_id", "value.text",
+                            attrs={"lang": "value.lang"})
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dst = Pool.create(spark, str(tmp_path / "idx"))
+    # doc 3 is untokenizable (empty text) but carries metadata — it may
+    # still live in the ANN index and must pass the filter
+    rows = [(0, "alpha beta gamma", "en"), (1, "delta eps zeta", "fr"),
+            (2, "eta theta iota", "en"), (3, "", "en")]
+    src.load(env(rows), "all")
+    TI.sync_text(src, dst, spec, ["docs"])
+
+    ids = lambda p: sorted(  # noqa: E731
+        r["doc_id"] for r in TI.attr_ids(dst, spec, p).collect())
+    assert ids("lang = 'en'") == [0, 2, 3]  # 3: no tokens, still covered
+
+    # rebuild re-buckets attrs and the returned spec keeps them
+    new = TI.rebuild_text(dst, spec, prefix_len=3)
+    assert new.attrs == spec.attrs
+    assert sorted(
+        r["doc_id"] for r in TI.attr_ids(dst, new, "lang = 'en'")
+        .collect()) == [0, 2, 3]
+
+    # partial coverage fails loud: a pre-attrs index + one attrs sync
+    bare = TI.TextIndexSpec("docs", "value.doc_id", "value.text")
+    dst2 = Pool.create(spark, str(tmp_path / "idx2"))
+    src.load(env([(10, "kappa lambda mu", "en")], shift=50), "later")
+    TI.sync_text(src, dst2, bare, ["docs"])          # no attr rows
+    withattrs = TI.TextIndexSpec("docs", "value.doc_id", "value.text",
+                                 attrs={"lang": "value.lang"})
+    src.load(env([(11, "nu xi omicron", "en")], shift=100), "newest")
+    TI.sync_text(src, dst2, withattrs, ["docs"])     # attr rows for 11 only
+    with pytest.raises(ValueError, match="predates"):
+        TI.attr_ids(dst2, withattrs, "lang = 'en'")
+
+
+def test_health_opts_pool_vacuum_key_no_collision(spark, tmp_path):
+    """health_opts['pool'] is arbitrary check_pool_health kwargs — an
+    explicit vacuum_after_s must override the loop knob, not TypeError
+    the ingest loop (round-7 review)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from zync_spark.pool import Pool
+    from zync_spark.streaming import dedup_index as DI
+    from zync_spark.streaming.from_kafka import FromKafka
+
+    spec = DI.DedupIndexSpec("docs", "value.doc_id", "value.text",
+                             k=3, num_hashes=16, bands=4, threshold=0.5)
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dst = Pool.create(spark, str(tmp_path / "idx"))
+    rows = [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src.load(df.select(
+        F.struct(F.lit("docs").alias("topic"),
+                 F.lit(0).cast("long").alias("partition"),
+                 F.col("doc_id").cast("long").alias("offset")).alias("kafka"),
+        F.lit("data").alias("zed_type"),
+        F.struct("doc_id", "text").alias("value")), "all")
+    DI.sync_index(src, dst, spec, ["docs"])
+
+    sub = StructType([StructField("x", LongType())])
+    fk = FromKafka(spark, {"docs": src}, sub, sub, format="json",
+                   indexes=[(spec, dst, ["docs"])], health_every=1,
+                   health_opts={"pool": {"vacuum_after_s": 60.0,
+                                         "max_masked_fraction": 0.5}})
+    verdicts = fk._run_health_checks()  # must not TypeError
+    pool_v = [v for v in verdicts if v["family"] == "pool"]
+    assert pool_v and pool_v[0]["unreferenced_files"] is not None

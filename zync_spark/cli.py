@@ -674,14 +674,33 @@ def cmd_retrieve(args) -> int:
                 # upsert CDC a superseded version's metadata could
                 # otherwise admit a doc whose current version no longer
                 # matches (and the indexes only answer for current
-                # versions). Same latest-wins rule as
-                # compact(keep_latest_by_key): highest kafka.offset per
-                # entity. Round-6 ADVICE.
+                # versions). Round-6 ADVICE. Null-id rows (co-tenant
+                # topics, markers) are not entities — excluded, not
+                # collapsed to one arbitrary survivor. Offsets are
+                # per-partition sequences, so an id spread across
+                # partitions has NO version order — refused loudly,
+                # the same contract as keep_latest_versions
+                # (round-7 review: a silent cross-partition 'latest'
+                # picks an arbitrary, possibly stale version).
                 from pyspark.sql import Window
 
+                ided = meta.filter(F.expr(tspec.id_expr).isNotNull())
+                multi = (ided.groupBy(
+                    F.expr(tspec.id_expr).alias("__id"))
+                    .agg(F.count_distinct("kafka.partition").alias("__np"))
+                    .filter(F.col("__np") > 1).limit(1).collect())
+                if multi:
+                    raise SystemExit(
+                        f"retrieve: --where over the source pool needs a "
+                        f"latest-version-per-id reduction, but id "
+                        f"{multi[0]['__id']!r} appears in multiple "
+                        "partitions — offsets are per-partition "
+                        "sequences, so no version order exists; key the "
+                        "CDC topic by id, or declare index-resident "
+                        "attrs: in the text spec")
                 w = Window.partitionBy(F.expr(tspec.id_expr)).orderBy(
                     F.col("kafka.offset").desc())
-                latest = (meta.withColumn("__rn", F.row_number().over(w))
+                latest = (ided.withColumn("__rn", F.row_number().over(w))
                           .filter(F.col("__rn") == 1).drop("__rn"))
                 where_ids = latest.filter(F.expr(args.where)).select(
                     F.expr(tspec.id_expr).cast("long").alias("doc_id"))

@@ -617,7 +617,8 @@ class Pool:
                     n += 1
         return n
 
-    def vacuum(self, retention_s: float = 3600.0) -> int:
+    def vacuum(self, retention_s: float = 3600.0,
+               dry_run: bool = False) -> int:
         """Delete data files not referenced by the LIVE view (everything a
         compaction superseded). Time travel to pre-compaction commits stops
         working — standard lakehouse VACUUM semantics. Returns the number
@@ -628,13 +629,20 @@ class Pool:
         compact() that wrote data but has not published its manifest yet;
         deleting them would let the in-flight publish commit a manifest of
         vanished files (the reason Delta's VACUUM has a retention window).
-        0 disables the guard (single-writer maintenance only)."""
+        0 disables the guard (single-writer maintenance only).
+
+        `dry_run=True` counts what a real vacuum would delete without
+        touching disk — ONE discovery walk shared by the retention
+        policy's census (health.check_pool_health) and the cure, so the
+        report and the reclaim can never disagree (round-7 review)."""
         live = set(self.committed_files())
         now = time.time()
         removed = 0
         data_root = os.path.join(self.path, "data")
         for d in os.listdir(data_root):
             sub = os.path.join(data_root, d)
+            if not os.path.isdir(sub):
+                continue  # stray file under data/: not a writer's dir
             parquets = [f for f in os.listdir(sub) if f.endswith(".parquet")]
             if any(os.path.join(sub, f) in live for f in parquets):
                 continue
@@ -644,7 +652,8 @@ class Pool:
             except OSError:
                 continue
             removed += len(parquets)
-            shutil.rmtree(sub)  # whole load/compact dir is dead (incl. _SUCCESS)
+            if not dry_run:
+                shutil.rmtree(sub)  # whole load/compact dir is dead (incl. _SUCCESS)
         return removed
 
     # -- offset queries (etl/pool.go:60-81, fifo/lake.go:62-82) ------------

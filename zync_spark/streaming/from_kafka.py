@@ -401,11 +401,15 @@ class FromKafka:
         pools: dict[str, tuple] = {}
         for spec, dest, _topics in self.indexes:
             pools.setdefault(dest.path, (dest, []))[1].append(spec)
-        pool_opts = self.health_opts.get("pool", {})
+        pool_opts = dict(self.health_opts.get("pool", {}))
+        # the dict is documented as arbitrary check_pool_health kwargs —
+        # an explicit vacuum_after_s in it must override the loop-level
+        # knob, not TypeError the ingest loop (round-7 review)
+        vacuum_s = pool_opts.pop("vacuum_after_s", self.auto_vacuum_s)
         for dest, specs in pools.values():
             try:
                 v = health.check_pool_health(
-                    dest, vacuum_after_s=self.auto_vacuum_s, **pool_opts)
+                    dest, vacuum_after_s=vacuum_s, **pool_opts)
             except health.EmptyIndexError:
                 continue
             verdicts.append(v)

@@ -294,9 +294,6 @@ def check_pool_health(dest: Pool,
     Family-agnostic on purpose: multi-tenant pools (text + span over one
     corpus) fold in ONE compaction, so their retention policy must also
     be one check per POOL, not one per spec."""
-    import os
-    import time as _time
-
     from zync_spark.streaming.tombstones import (TOMB_BOUNDS,
                                                  fold_tombstones)
 
@@ -317,21 +314,9 @@ def check_pool_health(dest: Pool,
                      .count())
     unref = None
     if vacuum_after_s is not None:
-        live_files = set(dest.committed_files())
-        now = _time.time()
-        unref = 0
-        data_root = os.path.join(dest.path, "data")
-        for d in os.listdir(data_root):
-            sub = os.path.join(data_root, d)
-            parts = [f for f in os.listdir(sub) if f.endswith(".parquet")]
-            if not parts or any(os.path.join(sub, f) in live_files
-                                for f in parts):
-                continue
-            try:
-                if now - os.path.getmtime(sub) >= vacuum_after_s:
-                    unref += len(parts)
-            except OSError:
-                continue
+        # the SAME discovery walk the cure runs (Pool.vacuum dry_run) —
+        # census and reclaim cannot drift (round-7 review)
+        unref = dest.vacuum(retention_s=vacuum_after_s, dry_run=True)
     frac_ok = frac <= max_masked_fraction
     tomb_ok = tombs <= max_tombstones
     healthy = frac_ok and tomb_ok

@@ -221,16 +221,10 @@ def _sync_text_once(src: Pool, dest: Pool, spec: TextIndexSpec,
             src_rows = keep_latest_versions(delta, spec.id_expr)
             tombs_new = src_rows.select(
                 F.expr(spec.id_expr).cast("long").alias("did")).distinct()
-        doc_cols = [
+        docs = src_rows.select(
             F.expr(spec.id_expr).cast("long").alias("doc_id"),
             TX.tokens(F.lower(F.expr(spec.text_expr))).alias("toks"),
-        ]
-        if spec.attrs:
-            pairs: list = []
-            for k in sorted(spec.attrs):
-                pairs += [F.lit(k), F.expr(spec.attrs[k]).cast("string")]
-            doc_cols.append(F.create_map(*pairs).alias("attrs"))
-        docs = src_rows.select(*doc_cols).filter(F.size("toks") > 0)
+        ).filter(F.size("toks") > 0)
         toks = docs.select(
             "doc_id", F.explode("toks").alias("term")
         ).filter(F.col("term") != "")
@@ -250,15 +244,27 @@ def _sync_text_once(src: Pool, dest: Pool, spec: TextIndexSpec,
                          allowMissingColumns=True)
         )
         if spec.attrs:
-            # index-resident metadata: one 'attr' row per indexed doc in
+            # index-resident metadata: one 'attr' row per delta doc in
             # its own 'a:' key space — retrieval filters resolve from
-            # the index pool alone (attr_ids), never the source corpus
+            # the index pool alone (attr_ids), never the source corpus.
+            # Derived from src_rows, NOT the tokenizable `docs` subset:
+            # an empty-text doc can still live in the ANN index, and an
+            # attr filter must not silently exclude it from that leg
+            # (round-7 review — matches the oracle's
+            # `SELECT doc_id FROM documents WHERE <pred>` semantics).
             from zync_spark.streaming.dedup_index import pmod_ckey
 
+            pairs: list = []
+            for k in sorted(spec.attrs):
+                pairs += [F.lit(k), F.expr(spec.attrs[k]).cast("string")]
+            arows = src_rows.select(
+                F.expr(spec.id_expr).cast("long").alias("doc_id"),
+                F.create_map(*pairs).alias("attrs"),
+            ).filter(F.col("doc_id").isNotNull())
             out = out.unionByName(
                 _stamp("attr",
                        pmod_ckey("a:", F.col("doc_id"), spec.prefix_len),
-                       docs.select("doc_id", "attrs")),
+                       arows),
                 allowMissingColumns=True)
         if tombs_new is not None:
             from zync_spark.streaming.tombstones import read_tombs, tomb_rows
@@ -442,13 +448,28 @@ def rebuild_text(dest: Pool, spec: TextIndexSpec,
                 F.lit("c:").alias("ckey"), "prefix_len"),
                 allowMissingColumns=True)
         )
+        if "attrs" in df.columns:
+            # co-located metadata survives the rebuild: attr rows
+            # re-bucket under the new fan-out like every other key
+            # space (round-7 review — dropping them would kill
+            # attr-filtered retrieval until a full re-sync, and the
+            # auto-rebuild path would do it silently)
+            from zync_spark.streaming.dedup_index import pmod_ckey
+
+            attrs = mine.filter(F.col("zed_type").eqNullSafe("attr")) \
+                .select("kafka", "doc_id", "attrs")
+            out = out.unionByName(attrs.select(
+                "kafka", F.lit("attr").alias("zed_type"),
+                pmod_ckey("a:", F.col("doc_id"), new_pl).alias("ckey"),
+                "doc_id", "attrs"), allowMissingColumns=True)
         others = df.filter(~F.col("kafka.topic").eqNullSafe(spec.topic))
         return out.unionByName(others, allowMissingColumns=True)
 
     dest.compact(target_rows=target_rows, message=message, transform=_tx,
                  cluster_by=["ckey"])
     return TextIndexSpec(spec.name, id_expr=spec.id_expr,
-                         text_expr=spec.text_expr, prefix_len=new_pl)
+                         text_expr=spec.text_expr, prefix_len=new_pl,
+                         attrs=spec.attrs)
 
 
 def corpus_stats(dest: Pool, spec: TextIndexSpec) -> tuple[int, int]:
@@ -654,8 +675,29 @@ def attr_ids(dest: Pool, spec: TextIndexSpec, predicate: str) -> DataFrame:
         raise EmptyIndexError(
             f"text index {spec.name!r} has no attr rows (synced before "
             "the spec declared attrs?) — rebuild or re-sync first")
-    rows = mask_rows(df.filter(_is(spec, "attr")),
-                     read_tombs(dest, spec.topic), "doc_id")
+    tombs = read_tombs(dest, spec.topic)
+    rows = mask_rows(df.filter(_is(spec, "attr")), tombs, "doc_id")
+    # COVERAGE guard (round-7 review): an index synced before the spec
+    # declared attrs, plus one later sync, would otherwise answer the
+    # filter from the recently-synced docs ONLY — silently excluding
+    # every pre-attrs doc from both retrieval legs. A doc is covered
+    # iff it has an attr row; live dlen docs without one mean partial
+    # coverage -> fail loud (the cure is rebuild_text or a re-sync).
+    # One bounded 'd:'-space anti-join, limit 1 — priced like the
+    # filter read it protects.
+    full = dest.scan(bounds={"ckey": ("d:", "d:g")})
+    if full is not None and "dl" in full.columns:
+        uncovered = (mask_rows(full.filter(_is(spec, "dlen")), tombs,
+                               "doc_id")
+                     .select("doc_id")
+                     .join(rows.select("doc_id"), "doc_id", "left_anti")
+                     .limit(1).collect())
+        if uncovered:
+            raise ValueError(
+                f"text index {spec.name!r}: doc {uncovered[0]['doc_id']} "
+                "(and possibly others) predates the spec's attrs — "
+                "attr-filtered retrieval would silently exclude it; "
+                "re-sync the corpus or rebuild_text first")
     w = Window.partitionBy("doc_id").orderBy(
         F.col("kafka.partition").desc(), F.col("kafka.offset").desc())
     latest = (rows.withColumn("__rn", F.row_number().over(w))
