@@ -546,12 +546,8 @@ def ann_query(dest: Pool, spec: AnnIndexSpec, queries: DataFrame,
         # a neighbor can appear via more than one probed cell
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    from pyspark.sql import Window
+    # two-stage exact top-k — probed cells can still be corpus-scale on
+    # skewed quantizers; see similarity._topk_per_query's scale note
+    from zync_spark.functions.similarity import _topk_per_query
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
-    )
+    return _topk_per_query(scored, k)
