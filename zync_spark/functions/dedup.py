@@ -132,6 +132,15 @@ def _spread(df: DataFrame) -> DataFrame:
             # actual partition count, so deciding on it can at worst add a
             # redundant repartition, never skip a needed one.
             est = (total + len(files) * open_cost + max_split - 1) // max_split
+            # splits cannot exceed ROW GROUPS: a single-row-group file
+            # feeds exactly one task no matter how many byte-range
+            # splits the math plans over it (pool.total_row_groups —
+            # the gsf100 one-hot-task finding, SCALING §14)
+            from zync_spark.pool import total_row_groups
+
+            rgs = total_row_groups(files)
+            if rgs is not None:
+                est = min(est, rgs)
             return df if est >= target else df.repartition(target)
     if df.rdd.getNumPartitions() >= target:
         return df

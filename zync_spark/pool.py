@@ -910,6 +910,30 @@ def zorder_column(df: DataFrame, cols: list[str], n_rows: int,
     return zv
 
 
+def total_row_groups(files: list[str], cap: int = 64) -> int | None:
+    """Total parquet ROW GROUPS across `files` — the vectorized reader's
+    true parallelism quantum (driver-side footer metadata reads, capped).
+    Byte-based split estimates and plan partition counts both overcount
+    a single-row-group file: Spark happily plans 32 byte-range splits
+    over it, then ONE task (the split containing the row-group start)
+    reads every row while 31 read nothing — measured at the gsf100
+    decade as a 72-second single hot task in an 8M-pair ANN scoring
+    stage (SCALING §14). Returns None when unknown (non-parquet, or
+    more than `cap` files — a layout that wide is past the
+    single-row-group regime by construction)."""
+    paths = [f[5:] if f.startswith("file:") else f for f in files]
+    if not paths or len(paths) > cap \
+            or not all(p.endswith(".parquet") for p in paths):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(p).metadata.num_row_groups
+                   for p in paths)
+    except Exception:
+        return None
+
+
 def rebalance_for_compute(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     """Give a compute-dense map stage at least core-count parallelism.
 
@@ -927,7 +951,14 @@ def rebalance_for_compute(df: DataFrame, min_fraction: float = 0.5) -> DataFrame
     on the 100 TB path."""
     sc = df.sparkSession.sparkContext
     cores = sc.defaultParallelism
-    if _plan_num_partitions(df) < max(1, int(cores * min_fraction)):
+    parts = _plan_num_partitions(df)
+    rgs = total_row_groups(df.inputFiles())
+    if rgs is not None:
+        # plan partitions overcount when row groups are the binding
+        # constraint (see total_row_groups) — the EFFECTIVE parallelism
+        # is the smaller of the two
+        parts = min(parts, rgs)
+    if parts < max(1, int(cores * min_fraction)):
         return df.repartition(cores)
     return df
 
