@@ -31,10 +31,11 @@ ROW = ("kafka struct<topic:string,partition:long,offset:long>, "
        "zed_type string, value struct<doc_id:long,text:string>")
 def _doc(i, tokens=40):
     # ~40 tokens/doc, all distinct across docs except planted repeats
-    base = " ".join(f"w{i % 1009}x{j}y{i // 1009}" for j in range(tokens))
     if i % 200 == 7 and i >= 200:  # verbatim repeat of a doc 200 earlier
-        return _doc(i - 200)
-    return base
+        # the chain i -> i-200 -> ... collapses to its first link; the
+        # old recursive spelling blew the stack at the 600k-doc decade
+        i = i % 200
+    return " ".join(f"w{i % 1009}x{j}y{i // 1009}" for j in range(tokens))
 
 
 def run(prefix_len, backfill=6000, deltas=6, per=1, target_rows=300):
