@@ -664,7 +664,9 @@ def cmd_retrieve(args) -> int:
 
         try:
             where_ids = ti.attr_ids(tdest, tspec, args.where)
+            where_source = "index-attrs"
         except EmptyIndexError:
+            where_source = "source-pool"
             meta = _pool(spark, args.lake, tdoc["source"]).scan()
             if meta is None:
                 raise SystemExit("retrieve: --where given but the text "
@@ -754,6 +756,10 @@ def cmd_retrieve(args) -> int:
     if args.explain and "probe_files" in astats:
         print(f"# semantic probe read {astats['probe_files']}/"
               f"{astats['live_files']} files")
+    if args.explain and args.where:
+        # which side paid for the filter: index-resident attrs (bounded
+        # 'a:' read, no source scan) or the source-pool fallback
+        print(f"# where filter resolved from {where_source}")
     return 0
 
 
