@@ -60,8 +60,13 @@ CUSTOM_BUDGET = {
     # a MEASUREMENT entry: three full recall evaluations (exact top-k
     # window + hit-join + per-query agg, at nprobe=2/8/16) composed into
     # one row — every exchange moves <=25-row query frames or k-cell
-    # aggregates, never the corpus
-    "ann_recall_at10": 32,
+    # aggregates, never the corpus. Round 7: +7 — every ANN top-k gained
+    # one partial-rank exchange (_topk_per_query; the gsf100 fix for the
+    # per-query sort funnel), and this entry composes seven of them
+    "ann_recall_at10": 39,
+    # two bounded index-probe legs + RRF full-join + the attr-filter
+    # read; all exchanges move candidate/rank frames, never the corpus
+    "hybrid_retrieval_attr_filtered": 8,
 }
 
 

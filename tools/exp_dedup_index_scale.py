@@ -34,10 +34,14 @@ WORDS = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
 
 
 def _doc(i):
+    # near-dup chain: doc i repeats the doc 250 earlier plus one more
+    # " tail" per hop — spelled iteratively (the recursive form blew the
+    # stack at the 600k-doc decade)
+    hops = 0
+    if i % 250 == 7 and i >= 250:
+        hops, i = i // 250, i % 250
     base = " ".join(f"{w}{i % 997}x{j}{i // 997}" for j, w in enumerate(WORDS))
-    if i % 250 == 7 and i >= 250:  # near-dup of the doc 250 earlier
-        return _doc(i - 250) + " tail"
-    return base
+    return base + " tail" * hops
 
 
 def main(backfill=2000, deltas=8, per=2, target_rows=400):
