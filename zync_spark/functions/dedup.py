@@ -98,11 +98,10 @@ def _spread(df: DataFrame) -> DataFrame:
     files = df.inputFiles()
     if files:
         import os as _os
+
+        from zync_spark.pool import local_paths
         try:
-            sizes = [
-                _os.path.getsize(f[5:] if f.startswith("file:") else f)
-                for f in files
-            ]
+            sizes = [_os.path.getsize(f) for f in local_paths(files)]
         except OSError:
             sizes = []
         total = sum(sizes)

@@ -68,10 +68,10 @@ def cosine_topk(
             (dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
     )
-    return _topk_per_query(scored, k)
+    return topk_per_query(scored, k)
 
 
-def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     """Two-stage exact per-query top-k (the TakeOrdered pattern, shared
     by every ANN scorer): a single window over query_id funnels EVERY
     scored row into #queries groups — a parallelism ceiling of #queries
@@ -169,7 +169,7 @@ def lsh_ann_topk(
             (dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
     )
-    return _topk_per_query(scored, k)
+    return topk_per_query(scored, k)
 
 
 def kmeans_assignments(
@@ -408,7 +408,7 @@ def ivf_ann_topk(
         # a neighbor can appear via more than one probed cell
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    return _topk_per_query(scored, k)
+    return topk_per_query(scored, k)
 
 
 # -- Product quantization (PQ) ANN ------------------------------------------
@@ -528,4 +528,4 @@ def pq_ann_topk(
              / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
     )
-    return _topk_per_query(scored, k)
+    return topk_per_query(scored, k)

@@ -910,28 +910,62 @@ def zorder_column(df: DataFrame, cols: list[str], n_rows: int,
     return zv
 
 
-def total_row_groups(files: list[str], cap: int = 64) -> int | None:
+def local_paths(files: list[str]) -> list[str]:
+    """Strip the `file:` URI scheme Spark's inputFiles()/listing APIs
+    report for local storage — the ONE place the convention lives
+    (total_row_groups and dedup._spread both consume it)."""
+    return [f[5:] if f.startswith("file:") else f for f in files]
+
+
+# path -> num_row_groups. Committed pool files and testdata parquet are
+# immutable (pools never rewrite a data file in place — compaction writes
+# NEW files), so a plain path-keyed memo is sound and makes repeat
+# guard probes free. Crude growth bound: cleared when oversized.
+_RG_MEMO: dict[str, int] = {}
+
+
+def total_row_groups(files: list[str], cap: int = 1024) -> int | None:
     """Total parquet ROW GROUPS across `files` — the vectorized reader's
-    true parallelism quantum (driver-side footer metadata reads, capped).
-    Byte-based split estimates and plan partition counts both overcount
-    a single-row-group file: Spark happily plans 32 byte-range splits
+    true parallelism quantum (driver-side footer metadata reads,
+    memoized; immutable files make the memo sound). Byte-based split
+    estimates and plan partition counts both overcount a
+    single-row-group file: Spark happily plans 32 byte-range splits
     over it, then ONE task (the split containing the row-group start)
     reads every row while 31 read nothing — measured at the gsf100
     decade as a 72-second single hot task in an 8M-pair ANN scoring
-    stage (SCALING §14). Returns None when unknown (non-parquet, or
-    more than `cap` files — a layout that wide is past the
-    single-row-group regime by construction)."""
-    paths = [f[5:] if f.startswith("file:") else f for f in files]
-    if not paths or len(paths) > cap \
-            or not all(p.endswith(".parquet") for p in paths):
-        return None
-    try:
-        import pyarrow.parquet as pq
+    stage (SCALING §14).
 
-        return sum(pq.ParquetFile(p).metadata.num_row_groups
-                   for p in paths)
-    except Exception:
+    Returns a LOWER BOUND when exact footers are unavailable: past
+    `cap` files, or for remote/unreadable paths, every parquet file
+    still has >= 1 row group, so len(files) is a true bound — the
+    guard keeps working for wide layouts and remote lakes instead of
+    silently disengaging (round-7 review; the earlier None-above-64
+    cutoff left a 65-file single-row-group layout unguarded on a
+    128-core host). None only for non-parquet inputs (no claim)."""
+    paths = local_paths(files)
+    if not paths or not all(p.endswith(".parquet") for p in paths):
         return None
+    if len(paths) > cap:
+        return len(paths)  # >=1 row group per file: a true lower bound
+    if len(_RG_MEMO) > 65536:
+        _RG_MEMO.clear()
+    total = 0
+    for p in paths:
+        n = _RG_MEMO.get(p)
+        if n is None:
+            try:
+                import pyarrow.parquet as pq
+
+                n = pq.ParquetFile(p).metadata.num_row_groups
+            except Exception:
+                # unreadable driver-side (remote scheme, perms): this
+                # file contributes its >=1-row-group lower bound; do
+                # NOT memoize a guess
+                total += 1
+                continue
+            _RG_MEMO[p] = n
+        total += n
+    return total
 
 
 def rebalance_for_compute(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
@@ -951,14 +985,22 @@ def rebalance_for_compute(df: DataFrame, min_fraction: float = 0.5) -> DataFrame
     on the 100 TB path."""
     sc = df.sparkSession.sparkContext
     cores = sc.defaultParallelism
+    threshold = max(1, int(cores * min_fraction))
     parts = _plan_num_partitions(df)
-    rgs = total_row_groups(df.inputFiles())
-    if rgs is not None:
-        # plan partitions overcount when row groups are the binding
-        # constraint (see total_row_groups) — the EFFECTIVE parallelism
-        # is the smaller of the two
-        parts = min(parts, rgs)
-    if parts < max(1, int(cores * min_fraction)):
+    if parts >= threshold:
+        # Row groups bound parallelism ONLY at the scan: a plan whose
+        # final stage sits behind an exchange (explicit repartition,
+        # aggregation, join) has real post-shuffle parallelism that a
+        # single-row-group INPUT cannot pin — clamping it would force a
+        # spurious full reshuffle (round-7 review). Footers are read
+        # only here, where they can change the verdict; when parts is
+        # already under the threshold the repartition happens anyway.
+        qe_plan = df._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" not in qe_plan:
+            rgs = total_row_groups(df.inputFiles())
+            if rgs is not None:
+                parts = min(parts, rgs)
+    if parts < threshold:
         return df.repartition(cores)
     return df
 

@@ -548,6 +548,6 @@ def ann_query(dest: Pool, spec: AnnIndexSpec, queries: DataFrame,
     )
     # two-stage exact top-k — probed cells can still be corpus-scale on
     # skewed quantizers; see similarity._topk_per_query's scale note
-    from zync_spark.functions.similarity import _topk_per_query
+    from zync_spark.functions.similarity import topk_per_query
 
-    return _topk_per_query(scored, k)
+    return topk_per_query(scored, k)
