@@ -928,7 +928,12 @@ def cmd_from_kafka(args) -> int:
 
         with open(spec_path) as f:
             probe = _yaml.safe_load(f)
-        if "vec" in probe:
+        if probe.get("kind") == "embdedup":
+            # checked BEFORE the `vec` probe: embdedup specs carry a
+            # `vec` field too and must not dispatch to the ANN loader
+            from zync_spark.streaming.embdedup_index import \
+                load_embdedup_spec as _load
+        elif "vec" in probe:
             from zync_spark.streaming.ann_index import load_ann_spec as _load
         elif probe.get("kind") == "text":
             from zync_spark.streaming.text_index import \
@@ -1082,7 +1087,8 @@ def cmd_index_pool(args) -> int:
 
             with open(spec_path) as f:
                 probe = _yaml.safe_load(f)
-            if "vec" in probe or probe.get("kind") in ("text", "span"):
+            if "vec" in probe or probe.get("kind") in ("text", "span",
+                                                       "embdedup"):
                 continue  # only the dedup family's prefix_len matters
             from zync_spark.streaming.dedup_index import load_index_spec
 
@@ -1211,8 +1217,9 @@ def main(argv: list[str] | None = None) -> int:
                         "view)")
     p.add_argument("--index", action="append", default=None,
                    help="dedup-index, ann-index, text-index (kind: text), "
-                        "or span-index (kind: span) spec YAML to keep in "
-                        "sync after every micro-batch (repeatable)")
+                        "span-index (kind: span), or embedding-near-dup "
+                        "index (kind: embdedup) spec YAML to keep in sync "
+                        "after every micro-batch (repeatable)")
     p.add_argument("--auto-compact", type=int, default=None, metavar="N",
                    help="fold ingest AND index pools into a base manifest "
                         "every N delta commits (the recommended cadence: "

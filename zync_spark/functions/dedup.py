@@ -483,6 +483,50 @@ def semdedup_pairs(
     )
 
 
+def semdedup_pairs_frozen(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """SemDeDup pairs with a FROZEN coarse quantizer — the batch
+    equivalent of the incremental embdedup index
+    (streaming/embdedup_index.py): assign every vector to its nearest
+    centroid by cosine (similarity.ivf_assign, nprobe=1 — the IVF cells
+    ARE the SemDeDup blocks), then exact within-cell cosine pairs >=
+    threshold, id_a < id_b. Because assignment is a pure function of
+    (vector, centroids), this output is independent of how the corpus
+    was batched — the split-invariance contract the incremental index
+    is differential-tested against.
+
+    Scale: same as semdedup_pairs — pairwise work is Σ|cell|², never
+    |corpus|²; assignment is map-side against broadcast centroids."""
+    from zync_spark.functions.similarity import (dot_expr, ivf_assign,
+                                                 norm_expr)
+
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("vn", norm_expr(F.col("v")))
+    assigned = ivf_assign(vecs, centroids, "v", nprobe=1)
+    a = assigned.select(F.col("vec_id").alias("id_a"),
+                        F.col("__cell").alias("cell"),
+                        F.col("v").alias("va"), F.col("vn").alias("na"))
+    b = assigned.select(F.col("vec_id").alias("id_b"),
+                        F.col("__cell").alias("cell_b"),
+                        F.col("v").alias("vb"), F.col("vn").alias("nb"))
+    return (
+        a.join(b, (F.col("cell") == F.col("cell_b"))
+               & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "cell", "id_a", "id_b",
+            (dot_expr(F.col("va"), F.col("vb"))
+             / (F.col("na") * F.col("nb"))).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def crossdoc_duplication(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:

@@ -92,6 +92,33 @@ def register(name: str, oracle: str | None = None):
 # identity so a restarted session never sees a stale plan.
 _T_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
+# Pinned-dim LRU (round-8): _read_table persists directory tables under the
+# broadcast threshold (a dim cache). A long-lived session touching many
+# small directory tables would otherwise accumulate cache entries without
+# bound — evict least-recently-pinned past a fixed cap, and expose
+# release_tables() so a service can drop the whole cache between jobs.
+from collections import OrderedDict as _OrderedDict
+
+_PINNED: _OrderedDict = _OrderedDict()
+_PINNED_CAP = 64
+
+
+def release_tables() -> int:
+    """Unpersist every dim table pinned by the catalog's table reader and
+    clear the plan cache. Returns the number of unpinned tables. A
+    long-lived session embedding the catalog calls this between jobs; tests
+    call it to keep executor storage flat."""
+    n = 0
+    while _PINNED:
+        _, df = _PINNED.popitem(last=False)
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped: nothing to release
+    _T_CACHE.clear()
+    return n
+
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table. `events.ts` is parquet TIMESTAMP(NANOS), which
@@ -162,8 +189,45 @@ def _read_table(spark: SparkSession, path: str) -> DataFrame:
                 thresh = 10 << 20
             if 0 < total < thresh:
                 df = df.persist()
+                _PINNED[path] = df
+                _PINNED.move_to_end(path)
+                while len(_PINNED) > _PINNED_CAP:
+                    _, old = _PINNED.popitem(last=False)
+                    try:
+                        old.unpersist()
+                    except Exception:
+                        pass  # session gone: entry is moot
             return df
     return spark.read.parquet(path)
+
+
+def _table_bytes(sf_dir: str, name: str) -> int:
+    """Compressed on-disk size of a table (single file or pool-style
+    directory). Plan-time metadata only — the same stat the broadcast
+    planner and _read_table's dim pin already consult. Unknown → treat as
+    huge so size-gated rewrites fail safe (no gather)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path) if f.endswith(".parquet"))
+        return os.path.getsize(path)
+    except OSError:
+        return 1 << 62
+
+
+# Gather-merge eligibility for group-by keys whose cardinality GROWS with
+# the data (q3's orders, q10's customers — unlike q1/q5's fixed 6/25 keys,
+# where the gather is unconditionally safe). Below the cap, phase-2 input
+# (one pre-summed row per key per map task) is a few MB and one gather task
+# replaces an 8-task final stage; past it, the plain exchange+hash-agg shape
+# is kept — the same crossover where the dim joins stop broadcasting and
+# per-task execution starts to dominate stage walls anyway. 256 MB of
+# compressed fact ≈ gsf1-2: the gsf10+ decade runs take the exchange path.
+_GATHER_FACT_CAP = 256 << 20
 
 
 # ---------------------------------------------------------------------------
@@ -3406,6 +3470,95 @@ def ann_index_incremental(spark, sf_dir):
                         k=5, nprobe=2)
 
 
+# Incremental embedding near-dup (SemDeDup) oracle: the same
+# backfill-slice fixed-point training and frozen-centroid assignment as
+# the ANN index oracle (the IVF cells ARE the SemDeDup blocks), then
+# exact within-cell cosine pairs >= threshold, id_a < id_b.
+ORACLE_SQL["emb_neardup_index_incremental"] = f"""
+    WITH {{kmeans}},
+    c3 AS (SELECT cluster, pos, (sum(x) // count(*))::BIGINT AS c
+           FROM e JOIN a2 USING (vec_id) GROUP BY cluster, pos),
+    cents AS (SELECT cluster, list(c / 1048576.0 ORDER BY pos) AS cv
+              FROM c3 GROUP BY cluster),
+    v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings),
+    cscore AS (SELECT v.vec_id, v.v, c.cluster,
+                      {{cos_vc}} AS cs
+               FROM v, cents c),
+    cassign AS (SELECT vec_id, v, cluster FROM (
+                  SELECT vec_id, v, cluster,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cs DESC, cluster) AS rn
+                  FROM cscore) WHERE rn = 1)
+    SELECT a.cluster AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+           {{cos_ab}} AS cos
+    FROM cassign a JOIN cassign b
+      ON b.cluster = a.cluster AND a.vec_id < b.vec_id
+    WHERE {{cos_ab}} >= 0.30
+""".format(kmeans=_kmeans_cte(16, _ANN_IDX_TRAIN),
+           cos_vc=_cos_sql('v.v', 'c.cv'),
+           cos_ab=_cos_sql('a.v', 'b.v'))
+
+
+@register("emb_neardup_index_incremental")
+def emb_neardup_index_incremental(spark, sf_dir):
+    """Incrementally maintained embedding near-dup index (the FIFTH
+    index family, round 8) == SemDeDup with frozen blocks: the
+    embeddings land in a source pool in two commits (first 3/5, then
+    the rest); streaming.embdedup_index.sync_embdedup trains the
+    fixed-point coarse quantizer on the FIRST delta and freezes it (the
+    IVF cells ARE the SemDeDup blocks), then each pass assigns its
+    delta map-side and emits exact within-cell cosine pairs from
+    (new x new) plus (new x stored probed cells) — a pair is discovered
+    exactly once, when its LATER member arrives, so the pair set over
+    ANY batch split equals the batch computation with the same frozen
+    centroids (functions.dedup.semdedup_pairs_frozen;
+    differential-tested in tests/test_embdedup_index.py). A rerun with
+    no new data is a no-op. The result hash-matches the oracle, which
+    replays the backfill-slice training, the frozen assignment, and the
+    within-cell pair join in SQL.
+
+    Scale: per-pass cost is O(delta x its cells' stored vectors), never
+    O(corpus²); the stored-side probe reads only the delta's cells'
+    files (scan bounds point-set skipping, ann_query's contract).
+    Threshold 0.30: the synthetic embeddings are near-random, so the
+    0.45 batch-operator threshold yields almost no within-cell pairs at
+    small scale — 0.30 exercises the pair path non-trivially while
+    remaining a pure policy knob (per-pass, not burned into storage)."""
+    import shutil
+
+    from zync_spark.pool import Pool
+    from zync_spark.streaming import embdedup_index as ED
+
+    emb = T(spark, sf_dir, "embeddings")
+    cut = (emb.agg(F.max("vec_id")).collect()[0][0] * 3) // 5
+    env = emb.select(
+        F.struct(
+            F.lit("emb").alias("topic"),
+            F.lit(0).cast("long").alias("partition"),
+            F.col("vec_id").cast("long").alias("offset"),
+        ).alias("kafka"),
+        F.lit("data").alias("zed_type"),
+        F.struct("vec_id", "embedding").alias("value"),
+    )
+    lake = _scratch_dir(
+        f"zs-embdedup-{sf_dir.rstrip('/').rsplit('/', 1)[-1]}")
+    shutil.rmtree(lake, ignore_errors=True)
+    src = Pool.create(spark, f"{lake}/src")
+    dest = Pool.create(spark, f"{lake}/index")
+    spec = ED.EmbDedupIndexSpec("emb", "value.vec_id", "value.embedding",
+                                n_cells=16, iterations=2, threshold=0.30)
+    src.load(env.filter(F.col("kafka.offset") < cut), "backfill")
+    ED.sync_embdedup(src, dest, spec, ["emb"])
+    src.load(env.filter(F.col("kafka.offset") >= cut), "delta")
+    ED.sync_embdedup(src, dest, spec, ["emb"])
+    if ED.sync_embdedup(src, dest, spec, ["emb"]) != 0:
+        raise RuntimeError(
+            "emb_neardup_index_incremental: rerun committed rows")
+    ED.compact_embdedup(dest, target_rows=200)
+    return ED.pairs_view(dest, spec)
+
+
 @register(
     "ann_recall_at10",
     """
@@ -4057,7 +4210,7 @@ def q3_shipping_priority(spark, sf_dir):
     # (the q5 round-3 lesson).
     ep = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc = F.round(F.col("l_discount") * 100).cast("long")
-    return (
+    base = (
         l.filter(F.col("l_shipdate") > cut)
         .join(
             o.filter(F.col("o_orderdate") < cut)
@@ -4071,13 +4224,31 @@ def q3_shipping_priority(spark, sf_dir):
             F.col("o_custkey") == F.col("c_custkey"),
             "left_semi",
         )
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
+    )
+    keys = ["l_orderkey", "o_orderdate", "o_orderpriority"]
+    if _table_bytes(sf_dir, "lineitem") < _GATHER_FACT_CAP:
+        # Gather merge (see q1/q5, size-gated because the key here is
+        # per-ORDER): phase-1 long partials per (order, map task) — exact,
+        # <=7 lineitems per order at any scale — then ONE task merges the
+        # pre-summed partials in decimal and feeds the TopK, replacing the
+        # multi-task final-agg stage. Past _GATHER_FACT_CAP the else-branch
+        # keeps the plain exchange shape (group count grows with the data).
+        partial = base.groupBy(
+            *keys, F.spark_partition_id().alias("_p")
+        ).agg(F.sum(ep * (100 - disc)).alias("_rev"))
+        agg = partial.coalesce(1).groupBy(*keys).agg(
+            (F.sum(F.col("_rev").cast("decimal(38,0)")) / 10000)
+            .cast("double")
+            .alias("revenue")
+        )
+    else:
+        agg = base.groupBy(*keys).agg(
             (F.sum(ep * (100 - disc)).cast("decimal(38,0)") / 10000)
             .cast("double")
             .alias("revenue")
         )
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    return (
+        agg.select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -4134,16 +4305,32 @@ def q10_returned_items(spark, sf_dir):
     # exact decimal op.
     ep = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc = F.round(F.col("l_discount") * 100).cast("long")
-    return (
+    base = (
         lo.join(c, F.col("o_custkey") == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
-        .agg(
+    )
+    keys = ["c_custkey", "c_name", "c_acctbal"]
+    nation = F.col("n_name").alias("nation")
+    if _table_bytes(sf_dir, "lineitem") < _GATHER_FACT_CAP:
+        # Gather merge, size-gated (see q3): group key is per-CUSTOMER over
+        # one quarter of returns — phase-1 long partials per (customer, map
+        # task), one gather task merges in decimal before the TopK.
+        partial = base.groupBy(
+            *keys, nation, F.spark_partition_id().alias("_p")
+        ).agg(F.sum(ep * (100 - disc)).alias("_rev"))
+        agg = partial.coalesce(1).groupBy(*keys, "nation").agg(
+            (F.sum(F.col("_rev").cast("decimal(38,0)")) / 10000)
+            .cast("double")
+            .alias("revenue")
+        )
+    else:
+        agg = base.groupBy(*keys, nation).agg(
             (F.sum(ep * (100 - disc)).cast("decimal(38,0)") / 10000)
             .cast("double")
             .alias("revenue")
         )
-        .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation")
+    return (
+        agg.select("c_custkey", "c_name", "revenue", "c_acctbal", "nation")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )

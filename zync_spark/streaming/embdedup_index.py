@@ -1,0 +1,520 @@
+"""Incrementally maintained embedding near-dup (SemDeDup) index — the
+FIFTH index family (round 8).
+
+The batch operators (`functions.dedup.semdedup_pairs`,
+`functions.dedup.embedding_neardup_pairs`) re-cluster and re-compare the
+WHOLE corpus on every call — O(corpus) per invocation. A re-crawling
+training-data pipeline ingesting embeddings continuously needs the
+incremental formulation, and the machinery already exists in the other
+four families — this module composes it:
+
+- the k-means blocks ARE IVF cells: the coarse quantizer (fixed-point
+  `similarity.kmeans_centroids`, bit-identical on every engine) trains
+  ONCE on the first sync's delta (the backfill) and is FROZEN as stored
+  `centroid` rows — exactly `streaming.ann_index`'s contract (rebuild to
+  retrain). SemDeDup's published recipe clusters the embedding space and
+  deduplicates only within clusters; with frozen centroids, a vector's
+  block is a pure function of (vector, centroids), so incremental
+  assignment is map-side and split-invariant.
+- each maintenance pass assigns only the DELTA's vectors to their
+  nearest cell and emits near-dup pairs (exact within-cell cosine >=
+  threshold) from (new x new) within the batch plus (new x stored) via a
+  cell-bounded probe — `scan(bounds={"ckey": [probed cells]})`, the same
+  file-skipping read as `ann_query`. A pair is discovered exactly once,
+  when its LATER member arrives, so the pair set over ANY batch split is
+  IDENTICAL to the batch computation with the same frozen centroids
+  (`functions.dedup.semdedup_pairs_frozen` — differential-tested, and
+  hash-checked against a DuckDB oracle replaying the fixed-point
+  training on the backfill slice).
+- vec rows, pair rows, centroid rows, and advanced cursors commit in ONE
+  atomic manifest (`Pool.load(cursors=, occ_token=)`) — crash-safe,
+  rerun = no-op, the dedup-index durability argument verbatim.
+
+Storage layout (all file-skippable, co-tenant-safe):
+  'c:'          centroid rows (cid, cv)            — the frozen blocks
+  'l:<cell>'    vec rows (vec_id, v, vn, cell)     — ann_index's bucketing
+  'p:<xx>'      neardup pair rows (cell, id_a, id_b, cos), bucketed by
+                pmod(id_a) like the dedup family's pairs
+  'x:<xx>'      tombstones (streaming.tombstones)  — delete/upsert masking
+
+zed_types reuse the shared vocabulary ('centroid'/'vec' like ann,
+'duppair' like dedup — per-topic masking keeps families separate), so
+`fold_tombstones`, `check_pool_health`, and `fold_compact` serve this
+family with ZERO changes: a pair dies when EITHER member dies, a vec row
+when its id dies, exactly the co-tenant contract the round-7 retention
+machinery enforces pool-wide.
+
+Reference parity: the reference has no dedup or index surface at all
+(beyond-reference); the commit/cursor machinery mirrors its done-marker
+design (README.md:447-455).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from zync_spark.functions import similarity as S
+from zync_spark.pool import Pool
+from zync_spark.streaming.ann_index import (_cell_ckey, _is_centroid,
+                                            _is_vec, stored_centroids)
+from zync_spark.streaming.dedup_index import (_PREFIX_LEN, _envelope,
+                                              _stamp, pmod_ckey)
+from zync_spark.streaming.incremental import _spec_cursors, scan_delta
+
+
+class EmbDedupIndexSpec:
+    """Declarative index definition. `id_expr`/`vec_expr`: SQL
+    expressions over the source pool's rows producing the vector id
+    (long) and the embedding (array). n_cells/iterations mirror the ANN
+    family's coarse quantizer (the cells ARE the SemDeDup blocks);
+    `threshold` is the within-cell cosine floor for a near-dup claim —
+    a per-pass verification-policy knob (like the dedup family's), NOT
+    burned into stored rows. `prefix_len` sets the pair/tombstone bucket
+    fan-out (fixed for the index's life, same rule as dedup)."""
+
+    def __init__(self, name: str, id_expr: str, vec_expr: str,
+                 n_cells: int = 16, iterations: int = 2,
+                 threshold: float = 0.45, min_train: int | None = None,
+                 prefix_len: int = _PREFIX_LEN):
+        if not 1 <= n_cells <= 65536:
+            raise ValueError("n_cells must be 1..65536")  # _cell_ckey width
+        if not 1 <= prefix_len <= 8:
+            raise ValueError("prefix_len must be 1..8 hex chars")
+        self.name = name
+        self.topic = f"embdedup:{name}"
+        self.id_expr = id_expr
+        self.vec_expr = vec_expr
+        self.n_cells = n_cells
+        self.iterations = iterations
+        self.threshold = threshold
+        self.min_train = min_train
+        self.prefix_len = prefix_len
+
+    # duck-types RollupSpec for _spec_cursors' key namespace
+    @property
+    def keys(self):  # pragma: no cover - structural only
+        return {"vec_id": self.id_expr}
+
+
+def _is_pair(spec: EmbDedupIndexSpec):
+    return (F.col("zed_type").eqNullSafe("duppair")
+            & F.col("kafka.topic").eqNullSafe(spec.topic))
+
+
+def _cos(va, na, vb, nb):
+    """dot/(|a||b|) from precomputed norms — the operand shape ann_query
+    uses; multiplication and the position-ordered dot fold are bit-exact
+    regardless of which side is the newer document, so canonical
+    (id_a < id_b) pairs hash identically however they were discovered."""
+    return S.dot_expr(va, vb) / (na * nb)
+
+
+def sync_embdedup(src: Pool, dest: Pool, spec: EmbDedupIndexSpec,
+                  topics: list[str], message: str | None = None,
+                  stats_out: dict | None = None,
+                  auto_compact_every: int | None = None,
+                  upsert: bool = False) -> int:
+    """One incremental maintenance pass. The FIRST pass trains the
+    quantizer on its delta (the backfill; `min_train` defers like the
+    ANN family) and commits centroid rows; every pass assigns its delta
+    map-side, emits near-dup pairs against the batch and the probed
+    stored cells, and commits rows+cursors atomically. Returns rows
+    appended (0 = no new vectors; reruns are no-ops).
+
+    `stats_out` receives live_files/probe_files — the cell-bounded probe
+    contract under test. `upsert=True`: one-call CDC, same semantics as
+    the other families (within-batch version collapse, same-commit
+    tombstones, probe masking via with_upserts). `auto_compact_every`:
+    fold+recluster cadence, single-writer maintenance only."""
+    n = _sync_once(src, dest, spec, topics, message, stats_out,
+                   upsert=upsert)
+    if (n and auto_compact_every
+            and dest.commits_since_base() >= auto_compact_every):
+        compact_embdedup(dest)
+    return n
+
+
+def _sync_once(src: Pool, dest: Pool, spec: EmbDedupIndexSpec,
+               topics: list[str], message: str | None,
+               stats_out: dict | None, upsert: bool = False) -> int:
+    snapshot = len(dest.commits())
+    cursors = _spec_cursors(spec, dest.stored_cursors(), topics)
+    delta = scan_delta(src, cursors, topics)
+    if delta is None:
+        return 0
+    delta = delta.persist()
+    try:
+        new_cursors = {
+            f"{spec.topic}|{r['t']}#{int(r['p'])}": int(r["mx"]) + 1
+            for r in delta.groupBy(
+                F.col("kafka.topic").alias("t"),
+                F.col("kafka.partition").alias("p"),
+            ).agg(F.max(F.col("kafka.offset")).alias("mx")).collect()
+        }
+        if not new_cursors:
+            return 0
+        src_rows = delta
+        tombs_new = None
+        if upsert:
+            from zync_spark.streaming.tombstones import keep_latest_versions
+
+            src_rows = keep_latest_versions(delta, spec.id_expr)
+            tombs_new = src_rows.select(
+                F.expr(spec.id_expr).cast("long").alias("did"))
+        vecs = (
+            src_rows.select(
+                F.expr(spec.id_expr).cast("long").alias("vec_id"),
+                F.expr(spec.vec_expr).alias("v"),
+            )
+            .filter(F.col("v").isNotNull() & (F.size("v") > 0))
+        )
+        cents = stored_centroids(dest, spec)
+        cent_rows = None
+        if cents is None:
+            n_vecs = vecs.count()
+            if spec.min_train is not None and 0 < n_vecs < spec.min_train:
+                import warnings
+
+                warnings.warn(
+                    f"embdedup index {spec.name!r}: deferring quantizer "
+                    f"training ({n_vecs} < min_train={spec.min_train} "
+                    "vectors in the first delta)", stacklevel=2)
+                return 0  # cursors unmoved: the delta keeps accreting
+            if 0 < n_vecs < spec.n_cells * 8:
+                import warnings
+
+                warnings.warn(
+                    f"embdedup index {spec.name!r}: training the FROZEN "
+                    f"blocks on only {n_vecs} vectors for "
+                    f"{spec.n_cells} cells (< 8/cell) — consider "
+                    "min_train, or rebuild_embdedup once the corpus "
+                    "grows", stacklevel=2)
+            cents = S.kmeans_centroids(
+                vecs, k=spec.n_cells, iterations=spec.iterations,
+                id_col="vec_id", vec_col="v")
+            if cents:
+                cent_rows = delta.sparkSession.createDataFrame(
+                    [(cid, vec) for cid, vec in cents],
+                    "cid long, cv array<double>")
+        out = None
+        pair_rows = None
+        if cents:
+            new = S.ivf_assign(
+                vecs.select("vec_id", "v",
+                            S.norm_expr(F.col("v")).alias("vn")),
+                cents, "v", nprobe=1
+            ).select("vec_id", "v", "vn",
+                     F.col("__cell").alias("cell")).persist()
+            try:
+                # new x new (within batch, same cell): each vector lives
+                # in exactly ONE cell (nprobe=1), so a pair can surface
+                # through exactly one cell — no distinct needed
+                na = new.select(F.col("vec_id").alias("id_a"), "cell",
+                                F.col("v").alias("va"),
+                                F.col("vn").alias("na"))
+                nb = new.select(F.col("vec_id").alias("id_b"),
+                                F.col("cell").alias("cell_b"),
+                                F.col("v").alias("vb"),
+                                F.col("vn").alias("nb"))
+                nn = (na.join(nb, (F.col("cell") == F.col("cell_b"))
+                              & (F.col("id_a") < F.col("id_b")))
+                      .select("cell", "id_a", "id_b",
+                              _cos(F.col("va"), F.col("na"),
+                                   F.col("vb"), F.col("nb")).alias("cos")))
+                # new x stored: probe ONLY the delta's cells' files — the
+                # cell list is a <= n_cells metadata collect (ann_query's
+                # probe shape); stored vectors in other cells cannot
+                # share a block, so skipping their files loses nothing
+                cells = sorted({
+                    int(r["c"]) for r in
+                    new.select(F.col("cell").alias("c")).distinct().collect()
+                })
+                ckeys = ["l:%04x" % c for c in cells]
+                if stats_out is not None:
+                    stats_out["live_files"] = len(dest.committed_files())
+                    stats_out["probe_files"] = len(
+                        dest.committed_files(bounds={"ckey": ckeys}))
+                stored = dest.scan(bounds={"ckey": ckeys})
+                pairs = nn
+                if stored is not None and "vec_id" in stored.columns:
+                    from zync_spark.streaming.tombstones import (read_tombs,
+                                                                 with_upserts)
+
+                    tombs = read_tombs(dest, spec.topic)
+                    if upsert and tombs_new is not None:
+                        # superseded versions of THIS pass's ids must not
+                        # pair against the delta — mask them at probe time
+                        tombs = with_upserts(tombs, tombs_new, snapshot)
+                    from zync_spark.streaming.tombstones import mask_rows
+
+                    old = mask_rows(
+                        stored.filter(_is_vec(spec)
+                                      & F.col("ckey").isin(ckeys)),
+                        tombs, "vec_id"
+                    ).select(F.col("vec_id").alias("old_id"),
+                             F.col("cell").alias("cell_o"),
+                             F.col("v").alias("vo"),
+                             F.col("vn").alias("no"))
+                    # the pair is discovered when the LATER member
+                    # arrives; canonical smaller id first (the cosine is
+                    # operand-order-exact — see _cos)
+                    no = (new.join(old,
+                                   (F.col("cell") == F.col("cell_o"))
+                                   & (F.col("vec_id") != F.col("old_id")))
+                          .select(
+                              "cell",
+                              F.least("vec_id", "old_id").alias("id_a"),
+                              F.greatest("vec_id", "old_id").alias("id_b"),
+                              _cos(F.col("v"), F.col("vn"),
+                                   F.col("vo"), F.col("no")).alias("cos")))
+                    pairs = nn.unionByName(no)
+                pairs = pairs.filter(F.col("cos") >= spec.threshold)
+                vec_out = _stamp("vec", _cell_ckey(F.col("cell")), new)
+                pair_rows = _stamp(
+                    "duppair",
+                    pmod_ckey("p:", F.col("id_a"), spec.prefix_len), pairs)
+                out = vec_out.unionByName(pair_rows,
+                                          allowMissingColumns=True)
+                if cent_rows is not None:
+                    out = _stamp("centroid", F.lit("c:"),
+                                 cent_rows).unionByName(
+                        out, allowMissingColumns=True)
+                if tombs_new is not None:
+                    from zync_spark.streaming.tombstones import tomb_rows
+
+                    out = out.unionByName(
+                        tomb_rows(delta.sparkSession, tombs_new,
+                                  upto=snapshot,
+                                  prefix_len=spec.prefix_len),
+                        allowMissingColumns=True)
+                n = 0
+                if out is not None:
+                    # ckey-clustered commit (per-file stats at load):
+                    # cell/pair/tomb spaces land in separate files, so
+                    # bounded probes skip this commit's non-matching
+                    # files immediately
+                    n = dest.load(_envelope(spec, out, snapshot),
+                                  message or f"{spec.topic} sync",
+                                  cursors=new_cursors, occ_token=snapshot,
+                                  cluster_by=["ckey"])
+                if n == 0:
+                    return _cursor_only(dest, spec, delta, new_cursors,
+                                        snapshot, message)
+                return n
+            finally:
+                new.unpersist()
+        # nothing indexable (no vectors and nothing trained): advance the
+        # cursor via a tombstone so later passes don't re-scan forever
+        return _cursor_only(dest, spec, delta, new_cursors, snapshot,
+                            message)
+    finally:
+        delta.unpersist()
+
+
+def _cursor_only(dest: Pool, spec: EmbDedupIndexSpec, delta: DataFrame,
+                 new_cursors: dict, snapshot: int,
+                 message: str | None) -> int:
+    tomb = delta.sparkSession.createDataFrame(
+        [((spec.topic, 0, 0), "cursors")],
+        "kafka struct<topic:string,partition:long,offset:long>,"
+        " zed_type string",
+    )
+    return dest.load(tomb, message or f"{spec.topic} sync",
+                     cursors=new_cursors, occ_token=snapshot)
+
+
+def tombstone_embdedup(dest: Pool, spec: EmbDedupIndexSpec, ids) -> int:
+    """Delete vectors from the index's LATEST state — O(1 commit), no
+    read of the stored cells: a tombstone per id masks its vec rows and
+    every pair EITHER of whose members is masked (a near-dup claim about
+    a dead document is dead — fold_tombstones' pair rule, shared with
+    the dedup family). UPDATE flow (CDC): tombstone FIRST, then publish
+    the new embedding and sync — or use sync_embdedup(upsert=True).
+    Returns rows committed."""
+    from zync_spark.streaming.tombstones import commit_with_retry, tomb_rows
+
+    def build(seq: int) -> DataFrame:
+        rows = tomb_rows(dest.spark, ids, upto=seq,
+                         prefix_len=spec.prefix_len)
+        return _envelope(spec, rows, seq)
+
+    return commit_with_retry(dest, build, f"{spec.topic} tombstone")
+
+
+def compact_embdedup(dest: Pool, target_rows: int = 4_000_000,
+                     message: str = "embdedup compact") -> int:
+    """Range-cluster the index pool by ckey (cell-bounded probes then
+    skip at FILE granularity) and fold tombstones — identical contract
+    to compact_ann; the family-agnostic fold handles the pair rows."""
+    from zync_spark.streaming.tombstones import fold_tombstones
+
+    return dest.compact(target_rows=target_rows, message=message,
+                        transform=fold_tombstones, cluster_by=["ckey"])
+
+
+def rebuild_embdedup(dest: Pool, spec: EmbDedupIndexSpec,
+                     n_cells: int | None = None,
+                     iterations: int | None = None,
+                     threshold: float | None = None,
+                     target_rows: int = 4_000_000,
+                     message: str = "embdedup rebuild") -> int:
+    """Retrain the frozen blocks over the FULL stored live corpus,
+    re-assign every vector, and RE-EMIT the pair set within the new
+    cells — the cure for blocks frozen on an unrepresentative backfill
+    (near-dups split across cells are invisible; check_embdedup_health
+    measures exactly that). One atomic base rewrite under OCC (a racing
+    sync aborts the publish — the index can never straddle two
+    quantizers); cursors carry forward. Within-cell pair re-emission is
+    Σ|cell|² — the rebuild price, same class as the batch operator.
+    Returns rows in the rebuilt index."""
+    k = spec.n_cells if n_cells is None else n_cells
+    iters = spec.iterations if iterations is None else iterations
+    thresh = spec.threshold if threshold is None else threshold
+    if not 1 <= k <= 65536:
+        raise ValueError("n_cells must be 1..65536")
+
+    def _retrain(df: DataFrame):
+        if "vec_id" not in df.columns or "v" not in df.columns:
+            raise ValueError(
+                f"rebuild_embdedup: index {spec.name!r} has no stored "
+                "vectors")
+        from zync_spark.streaming.tombstones import fold_tombstones
+
+        df = fold_tombstones(df)
+        vecs = df.filter(_is_vec(spec)).select("kafka", "vec_id", "v", "vn")
+        cents = S.kmeans_centroids(vecs, k=k, iterations=iters,
+                                   id_col="vec_id", vec_col="v")
+        if not cents:
+            raise ValueError(
+                f"rebuild_embdedup: index {spec.name!r} has no stored "
+                "vectors")
+        assigned = S.ivf_assign(vecs, cents, "v", nprobe=1)
+        new_vecs = assigned.select(
+            "kafka",
+            F.lit("vec").alias("zed_type"),
+            _cell_ckey(F.col("__cell")).alias("ckey"),
+            "vec_id", "v", "vn",
+            F.col("__cell").alias("cell"),
+        )
+        a = assigned.select(F.col("vec_id").alias("id_a"),
+                            F.col("__cell").alias("cell"),
+                            F.col("v").alias("va"), F.col("vn").alias("na"))
+        b = assigned.select(F.col("vec_id").alias("id_b"),
+                            F.col("__cell").alias("cell_b"),
+                            F.col("v").alias("vb"), F.col("vn").alias("nb"))
+        pairs = (a.join(b, (F.col("cell") == F.col("cell_b"))
+                        & (F.col("id_a") < F.col("id_b")))
+                 .select("cell", "id_a", "id_b",
+                         _cos(F.col("va"), F.col("na"),
+                              F.col("vb"), F.col("nb")).alias("cos"))
+                 .filter(F.col("cos") >= thresh))
+        pair_rows = pairs.select(
+            # fresh labels on the reserved partition -2 (rebuild): the
+            # base manifest is the only commit at its seq
+            F.struct(
+                F.lit(spec.topic).alias("topic"),
+                F.lit(-2).cast("long").alias("partition"),
+                F.monotonically_increasing_id().alias("offset"),
+            ).alias("kafka"),
+            F.lit("duppair").alias("zed_type"),
+            pmod_ckey("p:", F.col("id_a"), spec.prefix_len).alias("ckey"),
+            "cell", "id_a", "id_b", "cos",
+        )
+        cent_rows = df.sparkSession.createDataFrame(
+            [(cid, vec) for cid, vec in cents], "cid long, cv array<double>")
+        cent_rows = cent_rows.select(
+            F.struct(
+                F.lit(spec.topic).alias("topic"),
+                F.lit(-2).cast("long").alias("partition"),
+                F.monotonically_increasing_id().alias("offset"),
+            ).alias("kafka"),
+            F.lit("centroid").alias("zed_type"),
+            F.lit("c:").alias("ckey"),
+            "cid", "cv",
+        )
+        # old pairs/centroids of THIS index are superseded by the
+        # re-emission; everything of other co-tenant topics passes through
+        others = df.filter(~_is_vec(spec) & ~_is_centroid(spec)
+                           & ~_is_pair(spec))
+        return (cent_rows
+                .unionByName(new_vecs, allowMissingColumns=True)
+                .unionByName(pair_rows, allowMissingColumns=True)
+                .unionByName(others, allowMissingColumns=True))
+
+    return dest.compact(target_rows=target_rows, message=message,
+                        transform=_retrain, cluster_by=["ckey"])
+
+
+def pairs_view(dest: Pool, spec: EmbDedupIndexSpec,
+               ids: list[int] | None = None,
+               stats_out: dict | None = None) -> DataFrame | None:
+    """Near-duplicate pairs discovered so far: (cell, id_a, id_b, cos),
+    tombstone-masked on BOTH members. `ids` bounds the read to the
+    canonical smaller member's 'p:' buckets (point-set file skipping,
+    the dedup family's contract verbatim); None returns the full view."""
+    if ids is None:
+        df = dest.scan()
+    else:
+        buckets = sorted({
+            "p:%0*x" % (spec.prefix_len, i % (16 ** spec.prefix_len))
+            for i in ids
+        })
+        if stats_out is not None:
+            stats_out["live_files"] = len(dest.committed_files())
+            stats_out["probe_files"] = len(
+                dest.committed_files(bounds={"ckey": buckets}))
+        df = dest.scan(bounds={"ckey": buckets})
+    if df is None or "zed_type" not in df.columns:
+        return None
+    if "id_a" not in df.columns:
+        return df.sparkSession.createDataFrame(
+            [], "cell long, id_a long, id_b long, cos double")
+    from zync_spark.streaming.tombstones import mask_rows, read_tombs
+
+    tombs = read_tombs(dest, spec.topic)
+    out = mask_rows(mask_rows(df.filter(_is_pair(spec)), tombs, "id_a"),
+                    tombs, "id_b").select("cell", "id_a", "id_b", "cos")
+    if ids is not None:
+        out = out.filter(F.col("id_a").isin([int(i) for i in ids]))
+    return out
+
+
+def load_embdedup_spec(path: str) -> tuple[EmbDedupIndexSpec, dict]:
+    """Parse an embdedup-index spec YAML; returns (spec, raw_doc).
+
+    Spec YAML (kind REQUIRED — the `vec` field alone would dispatch to
+    the ANN loader):
+      kind: embdedup
+      name: neardup
+      source: src_pool
+      dest: index_pool
+      topics: [embeddings]
+      id: value.vec_id
+      vec: value.embedding
+      n_cells: 16       # optional
+      iterations: 2     # optional
+      threshold: 0.45   # optional: within-cell cosine floor
+      min_train: 256    # optional: defer training below this
+      prefix_len: 2     # optional: pair/tomb bucket fan-out
+    """
+    import yaml
+
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    if doc.get("kind") != "embdedup":
+        raise ValueError(
+            f"{path}: kind={doc.get('kind')!r} is not an embdedup-index "
+            "spec (use the matching subcommand / spec loader)")
+    mt = doc.get("min_train")
+    spec = EmbDedupIndexSpec(
+        doc["name"],
+        id_expr=doc["id"],
+        vec_expr=doc["vec"],
+        n_cells=int(doc.get("n_cells", 16)),
+        iterations=int(doc.get("iterations", 2)),
+        threshold=float(doc.get("threshold", 0.45)),
+        min_train=int(mt) if mt is not None else None,
+        prefix_len=int(doc.get("prefix_len", _PREFIX_LEN)),
+    )
+    return spec, doc

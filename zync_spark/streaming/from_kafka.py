@@ -303,6 +303,7 @@ class FromKafka:
             for spec, dest, topics in self.indexes:
                 if any(t in committed for t in topics):
                     from zync_spark.streaming import (ann_index, dedup_index,
+                                                      embdedup_index,
                                                       span_index, text_index)
 
                     if isinstance(spec, dedup_index.DedupIndexSpec):
@@ -311,6 +312,8 @@ class FromKafka:
                         sync = text_index.sync_text
                     elif isinstance(spec, span_index.SpanIndexSpec):
                         sync = span_index.sync_spans
+                    elif isinstance(spec, embdedup_index.EmbDedupIndexSpec):
+                        sync = embdedup_index.sync_embdedup
                     else:
                         sync = ann_index.sync_ann
                     # the same small-files cadence commit_batch applies to
@@ -338,7 +341,8 @@ class FromKafka:
         import warnings
 
         from zync_spark.pool import ConcurrentWriteError
-        from zync_spark.streaming import (ann_index, dedup_index, health,
+        from zync_spark.streaming import (ann_index, dedup_index,
+                                          embdedup_index, health,
                                           span_index, text_index)
         from zync_spark.streaming.tombstones import fold_compact
 
@@ -350,6 +354,8 @@ class FromKafka:
                 check, rebuild = health.check_text_health,                     text_index.rebuild_text
             elif isinstance(spec, span_index.SpanIndexSpec):
                 check, rebuild = health.check_span_health,                     span_index.rebuild_spans
+            elif isinstance(spec, embdedup_index.EmbDedupIndexSpec):
+                check, rebuild = health.check_embdedup_health,                     embdedup_index.rebuild_embdedup
             else:
                 check, rebuild = health.check_ann_health,                     ann_index.rebuild_ann
             try:

@@ -143,6 +143,68 @@ def check_ann_health(dest: Pool, spec, k: int = 10, nprobe: int = 2,
     }
 
 
+def check_embdedup_health(dest: Pool, spec, sample: int = 32,
+                          min_pair_recall: float = 0.5) -> dict:
+    """Blocking QUALITY of the embdedup index (round 8): the family's
+    failure mode is frozen blocks drifting away from the corpus — true
+    near-dups land in DIFFERENT cells and the within-cell pair emission
+    never sees them. Measured directly: for a deterministic sample of
+    stored vectors (lowest ids — stable across runs), find each one's
+    exact best neighbor over the live corpus; among those whose best
+    neighbor clears the spec's threshold (a true near-dup pair), the
+    PAIR RECALL is the fraction co-located in one cell — exactly the
+    fraction the index can discover. `rebuild_embdedup` retrains the
+    blocks on everything stored. One measurement scan (sample x corpus
+    broadcast join), the same cost note as check_ann_health's exact
+    side. A sample with no qualifying near-dup pairs is healthy by
+    definition (nothing to recall) and says so in the verdict."""
+    from zync_spark.functions import similarity as S
+    from zync_spark.streaming import ann_index as AI
+    from zync_spark.streaming.tombstones import mask_rows, read_tombs
+
+    stored = dest.scan()
+    if stored is None or "vec_id" not in stored.columns:
+        raise EmptyIndexError(f"embdedup index {spec.name!r} is empty")
+    vecs = mask_rows(stored.filter(AI._is_vec(spec)),
+                     read_tombs(dest, spec.topic), "vec_id")
+    n_vecs = vecs.count()
+    if n_vecs == 0:
+        raise EmptyIndexError(
+            f"embdedup index {spec.name!r} has no live vectors to measure")
+    corpus = vecs.select("vec_id", F.col("v").alias("emb"))
+    qs = (vecs.orderBy("vec_id").limit(int(sample))
+          .select("vec_id", F.col("v").alias("emb")))
+    best = S.cosine_topk(corpus, qs, "vec_id", "emb", k=1)
+    cells = vecs.select("vec_id", "cell")
+    judged = (best.filter(F.col("cos") >= spec.threshold)
+              .join(cells.select(F.col("vec_id").alias("query_id"),
+                                 F.col("cell").alias("__cq")), "query_id")
+              .join(cells.select(F.col("vec_id").alias("neighbor_id"),
+                                 F.col("cell").alias("__cn")),
+                    "neighbor_id")
+              .agg(F.count("*").alias("n"),
+                   F.sum(F.when(F.col("__cq") == F.col("__cn"), 1)
+                         .otherwise(0)).alias("hit"))
+              .collect()[0])
+    n_qual = int(judged["n"] or 0)
+    recall = (float(judged["hit"]) / n_qual) if n_qual else None
+    healthy = recall is None or recall >= min_pair_recall
+    return {
+        "family": "embdedup", "healthy": bool(healthy),
+        "pair_recall": None if recall is None else round(recall, 4),
+        "min_pair_recall": min_pair_recall,
+        "sample": int(sample), "qualifying_pairs": n_qual,
+        "n_vectors": int(n_vecs),
+        "recommendation": None if healthy else (
+            f"rebuild_embdedup(dest, spec) — retrain the frozen blocks "
+            f"on all {n_vecs} stored vectors (pair recall "
+            f"{recall:.3f} < {min_pair_recall}: near-dups are straddling "
+            "cell boundaries); consider a larger n_cells if the corpus "
+            "has grown"),
+        "rebuild_args": None if healthy else {},
+    }
+
+
 def check_span_health(dest: Pool, spec,
                       max_coverage: float = 0.5,
                       headroom: float = 10.0) -> dict:
