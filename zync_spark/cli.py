@@ -592,7 +592,10 @@ def cmd_retrieve(args) -> int:
     """Hybrid retrieval over a text index AND an ANN index: BM25 top-N
     for --query fused with cosine top-N for the query vector by
     reciprocal-rank fusion (functions/retrieval.rrf_fuse — the catalog's
-    hybrid_retrieval_rrf as a lake command).
+    hybrid_retrieval_rrf as a lake command). With a SINGLE ann-index
+    spec (round 8): ANN-ONLY retrieval — no fusion, top-k cosine
+    neighbors printed directly, with --where resolving from the ANN
+    pool's own index-resident attrs (the text-less deployment).
 
     The two indexes must share an id space (the text index's doc ids
     and the ANN index's vec ids name the same documents). The query
@@ -600,7 +603,8 @@ def cmd_retrieve(args) -> int:
     excluded from its own neighbors). Each leg reads only its bounded
     probe set (posting buckets / probed cells); the fusion joins two
     N-row lists. Prints k fused JSON lines
-    (doc_id, lex_rank, sem_rank, rrf, rank)."""
+    (doc_id, lex_rank, sem_rank, rrf, rank) — or, ANN-only,
+    (doc_id, cos, rank)."""
     from pyspark.sql import functions as F
 
     from zync_spark.functions.retrieval import rrf_fuse
@@ -612,10 +616,36 @@ def cmd_retrieve(args) -> int:
                          "(their self-exclusion semantics differ)")
     if args.vec is None and args.vec_id is None:
         raise SystemExit("retrieve requires --vec or --vec-id")
-    tspec, tdoc = ti.load_text_spec(args.text_spec)
-    aspec, adoc = ai.load_ann_spec(args.ann_spec)
+    # spec dispatch by CONTENT, not position: a text spec says kind:
+    # text, an ann spec carries `vec` (and no other kind) — so both
+    # `retrieve text.yaml ann.yaml` (hybrid, the round-6 form) and
+    # `retrieve ann.yaml` (ANN-only) parse unambiguously
+    import yaml as _yaml
+
+    tspec = tdoc = aspec = adoc = None
+    if len(args.spec) > 2:
+        raise SystemExit("retrieve takes one (ann) or two (text + ann) "
+                         "index spec YAMLs")
+    for path in args.spec:
+        with open(path) as f:
+            probe = _yaml.safe_load(f)
+        if probe.get("kind") == "text":
+            tspec, tdoc = ti.load_text_spec(path)
+        elif "vec" in probe and probe.get("kind") is None:
+            aspec, adoc = ai.load_ann_spec(path)
+        else:
+            raise SystemExit(
+                f"retrieve: {path} is neither a text-index nor an "
+                "ann-index spec")
+    if aspec is None:
+        raise SystemExit("retrieve requires an ann-index spec")
+    if tspec is None and args.query:
+        raise SystemExit("retrieve: --query needs a text-index spec "
+                         "(BM25 has no ANN-only form)")
+    if tspec is not None and not args.query:
+        raise SystemExit("retrieve: hybrid retrieval requires --query")
     spark = _spark()
-    tdest = _pool(spark, args.lake, tdoc["dest"])
+    tdest = _pool(spark, args.lake, tdoc["dest"]) if tdoc else None
     adest = _pool(spark, args.lake, adoc["dest"])
     # resolve the query vector FIRST: search_text runs eagerly (bucket
     # probes + metadata collects), wasted work if the vector is bad
@@ -647,73 +677,103 @@ def cmd_retrieve(args) -> int:
     qs = spark.createDataFrame([(qid, qvec)], "vec_id long, emb array<double>")
     where_ids = None
     if args.where:
-        # metadata predicate over the TEXT source pool's rows (the two
-        # indexes share an id space by contract, so the same allowed-id
-        # frame serves both legs). The predicate pushes down to the
-        # source scan; the legs semi-join their bounded candidates
-        # against it (exact for BM25 post-intersection; exact within
-        # the probed cells for ANN — raise --nprobe to trade cost for
-        # recall under selective filters).
-        # Index-resident attrs first (round 7, metadata co-location):
-        # when the text spec declares `attrs`, the filter resolves from
-        # the index pool ALONE — a bounded 'a:' read of narrow rows.
-        # Only a spec without attrs falls back to scanning the SOURCE
-        # pool's metadata, which at 100 TB costs a corpus-metadata read
-        # per retrieve (the reason attrs exist).
+        # metadata predicate (the indexes share an id space by contract,
+        # so one allowed-id frame serves every leg). The legs semi-join
+        # their bounded candidates against it (exact for BM25
+        # post-intersection; exact within the probed cells for ANN —
+        # raise --nprobe to trade cost for recall under selective
+        # filters).
+        # Index-resident attrs first (metadata co-location; since round
+        # 8 the 'a:' surface is spec-agnostic — streaming/attrs.py):
+        # the text index's attrs, then the ANN index's own — so a
+        # TEXT-LESS deployment still resolves the filter from an index
+        # pool ALONE (a bounded 'a:' read of narrow rows). Only when no
+        # spec declares attrs does this fall back to scanning the
+        # SOURCE pool's metadata, which at 100 TB costs a
+        # corpus-metadata read per retrieve (the reason attrs exist).
         from zync_spark.streaming.health import EmptyIndexError
 
         try:
-            where_ids = ti.attr_ids(tdest, tspec, args.where)
-            where_source = "index-attrs"
+            if tspec is not None:
+                where_ids = ti.attr_ids(tdest, tspec, args.where)
+                where_source = "index-attrs"
+            else:
+                raise EmptyIndexError("no text index")
         except EmptyIndexError:
-            where_source = "source-pool"
-            meta = _pool(spark, args.lake, tdoc["source"]).scan()
-            if meta is None:
-                raise SystemExit("retrieve: --where given but the text "
-                                 "source pool is empty")
             try:
-                # LATEST version per id first, THEN the predicate: under
-                # upsert CDC a superseded version's metadata could
-                # otherwise admit a doc whose current version no longer
-                # matches (and the indexes only answer for current
-                # versions). Round-6 ADVICE. Null-id rows (co-tenant
-                # topics, markers) are not entities — excluded, not
-                # collapsed to one arbitrary survivor. Offsets are
-                # per-partition sequences, so an id spread across
-                # partitions has NO version order — refused loudly,
-                # the same contract as keep_latest_versions
-                # (round-7 review: a silent cross-partition 'latest'
-                # picks an arbitrary, possibly stale version).
-                from pyspark.sql import Window
+                where_ids = ai.attr_ids(adest, aspec, args.where)
+                where_source = "index-attrs(ann)"
+            except EmptyIndexError:
+                where_ids = None
+        except Exception as e:
+            raise SystemExit(f"retrieve: bad --where predicate: {e}")
+    if args.where and where_ids is None:
+        where_source = "source-pool"
+        src_doc, src_id = ((tdoc, tspec.id_expr) if tdoc is not None
+                           else (adoc, aspec.id_expr))
+        meta = _pool(spark, args.lake, src_doc["source"]).scan()
+        if meta is None:
+            raise SystemExit("retrieve: --where given but the "
+                             "source pool is empty")
+        try:
+            # LATEST version per id first, THEN the predicate: under
+            # upsert CDC a superseded version's metadata could
+            # otherwise admit a doc whose current version no longer
+            # matches (and the indexes only answer for current
+            # versions). Round-6 ADVICE. Null-id rows (co-tenant
+            # topics, markers) are not entities — excluded, not
+            # collapsed to one arbitrary survivor. Offsets are
+            # per-partition sequences, so an id spread across
+            # partitions has NO version order — refused loudly,
+            # the same contract as keep_latest_versions
+            # (round-7 review: a silent cross-partition 'latest'
+            # picks an arbitrary, possibly stale version).
+            from pyspark.sql import Window
 
-                ided = meta.filter(F.expr(tspec.id_expr).isNotNull())
-                multi = (ided.groupBy(
-                    F.expr(tspec.id_expr).alias("__id"))
-                    .agg(F.count_distinct("kafka.partition").alias("__np"))
-                    .filter(F.col("__np") > 1).limit(1).collect())
-                if multi:
-                    raise SystemExit(
-                        f"retrieve: --where over the source pool needs a "
-                        f"latest-version-per-id reduction, but id "
-                        f"{multi[0]['__id']!r} appears in multiple "
-                        "partitions — offsets are per-partition "
-                        "sequences, so no version order exists; key the "
-                        "CDC topic by id, or declare index-resident "
-                        "attrs: in the text spec")
-                w = Window.partitionBy(F.expr(tspec.id_expr)).orderBy(
-                    F.col("kafka.offset").desc())
-                latest = (ided.withColumn("__rn", F.row_number().over(w))
-                          .filter(F.col("__rn") == 1).drop("__rn"))
-                where_ids = latest.filter(F.expr(args.where)).select(
-                    F.expr(tspec.id_expr).cast("long").alias("doc_id"))
-            except SystemExit:
-                raise
-            except Exception as e:
-                raise SystemExit(f"retrieve: bad --where predicate: {e}")
+            ided = meta.filter(F.expr(src_id).isNotNull())
+            multi = (ided.groupBy(
+                F.expr(src_id).alias("__id"))
+                .agg(F.count_distinct("kafka.partition").alias("__np"))
+                .filter(F.col("__np") > 1).limit(1).collect())
+            if multi:
+                raise SystemExit(
+                    f"retrieve: --where over the source pool needs a "
+                    f"latest-version-per-id reduction, but id "
+                    f"{multi[0]['__id']!r} appears in multiple "
+                    "partitions — offsets are per-partition "
+                    "sequences, so no version order exists; key the "
+                    "CDC topic by id, or declare index-resident "
+                    "attrs: in the index spec")
+            w = Window.partitionBy(F.expr(src_id)).orderBy(
+                F.col("kafka.offset").desc())
+            latest = (ided.withColumn("__rn", F.row_number().over(w))
+                      .filter(F.col("__rn") == 1).drop("__rn"))
+            where_ids = latest.filter(F.expr(args.where)).select(
+                F.expr(src_id).cast("long").alias("doc_id"))
+        except SystemExit:
+            raise
         except Exception as e:
             raise SystemExit(f"retrieve: bad --where predicate: {e}")
     tstats: dict = {}
     astats: dict = {}
+    if tspec is None:
+        # ANN-only retrieval (round 8): no fusion — print the top-k
+        # cosine neighbors directly. The --where filter above resolved
+        # from the ANN pool's own attrs when the spec declares them.
+        sem = ai.ann_query(adest, aspec, qs, id_col="vec_id",
+                           vec_col="emb", k=args.k, nprobe=args.nprobe,
+                           stats_out=astats if args.explain else None,
+                           where_ids=where_ids)
+        for r in (sem.select(F.col("neighbor_id").alias("doc_id"),
+                             "cos", "rank")
+                  .orderBy("rank").collect()):
+            print(json.dumps(r.asDict()))
+        if args.explain and "probe_files" in astats:
+            print(f"# semantic probe read {astats['probe_files']}/"
+                  f"{astats['live_files']} files")
+        if args.explain and args.where:
+            print(f"# where filter resolved from {where_source}")
+        return 0
     # the legs are independent and each pays a few serial driver jobs
     # (manifest reads, metadata collects) before returning — run them
     # concurrently; Spark job submission is thread-safe
@@ -1322,10 +1382,15 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_span_index)
 
     p = sub.add_parser("retrieve",
-                       help="hybrid BM25 + ANN retrieval (rank fusion)")
-    p.add_argument("text_spec", help="text-index spec YAML")
-    p.add_argument("ann_spec", help="ann-index spec YAML")
-    p.add_argument("--query", required=True, help="BM25 query terms")
+                       help="hybrid BM25 + ANN retrieval (rank fusion), "
+                            "or ANN-only with a single ann spec")
+    p.add_argument("spec", nargs="+",
+                   help="index spec YAML(s): a text spec + an ann spec "
+                        "for hybrid fusion (either order — dispatched by "
+                        "content), or a single ann spec for ANN-only "
+                        "retrieval")
+    p.add_argument("--query", default=None,
+                   help="BM25 query terms (hybrid mode)")
     p.add_argument("--vec", default=None,
                    help="query vector as a JSON number array")
     p.add_argument("--vec-id", type=int, default=None,
@@ -1340,15 +1405,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--weights", default=None, metavar="LEX,SEM",
                    help="weighted RRF: per-ranker weights, e.g. 0.7,0.3")
     p.add_argument("--where", default=None, metavar="PRED",
-                   help="metadata predicate filtering BOTH legs — exact "
+                   help="metadata predicate filtering every leg — exact "
                         "for BM25, exact-within-probed-cells for ANN "
                         "(raise --nprobe under selective filters). When "
-                        "the text spec declares `attrs:` it resolves "
-                        "from index-resident attr rows over the attr "
-                        "NAMES (e.g. \"lang = 'en'\") with no source "
-                        "scan; otherwise it evaluates over the source "
-                        "pool's LATEST version per id (e.g. "
-                        "\"value.lang = 'en'\")")
+                        "ANY given index spec declares `attrs:` (text "
+                        "first, then ann) it resolves from index-resident "
+                        "attr rows over the attr NAMES (e.g. "
+                        "\"lang = 'en'\") with no source scan; otherwise "
+                        "it evaluates over the source pool's LATEST "
+                        "version per id (e.g. \"value.lang = 'en'\")")
     p.add_argument("--explain", action="store_true",
                    help="print per-leg probe telemetry (# files read vs "
                         "live) after the results")

@@ -624,18 +624,49 @@ class Pool:
         working — standard lakehouse VACUUM semantics. Returns the number
         of files removed.
 
-        `retention_s`: directories modified within this window are kept
-        even if unreferenced — they may belong to a CONCURRENT load()/
-        compact() that wrote data but has not published its manifest yet;
-        deleting them would let the in-flight publish commit a manifest of
-        vanished files (the reason Delta's VACUUM has a retention window).
-        0 disables the guard (single-writer maintenance only).
+        `retention_s` protects TWO classes of in-flight work (0 disables
+        both guards — single-writer, no-reader maintenance only):
+
+        - in-flight WRITERS: directories modified within the window are
+          kept even if unreferenced — they may belong to a concurrent
+          load()/compact() that wrote data but has not published its
+          manifest yet; deleting them would let the in-flight publish
+          commit a manifest of vanished files (the reason Delta's VACUUM
+          has a retention window).
+        - in-flight READERS (round 8, the read-consistency contract):
+          SUPERSEDED files — once referenced by a manifest, no longer
+          live — stay reclaimable only when the newest base manifest is
+          older than the window. A scan/search/view resolves its file
+          list against some committed manifest state; the files it
+          resolved were live then, so they cannot vanish until at least
+          `retention_s` after the compaction that superseded them. A
+          reader that resolved files and materializes WITHIN the window
+          always succeeds; one that dwells PAST the window fails LOUDLY
+          (Spark's ignoreMissingFiles default is false, so a vanished
+          file raises — never silent partial rows; pinned in
+          tests/test_reader_soak.py). Size retention_s above the longest
+          expected query dwell, exactly like Delta.
 
         `dry_run=True` counts what a real vacuum would delete without
         touching disk — ONE discovery walk shared by the retention
         policy's census (health.check_pool_health) and the cure, so the
         report and the reclaim can never disagree (round-7 review)."""
         live = set(self.committed_files())
+        # every file ANY manifest ever referenced + the newest base's ts:
+        # "superseded" (was referenced, now isn't) is what the reader
+        # window protects; never-referenced dirs are writer orphans and
+        # take the mtime guard instead. One pass over the commit log —
+        # the same metadata read committed_files already pays.
+        ever: set[str] = set()
+        newest_base_ts = None
+        for c in self.commits():
+            with open(os.path.join(self._commit_dir(), c)) as f:
+                manifest = json.load(f)
+            ever.update(manifest["files"])
+            if manifest.get("base"):
+                # pre-feature manifests carry no ts: treat as arbitrarily
+                # old (same convention as seq_at_ts)
+                newest_base_ts = manifest.get("ts", 0.0)
         now = time.time()
         removed = 0
         data_root = os.path.join(self.path, "data")
@@ -644,8 +675,13 @@ class Pool:
             if not os.path.isdir(sub):
                 continue  # stray file under data/: not a writer's dir
             parquets = [f for f in os.listdir(sub) if f.endswith(".parquet")]
-            if any(os.path.join(sub, f) in live for f in parquets):
+            paths = [os.path.join(sub, f) for f in parquets]
+            if any(p in live for p in paths):
                 continue
+            if (retention_s > 0 and newest_base_ts is not None
+                    and any(p in ever for p in paths)
+                    and now - newest_base_ts < retention_s):
+                continue  # superseded inside the reader window
             try:
                 if now - os.path.getmtime(sub) < retention_s:
                     continue  # possibly an in-flight writer's files

@@ -7072,6 +7072,67 @@ def hybrid_retrieval_filtered(spark, sf_dir):
 
 
 @register(
+    "ann_retrieval_attr_filtered",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    scored AS (SELECT 0::BIGINT AS query_id, c.vec_id AS neighbor_id,
+                      {_cos_sql('q.qv', 'c.v')} AS cos
+               FROM q, e c WHERE c.vec_id <> 0 AND c.label = 1)
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 10
+    """,
+)
+def ann_retrieval_attr_filtered(spark, sf_dir):
+    """Attr-filtered retrieval on a TEXT-LESS (ANN-only) deployment
+    (round 8): the ANN spec itself declares
+    `attrs={'label': 'value.label'}`, sync_ann stores index-resident
+    'a:' attr rows via the now spec-AGNOSTIC shared surface
+    (streaming/attrs.py), and `ann_index.attr_ids` resolves the
+    retrieval filter from the INDEX pool alone — closing the round-7
+    gap where only the text family could do this and an ANN-only
+    deployment fell back to a per-query source-pool scan. The source
+    pool is never scanned on the retrieve path (executed-plan pin
+    below), and the coverage guard (live 'l:' vectors without attr
+    rows fail loud) ships with the shared implementation. Full probe
+    (nprobe = n_cells) makes the filtered answer exact, so the oracle
+    is the plain source-level filter semantics — co-locating the
+    metadata must not change a single answer (the same contract as
+    hybrid_retrieval_attr_filtered)."""
+    import shutil
+
+    from zync_spark.pool import Pool
+    from zync_spark.streaming import ann_index as AI
+
+    emb = T(spark, sf_dir, "embeddings")
+    lake = _scratch_dir(
+        f"zs-annattr-{sf_dir.rstrip('/').rsplit('/', 1)[-1]}")
+    shutil.rmtree(lake, ignore_errors=True)
+    src = Pool.create(spark, f"{lake}/src")
+    adest = Pool.create(spark, f"{lake}/aindex")
+    src.load(emb.select(
+        F.struct(F.lit("emb").alias("topic"),
+                 F.lit(0).cast("long").alias("partition"),
+                 F.col("vec_id").cast("long").alias("offset")).alias("kafka"),
+        F.lit("data").alias("zed_type"),
+        F.struct("vec_id", "embedding", "label").alias("value")), "emb")
+    aspec = AI.AnnIndexSpec("emb", "value.vec_id", "value.embedding",
+                            n_cells=16, iterations=2,
+                            attrs={"label": "value.label"})
+    AI.sync_ann(src, adest, aspec, ["emb"])
+    AI.compact_ann(adest, target_rows=5000)
+    where = AI.attr_ids(adest, aspec, "cast(label as bigint) = 1")
+    # plan pin: the retrieval filter must never touch the source pool
+    plan = where._jdf.queryExecution().executedPlan().toString()
+    assert f"{lake}/src" not in plan, "attr filter scanned the source pool"
+    return AI.ann_query(adest, aspec, emb.filter(F.col("vec_id") == 0),
+                        k=10, nprobe=16, where_ids=where)
+
+
+@register(
     "hybrid_retrieval_attr_filtered",
     _HYBRID_FILTERED_SQL,
 )

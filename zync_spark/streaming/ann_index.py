@@ -59,7 +59,8 @@ class AnnIndexSpec:
 
     def __init__(self, name: str, id_expr: str, vec_expr: str,
                  n_cells: int = 16, iterations: int = 2,
-                 min_train: int | None = None):
+                 min_train: int | None = None,
+                 attrs: dict[str, str] | None = None):
         if not 1 <= n_cells <= 65536:
             # _cell_ckey's fixed 4-hex-char bucket would silently
             # TRUNCATE larger cell ids (lpad truncates), making those
@@ -72,6 +73,11 @@ class AnnIndexSpec:
         self.vec_expr = vec_expr
         self.n_cells = n_cells
         self.iterations = iterations
+        # metadata co-location (round 8, shared surface — see
+        # streaming/attrs.py): {attr name: SQL expr over source rows};
+        # sync stores index-resident 'a:' attr rows so an ANN-ONLY
+        # deployment resolves `retrieve --where` without a source scan
+        self.attrs = dict(attrs) if attrs else {}
         # Training-set floor: the quantizer trains ONCE, on the first
         # sync's delta — wired through FromKafka(indexes=) that is the
         # first MICRO-BATCH, which can be a handful of rows, freezing a
@@ -216,6 +222,17 @@ def _sync_ann_once(src: Pool, dest: Pool, spec: AnnIndexSpec,
             if cent_rows is not None:
                 out = _stamp("centroid", F.lit("c:"), cent_rows).unionByName(
                     out, allowMissingColumns=True)
+        if spec.attrs and out is not None:
+            # index-resident metadata in the shared 'a:' key space
+            # (streaming/attrs.py): an ANN-only deployment then resolves
+            # `retrieve --where` from this pool alone. Derived from
+            # src_rows, not the non-null `vecs` subset (attrs for a
+            # null-vector doc are harmless; a co-tenant family may
+            # still index it).
+            from zync_spark.streaming.attrs import attr_rows
+
+            out = out.unionByName(attr_rows(spec, src_rows),
+                                  allowMissingColumns=True)
         if tombs_new is not None:
             from zync_spark.streaming.tombstones import tomb_rows
 
@@ -457,8 +474,28 @@ def load_ann_spec(path: str) -> tuple[AnnIndexSpec, dict]:
         n_cells=int(doc.get("n_cells", 16)),
         iterations=int(doc.get("iterations", 2)),
         min_train=int(mt) if mt is not None else None,
+        attrs=doc.get("attrs"),
     )
     return spec, doc
+
+
+def attr_ids(dest: Pool, spec: AnnIndexSpec, predicate: str):
+    """Resolve a metadata filter from the ANN index pool alone — the
+    ANN-family wrapper over the shared implementation
+    (streaming/attrs.py): the coverage guard enumerates live indexed
+    vectors from the 'l:' cell space, so an index synced before the
+    spec declared attrs fails LOUD instead of silently excluding
+    pre-attrs docs. Semantics documented on attrs.attr_ids."""
+    from zync_spark.streaming import attrs as A
+    from zync_spark.streaming.tombstones import mask_rows, read_tombs
+
+    live = None
+    full = dest.scan(bounds={"ckey": ("l:", "l:g")})
+    if full is not None and "vec_id" in full.columns:
+        live = mask_rows(full.filter(_is_vec(spec)),
+                         read_tombs(dest, spec.topic),
+                         "vec_id").select("vec_id")
+    return A.attr_ids(dest, spec, predicate, live_ids=live)
 
 
 def ann_query(dest: Pool, spec: AnnIndexSpec, queries: DataFrame,

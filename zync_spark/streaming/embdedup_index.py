@@ -76,7 +76,8 @@ class EmbDedupIndexSpec:
     def __init__(self, name: str, id_expr: str, vec_expr: str,
                  n_cells: int = 16, iterations: int = 2,
                  threshold: float = 0.45, min_train: int | None = None,
-                 prefix_len: int = _PREFIX_LEN):
+                 prefix_len: int = _PREFIX_LEN,
+                 attrs: dict[str, str] | None = None):
         if not 1 <= n_cells <= 65536:
             raise ValueError("n_cells must be 1..65536")  # _cell_ckey width
         if not 1 <= prefix_len <= 8:
@@ -90,6 +91,9 @@ class EmbDedupIndexSpec:
         self.threshold = threshold
         self.min_train = min_train
         self.prefix_len = prefix_len
+        # metadata co-location (round 8, shared surface —
+        # streaming/attrs.py); filter resolution via attr_ids below
+        self.attrs = dict(attrs) if attrs else {}
 
     # duck-types RollupSpec for _spec_cursors' key namespace
     @property
@@ -280,6 +284,13 @@ def _sync_once(src: Pool, dest: Pool, spec: EmbDedupIndexSpec,
                     out = _stamp("centroid", F.lit("c:"),
                                  cent_rows).unionByName(
                         out, allowMissingColumns=True)
+                if spec.attrs:
+                    # index-resident metadata in the shared 'a:' key
+                    # space (streaming/attrs.py)
+                    from zync_spark.streaming.attrs import attr_rows
+
+                    out = out.unionByName(attr_rows(spec, src_rows),
+                                          allowMissingColumns=True)
                 if tombs_new is not None:
                     from zync_spark.streaming.tombstones import tomb_rows
 
@@ -516,5 +527,23 @@ def load_embdedup_spec(path: str) -> tuple[EmbDedupIndexSpec, dict]:
         threshold=float(doc.get("threshold", 0.45)),
         min_train=int(mt) if mt is not None else None,
         prefix_len=int(doc.get("prefix_len", _PREFIX_LEN)),
+        attrs=doc.get("attrs"),
     )
     return spec, doc
+
+
+def attr_ids(dest: Pool, spec: EmbDedupIndexSpec, predicate: str):
+    """Resolve a metadata filter from the embdedup index pool alone —
+    wrapper over the shared implementation (streaming/attrs.py); the
+    coverage guard enumerates live vectors from the 'l:' cell space.
+    Semantics documented on attrs.attr_ids."""
+    from zync_spark.streaming import attrs as A
+    from zync_spark.streaming.tombstones import mask_rows, read_tombs
+
+    live = None
+    full = dest.scan(bounds={"ckey": ("l:", "l:g")})
+    if full is not None and "vec_id" in full.columns:
+        live = mask_rows(full.filter(_is_vec(spec)),
+                         read_tombs(dest, spec.topic),
+                         "vec_id").select("vec_id")
+    return A.attr_ids(dest, spec, predicate, live_ids=live)

@@ -245,27 +245,17 @@ def _sync_text_once(src: Pool, dest: Pool, spec: TextIndexSpec,
         )
         if spec.attrs:
             # index-resident metadata: one 'attr' row per delta doc in
-            # its own 'a:' key space — retrieval filters resolve from
-            # the index pool alone (attr_ids), never the source corpus.
-            # Derived from src_rows, NOT the tokenizable `docs` subset:
-            # an empty-text doc can still live in the ANN index, and an
-            # attr filter must not silently exclude it from that leg
-            # (round-7 review — matches the oracle's
-            # `SELECT doc_id FROM documents WHERE <pred>` semantics).
-            from zync_spark.streaming.dedup_index import pmod_ckey
+            # the shared 'a:' key space (streaming/attrs.py — ONE
+            # implementation for every family since round 8) — retrieval
+            # filters resolve from the index pool alone (attr_ids),
+            # never the source corpus. Derived from src_rows, NOT the
+            # tokenizable `docs` subset: an empty-text doc can still
+            # live in the ANN index, and an attr filter must not
+            # silently exclude it from that leg (round-7 review).
+            from zync_spark.streaming.attrs import attr_rows
 
-            pairs: list = []
-            for k in sorted(spec.attrs):
-                pairs += [F.lit(k), F.expr(spec.attrs[k]).cast("string")]
-            arows = src_rows.select(
-                F.expr(spec.id_expr).cast("long").alias("doc_id"),
-                F.create_map(*pairs).alias("attrs"),
-            ).filter(F.col("doc_id").isNotNull())
-            out = out.unionByName(
-                _stamp("attr",
-                       pmod_ckey("a:", F.col("doc_id"), spec.prefix_len),
-                       arows),
-                allowMissingColumns=True)
+            out = out.unionByName(attr_rows(spec, src_rows),
+                                  allowMissingColumns=True)
         if tombs_new is not None:
             from zync_spark.streaming.tombstones import read_tombs, tomb_rows
 
@@ -641,67 +631,27 @@ def load_text_spec(path: str) -> tuple[TextIndexSpec, dict]:
     return spec, doc
 
 
-# the whole 'a:' attr key space as one range bound ('a:g' closes the
-# hex alphabet) — width-independent, mirrors tombstones.TOMB_BOUNDS
-ATTR_BOUNDS = ("a:", "a:g")
+# Re-exported for round-7 callers; the one definition lives in
+# streaming/attrs.py (spec-agnostic since round 8).
+from zync_spark.streaming.attrs import ATTR_BOUNDS  # noqa: E402,F401
 
 
 def attr_ids(dest: Pool, spec: TextIndexSpec, predicate: str) -> DataFrame:
-    """Resolve a metadata filter from the INDEX pool alone (round 7):
-    the allowed-id frame for `predicate` over the spec's co-located
-    attrs — no source-pool scan, which at 100 TB is the difference
-    between a retrieval filter costing O(#docs narrow attr rows) and
-    re-reading the corpus's metadata columns per query.
-
-    Attr names are exposed as string columns (`lang = 'en'`); numeric
-    attrs compare via cast (`cast(n_chars as bigint) > 100`). Latest
-    version per doc wins (commit-seq, then offset) and tombstoned docs
-    are masked — under the CDC contract (tombstone first, republish,
-    sync) a superseded version's metadata can never admit a doc whose
-    current version no longer matches. Raises EmptyIndexError when the
-    index carries no attr rows (spec without `attrs`, or a legacy
-    index) so callers can fall back to the source-pool scan loudly."""
-    from pyspark.sql import Window
-
-    from zync_spark.streaming.health import EmptyIndexError
+    """Resolve a metadata filter from the INDEX pool alone (round 7) —
+    the text-family wrapper over the shared implementation
+    (streaming/attrs.py, spec-agnostic since round 8): the coverage
+    guard enumerates live indexed docs from the 'd:' dlen space, so an
+    index synced before the spec declared attrs fails LOUD instead of
+    silently excluding pre-attrs docs from retrieval. Semantics (latest
+    version per doc wins, tombstone masking, EmptyIndexError fallback
+    contract) documented on attrs.attr_ids."""
+    from zync_spark.streaming import attrs as A
     from zync_spark.streaming.tombstones import mask_rows, read_tombs
 
-    if not spec.attrs:
-        raise EmptyIndexError(
-            f"text index {spec.name!r}: spec declares no attrs — "
-            "co-located filtering needs attrs at sync time")
-    df = dest.scan(bounds={"ckey": ATTR_BOUNDS})
-    if df is None or "attrs" not in df.columns:
-        raise EmptyIndexError(
-            f"text index {spec.name!r} has no attr rows (synced before "
-            "the spec declared attrs?) — rebuild or re-sync first")
-    tombs = read_tombs(dest, spec.topic)
-    rows = mask_rows(df.filter(_is(spec, "attr")), tombs, "doc_id")
-    # COVERAGE guard (round-7 review): an index synced before the spec
-    # declared attrs, plus one later sync, would otherwise answer the
-    # filter from the recently-synced docs ONLY — silently excluding
-    # every pre-attrs doc from both retrieval legs. A doc is covered
-    # iff it has an attr row; live dlen docs without one mean partial
-    # coverage -> fail loud (the cure is rebuild_text or a re-sync).
-    # One bounded 'd:'-space anti-join, limit 1 — priced like the
-    # filter read it protects.
+    live = None
     full = dest.scan(bounds={"ckey": ("d:", "d:g")})
     if full is not None and "dl" in full.columns:
-        uncovered = (mask_rows(full.filter(_is(spec, "dlen")), tombs,
-                               "doc_id")
-                     .select("doc_id")
-                     .join(rows.select("doc_id"), "doc_id", "left_anti")
-                     .limit(1).collect())
-        if uncovered:
-            raise ValueError(
-                f"text index {spec.name!r}: doc {uncovered[0]['doc_id']} "
-                "(and possibly others) predates the spec's attrs — "
-                "attr-filtered retrieval would silently exclude it; "
-                "re-sync the corpus or rebuild_text first")
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("kafka.partition").desc(), F.col("kafka.offset").desc())
-    latest = (rows.withColumn("__rn", F.row_number().over(w))
-              .filter(F.col("__rn") == 1))
-    cols = [F.col("doc_id")] + [
-        F.col("attrs").getItem(k).alias(k) for k in sorted(spec.attrs)]
-    return latest.select(*cols).filter(F.expr(predicate)).select("doc_id")
+        live = mask_rows(full.filter(_is(spec, "dlen")),
+                         read_tombs(dest, spec.topic),
+                         "doc_id").select("doc_id")
+    return A.attr_ids(dest, spec, predicate, live_ids=live)
