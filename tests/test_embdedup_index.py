@@ -270,6 +270,23 @@ def test_pairs_view_point_lookup_is_bounded(spark, tmp_path):
     assert 0 < stats["probe_files"] < stats["live_files"]
 
 
+def test_prefix_len_drift_refused(spark, tmp_path):
+    """prefix_len is burned into stored pair/tomb/attr buckets — a
+    drifted spec must fail LOUD, not silently probe past stored pairs
+    (the dedup family's bootstrap rule)."""
+    spec = _spec()
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    _load(spark, src, 0, 40)
+    assert ED.sync_embdedup(src, dest, spec, ["emb"]) > 0
+    drifted = _spec(prefix_len=3)
+    _load(spark, src, 40, 42)
+    with pytest.raises(ValueError, match="prefix_len"):
+        ED.sync_embdedup(src, dest, drifted, ["emb"])
+    with pytest.raises(ValueError, match="prefix_len"):
+        ED.pairs_view(dest, drifted)
+
+
 def test_spec_loader_requires_kind(tmp_path):
     doc = """
 kind: embdedup

@@ -114,6 +114,29 @@ def _cos(va, na, vb, nb):
     return S.dot_expr(va, vb) / (na * nb)
 
 
+def _check_plen(dest: Pool, spec: EmbDedupIndexSpec) -> None:
+    """prefix_len is FIXED for the life of an index (stored 'p:'/'x:'/
+    'a:' ckeys embed it): a drifted spec would not error — it would
+    bucket new rows under a different fan-out and silently miss stored
+    pairs in point lookups. Validate against the width of any stored
+    pair bucket (one bounded limit-1 read; the dedup family's bootstrap
+    rule, dedup_index._check_meta)."""
+    if not dest.commits():
+        return
+    df = dest.scan(bounds={"ckey": ("p:", "p:g")})
+    if df is None or "ckey" not in df.columns:
+        return
+    sample = (df.filter(F.col("kafka.topic").eqNullSafe(spec.topic)
+                        & F.col("ckey").startswith("p:"))
+              .select("ckey").limit(1).collect())
+    if sample and len(sample[0]["ckey"]) - 2 != spec.prefix_len:
+        raise ValueError(
+            f"embdedup index {spec.name!r}: stored ckeys are "
+            f"{len(sample[0]['ckey']) - 2} hex chars wide but the spec "
+            f"says prefix_len={spec.prefix_len} — fixed for the life of "
+            "an index; rebuild the index to change it")
+
+
 def sync_embdedup(src: Pool, dest: Pool, spec: EmbDedupIndexSpec,
                   topics: list[str], message: str | None = None,
                   stats_out: dict | None = None,
@@ -142,6 +165,7 @@ def sync_embdedup(src: Pool, dest: Pool, spec: EmbDedupIndexSpec,
 def _sync_once(src: Pool, dest: Pool, spec: EmbDedupIndexSpec,
                topics: list[str], message: str | None,
                stats_out: dict | None, upsert: bool = False) -> int:
+    _check_plen(dest, spec)
     snapshot = len(dest.commits())
     cursors = _spec_cursors(spec, dest.stored_cursors(), topics)
     delta = scan_delta(src, cursors, topics)
@@ -464,6 +488,7 @@ def pairs_view(dest: Pool, spec: EmbDedupIndexSpec,
     tombstone-masked on BOTH members. `ids` bounds the read to the
     canonical smaller member's 'p:' buckets (point-set file skipping,
     the dedup family's contract verbatim); None returns the full view."""
+    _check_plen(dest, spec)
     if ids is None:
         df = dest.scan()
     else:
