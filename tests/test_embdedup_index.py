@@ -287,6 +287,54 @@ def test_prefix_len_drift_refused(spark, tmp_path):
         ED.pairs_view(dest, drifted)
 
 
+def test_cli_embdedup_index(spark, tmp_path, capsys):
+    """CLI parity with the other four families: sync/pairs/delete/
+    health/compact drive the full lifecycle from a kind: embdedup spec
+    YAML."""
+    import json
+    import os
+
+    import yaml as _yaml
+
+    from zync_spark.cli import main
+
+    lake = os.path.join(tmp_path, "lake_ed")
+    src = Pool.create(spark, os.path.join(lake, "src"))
+    rows = [(("emb", 0, i), "data", (i, _vec(i))) for i in range(40)]
+    src.load(spark.createDataFrame(rows, ROW), "backfill")
+    spec_path = os.path.join(tmp_path, "ed.yaml")
+    with open(spec_path, "w") as f:
+        _yaml.safe_dump(
+            {"kind": "embdedup", "name": "nd", "source": "src",
+             "dest": "edidx", "topics": ["emb"], "id": "value.vec_id",
+             "vec": "value.emb", "n_cells": 4, "threshold": 0.6}, f)
+    assert main(["--lake", lake, "embdedup-index", "sync",
+                 spec_path]) == 0
+    out = capsys.readouterr().out
+    assert "rows committed" in out
+    assert main(["--lake", lake, "embdedup-index", "pairs",
+                 spec_path]) == 0
+    pairs = [json.loads(l)
+             for l in capsys.readouterr().out.strip().splitlines()]
+    assert pairs and all(p["id_a"] < p["id_b"] for p in pairs)
+    victim = pairs[0]["id_a"]
+    assert main(["--lake", lake, "embdedup-index", "delete", spec_path,
+                 "--ids", str(victim)]) == 0
+    capsys.readouterr()
+    assert main(["--lake", lake, "embdedup-index", "pairs",
+                 spec_path]) == 0
+    left = [json.loads(l)
+            for l in capsys.readouterr().out.strip().splitlines()]
+    assert all(victim not in (p["id_a"], p["id_b"]) for p in left)
+    assert main(["--lake", lake, "embdedup-index", "health",
+                 spec_path]) == 0
+    v = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert v["family"] == "embdedup" and "pair_recall" in v
+    assert main(["--lake", lake, "embdedup-index", "compact",
+                 spec_path]) == 0
+    assert "compacted" in capsys.readouterr().out
+
+
 def test_spec_loader_requires_kind(tmp_path):
     doc = """
 kind: embdedup

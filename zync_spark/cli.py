@@ -451,6 +451,75 @@ def cmd_ann_index(args) -> int:
     return 0
 
 
+def cmd_embdedup_index(args) -> int:
+    """Maintain/query an incremental embedding near-dup (SemDeDup)
+    index from a YAML spec (streaming/embdedup_index.py — the fifth
+    index family, round 8). Actions:
+
+      sync     one maintenance pass: first pass trains the frozen
+               k-means blocks on its delta, every pass assigns the
+               delta map-side and emits within-cell cosine pairs from
+               (new x new) + (new x stored probed cells), committed
+               atomically with cursors (rerun = no-op). --upsert runs
+               the one-call CDC path
+      compact  range-cluster by cell/bucket + fold tombstones
+      delete   tombstone --ids out of the LATEST state (pairs die when
+               EITHER member does)
+      health   blocking pair-recall (exact best-neighbor sample vs
+               co-location) vs --min-pair-recall; JSON verdict
+      rebuild  retrain the blocks over the FULL stored corpus and
+               re-emit the pair set in one atomic base commit
+      pairs    print the live near-dup pairs as JSON lines
+               (--ids bounds the read to those canonical smaller
+               members' buckets)
+
+    Spec YAML: see streaming.embdedup_index.load_embdedup_spec.
+    """
+    from zync_spark.streaming import embdedup_index as ed
+
+    spec, doc = ed.load_embdedup_spec(args.spec)
+    spark = _spark()
+    dest = _pool(spark, args.lake, doc["dest"], create=True)
+    if args.action == "sync":
+        src = _pool(spark, args.lake, doc["source"])
+        stats: dict = {}
+        n = ed.sync_embdedup(src, dest, spec, list(doc["topics"]),
+                             stats_out=stats,
+                             auto_compact_every=args.auto_compact,
+                             upsert=args.upsert)
+        probe = (f" (probe read {stats['probe_files']}/"
+                 f"{stats['live_files']} files)"
+                 if "probe_files" in stats else "")
+        print(f"embdedup-index {spec.name}: {n} rows committed{probe}")
+    elif args.action == "compact":
+        n = ed.compact_embdedup(dest)
+        print(f"embdedup-index {spec.name}: compacted {n} rows")
+    elif args.action == "rebuild":
+        n = ed.rebuild_embdedup(dest, spec, n_cells=args.n_cells)
+        print(f"embdedup-index {spec.name}: rebuilt {n} rows"
+              + (f" at {args.n_cells} cells" if args.n_cells else ""))
+    elif args.action == "delete":
+        if not args.ids:
+            raise SystemExit("embdedup-index delete requires --ids ID,ID")
+        n = ed.tombstone_embdedup(dest, spec,
+                                  [int(x) for x in args.ids.split(",")])
+        print(f"embdedup-index {spec.name}: {n} tombstone rows committed")
+    elif args.action == "health":
+        from zync_spark.streaming.health import check_embdedup_health
+
+        print(json.dumps(check_embdedup_health(
+            dest, spec, min_pair_recall=args.min_pair_recall)))
+    else:  # pairs
+        ids = ([int(x) for x in args.ids.split(",")] if args.ids
+               else None)
+        view = ed.pairs_view(dest, spec, ids=ids)
+        if view is not None:
+            for line in (view.orderBy("id_a", "id_b")
+                         .toJSON().collect()):
+                print(line)
+    return 0
+
+
 def cmd_text_index(args) -> int:
     """Maintain/query an incremental BM25 text index from a YAML spec
     (streaming/text_index.py). Actions:
@@ -1342,6 +1411,30 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--queries", type=int, default=25, metavar="Q",
                    help="recall: sample size of stored vectors to query")
     p.set_defaults(fn=cmd_ann_index)
+
+    p = sub.add_parser("embdedup-index",
+                       help="incremental embedding near-dup (SemDeDup) "
+                            "index")
+    p.add_argument("action",
+                   choices=["sync", "compact", "rebuild", "pairs",
+                            "delete", "health"])
+    p.add_argument("spec",
+                   help="index spec YAML (kind: embdedup — see "
+                        "cmd_embdedup_index docstring)")
+    p.add_argument("--ids", default=None, metavar="ID,ID",
+                   help="delete: tombstone these ids; pairs: bound the "
+                        "read to these canonical smaller members")
+    p.add_argument("--auto-compact", type=int, default=None, metavar="N",
+                   help="re-cluster after N delta commits since last base")
+    p.add_argument("--n-cells", type=int, default=None, metavar="K",
+                   help="rebuild: re-block at K cells (default: spec's)")
+    p.add_argument("--upsert", action="store_true",
+                   help="sync: one-call CDC — delta ids tombstone their "
+                        "previous versions in the same commit")
+    p.add_argument("--min-pair-recall", type=float, default=0.5,
+                   help="health: flag when sampled blocking pair-recall "
+                        "drops below this")
+    p.set_defaults(fn=cmd_embdedup_index)
 
     p = sub.add_parser("text-index", help="incremental BM25 text index")
     p.add_argument("action", choices=["sync", "compact", "search",
