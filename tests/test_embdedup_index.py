@@ -287,6 +287,27 @@ def test_prefix_len_drift_refused(spark, tmp_path):
         ED.pairs_view(dest, drifted)
 
 
+def test_fromkafka_health_dispatch(spark, tmp_path):
+    """The streaming maintenance loop dispatches the fifth family: its
+    health cadence runs check_embdedup_health and the per-pool
+    retention check for an embdedup index entry."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from zync_spark.streaming.from_kafka import FromKafka
+
+    spec = _spec()
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    _load(spark, src, 0, 30)
+    assert ED.sync_embdedup(src, dest, spec, ["emb"]) > 0
+    sub = StructType([StructField("x", LongType())])
+    fk = FromKafka(spark, {"emb": src}, sub, sub, format="json",
+                   indexes=[(spec, dest, ["emb"])], health_every=1)
+    verdicts = fk._run_health_checks()
+    fams = [v["family"] for v in verdicts]
+    assert "embdedup" in fams and fams.count("pool") == 1
+
+
 def test_cli_embdedup_index(spark, tmp_path, capsys):
     """CLI parity with the other four families: sync/pairs/delete/
     health/compact drive the full lifecycle from a kind: embdedup spec

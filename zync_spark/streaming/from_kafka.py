@@ -135,16 +135,20 @@ class FromKafka:
         if self.indexes:
             from zync_spark.streaming.ann_index import AnnIndexSpec
             from zync_spark.streaming.dedup_index import DedupIndexSpec
+            from zync_spark.streaming.embdedup_index import \
+                EmbDedupIndexSpec
             from zync_spark.streaming.span_index import SpanIndexSpec
             from zync_spark.streaming.text_index import TextIndexSpec
 
             for spec, _d, _t in self.indexes:
                 if not isinstance(spec,
                                   (DedupIndexSpec, AnnIndexSpec,
-                                   TextIndexSpec, SpanIndexSpec)):
+                                   TextIndexSpec, SpanIndexSpec,
+                                   EmbDedupIndexSpec)):
                     raise TypeError(
                         f"index entry {spec!r}: expected DedupIndexSpec, "
-                        "AnnIndexSpec, TextIndexSpec, or SpanIndexSpec"
+                        "AnnIndexSpec, TextIndexSpec, SpanIndexSpec, or "
+                        "EmbDedupIndexSpec"
                     )  # fail at construction, not mid-stream
 
     # -- resume ------------------------------------------------------------
