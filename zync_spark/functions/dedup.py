@@ -404,7 +404,8 @@ def embedding_neardup_pairs(
     into silently (round-2 audit finding).
     Output: (id_a, id_b, cos) with cos >= threshold, id_a < id_b.
     """
-    from zync_spark.functions.similarity import cosine_expr, hyperplane_bucket
+    from zync_spark.functions.similarity import (dot_expr, hyperplane_bucket,
+                                                 norm_expr)
 
     if bucket_bits is None:
         raise ValueError(
@@ -413,7 +414,16 @@ def embedding_neardup_pairs(
             "bucket_bits=0 to opt in to the QUADRATIC exact all-pairs "
             "join (verification scale only)"
         )
+    # norms precompute PER VECTOR, not per pair (round 8): the pair
+    # count is quadratic within a bucket while vectors are linear, so
+    # inlining cosine_expr was recomputing both norms for every
+    # candidate — 3x the dot-product work (measured: the memory-cert's
+    # gsf10 run sat in exactly this expression). sqrt(dot(v,v)) carried
+    # as a column and multiplied is the SAME IEEE value as the inlined
+    # sqrt(aa)*sqrt(bb) (ann_query's qn*cn precedent), so the oracle
+    # hash-parity is untouched.
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = base.withColumn("vn", norm_expr(F.col("v")))
     if bucket_bits > 0:
         base = base.withColumn(
             "bucket", hyperplane_bucket(F.col("v"), bucket_bits, dim)
@@ -427,7 +437,8 @@ def embedding_neardup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cos"),
+            (dot_expr(F.col("a.v"), F.col("b.v"))
+             / (F.col("a.vn") * F.col("b.vn"))).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -457,7 +468,9 @@ def semdedup_pairs(
 
     Output: (cluster, id_a, id_b, cos) with cos >= threshold, id_a < id_b.
     """
-    from zync_spark.functions.similarity import cosine_expr, kmeans_assignments
+    from zync_spark.functions.similarity import (dot_expr,
+                                                 kmeans_assignments,
+                                                 norm_expr)
 
     assign = kmeans_assignments(
         df, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
@@ -466,19 +479,25 @@ def semdedup_pairs(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    clustered = assign.join(vecs, "vec_id")
+    # per-vector norm precompute — same rationale and same IEEE parity
+    # argument as embedding_neardup_pairs (pairs are quadratic within a
+    # cluster, vectors linear)
+    clustered = assign.join(vecs, "vec_id").withColumn(
+        "vn", norm_expr(F.col("v")))
     a = clustered.select(
-        F.col("vec_id").alias("id_a"), "cluster", F.col("v").alias("va"))
+        F.col("vec_id").alias("id_a"), "cluster",
+        F.col("v").alias("va"), F.col("vn").alias("na"))
     b = clustered.select(
         F.col("vec_id").alias("id_b"), F.col("cluster").alias("cluster_b"),
-        F.col("v").alias("vb"))
+        F.col("v").alias("vb"), F.col("vn").alias("nb"))
     pairs = a.join(
         b, (F.col("cluster") == F.col("cluster_b"))
         & (F.col("id_a") < F.col("id_b")))
     return (
         pairs.select(
             "cluster", "id_a", "id_b",
-            cosine_expr(F.col("va"), F.col("vb")).alias("cos"))
+            (dot_expr(F.col("va"), F.col("vb"))
+             / (F.col("na") * F.col("nb"))).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
 
