@@ -48,13 +48,23 @@ def cosine_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         norm_expr(F.col(vec_col)).alias("qn"),
     )
-    # Spread only when the scan under-splits (small corpora = one parquet
-    # split); an already-parallel corpus must NOT be round-robin-reshuffled
-    # just to score it. Shares dedup._spread, whose file-size split
-    # estimate avoids a ~0.3s df.rdd conversion probe per query build.
-    from zync_spark.functions.dedup import _spread
+    # Dim-sized corpora take the one-window degenerate path (round 8):
+    # below _SMALL_CORPUS_BYTES the scored side is provably too small to
+    # recreate the gsf100 per-query funnel (SCALING §14), so the
+    # two-stage partial rank's extra local-sort stage and the _spread
+    # repartition are pure stage-wall overhead — measured 0.21 s -> 0.15 s
+    # on the pooled sf0.1 layout. Past the gate (or when the frame is
+    # not file-backed and the size is unknowable) the scale shape stands.
+    small = _corpus_bytes(corpus) < _SMALL_CORPUS_BYTES
+    if not small:
+        # Spread only when the scan under-splits (small corpora = one
+        # parquet split); an already-parallel corpus must NOT be
+        # round-robin-reshuffled just to score it. Shares dedup._spread,
+        # whose file-size split estimate avoids a ~0.3s df.rdd
+        # conversion probe per query build.
+        from zync_spark.functions.dedup import _spread
 
-    corpus = _spread(corpus)
+        corpus = _spread(corpus)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         norm_expr(F.col(vec_col)).alias("cn"),
@@ -68,7 +78,36 @@ def cosine_topk(
             (dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
     )
+    if small:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id"))
+        return (scored.withColumn("rank",
+                                  F.row_number().over(w).cast("long"))
+                .filter(F.col("rank") <= k))
     return topk_per_query(scored, k)
+
+
+# One-window gate for cosine_topk: 4 MB of compressed vectors ≈ ~15k
+# 64-dim floats — even a few hundred query vectors against that is a
+# sub-million-row window, orders below the funnel the two-stage shape
+# exists for. Unknown size (non-file frame) → treat as big (scale shape).
+_SMALL_CORPUS_BYTES = 4 << 20
+
+
+def _corpus_bytes(df: DataFrame) -> int:
+    """Compressed bytes behind a file-backed frame; 'huge' when unknowable
+    — plan-time metadata only (the same inputFiles stat _spread uses)."""
+    import os as _os
+
+    try:
+        files = df.inputFiles()
+        if not files:
+            return 1 << 62
+        from zync_spark.pool import local_paths
+
+        return sum(_os.path.getsize(f) for f in local_paths(files))
+    except Exception:
+        return 1 << 62
 
 
 def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
