@@ -96,9 +96,14 @@ _SMALL_CORPUS_BYTES = 4 << 20
 
 def _corpus_bytes(df: DataFrame) -> int:
     """Compressed bytes behind a file-backed frame; 'huge' when unknowable
-    — plan-time metadata only (the same inputFiles stat _spread uses)."""
+    — plan-time metadata only (the same inputFiles stat _spread uses).
+    Packed reads (pool.read_packed) coalesce, which empties inputFiles();
+    they carry their stat as the _zs_bytes attribute instead."""
     import os as _os
 
+    carried = getattr(df, "_zs_bytes", None)
+    if carried is not None:
+        return int(carried)
     try:
         files = df.inputFiles()
         if not files:

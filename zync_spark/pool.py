@@ -897,6 +897,11 @@ def read_packed(spark: SparkSession, files: list[str],
         target = _pack_target(spark, total, len(files))
         if target < len(files):
             df = df.coalesce(target)
+        # carry the stat: inputFiles() goes EMPTY through the coalesce's
+        # Repartition node, so size-gated consumers downstream
+        # (similarity._corpus_bytes) would otherwise read "unknowable"
+        # for exactly the small frames the gates exist for
+        df._zs_bytes = total
     return df
 
 
