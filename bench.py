@@ -121,6 +121,69 @@ def _egress_backfill(spark, sf_dir: str) -> dict[str, float]:
             "rows_per_sec_cold": round(n / first) if first else None}
 
 
+def _ingest_backfill(spark, sf_dir: str) -> dict[str, float]:
+    """Ingest-side throughput (round-9 ask #2): FromKafka over the
+    FileQueue transport — 100k Connect-JSON envelope records, read off
+    the queue, decoded, replay-guarded, and committed to a pool — the
+    exact batch path `zync from-kafka` runs per trigger. Queue produce
+    (driver-side JSON encode) is excluded: the metric is the consumer,
+    not the producer. Each attempt commits into a FRESH pool (the replay
+    guard makes a re-commit into the same pool a no-op — that would time
+    the duplicate filter, not ingest); cold = first attempt (Catalyst
+    analysis + codegen), warm = best of the rest."""
+    import shutil
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from zync_spark.pool import Pool
+    from zync_spark.queries import T, _scratch_dir
+    from zync_spark.sources.filequeue import FileQueue
+
+    root = _scratch_dir("zs-bench-ingest")
+    shutil.rmtree(root, ignore_errors=True)
+    fq = FileQueue(f"{root}/q")
+    rows = (T(spark, sf_dir, "events")
+            .select("event_id", "event_type", "value")
+            .limit(100_000).collect())
+    kschema = {"type": "struct",
+               "fields": [{"field": "ID", "type": "int64"}]}
+    vschema = {"type": "struct",
+               "fields": [{"field": "etype", "type": "string"},
+                          {"field": "v", "type": "string"}]}
+    fq.produce("events", [
+        (json.dumps({"schema": kschema,
+                     "payload": {"ID": int(r["event_id"])}}).encode(),
+         json.dumps({"schema": vschema,
+                     "payload": {"etype": r["event_type"],
+                                 "v": str(r["value"])}}).encode())
+        for r in rows
+    ])
+    key_t = StructType([StructField("ID", LongType())])
+    val_t = StructType([StructField("etype", StringType()),
+                        StructField("v", StringType())])
+    best = first = None
+    n = 0
+    for i in range(3):
+        from zync_spark.streaming.from_kafka import FromKafka
+
+        pool = Pool.create(spark, f"{root}/pool{i}")
+        fk = FromKafka(spark, {"events": pool}, key_t, val_t, format="json")
+        frame = fq.batch_frame(spark, "events")  # plan build, untimed
+        t0 = time.perf_counter()
+        committed = fk.commit_batch(frame)
+        dt = time.perf_counter() - t0
+        n = committed.get("events", 0)
+        if first is None:
+            first = dt
+        best = dt if best is None else min(best, dt)
+    shutil.rmtree(root, ignore_errors=True)
+    return {"rows": n, "sec": round(best, 3),
+            "rows_per_sec": round(n / best) if best else None,
+            "sec_cold": round(first, 3),
+            "rows_per_sec_cold": round(n / first) if first else None}
+
+
 def _pool_layout(spark, sf_dir: str) -> dict:
     """Headline timings on the engine's NATIVE storage layout.
 
@@ -230,6 +293,14 @@ def _pool_layout(spark, sf_dir: str) -> dict:
 
 
 def main() -> None:
+    # Host-load stamp (round-9 ask #4): the r8 pool_layout 2.221 outlier
+    # was only diagnosable by re-running on idle hardware — record the
+    # 1/5/15-min load averages at start and end so a loaded-host run is
+    # identifiable from the JSON alone.
+    try:
+        load_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_start = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Bench session is sized for the benchmark scale, as a perf engineer
@@ -310,8 +381,13 @@ def main() -> None:
     spark_subtotal = round(sum(timings[k] for k in duck), 3)
     duck_subtotal = round(sum(duck.values()), 3)
     egress = _egress_backfill(spark, sf_dir)
+    ingest = _ingest_backfill(spark, sf_dir)
     pooled = _pool_layout(spark, sf_dir)
 
+    try:
+        load_end = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_end = None
     payload = json.dumps(
             {
                 "metric": "headline_total",
@@ -336,9 +412,19 @@ def main() -> None:
                 ),
                 "duck_queries": duck,
                 "egress_backfill_100k": egress,
+                # the other half of the sync path (round-9 ask #2):
+                # FileQueue -> decode -> replay guard -> pool commit
+                "ingest_100k": ingest,
                 # same queries, both engines, on the engine's native
                 # multi-file pool layout (see _pool_layout docstring)
                 "pool_layout": pooled,
+                # host-load stamp (round-9 ask #4): flags loaded-host
+                # outlier runs after the fact
+                "host": {
+                    "cpus": os.cpu_count(),
+                    "loadavg_start": load_start,
+                    "loadavg_end": load_end,
+                },
             }
         )
     print(payload)

@@ -131,6 +131,58 @@ def test_embdedup_attr_ids(spark, tmp_path):
     assert got == [i for i in range(30) if _lang(i) == "en"]
 
 
+def test_attrs_commit_before_quantizer_trains_ann(spark, tmp_path):
+    """A delta consumed BEFORE the quantizer trains (all-null-vector
+    bootstrap) advances cursors permanently — its attr rows must commit
+    with that advance, or the docs are excluded from attr-filtered
+    retrieval for the index's life (round-8 ADVICE, medium)."""
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    src.load(spark.createDataFrame(
+        [(("emb", 0, i), "data", (i, None, _lang(i))) for i in range(6)],
+        ROW), "null-vec bootstrap")
+    assert AI.sync_ann(src, dest, SPEC, ["emb"]) > 0  # attrs, no vecs
+    assert AI.sync_ann(src, dest, SPEC, ["emb"]) == 0  # cursors advanced
+    _load(spark, src, 6, 30)
+    assert AI.sync_ann(src, dest, SPEC, ["emb"]) > 0  # trains now
+    en = _ids(AI.attr_ids(dest, SPEC, "lang = 'en'"))
+    assert [i for i in en if i < 6] == [i for i in range(6) if
+                                        _lang(i) == "en"]
+
+
+def test_attrs_commit_before_quantizer_trains_embdedup(spark, tmp_path):
+    spec = ED.EmbDedupIndexSpec("v", "value.vec_id", "value.emb",
+                                n_cells=4, iterations=2, threshold=0.6,
+                                attrs={"lang": "value.lang"})
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    src.load(spark.createDataFrame(
+        [(("emb", 0, i), "data", (i, None, _lang(i))) for i in range(6)],
+        ROW), "null-vec bootstrap")
+    assert ED.sync_embdedup(src, dest, spec, ["emb"]) > 0
+    assert ED.sync_embdedup(src, dest, spec, ["emb"]) == 0
+    _load(spark, src, 6, 30)
+    assert ED.sync_embdedup(src, dest, spec, ["emb"]) > 0
+    en = _ids(ED.attr_ids(dest, spec, "lang = 'en'"))
+    assert [i for i in en if i < 6] == [i for i in range(6) if
+                                        _lang(i) == "en"]
+
+
+def test_attr_rows_collapse_within_pass(spark, tmp_path):
+    """Two versions of one id in a single NON-upsert delta: the higher
+    source offset's attrs win deterministically (stored offsets carry no
+    version order — round-8 ADVICE)."""
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    src.load(spark.createDataFrame(
+        [(("emb", 0, 0), "data", (5, _vec(5), "en")),
+         (("emb", 0, 1), "data", (5, _vec(5), "de")),
+         (("emb", 0, 2), "data", (7, _vec(7), "en"))], ROW), "dup-id")
+    assert AI.sync_ann(src, dest, SPEC, ["emb"]) > 0
+    assert _ids(AI.attr_ids(dest, SPEC, "lang = 'de'")) == [5]
+    assert _ids(AI.attr_ids(dest, SPEC, "lang = 'en'")) == [7]
+
+
 def test_cli_ann_only_retrieve_where(spark, tmp_path, capsys):
     """A text-less deployment: `retrieve ann.yaml --where` resolves the
     filter from the ANN pool's own attrs (round-8 ask #3) and prints
@@ -161,6 +213,11 @@ def test_cli_ann_only_retrieve_where(spark, tmp_path, capsys):
     assert rows and all(_lang(r["doc_id"]) == "en" for r in rows)
     assert all(r["doc_id"] != 3 for r in rows)  # self excluded
     assert any("resolved from index-attrs(ann)" in l for l in lines)
+    # a bad predicate over the ANN attr path surfaces the friendly
+    # error, not a raw AnalysisException traceback (round-8 ADVICE)
+    with pytest.raises(SystemExit, match="bad --where predicate"):
+        main(["--lake", lake, "retrieve", aspec, "--vec-id", "3",
+              "--where", "nosuchcol = 'x'"])
     # --query without a text spec is refused loudly
     with pytest.raises(SystemExit, match="text-index spec"):
         main(["--lake", lake, "retrieve", aspec, "--vec-id", "3",

@@ -253,6 +253,47 @@ def test_health_measures_blocking_pair_recall(spark, tmp_path):
     assert v["pair_recall"] is not None and v["pair_recall"] < 1.0
 
 
+def test_health_occupancy_triggers_resize(spark, tmp_path):
+    """n_cells is frozen at creation, so cells fatten linearly with the
+    corpus (round-9 ask #1): the health check must report occupancy,
+    recommend a ~sqrt(N) resize as structured rebuild_args, and
+    FromKafka's auto_rebuild loop must apply it — after which the index
+    is healthy and the planted near-dups are still discoverable."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from zync_spark.streaming.from_kafka import FromKafka
+    from zync_spark.streaming.health import check_embdedup_health
+
+    spec = _spec(n_cells=2)  # deliberately tiny: 2 frozen cells
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    _load(spark, src, 0, 40)
+    assert ED.sync_embdedup(src, dest, spec, ["emb"]) > 0
+    v = check_embdedup_health(dest, spec, max_mean_occupancy=16.0)
+    assert not v["healthy"]
+    assert v["mean_cell_occupancy"] > 16.0
+    assert v["max_cell_occupancy"] >= v["mean_cell_occupancy"]
+    assert v["rebuild_args"]["n_cells"] >= 7  # >= ceil(sqrt(40))
+    assert "n_cells" in v["recommendation"]
+    # the streaming maintenance loop applies the structured cure
+    sub = StructType([StructField("x", LongType())])
+    fk = FromKafka(spark, {"emb": src}, sub, sub, format="json",
+                   indexes=[(spec, dest, ["emb"])], health_every=1,
+                   auto_rebuild=True,
+                   health_opts={"v": {"max_mean_occupancy": 16.0}})
+    with pytest.warns(UserWarning, match="unhealthy"):
+        fk._run_health_checks()
+    v2 = check_embdedup_health(dest, spec, max_mean_occupancy=16.0)
+    assert v2["healthy"] and v2["cells_used"] > 2
+    assert v2["mean_cell_occupancy"] <= 16.0
+    # later syncs assign against the RESIZED stored centroids, and the
+    # planted near-identical twins still co-locate and pair up
+    _load(spark, src, 40, 50)
+    assert ED.sync_embdedup(src, dest, spec, ["emb"]) > 0
+    got = {(a, b) for _, a, b, _c in _pairs(ED.pairs_view(dest, spec))}
+    assert {(8, 9), (18, 19), (28, 29), (38, 39), (48, 49)} <= got
+
+
 def test_pairs_view_point_lookup_is_bounded(spark, tmp_path):
     spec = _spec()
     src = Pool.create(spark, str(tmp_path / "src"))

@@ -89,6 +89,22 @@ def test_cosine_topk(vectors):
     assert len(res) == 2
 
 
+def test_cosine_topk_schema_stable_across_size_gate(vectors, tmp_path):
+    """Output column ORDER must not vary with corpus size (round-8
+    ADVICE): the small-corpus one-window path and the two-stage scale
+    path must return the identical ordered schema."""
+    q = vectors.filter(F.col("vec_id") == 0)
+    big = S.cosine_topk(vectors, q, k=2)       # non-file frame: scale path
+    p = str(tmp_path / "vecs.parquet")
+    vectors.write.parquet(p)
+    filed = vectors.sparkSession.read.parquet(p)   # < 4 MB: small path
+    small = S.cosine_topk(filed, q, k=2)
+    assert small.columns == big.columns == [
+        "query_id", "neighbor_id", "rank", "cos"]
+    assert ({(r["rank"], r["neighbor_id"]) for r in small.collect()}
+            == {(r["rank"], r["neighbor_id"]) for r in big.collect()})
+
+
 def test_embedding_neardup(vectors):
     pairs = {(r["id_a"], r["id_b"]) for r in
              D.embedding_neardup_pairs(vectors, "vec_id", "embedding",

@@ -1,17 +1,27 @@
 """Experiment: does the incremental embdedup (SemDeDup) index's
 per-pass read stay bounded as the stored index grows? (Round 8 — the
-fifth family's analog of exp_dedup_index_scale / exp_ann_recall.)
+fifth family's analog of exp_dedup_index_scale / exp_ann_recall.
+Round 9 adds the OCCUPANCY dimension: n_cells is frozen at creation,
+so with a fixed cell count the per-pass constant grows linearly with
+the corpus even while probe_files stays bounded — the experiment now
+grows the corpus a full decade past the r8 pin, measures per-pass time
+fattening, applies the health loop's sqrt(N) resize
+(check_embdedup_health -> rebuild_embdedup(n_cells=...)), and shows
+per-pass time dropping back after it.)
 
 Builds the index over synthetic embeddings in one backfill (trains the
 frozen blocks, compacted into many cell-clustered files) plus a stream
-of SMALL deltas, recording each pass's file-skipping telemetry
-(probe_files vs live_files from sync_embdedup's stats_out) and wall
-time. Expected: live_files grows with the corpus; probe_files tracks
-the DELTA's cell fan-out (<= the delta's distinct cells' files), not
-the corpus; per-pass time tracks delta x its cells' stored vectors.
-Results go to SCALING.md §16.
+of deltas, recording each pass's file-skipping telemetry (probe_files
+vs live_files from sync_embdedup's stats_out), wall time, and the mean
+cell occupancy. Expected: live_files grows with the corpus;
+probe_files tracks the DELTA's cell fan-out; per-pass time tracks
+delta x mean occupancy — LINEAR in the corpus with frozen cells, flat
+after the resize. Results go to SCALING.md §16.
 
 Usage: python tools/exp_embdedup_scale.py [n_backfill] [deltas] [per]
+           [post_resize_deltas] [max_mean_occupancy]
+  - post_resize_deltas > 0 runs the health+resize phase after the main
+    delta series, then that many more deltas against the resized index.
 """
 import json
 import math
@@ -23,6 +33,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("SPARK_GRAFT_NO_PROGRESS", "1")
+
+from pyspark.sql import functions as F
 
 from zync_spark.pool import Pool
 from zync_spark.queries import _scratch_dir
@@ -63,7 +75,26 @@ def _load(src, lo, hi):
     src.load(spark.createDataFrame(rows, ROW), f"[{lo},{hi})")
 
 
-def main(backfill=20000, deltas=8, per=200):
+def _occupancy(dest):
+    """Mean/max live vectors per used cell — the same bounded 'l:'
+    groupBy check_embdedup_health runs (tombstone mask skipped: this
+    experiment never deletes)."""
+    from zync_spark.streaming.ann_index import _is_vec
+
+    df = dest.scan(bounds={"ckey": ("l:", "l:g")})
+    if df is None or "cell" not in df.columns:
+        return None
+    row = (df.filter(_is_vec(SPEC)).groupBy("cell")
+           .agg(F.count("*").alias("n"))
+           .agg(F.max("n").alias("mx"), F.avg("n").alias("av"),
+                F.count("*").alias("nc")).collect()[0])
+    return {"cells_used": int(row["nc"] or 0),
+            "mean_occ": round(float(row["av"] or 0.0), 1),
+            "max_occ": int(row["mx"] or 0)}
+
+
+def main(backfill=20000, deltas=8, per=200, post_resize_deltas=0,
+         max_mean_occupancy=1024.0):
     lake = _scratch_dir("zs-exp-embdedup")
     shutil.rmtree(lake, ignore_errors=True)
     src = Pool.create(spark, f"{lake}/src")
@@ -74,29 +105,61 @@ def main(backfill=20000, deltas=8, per=200):
     ED.compact_embdedup(dest, target_rows=max(backfill // 64, 200))
     print(json.dumps({"phase": "backfill", "docs": backfill,
                       "sec": round(time.perf_counter() - t0, 1),
-                      "live_files": len(dest.committed_files())}))
-    lo = backfill
-    for d in range(deltas):
-        stats: dict = {}
+                      "live_files": len(dest.committed_files()),
+                      "occupancy": _occupancy(dest)}))
+    state = {"lo": backfill}
+
+    def run_deltas(tag, count, occ_every):
+        for d in range(count):
+            lo = state["lo"]
+            stats: dict = {}
+            t0 = time.perf_counter()
+            _load(src, lo, lo + per)
+            n = ED.sync_embdedup(src, dest, SPEC, ["emb"], stats_out=stats)
+            rec = {
+                "phase": tag, "i": d, "rows": n, "docs": lo + per,
+                "sec": round(time.perf_counter() - t0, 2),
+                "probe_files": stats.get("probe_files"),
+                "live_files": stats.get("live_files"),
+                "probe_frac": (round(stats["probe_files"]
+                                     / stats["live_files"], 3)
+                               if stats.get("live_files") else None),
+            }
+            if occ_every and (d + 1) % occ_every == 0:
+                rec["occupancy"] = _occupancy(dest)
+            print(json.dumps(rec), flush=True)
+            state["lo"] = lo + per
+
+    run_deltas("delta", deltas, occ_every=max(deltas // 4, 1))
+    if post_resize_deltas:
+        from zync_spark.streaming.health import check_embdedup_health
+
         t0 = time.perf_counter()
-        _load(src, lo, lo + per)
-        n = ED.sync_embdedup(src, dest, SPEC, ["emb"], stats_out=stats)
+        v = check_embdedup_health(dest, SPEC, sample=16,
+                                  max_mean_occupancy=max_mean_occupancy)
         print(json.dumps({
-            "phase": "delta", "i": d, "rows": n,
-            "sec": round(time.perf_counter() - t0, 2),
-            "probe_files": stats.get("probe_files"),
-            "live_files": stats.get("live_files"),
-            "probe_frac": (round(stats["probe_files"]
-                                 / stats["live_files"], 3)
-                           if stats.get("live_files") else None),
-        }), flush=True)
-        lo += per
+            "phase": "health", "sec": round(time.perf_counter() - t0, 1),
+            "healthy": v["healthy"], "pair_recall": v["pair_recall"],
+            "cells_used": v["cells_used"],
+            "mean_cell_occupancy": v["mean_cell_occupancy"],
+            "max_cell_occupancy": v["max_cell_occupancy"],
+            "rebuild_args": v["rebuild_args"]}), flush=True)
+        if v.get("rebuild_args") and "n_cells" in v["rebuild_args"]:
+            t0 = time.perf_counter()
+            ED.rebuild_embdedup(dest, SPEC, **v["rebuild_args"])
+            print(json.dumps({
+                "phase": "resize",
+                "n_cells": v["rebuild_args"]["n_cells"],
+                "sec": round(time.perf_counter() - t0, 1),
+                "occupancy": _occupancy(dest)}), flush=True)
+        run_deltas("delta_post_resize", post_resize_deltas, occ_every=0)
     pairs = ED.pairs_view(dest, SPEC)
-    print(json.dumps({"phase": "done", "total_docs": lo,
-                      "pairs": pairs.count() if pairs is not None else 0}))
+    print(json.dumps({"phase": "done", "total_docs": state["lo"],
+                      "pairs": pairs.count() if pairs is not None else 0,
+                      "occupancy": _occupancy(dest)}))
     shutil.rmtree(lake, ignore_errors=True)
 
 
 if __name__ == "__main__":
-    a = [int(x) for x in sys.argv[1:]]
+    a = [float(x) if "." in x else int(x) for x in sys.argv[1:]]
     main(*a)

@@ -774,6 +774,11 @@ def cmd_retrieve(args) -> int:
                 where_source = "index-attrs(ann)"
             except EmptyIndexError:
                 where_ids = None
+            except Exception as e:
+                # mirror the text path: a coverage-guard ValueError or a
+                # bad-predicate AnalysisException must surface as the
+                # friendly error, not a raw traceback (round-8 ADVICE)
+                raise SystemExit(f"retrieve: bad --where predicate: {e}")
         except Exception as e:
             raise SystemExit(f"retrieve: bad --where predicate: {e}")
     if args.where and where_ids is None:

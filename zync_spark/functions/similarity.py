@@ -83,7 +83,10 @@ def cosine_topk(
             F.col("cos").desc(), F.col("neighbor_id"))
         return (scored.withColumn("rank",
                                   F.row_number().over(w).cast("long"))
-                .filter(F.col("rank") <= k))
+                .filter(F.col("rank") <= k)
+                # same ORDERED schema as topk_per_query: the output
+                # shape must not vary with corpus size (round-8 ADVICE)
+                .select("query_id", "neighbor_id", "rank", "cos"))
     return topk_per_query(scored, k)
 
 

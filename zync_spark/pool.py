@@ -884,7 +884,15 @@ def read_packed(spark: SparkSession, files: list[str],
     pushdown is unaffected (pinned in test_pool). File sizes come from a
     driver-side stat of the (already pruned) file list, capped at
     _PACK_STAT_CAP files — a pool that large is past the small-task
-    regime and reads at Spark's own partitioning."""
+    regime and reads at Spark's own partitioning.
+
+    The byte stat rides the returned frame as a plain Python attribute
+    (`df._zs_bytes`) — a DIRECT-FRAME-ONLY contract: any DataFrame
+    transformation (filter/select/...) returns a new object without it,
+    and size-gated consumers (similarity._corpus_bytes) then read
+    "unknowable" and take the conservative scale shape. That fallback is
+    CORRECT, only potentially slower — callers that want the small-frame
+    fast path on a derived frame must re-attach the stat themselves."""
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")

@@ -222,17 +222,22 @@ def _sync_ann_once(src: Pool, dest: Pool, spec: AnnIndexSpec,
             if cent_rows is not None:
                 out = _stamp("centroid", F.lit("c:"), cent_rows).unionByName(
                     out, allowMissingColumns=True)
-        if spec.attrs and out is not None:
+        if spec.attrs:
             # index-resident metadata in the shared 'a:' key space
             # (streaming/attrs.py): an ANN-only deployment then resolves
             # `retrieve --where` from this pool alone. Derived from
             # src_rows, not the non-null `vecs` subset (attrs for a
             # null-vector doc are harmless; a co-tenant family may
-            # still index it).
+            # still index it). Attached even when NOTHING trained
+            # (out is None — e.g. an all-null-vector bootstrap delta):
+            # the cursor advance below is permanent, so skipping attrs
+            # here would silently exclude those docs from every later
+            # attr-filtered retrieval (round-8 ADVICE).
             from zync_spark.streaming.attrs import attr_rows
 
-            out = out.unionByName(attr_rows(spec, src_rows),
-                                  allowMissingColumns=True)
+            arows = attr_rows(spec, src_rows)
+            out = (arows if out is None else
+                   out.unionByName(arows, allowMissingColumns=True))
         if tombs_new is not None:
             from zync_spark.streaming.tombstones import tomb_rows
 

@@ -53,21 +53,45 @@ def _is_attr(spec):
 
 
 def attr_rows(spec, src_rows: DataFrame) -> DataFrame:
-    """The 'attr' rows a sync pass commits for its delta: one per id,
-    derived from the RAW delta rows (not the family's indexable subset —
-    an empty-text/null-vector doc can still live in a co-tenant index,
-    and an attr filter must not silently exclude it from that leg).
-    Requires spec.attrs / spec.id_expr; bucket fan-out follows the
+    """The 'attr' rows a sync pass commits for its delta: EXACTLY one per
+    id, derived from the RAW delta rows (not the family's indexable
+    subset — an empty-text/null-vector doc can still live in a co-tenant
+    index, and an attr filter must not silently exclude it from that
+    leg). Requires spec.attrs / spec.id_expr; bucket fan-out follows the
     spec's prefix_len (families without one use the tombstone default,
-    2)."""
+    2).
+
+    Within-pass version collapse (round-8 ADVICE): stored offsets come
+    from monotonically_increasing_id, which carries NO version order —
+    two same-id rows in one non-upsert delta would otherwise pick an
+    arbitrary winner at read time. Collapse here by the SOURCE kafka
+    coordinates instead: latest offset within the id's source partition
+    wins (the per-partition sequence is the only real version order —
+    keep_latest_versions' contract); an id spread across source
+    partitions in one pass has no order, so the tie-break on partition
+    is arbitrary-but-deterministic (upsert mode refuses that case
+    loudly before this ever runs). Across passes, attr_ids' latest-wins
+    window orders by stored kafka.partition = the OCC commit seq first,
+    so the later pass always supersedes."""
+    from pyspark.sql import Window
+
     pairs: list = []
     for k in sorted(spec.attrs):
         pairs += [F.lit(k), F.expr(spec.attrs[k]).cast("string")]
     plen = getattr(spec, "prefix_len", 2)
-    arows = src_rows.select(
-        F.expr(spec.id_expr).cast("long").alias("doc_id"),
-        F.create_map(*pairs).alias("attrs"),
-    ).filter(F.col("doc_id").isNotNull())
+    w = Window.partitionBy(F.expr(spec.id_expr)).orderBy(
+        F.col("kafka.partition").desc(), F.col("kafka.offset").desc())
+    arows = (src_rows
+             # null-id rows (co-tenant topics, markers) leave BEFORE the
+             # window — they are not entities, and a null partition
+             # would funnel them all through one task
+             .filter(F.expr(spec.id_expr).isNotNull())
+             .withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") == 1)
+             .select(
+                 F.expr(spec.id_expr).cast("long").alias("doc_id"),
+                 F.create_map(*pairs).alias("attrs"),
+             ).filter(F.col("doc_id").isNotNull()))
     return _stamp("attr", pmod_ckey("a:", F.col("doc_id"), plen), arows)
 
 

@@ -340,23 +340,51 @@ def _sync_once(src: Pool, dest: Pool, spec: EmbDedupIndexSpec,
             finally:
                 new.unpersist()
         # nothing indexable (no vectors and nothing trained): advance the
-        # cursor via a tombstone so later passes don't re-scan forever
+        # cursor via a tombstone so later passes don't re-scan forever —
+        # but the delta's attr rows (and upsert tombstones) still commit
+        # with it: the advance is permanent, so dropping them here would
+        # silently exclude these docs from attr-filtered retrieval for
+        # the index's life (round-8 ADVICE)
         return _cursor_only(dest, spec, delta, new_cursors, snapshot,
-                            message)
+                            message, src_rows=src_rows, tombs_new=tombs_new)
     finally:
         delta.unpersist()
 
 
 def _cursor_only(dest: Pool, spec: EmbDedupIndexSpec, delta: DataFrame,
-                 new_cursors: dict, snapshot: int,
-                 message: str | None) -> int:
+                 new_cursors: dict, snapshot: int, message: str | None,
+                 src_rows: DataFrame | None = None,
+                 tombs_new: DataFrame | None = None) -> int:
+    """Advance cursors for a pass that indexed no vectors. NOT
+    necessarily row-free: when the spec declares attrs (or the pass ran
+    in upsert mode), the delta's attr/tombstone rows commit alongside
+    the cursor marker — a delta consumed before the quantizer trains
+    must not permanently lose its metadata."""
     tomb = delta.sparkSession.createDataFrame(
         [((spec.topic, 0, 0), "cursors")],
         "kafka struct<topic:string,partition:long,offset:long>,"
         " zed_type string",
     )
-    return dest.load(tomb, message or f"{spec.topic} sync",
-                     cursors=new_cursors, occ_token=snapshot)
+    extra = None
+    if spec.attrs and src_rows is not None:
+        from zync_spark.streaming.attrs import attr_rows
+
+        extra = attr_rows(spec, src_rows)
+    if tombs_new is not None:
+        from zync_spark.streaming.tombstones import tomb_rows
+
+        trows = tomb_rows(delta.sparkSession, tombs_new, upto=snapshot,
+                          prefix_len=spec.prefix_len)
+        extra = (trows if extra is None else
+                 extra.unionByName(trows, allowMissingColumns=True))
+    if extra is None:
+        return dest.load(tomb, message or f"{spec.topic} sync",
+                         cursors=new_cursors, occ_token=snapshot)
+    out = tomb.unionByName(_envelope(spec, extra, snapshot),
+                           allowMissingColumns=True)
+    return dest.load(out, message or f"{spec.topic} sync",
+                     cursors=new_cursors, occ_token=snapshot,
+                     cluster_by=["ckey"])
 
 
 def tombstone_embdedup(dest: Pool, spec: EmbDedupIndexSpec, ids) -> int:
