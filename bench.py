@@ -1,7 +1,12 @@
 """Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ...}. Also pinned per round:
+egress_backfill_100k and ingest_100k (both halves of the kafka sync
+path, warm/cold rows-per-sec), pool_layout (headline set on the
+engine's native multi-file layout, vs DuckDB, median-of-3 protocol),
+and a host loadavg stamp so loaded-host outlier runs are identifiable
+from the JSON after the fact.
 
 Methodology:
 - Each query materializes through the `noop` sink: every output column is

@@ -40,6 +40,7 @@ def _load(spark, src, lo, hi):
     src.load(spark.createDataFrame(rows, ROW), f"[{lo},{hi})")
 
 
+@pytest.mark.slow
 def test_incremental_equals_batch_with_frozen_centroids(spark, tmp_path):
     src = Pool.create(spark, str(tmp_path / "src"))
     dest = Pool.create(spark, str(tmp_path / "idx"))
@@ -180,6 +181,7 @@ def test_small_training_set_warns_without_min_train(spark, tmp_path):
     assert AI.stored_centroids(dest, SPEC) is not None
 
 
+@pytest.mark.slow
 def test_rebuild_retrains_and_requeries_like_batch(spark, tmp_path):
     """Round-5 ask #1b: rebuild_ann retrains the quantizer over the FULL
     stored corpus and re-shards every vec row in one OCC base commit.
@@ -220,6 +222,7 @@ def test_rebuild_retrains_and_requeries_like_batch(spark, tmp_path):
     assert AI.stored_centroids(dest, SPEC) == cents
 
 
+@pytest.mark.slow
 def test_recall_improves_after_rebuild(spark, tmp_path):
     """Round-5 ask #1a: ann_recall measures retrieval quality (recall@k
     vs exact top-k over the stored corpus). A quantizer frozen on a tiny

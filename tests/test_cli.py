@@ -7,6 +7,8 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from tests.fixtures_invoices import BATCHES, INVOICES_YAML, ROW_SCHEMA
 
 from zync_spark.cli import main
@@ -354,6 +356,7 @@ def test_cli_dedup_index_sync_pairs(spark, tmp_path, capsys):
     assert [r["doc_id"] for r in idx] == [d for d, _ in DOCS]
 
 
+@pytest.mark.slow
 def test_cli_ann_index_and_types(spark, tmp_path, capsys):
     import yaml as _yaml
 
@@ -399,6 +402,7 @@ def test_cli_ann_index_and_types(spark, tmp_path, capsys):
         "path": "value.emb", "name": "embedding_t"}
 
 
+@pytest.mark.slow
 def test_cli_text_index(spark, tmp_path, capsys):
     import yaml as _yaml
 
@@ -429,6 +433,7 @@ def test_cli_text_index(spark, tmp_path, capsys):
     assert all(h["score"] > 0 for h in hits)
 
 
+@pytest.mark.slow
 def test_cli_retrieve_hybrid(spark, tmp_path, capsys):
     """`retrieve` fuses text-index BM25 with ann-index cosine by RRF —
     both indexes over one shared id space (ids 0..23)."""
@@ -582,6 +587,7 @@ def test_cli_span_index(spark, tmp_path, capsys):
                     "span_tokens": 16}]
 
 
+@pytest.mark.slow
 def test_cli_index_rebuild_verbs(spark, tmp_path, capsys):
     """The rebuild verbs re-bucket in place and tell the operator to
     update the spec YAML; missing knobs fail with guidance."""
@@ -618,6 +624,7 @@ def test_cli_index_rebuild_verbs(spark, tmp_path, capsys):
         main(["--lake", lake, "span-index", "spans", spec_path])
 
 
+@pytest.mark.slow
 def test_cli_index_delete_verbs(spark, tmp_path, capsys):
     """Each index family's `delete` verb tombstones ids out of the
     LATEST state: the view/search verbs stop serving them immediately

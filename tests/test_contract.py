@@ -2,6 +2,7 @@
 static checks that fail fast if a refactor breaks the external gate's
 assumptions (the expensive end-to-end versions run via tools/)."""
 
+import pytest
 import json
 import os
 import subprocess
@@ -46,6 +47,7 @@ def test_coverage_doc_counts():
     )
 
 
+@pytest.mark.slow
 def test_bench_emits_one_json_line():
     # sf0.001 keeps this a smoke test; the driver runs sf0.1
     env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",

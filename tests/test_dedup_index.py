@@ -74,6 +74,7 @@ def _batch_pairs(spark):
     }
 
 
+@pytest.mark.slow
 def test_incremental_equals_batch(spark, tmp_path):
     src = Pool.create(spark, str(tmp_path / "src"))
     dest = Pool.create(spark, str(tmp_path / "idx"))
@@ -154,6 +155,7 @@ def test_probe_reads_bounded_file_subset(spark, tmp_path):
     assert (7, 60) in pairs
 
 
+@pytest.mark.slow
 def test_envelope_is_distributed_and_labels_unique(spark, tmp_path):
     """Round-4 fix of the r3 envelope: no global-window offset
     assignment (one task serializing every row of a pass — fatal for an
@@ -192,6 +194,7 @@ def test_envelope_is_distributed_and_labels_unique(spark, tmp_path):
     assert got == set(_batch_pairs(spark))
 
 
+@pytest.mark.slow
 def test_legacy_pool_fallback_and_migration(spark, tmp_path):
     """Pools written before the band-row format (index rows only, no
     ckey) must still sync correctly via the full-scan fallback, and
@@ -233,6 +236,7 @@ def test_legacy_pool_fallback_and_migration(spark, tmp_path):
     assert idx == [0, 1, 2, 3, 4]
 
 
+@pytest.mark.slow
 def test_auto_compact_cadence(spark, tmp_path):
     """sync_index(auto_compact_every=N) re-clusters once N delta commits
     accrete — results identical, and the pool gains a base manifest."""
@@ -428,6 +432,7 @@ def test_drifted_spec_fails_loud(spark, tmp_path):
     assert DI.sync_index(src, dest, relaxed, ["docs"]) > 0
 
 
+@pytest.mark.slow
 def test_rebuild_rebuckets_in_place(spark, tmp_path):
     """rebuild_index re-buckets every key space under a new prefix_len
     from stored rows alone; the old contract then fails loud, the new

@@ -58,6 +58,7 @@ def _pairs(df):
                   for r in df.collect())
 
 
+@pytest.mark.slow
 def test_split_invariance_equals_frozen_batch(spark, tmp_path):
     """The judge-sanctioned contract: over any batch split with the same
     backfill (the training slice), the incremental pair set is IDENTICAL
@@ -175,6 +176,7 @@ def test_upsert_replaces_prior_version(spark, tmp_path):
     assert live.filter(F.col("vec_id") == 9).count() == 1
 
 
+@pytest.mark.slow
 def test_rebuild_retrains_and_reemits_like_batch(spark, tmp_path):
     """rebuild_embdedup == batch SemDeDup trained on everything stored:
     new centroids equal full-corpus k-means, the pair set equals

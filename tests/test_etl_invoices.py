@@ -286,6 +286,7 @@ def _values_state(staging):
     return data, done
 
 
+@pytest.mark.slow
 def test_multipartition_cdc_end_to_end(spark, tmp_path):
     """Round 6: multi-partition CDC input is SUPPORTED — markers, the
     anti-join, cursors, and output offsets all key per (topic,

@@ -456,6 +456,7 @@ def test_to_kafka_egress_shaper(spark, tmp_path):
     assert sent == [0, 2, 4]
 
 
+@pytest.mark.slow
 def test_streaming_index_maintenance(spark, tmp_path):
     """FromKafka(indexes=[...]) keeps a dedup index fresh to within one
     micro-batch, exactly the rollup contract: commit_batch ingests, then
@@ -496,6 +497,7 @@ def test_streaming_index_maintenance(spark, tmp_path):
                   indexes=[(object(), idx, ["docs"])])
 
 
+@pytest.mark.slow
 def test_index_maintenance_inherits_auto_compact(spark, tmp_path):
     """ADVICE closure: auto_compact_every applies to the INDEX dest pools
     too — without it one un-clustered commit accretes per micro-batch and
@@ -566,6 +568,7 @@ def test_streaming_text_index_maintenance(spark, tmp_path):
     assert hits.count() == 3
 
 
+@pytest.mark.slow
 def test_streaming_span_index_maintenance(spark, tmp_path):
     """FromKafka(indexes=[(SpanIndexSpec, ...)]) keeps the duplicated-
     span index fresh to within one micro-batch — fourth index family,

@@ -455,6 +455,7 @@ def test_kmeans_centroids_partition_independent(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_ivf_assign_broadcast_path_matches_literals_and_bounds_plan(spark):
     """Above literal_threshold, centroids ship as a broadcast one-row
     relation instead of plan literals: (a) cell assignment is identical to

@@ -10,6 +10,7 @@ prefixes ('t:'/'d:' text, 'w:'/'d:'-span's own topic/'f:' span, 'x:'
 tombstones, 'c:' stats), so ckey-clustered files stay probe-skippable
 for every tenant after the one shared rewrite."""
 
+import pytest
 import warnings
 
 from pyspark.sql import functions as F
@@ -18,6 +19,9 @@ from zync_spark.pool import Pool
 from zync_spark.streaming import span_index as SI
 from zync_spark.streaming import text_index as TI
 from zync_spark.streaming.tombstones import fold_compact, read_tombs
+
+# soak suite: excluded from the pre-commit tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 
 def _env(spark, rows, shift=0):

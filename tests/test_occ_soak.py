@@ -13,6 +13,7 @@ Spark job submission is thread-safe; the pool's OCC invariant under test
 is pool.py's exclusive publish: no commit is ever lost, no base manifest
 ever supersedes a commit it did not read."""
 
+import pytest
 import os
 import threading
 
@@ -21,6 +22,9 @@ from pyspark.sql import functions as F
 from zync_spark.pool import ConcurrentWriteError, Pool
 from zync_spark.streaming import dedup_index as DI
 from zync_spark.streaming.tombstones import fold_compact, read_tombs
+
+# soak suite: excluded from the pre-commit tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 N_BACKFILL = 80      # ids 0..79; tombstones kill 0..59, 60..79 survive
 N_TOMB_EACH = 30     # per tombstoner thread (2 threads), 1-id commits

@@ -103,12 +103,20 @@ def test_group_topk_prefilters_before_window(spark):
 
 
 def test_kmeans_broadcasts_centroids(spark):
-    # each Lloyd round: the k centroids collapse to one row and broadcast
-    # back; reassignment is a pure map. The corpus must NEVER shuffle —
-    # the only exchanges carry k*dim partial sums
+    # Round-9 revision (bit-identical results, stronger plan): Lloyd
+    # rounds COLLECT their k*dim centroids between rounds instead of
+    # crossJoin-broadcasting each round's centroid row — the unrolled
+    # form put the whole previous round inside a BroadcastExchange child
+    # (hard broadcastTimeout wall; timed out at the 200k-vector rebuild)
+    # and its lineage grew per round. The FINAL plan is now a pure map
+    # over the corpus against literal centroids: no join of ANY kind,
+    # no corpus shuffle, no Python nodes. (The per-round centroid
+    # aggregations run as separate bounded jobs at build time — k*dim
+    # partial sums, the only thing that ever crosses the wire.)
     p = plan_of(spark, "kmeans_clusters")
-    assert count("BroadcastNestedLoopJoin", p) >= 2
+    assert count("BroadcastNestedLoopJoin", p) == 0
     assert count("SortMergeJoin", p) + count("ShuffledHashJoin", p) == 0
+    assert count("BroadcastHashJoin", p) == 0
     assert re.search(PY_NODES, p) is None
 
 

@@ -30,6 +30,9 @@ from zync_spark.streaming import text_index as TI
 from zync_spark.streaming.tombstones import (fold_compact, mask_rows,
                                              read_tombs)
 
+# soak suite: excluded from the pre-commit tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 from tests.test_text_index import ROW, SPEC, _load, _text
 
 

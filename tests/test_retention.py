@@ -108,6 +108,7 @@ def test_fold_compact_refuses_conflicting_dedup_specs(spark, tmp_path):
         fold_compact(dst, specs=[a, b])
 
 
+@pytest.mark.slow
 def test_maintainer_retention_pass(spark, tmp_path):
     """FromKafka's health cadence closes the retention loop: a
     delete-heavy index pool is folded + vacuumed by the maintainer
@@ -144,6 +145,7 @@ def test_maintainer_retention_pass(spark, tmp_path):
     assert v2 and v2[0]["healthy"] and v2[0]["masked_rows"] == 0
 
 
+@pytest.mark.slow
 def test_maintainer_one_fold_per_pool(spark, tmp_path):
     """Two specs sharing one dest pool get ONE retention verdict and ONE
     fold (multi-tenant contract): the commit log grows by exactly one
@@ -194,6 +196,7 @@ def test_drift_valueerror_propagates(spark, tmp_path):
         fk._run_health_checks()
 
 
+@pytest.mark.slow
 def test_rebuild_cooldown(spark, tmp_path):
     """A threshold the workload structurally can't clear triggers ONE
     rebuild, not one per cadence: the second pass with the identical

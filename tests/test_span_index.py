@@ -87,6 +87,7 @@ def _view_spans(dest, **kw):
     }
 
 
+@pytest.mark.slow
 def test_incremental_equals_batch_with_cross_commit_island_merge(
         spark, tmp_path):
     src = Pool.create(spark, str(tmp_path / "src"))
@@ -120,6 +121,7 @@ def test_rerun_is_noop_and_single_batch_equivalent(spark, tmp_path):
     assert _view_spans(dest) == _batch_spans(spark)
 
 
+@pytest.mark.slow
 def test_min_docs_one_matches_batch_self_repeats(spark, tmp_path):
     spec = SI.SpanIndexSpec("docs", "value.doc_id", "value.text",
                             window=4, min_docs=1)
@@ -230,6 +232,7 @@ def test_drifted_spec_fails_loud(spark, tmp_path):
     assert SI.sync_spans(src, dest, SPEC, ["docs"]) > 0
 
 
+@pytest.mark.slow
 def test_rebuild_changes_contract_in_place(spark, tmp_path):
     """rebuild_spans re-derives hits/markers under a new min_docs and
     re-buckets under a new prefix_len from the STORED windows alone (no

@@ -73,6 +73,7 @@ def test_duplicate_spans_matches_reference(spark, docs, min_docs):
 @settings(max_examples=5, deadline=None,
           suppress_health_check=list(HealthCheck))
 @given(docs=docs_strategy, data=st.data())
+@pytest.mark.slow
 def test_incremental_protocol_matches_reference_on_any_split(
         spark, tmp_path_factory, docs, data):
     """The full sync protocol (probe, lazily-evaluated monotone rule,

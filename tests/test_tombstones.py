@@ -62,6 +62,7 @@ def _bm25_fresh(spark, tmp_path, tag, live):
             for r in TI.search_text(dst, TSPEC, TERMS).collect()]
 
 
+@pytest.mark.slow
 def test_text_delete_update_matches_fresh_index(spark, tmp_path):
     src = Pool.create(spark, str(tmp_path / "src"))
     dst = Pool.create(spark, str(tmp_path / "idx"))
@@ -144,6 +145,7 @@ def _pairs(dst, spec):
                   for r in DI.pairs_view(dst, spec).collect())
 
 
+@pytest.mark.slow
 def test_dedup_delete_update_matches_fresh_index(spark, tmp_path):
     src = Pool.create(spark, str(tmp_path / "src"))
     dst = Pool.create(spark, str(tmp_path / "idx"))
@@ -215,6 +217,7 @@ def _view(dst, spec):
                   for r in SI.spans_view(dst, spec).collect())
 
 
+@pytest.mark.slow
 def test_span_delete_retracts_surviving_docs_duplication(spark, tmp_path):
     """THE hard delete semantics: removing one copy of a twice-occurring
     span must un-duplicate the other copy — spans_view == the batch
@@ -327,6 +330,7 @@ def test_span_tombstone_probe_is_bounded(spark, tmp_path):
 # ----------------------------------------------------------------- ann
 
 
+@pytest.mark.slow
 def test_ann_delete_masks_and_folds(spark, tmp_path):
     emb = spark.read.parquet(
         "/root/testdata/sf0.001/embeddings.parquet").limit(200)
@@ -395,6 +399,7 @@ def test_mask_rows_seq_semantics(spark):
 # ------------------------------------------------------------- upserts
 
 
+@pytest.mark.slow
 def test_text_upsert_sync_one_call_cdc(spark, tmp_path):
     """sync_text(upsert=True): re-published doc_ids replace their old
     posting sets in ONE commit — search and corpus stats match a fresh
@@ -435,6 +440,7 @@ def test_text_upsert_sync_one_call_cdc(spark, tmp_path):
     assert TI.sync_text(src, dst, TSPEC, ["docs"], upsert=True) == 0
 
 
+@pytest.mark.slow
 def test_dedup_upsert_sync_one_call_cdc(spark, tmp_path):
     """sync_index(upsert=True): a re-published near-duplicate's pairs
     re-derive against the LIVE index only — never against the version
@@ -459,6 +465,7 @@ def test_dedup_upsert_sync_one_call_cdc(spark, tmp_path):
     assert DI.sync_index(src, dst, DSPEC, ["docs"], upsert=True) == 0
 
 
+@pytest.mark.slow
 def test_span_upsert_sync_retracts_in_one_commit(spark, tmp_path):
     """sync_spans(upsert=True): superseding the only partner of a
     duplicated span retracts the survivor's span in the SAME commit —

@@ -116,6 +116,7 @@ def test_generated_program_agrees_with_dataframe_compiler(spark, tmp_path):
     assert a == b and len(a) > 0
 
 
+@pytest.mark.slow
 def test_four_batch_differential_generated_program_vs_compiler(spark, tmp_path):
     """The FULL etl-demo narrative (4 batches, create/read/update ops,
     incremental done-marker state) through both engines: before each

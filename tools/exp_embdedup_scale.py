@@ -55,6 +55,29 @@ SPEC = ED.EmbDedupIndexSpec("x", "value.vec_id", "value.emb",
                             n_cells=64, iterations=2, threshold=0.999)
 
 
+# Noise generator. The r8 runs used an LCG-style per-(i,j) hash
+# ((i*K + j*40503) & 0xFFFF), which is fine at the 4k/20k scales they
+# pinned — but the construction is AFFINE in i: docs whose (i*K mod 2^w)
+# values are close get near-CONSTANT-OFFSET noise vectors, i.e. genuine
+# >=0.999 near-dups, at ANY mask width (measured: ~1% of random pairs
+# at both 16 and 32 bits; ~500 true near-dups per doc by the 200k
+# decade, 57M pairs by 230k docs — per-pass time then measures true-
+# pair EMISSION, a property of the data, not the index). The round-9
+# decade runs use md5 noise (structureless: 0 of 2,858 sampled random
+# pairs >= 0.999) so the measurement isolates probe/occupancy cost;
+# pass noise="lcg" to reproduce the r8 series.
+NOISE = "md5"
+
+
+def _noise(i, j):
+    if NOISE == "lcg":
+        return ((i * 2654435761 + j * 40503) & 0xFFFF) / 65536.0 - 0.5
+    import hashlib
+
+    h = int(hashlib.md5(f"n{i},{j}".encode()).hexdigest()[:8], 16)
+    return h / 4294967296.0 - 0.5
+
+
 def _vec(i):
     # clustered synthetic embeddings (8 latent regions) with a planted
     # near-dup every 40th vector; the noise term is a per-(i,j) hash so
@@ -64,9 +87,7 @@ def _vec(i):
     if i % 40 == 39:
         return [x + 1e-4 for x in _vec(i - 1)]
     r = i % 8
-    return [math.sin(0.31 * r + 0.7 * j)
-            + 0.8 * (((i * 2654435761 + j * 40503) & 0xFFFF) / 65536.0
-                     - 0.5)
+    return [math.sin(0.31 * r + 0.7 * j) + 0.8 * _noise(i, j)
             for j in range(DIM)]
 
 
@@ -94,7 +115,9 @@ def _occupancy(dest):
 
 
 def main(backfill=20000, deltas=8, per=200, post_resize_deltas=0,
-         max_mean_occupancy=1024.0):
+         max_mean_occupancy=1024.0, noise="md5"):
+    global NOISE
+    NOISE = str(noise)
     lake = _scratch_dir("zs-exp-embdedup")
     shutil.rmtree(lake, ignore_errors=True)
     src = Pool.create(spark, f"{lake}/src")
@@ -161,5 +184,11 @@ def main(backfill=20000, deltas=8, per=200, post_resize_deltas=0,
 
 
 if __name__ == "__main__":
-    a = [float(x) if "." in x else int(x) for x in sys.argv[1:]]
+    def _arg(x):
+        try:
+            return float(x) if "." in x else int(x)
+        except ValueError:
+            return x  # the noise-generator name
+
+    a = [_arg(x) for x in sys.argv[1:]]
     main(*a)

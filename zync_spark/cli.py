@@ -466,7 +466,14 @@ def cmd_embdedup_index(args) -> int:
       delete   tombstone --ids out of the LATEST state (pairs die when
                EITHER member does)
       health   blocking pair-recall (exact best-neighbor sample vs
-               co-location) vs --min-pair-recall; JSON verdict
+               co-location) vs --min-pair-recall, plus mean cell
+               occupancy vs --max-mean-occupancy (n_cells is frozen at
+               creation, so cells fatten as the corpus grows; the
+               verdict recommends rebuild --n-cells ~sqrt(N)); JSON
+               verdict. COST NOTE: the recall side is an exact
+               sample x corpus scan — a maintenance pass, priced like
+               a compaction decision; size the cadence for the corpus,
+               do not cron it per-minute on a 100-TB pool
       rebuild  retrain the blocks over the FULL stored corpus and
                re-emit the pair set in one atomic base commit
       pairs    print the live near-dup pairs as JSON lines
@@ -508,7 +515,8 @@ def cmd_embdedup_index(args) -> int:
         from zync_spark.streaming.health import check_embdedup_health
 
         print(json.dumps(check_embdedup_health(
-            dest, spec, min_pair_recall=args.min_pair_recall)))
+            dest, spec, min_pair_recall=args.min_pair_recall,
+            max_mean_occupancy=args.max_mean_occupancy)))
     else:  # pairs
         ids = ([int(x) for x in args.ids.split(",")] if args.ids
                else None)
@@ -1439,6 +1447,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--min-pair-recall", type=float, default=0.5,
                    help="health: flag when sampled blocking pair-recall "
                         "drops below this")
+    p.add_argument("--max-mean-occupancy", type=float, default=2048.0,
+                   help="health: flag when mean live vectors per cell "
+                        "exceeds this (frozen n_cells fattens with the "
+                        "corpus; the cure is rebuild --n-cells ~sqrt(N))")
     p.set_defaults(fn=cmd_embdedup_index)
 
     p = sub.add_parser("text-index", help="incremental BM25 text index")

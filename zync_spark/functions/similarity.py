@@ -219,6 +219,100 @@ def lsh_ann_topk(
     return topk_per_query(scored, k)
 
 
+def _kmeans_scaled(df: DataFrame, id_col: str, vec_col: str,
+                   scale: int) -> DataFrame:
+    """(vec_id, xs: array<long>) — the fixed-point view of the corpus."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.floor(x.cast("double") * scale).cast("long")
+        ).alias("xs"),
+    )
+
+
+def _kmeans_cents_rows(cur: DataFrame) -> list:
+    """Centroids of the CURRENT assignment in the fixed-point recipe
+    (scaled-long sums, truncating integer division), COLLECTED and
+    sorted by cluster: k x dim longs — metadata-sized driver state, the
+    same class as ann_index.stored_centroids. Empty clusters produce no
+    row (cell ids need not be dense)."""
+    rows = (
+        cur.select("cluster", F.posexplode("xs").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .select("cluster", "pos", F.expr("s div n").alias("ci"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ci"))),
+                lambda st: st["ci"],
+            ).alias("c")
+        )
+        .collect()
+    )
+    return sorted(rows, key=lambda r: r["cluster"])
+
+
+def _kmeans_reassign(scaled: DataFrame, cents_rows: list,
+                     literal_threshold: int = 256) -> DataFrame:
+    """Map-side argmin reassignment of the corpus against COLLECTED
+    centroids — two shipping strategies, same semantics as ivf_assign:
+    literal arrays below the threshold (plan-embedded, no exchange at
+    all), a one-row local relation broadcast above it (its broadcast
+    child is already-computed DATA, so there is nothing for the
+    broadcast thread to run — see kmeans_assignments' round-9 note).
+    Ties break by (dist, cluster) — identical to the pre-round-9 order,
+    and independent of the centroid array's element order."""
+    if not cents_rows:  # empty corpus: nothing to assign
+        return scaled.select(
+            "vec_id", "xs",
+            F.lit(None).cast("long").alias("cluster"),
+            F.lit(None).cast("long").alias("dist"))
+    if len(cents_rows) <= literal_threshold:
+        cents = F.array(*[
+            F.struct(
+                F.lit(int(r["cluster"])).cast("long").alias("cluster"),
+                # one py4j call per centroid, not one per component
+                F.lit([int(x) for x in r["c"]]).alias("c"),
+            )
+            for r in cents_rows
+        ])
+        base = scaled
+    else:
+        cdf = scaled.sparkSession.createDataFrame(
+            [([(int(r["cluster"]), [int(x) for x in r["c"]])
+               for r in cents_rows],)],
+            "__kcents array<struct<cluster:bigint,c:array<bigint>>>",
+        )
+        base = scaled.crossJoin(F.broadcast(cdf))
+        cents = F.col("__kcents")
+    best = F.array_sort(
+        F.transform(
+            cents,
+            lambda cc: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("xs"), cc["c"], lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                cc["cluster"].alias("cluster"),
+            ),
+        )
+    )[0]
+    return (
+        base.withColumn("__best", best)
+        .select(
+            "vec_id",
+            "xs",
+            F.col("__best.cluster").alias("cluster"),
+            F.col("__best.dist").alias("dist"),
+        )
+        .drop("__kcents")
+    )
+
+
 def kmeans_assignments(
     df: DataFrame,
     k: int = 8,
@@ -232,73 +326,39 @@ def kmeans_assignments(
     scaled by 2^20 and floored; centroids use truncating integer division —
     the same rounding in Spark `div` and DuckDB `//`).
 
-    Iterative algorithm on Spark: the loop unrolls into ONE lazy plan, and
-    the CORPUS NEVER SHUFFLES. Each round: (a) centroid recompute =
-    posexplode off the current assignment (which carries the vector) +
+    Iterative algorithm on Spark: the CORPUS NEVER SHUFFLES. Each round:
+    (a) centroid recompute = posexplode off the current assignment +
     groupBy(cluster, dim) — partial sums combine map-side, only k*dim
-    longs cross the wire; (b) the k centroids collapse to a SINGLE row
-    holding an array of (cluster, centroid) structs, which crossJoin-
-    broadcasts back over the corpus; (c) reassignment is then a pure map:
-    an array_sort-argmin fold over the k-element array in whole-stage
-    codegen — no per-candidate row fanout, no groupBy, no window. No
-    driver-side loop state: nothing is collected between rounds. At
-    100 TB each round costs two corpus scans (columnar, pipelined) and
-    one k*dim-row shuffle.
+    longs cross the wire, and the k centroids are COLLECTED to the
+    driver (k x dim longs — metadata-sized, the same class as a stored
+    quantizer); (b) reassignment is a pure map against the collected
+    centroids (array_sort-argmin fold in whole-stage codegen — no
+    per-candidate row fanout, no groupBy, no window).
+
+    Round-9 revision (measured at the 200k-vector rebuild): the previous
+    formulation unrolled all rounds into ONE lazy plan, crossJoin-
+    broadcasting each round's centroid row. That put the ENTIRE previous
+    round's computation inside a BroadcastExchange CHILD, which Spark
+    runs in a side thread under the hard `spark.sql.broadcastTimeout`
+    wall (300 s default) — a corpus whose per-round scan exceeds it
+    (fold_tombstones lineage at 200k vectors already did) fails
+    structurally, and lineage depth grew with every round. Collecting
+    the k x dim centroids between rounds keeps lineage depth CONSTANT,
+    puts zero computation inside broadcast threads, and is bit-identical
+    (the collected longs are re-embedded exactly). Cost: one corpus
+    aggregation JOB per round instead of one fused plan — the same scans
+    the fused plan ran anyway, now individually schedulable. Callers
+    with expensive input lineage should persist their frame.
 
     Init is deterministic (cluster = vec_id % k). Returns
     (vec_id, cluster, dist) after `iterations` reassignment rounds.
     """
-    scaled = df.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(
-            F.col(vec_col), lambda x: F.floor(x.cast("double") * scale).cast("long")
-        ).alias("xs"),
-    )
+    scaled = _kmeans_scaled(df, id_col, vec_col, scale)
     cur = scaled.select(
         "vec_id", "xs", (F.col("vec_id") % k).cast("long").alias("cluster")
     )
     for _ in range(iterations):
-        cents = (
-            cur.select("cluster", F.posexplode("xs").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-            .select("cluster", "pos", F.expr("s div n").alias("ci"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "ci"))),
-                    lambda st: st["ci"],
-                ).alias("c")
-            )
-        )
-        cents_row = cents.groupBy().agg(
-            F.collect_list(F.struct("cluster", "c")).alias("cents")
-        )
-        best = F.array_sort(
-            F.transform(
-                F.col("cents"),
-                lambda cc: F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("xs"), cc["c"], lambda a, b: (a - b) * (a - b)
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    ).alias("dist"),
-                    cc["cluster"].alias("cluster"),
-                ),
-            )
-        )[0]
-        cur = (
-            scaled.crossJoin(F.broadcast(cents_row))
-            .withColumn("__best", best)
-            .select(
-                "vec_id",
-                "xs",
-                F.col("__best.cluster").alias("cluster"),
-                F.col("__best.dist").alias("dist"),
-            )
-        )
+        cur = _kmeans_reassign(scaled, _kmeans_cents_rows(cur))
     return cur.select("vec_id", "cluster", "dist")
 
 
@@ -319,32 +379,21 @@ def kmeans_centroids(
     boundary — bit-identical on every engine and under every partitioning:
     no last-ulp drift from a distributed float mean. The collect is k rows
     of dim values (KBs); the corpus never moves. Empty clusters simply
-    produce no centroid (cell ids need not be dense)."""
-    asg = kmeans_assignments(df, k, iterations, id_col, vec_col, scale)
-    scaled = df.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(
-            F.col(vec_col), lambda x: F.floor(x.cast("double") * scale).cast("long")
-        ).alias("xs"),
+    produce no centroid (cell ids need not be dense).
+
+    Round 9: runs the collected-centroid rounds directly (see
+    kmeans_assignments) — the final centroid recompute IS one more
+    _kmeans_cents_rows over the last assignment, which also deletes the
+    old formulation's corpus self-join (scaled x assignments)."""
+    scaled = _kmeans_scaled(df, id_col, vec_col, scale)
+    cur = scaled.select(
+        "vec_id", "xs", (F.col("vec_id") % k).cast("long").alias("cluster")
     )
-    rows = (
-        scaled.join(asg.select("vec_id", "cluster"), "vec_id")
-        .select("cluster", F.posexplode("xs").alias("pos", "x"))
-        .groupBy("cluster", "pos")
-        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-        .select("cluster", "pos", F.expr("s div n").alias("ci"))
-        .groupBy("cluster")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "ci"))),
-                lambda st: st["ci"],
-            ).alias("cv")
-        )
-        .collect()
-    )
+    for _ in range(iterations):
+        cur = _kmeans_reassign(scaled, _kmeans_cents_rows(cur))
     return [
-        (int(r["cluster"]), [int(x) / scale for x in r["cv"]])
-        for r in sorted(rows, key=lambda r: r["cluster"])
+        (int(r["cluster"]), [int(x) / scale for x in r["c"]])
+        for r in _kmeans_cents_rows(cur)
     ]
 
 

@@ -512,13 +512,30 @@ class Pool:
                 .drop("_rn")
             )
             df = data.unionByName(df.filter(~is_keyed_data))
+        transformed = None
         if transform is not None:
             # State-folding hook: maintenance policies can rewrite the live
             # row set during the compaction pass they were paying anyway
             # (e.g. streaming.incremental.fold merges rollup partials).
             # Runs under the same OCC publish, so a fold can never
             # supersede a commit it did not read.
-            df = transform(df)
+            #
+            # Materialize the transformed rows ONCE, at full parallelism,
+            # BEFORE the count and the range-clustered write (round 9,
+            # measured): the write's task count is the OUTPUT FILE count
+            # (target_rows sizing — 2.1M rows under a 4M target is ONE
+            # task), so an expensive transform (rebuild_embdedup's
+            # within-cell pair re-emission, fold_tombstones' masking
+            # windows) would otherwise recompute INSIDE those few tasks —
+            # serially, and TWICE (count + write). The 200k-vector
+            # embdedup resize sat >30 min in a single write task exactly
+            # this way. MEMORY_AND_DISK: degrades to spill, never OOMs;
+            # plain compactions (transform=None) skip the cache — their
+            # per-row work is a read, not a computation.
+            from pyspark import StorageLevel
+
+            transformed = transform(df).persist(StorageLevel.MEMORY_AND_DISK)
+            df = transformed
         n = df.count()
         nfiles = max(1, (n + target_rows - 1) // target_rows)
         file_id = uuid.uuid4().hex
@@ -556,7 +573,11 @@ class Pool:
             )
             out_df = df.repartitionByRange(nfiles, *ckeys) \
                 .sortWithinPartitions(*ckeys)
-        out_df.write.mode("overwrite").parquet(data_path)
+        try:
+            out_df.write.mode("overwrite").parquet(data_path)
+        finally:
+            if transformed is not None:
+                transformed.unpersist()
         parts = [
             os.path.join(data_path, f)
             for f in os.listdir(data_path)

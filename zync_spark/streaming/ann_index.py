@@ -334,7 +334,12 @@ def rebuild_ann(dest: Pool, spec: AnnIndexSpec,
         from zync_spark.streaming.tombstones import fold_tombstones
 
         df = fold_tombstones(df)
-        vecs = df.filter(_is_vec(spec)).select("kafka", "vec_id", "v", "vn")
+        # persist: the fold's masking windows are expensive lineage, and
+        # the retrain reads vecs several times (each k-means round's
+        # centroid job + the reassignment scan) — one materialization,
+        # ContextCleaner reclaims it when the rewrite's plan is GC'd
+        vecs = (df.filter(_is_vec(spec))
+                .select("kafka", "vec_id", "v", "vn").persist())
         cents = S.kmeans_centroids(vecs, k=k, iterations=iters,
                                    id_col="vec_id", vec_col="v")
         if not cents:

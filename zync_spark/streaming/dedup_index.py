@@ -131,12 +131,11 @@ class DedupIndexSpec:
         return {"doc_id": self.id_expr}
 
 
-def _sig_frame(spec: DedupIndexSpec, delta: DataFrame) -> DataFrame:
-    """(doc_id, sh_set, bkeys) for the delta — all map-side (the same
+def _sig_core(spec: DedupIndexSpec, delta: DataFrame) -> DataFrame:
+    """(doc_id, sh_set, sig) for the delta — all map-side (the same
     zero-shuffle construction as the batch operator)."""
     from zync_spark.functions.dedup import _hashed_set, _minhash_sig_expr
 
-    rows_per_band = spec.num_hashes // spec.bands
     sets = (
         delta.select(
             F.expr(spec.id_expr).cast("long").alias("doc_id"),
@@ -145,16 +144,39 @@ def _sig_frame(spec: DedupIndexSpec, delta: DataFrame) -> DataFrame:
         .select("doc_id", _hashed_set(F.col("__text"), spec.k).alias("sh_set"))
         .filter(F.size("sh_set") > 0)
     )
-    sig = sets.select("doc_id", "sh_set",
-                      _minhash_sig_expr(spec.num_hashes).alias("sig"))
-    bkeys = F.transform(
+    return sets.select("doc_id", "sh_set",
+                       _minhash_sig_expr(spec.num_hashes).alias("sig"))
+
+
+def _bkeys_expr(spec: DedupIndexSpec) -> F.Column:
+    """Band digests over a `sig` column (band index in the digest input,
+    so equal row-slices in different bands never collide)."""
+    rows_per_band = spec.num_hashes // spec.bands
+    return F.transform(
         F.sequence(F.lit(0), F.lit(spec.bands - 1)),
         lambda bb: F.md5(
             F.concat_ws(",", bb,
                         F.slice("sig", bb * rows_per_band + 1, rows_per_band))
         ),
     )
-    return sig.select("doc_id", "sh_set", bkeys.alias("bkeys"))
+
+
+def _sig_frame(spec: DedupIndexSpec, delta: DataFrame) -> DataFrame:
+    """(doc_id, sh_set, bkeys) for the delta, in one lazy plan.
+
+    HOT-PATH CAVEAT (round 9, measured): consuming this frame directly
+    lets CollapseProject inline the ENTIRE shingle->minhash pipeline
+    into each of the `bands` band-key branches — higher-order functions
+    get no common-subexpression reuse, so the whole per-doc signature
+    work runs ~16x (204 s vs 41 s of actual work on 50k gsf1 docs,
+    tools/profile_dedup_cert.py). The sync path therefore persists
+    `_sig_core` FIRST (the cache is the fence — the same reason the
+    batch operator persists `sig` before banding, minhash_lsh_pairs)
+    and derives bkeys from the cached sig column. This composition is
+    kept for cold callers (tests, one-shot migrations) where the 16x
+    on a small frame is cheaper than a persist."""
+    return _sig_core(spec, delta).select(
+        "doc_id", "sh_set", _bkeys_expr(spec).alias("bkeys"))
 
 
 def _is_index(spec: DedupIndexSpec):
@@ -399,6 +421,22 @@ def _check_meta(dest: Pool, spec: DedupIndexSpec) -> bool:
 def _sync_index_once(src: Pool, dest: Pool, spec: DedupIndexSpec,
                      topics: list[str], message: str | None,
                      stats_out: dict | None, upsert: bool = False) -> int:
+    # Phase decomposition (round-9 ask #3): the pass's Spark actions
+    # naturally segment its cost — the cursor collect materializes the
+    # delta scan, the prefixes collect materializes signatures+bands
+    # (sigs is persisted there), the dbuckets collect materializes the
+    # banded probe, and _verify_and_commit materializes exact-Jaccard
+    # verify + the clustered write. stats_out receives sec_delta /
+    # sec_sigs / sec_probe / sec_verify_commit when provided; timing
+    # only, no plan change.
+    import time as _time
+
+    def _mark(key, t0):
+        if stats_out is not None:
+            stats_out[key] = round(_time.perf_counter() - t0, 2)
+        return _time.perf_counter()
+
+    _t = _time.perf_counter()
     snapshot = len(dest.commits())
     cursors = _spec_cursors(spec, dest.stored_cursors(), topics)
     delta = scan_delta(src, cursors, topics)
@@ -415,6 +453,7 @@ def _sync_index_once(src: Pool, dest: Pool, spec: DedupIndexSpec,
         }
         if not new_cursors:
             return 0
+        _t = _mark("sec_delta", _t)
         has_meta = _check_meta(dest, spec)
         tombs_new = None
         if upsert:
@@ -424,9 +463,15 @@ def _sync_index_once(src: Pool, dest: Pool, spec: DedupIndexSpec,
             latest = keep_latest_versions(delta, spec.id_expr)
             tombs_new = latest.select(
                 F.expr(spec.id_expr).cast("long").alias("did"))
-            sigs = _sig_frame(spec, latest).persist()
+            core = _sig_core(spec, latest).persist()
         else:
-            sigs = _sig_frame(spec, delta).persist()
+            core = _sig_core(spec, delta).persist()
+        # bkeys derive from the CACHED sig column — the persist is the
+        # fence that stops CollapseProject re-inlining the shingle+
+        # minhash pipeline into all 16 band branches (see _sig_frame's
+        # hot-path caveat; measured 16x on this exact path, round 9)
+        sigs = core.select("doc_id", "sh_set", _bkeys_expr(spec)
+                           .alias("bkeys"))
         try:
             new_bands = sigs.select(
                 "doc_id", F.explode("bkeys").alias("bkey"))
@@ -448,6 +493,7 @@ def _sync_index_once(src: Pool, dest: Pool, spec: DedupIndexSpec,
                         .alias("ck"))
                 .distinct().collect()
             )
+            _t = _mark("sec_sigs", _t)
             cand = nn
             old_sets = None
             from zync_spark.streaming.tombstones import (read_tombs,
@@ -477,22 +523,28 @@ def _sync_index_once(src: Pool, dest: Pool, spec: DedupIndexSpec,
                     )
                     old_sets = _fetch_old_sets(dest, spec, dbuckets,
                                                stats_out, tombs=tombs)
+                    _t = _mark("sec_probe", _t)
                     no = no_raw.select(
                         F.least("doc_id", "old_id").alias("id_a"),
                         F.greatest("doc_id", "old_id").alias("id_b"))
                     cand = nn.unionByName(no)
-                    return _verify_and_commit(
+                    n = _verify_and_commit(
                         dest, spec, delta, sigs, new_bands, cand, old_sets,
                         new_cursors, snapshot, message, has_meta,
                         tombs_new=tombs_new)
+                    _mark("sec_verify_commit", _t)
+                    return n
                 finally:
                     no_raw.unpersist()
-            return _verify_and_commit(
+            _t = _mark("sec_probe", _t)
+            n = _verify_and_commit(
                 dest, spec, delta, sigs, new_bands, cand, old_sets,
                 new_cursors, snapshot, message, has_meta,
                 tombs_new=tombs_new)
+            _mark("sec_verify_commit", _t)
+            return n
         finally:
-            sigs.unpersist()
+            core.unpersist()
     finally:
         delta.unpersist()
 
