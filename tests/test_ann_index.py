@@ -71,6 +71,7 @@ def test_incremental_equals_batch_with_frozen_centroids(spark, tmp_path):
     assert got == want and len(got) == 15  # 5 queries x top-3
 
 
+@pytest.mark.slow
 def test_query_probe_reads_bounded_file_subset(spark, tmp_path):
     src = Pool.create(spark, str(tmp_path / "src"))
     dest = Pool.create(spark, str(tmp_path / "idx"))

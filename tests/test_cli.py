@@ -684,6 +684,7 @@ def test_cli_index_delete_verbs(spark, tmp_path, capsys):
         assert all(sp["doc_id"] != victim for sp in left)
 
 
+@pytest.mark.slow
 def test_cli_retrieve_where(spark, tmp_path, capsys):
     """`retrieve --where` filters BOTH legs through a metadata predicate
     over the text source pool's rows."""

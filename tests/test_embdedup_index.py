@@ -150,6 +150,7 @@ def test_tombstone_masks_pairs_of_either_member(spark, tmp_path):
     assert full.filter(F.col("zed_type").eqNullSafe("tomb")).count() == 0
 
 
+@pytest.mark.slow
 def test_upsert_replaces_prior_version(spark, tmp_path):
     """One-call CDC: re-publishing an id tombstones its old rows in the
     SAME commit; the new version re-pairs against the live corpus and
@@ -255,6 +256,7 @@ def test_health_measures_blocking_pair_recall(spark, tmp_path):
     assert v["pair_recall"] is not None and v["pair_recall"] < 1.0
 
 
+@pytest.mark.slow
 def test_health_occupancy_triggers_resize(spark, tmp_path):
     """n_cells is frozen at creation, so cells fatten linearly with the
     corpus (round-9 ask #1): the health check must report occupancy,

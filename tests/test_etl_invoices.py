@@ -184,6 +184,7 @@ def test_split_input_pool_conflict():
         lc(bad)
 
 
+@pytest.mark.slow
 def test_cursor_prunes_incremental_scans(spark, tmp_path):
     """After batches are fully processed, the next build's raw scan prunes
     fully-done commits at the MANIFEST level (etl/build.go:9-18's missing
@@ -337,6 +338,7 @@ def test_multipartition_cdc_end_to_end(spark, tmp_path):
         assert sorted(offs) == list(range(len(offs))), (t, p, offs)
 
 
+@pytest.mark.slow
 def test_multipartition_cursors_pend_independently(spark, tmp_path):
     """A pending row holds back ONLY its own partition's cursor; stored
     cursors carry per-partition keys plus the topic-level floor (min) for
@@ -396,6 +398,7 @@ def test_concurrent_etl_commit_aborts(spark, tmp_path, monkeypatch):
     assert pipeline.run("etl-retry") > 0
 
 
+@pytest.mark.slow
 def test_late_appearing_partition_zero_not_skipped(spark, tmp_path):
     """Round-6 review regression: the topic-level floor cursor must not
     be read back as partition 0's bound — producers that start on

@@ -30,6 +30,7 @@ def _env(spark, rows, part=0, topic="docs",
         F.struct(*fields).alias("value"))
 
 
+@pytest.mark.slow
 def test_ann_health_lifecycle(spark, tmp_path):
     """A quantizer frozen on two clusters splits a LATER third cluster
     (vectors straddling the two centroid directions) across both cells —

@@ -559,3 +559,34 @@ def test_scan_packs_small_files_and_keeps_pushdown(spark, tmp_path):
     # single file: read_packed never inserts a Coalesce
     one = read_packed(spark, files[:1])
     assert "Coalesce" not in one._jdf.queryExecution().executedPlan().toString()
+
+
+def test_clustered_compact_min_fanout(spark, tmp_path):
+    """A clustered base must never collapse to ONE file: file-granularity
+    skipping needs several key-space-disjoint files, and one file is one
+    row group — a single-task scan for every later bounded probe
+    (round 9, measured on the 200k-vector embdedup resize where
+    post-rebuild passes got SLOWER than pre-rebuild). compact(cluster_by)
+    floors its fan-out at 8 range files, the same rule load() applies to
+    clustered delta commits."""
+    from zync_spark.pool import Pool
+
+    pool = Pool.create(spark, str(tmp_path / "P"))
+    rows = [(("t", 0, i), "data", "k%02x" % (i % 16)) for i in range(640)]
+    pool.load(spark.createDataFrame(
+        rows, "kafka struct<topic:string,partition:long,offset:long>, "
+              "zed_type string, ckey string"), "fill")
+    assert pool.compact(cluster_by=["ckey"]) == 640
+    files = pool.committed_files()
+    assert len(files) >= 8
+    # the range layout still skips: a one-bucket probe reads a strict
+    # subset of the base's files
+    probe = pool.committed_files(bounds={"ckey": ["k00"]})
+    assert 0 < len(probe) < len(files)
+    # an UNclustered compaction keeps the few-large-files contract
+    pool2 = Pool.create(spark, str(tmp_path / "P2"))
+    pool2.load(spark.createDataFrame(
+        rows, "kafka struct<topic:string,partition:long,offset:long>, "
+              "zed_type string, ckey string"), "fill")
+    assert pool2.compact() == 640
+    assert len(pool2.committed_files()) == 1

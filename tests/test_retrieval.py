@@ -104,6 +104,7 @@ def test_rrf_validation(spark):
             rrf_fuse([a, a], names=bad)
 
 
+@pytest.mark.slow
 def test_ann_recall_under_filter_monotone_and_full_probe_exact(spark, tmp_path):
     """Filtered ANN retrieval (where_ids): recall vs the exact filtered
     ground truth rises monotonically with nprobe and reaches 1.0 at full
@@ -187,6 +188,7 @@ def test_filtered_search_pushes_predicate_to_metadata_scan(spark, tmp_path):
     assert all(r.doc_id in en for r in out.collect())
 
 
+@pytest.mark.slow
 def test_attr_ids_colocated_filter_lifecycle(spark, tmp_path):
     """Metadata co-location (round 7): attr rows answer the filter from
     the index pool alone, track CDC updates (an update that flips the

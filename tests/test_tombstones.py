@@ -275,6 +275,7 @@ def test_span_delete_retracts_surviving_docs_duplication(spark, tmp_path):
     assert _view(dst, spec2) == _batch_spans(spark, live2)
 
 
+@pytest.mark.slow
 def test_span_delete_requires_forward_space(spark, tmp_path):
     """A pool whose meta predates the forward key space must refuse
     deletes loudly and point at rebuild_spans (which regenerates 'f:'
@@ -308,6 +309,7 @@ def test_span_delete_requires_forward_space(spark, tmp_path):
     assert _view(dst, SSPEC) == _batch_spans(spark, SPAN_ROWS[:1])
 
 
+@pytest.mark.slow
 def test_span_tombstone_probe_is_bounded(spark, tmp_path):
     """The delete pass reads only the dying docs' forward buckets plus
     their hashes' w:/d: buckets — not the whole index."""

@@ -139,6 +139,7 @@ def test_cut_keeps_exactly(df, cols):
 
 @given(st.integers(1, 6), st.sampled_from(["id", "n", "x"]))
 @_PROPS
+@pytest.mark.slow
 def test_head_tail_partition_sorted_frame(df, k, key):
     """sort k | head N ∪ tail (len-N) is exactly the frame."""
     asc = compile_pipeline(df, f"sort {key}, id")

@@ -538,6 +538,18 @@ class Pool:
             df = transformed
         n = df.count()
         nfiles = max(1, (n + target_rows - 1) // target_rows)
+        if cluster_by and n:
+            # Same rule as load()'s clustered commits: file-granularity
+            # skipping needs several key-space-disjoint files to bite,
+            # and a single-file base is also a single ROW GROUP — every
+            # later bounded probe then scans the whole index in ONE task
+            # (measured on the 200k-vector embdedup resize: post-rebuild
+            # passes got SLOWER than pre-rebuild because the 2.16M-row
+            # base landed in one file). 8 range files per clustered base
+            # restores both skipping and scan parallelism without
+            # touching the large-pool sizing (target_rows still governs
+            # above 8 x target rows).
+            nfiles = max(nfiles, 8)
         file_id = uuid.uuid4().hex
         data_path = os.path.join(self.path, "data", file_id)
         # Clustering: default layout is (topic, offset) — optimal for the
