@@ -205,7 +205,7 @@ def test_legacy_pool_fallback_and_migration(spark, tmp_path):
     legacy_docs = spark.createDataFrame(
         [(("docs", 0, i), "data", (d, DOCS[d][1]))
          for i, d in enumerate([0, 2])], ROW)
-    sigs = DI._sig_frame(SPEC, legacy_docs)
+    sigs = DI._sig_frame_unfenced(SPEC, legacy_docs)
     legacy = sigs.select(
         F.struct(F.lit(SPEC.topic).alias("topic"),
                  F.lit(0).cast("long").alias("partition"),
@@ -290,7 +290,7 @@ def test_compact_before_migrate_self_heals(spark, tmp_path):
     legacy_docs = spark.createDataFrame(
         [(("docs", 0, i), "data", (d, DOCS[d][1]))
          for i, d in enumerate([0, 2])], ROW)
-    sigs = DI._sig_frame(SPEC, legacy_docs)
+    sigs = DI._sig_frame_unfenced(SPEC, legacy_docs)
     legacy = sigs.select(
         F.struct(F.lit(SPEC.topic).alias("topic"),
                  F.lit(0).cast("long").alias("partition"),

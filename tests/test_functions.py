@@ -680,3 +680,40 @@ def test_remove_spans_accepts_external_span_sets(spark):
                                   "span_end int, span_tokens int")
     r = D.remove_spans(df, spans, "doc_id", "text").collect()[0]
     assert (r.text, r.n_removed) == ("a d f", 3)
+
+
+def test_dot_expr_dim_parity(spark):
+    """dot_expr_dim must agree with dot_expr BIT-FOR-BIT on every input
+    shape (round 10): equal-length-at-dim rows take the unrolled branch
+    (same left-assoc op sequence), every other shape — length mismatch,
+    short/long arrays, null elements, null arrays — routes to the
+    original fold via the guard. Also pins the fallback: dim=None or
+    past the unroll gate returns the plain fold expression."""
+    rows = [
+        (1, [1.0, 2.0, 3.0, 4.0], [0.5, 0.25, -1.0, 2.0]),   # exact dim
+        (2, [1.0, 2.0, 3.0], [0.5, 0.25, -1.0]),             # short==short
+        (3, [1.0, 2.0, 3.0, 4.0], [0.5, 0.25, -1.0]),        # mismatch
+        (4, [1.0, None, 3.0, 4.0], [0.5, 0.25, -1.0, 2.0]),  # null elem
+        (5, None, [0.5, 0.25, -1.0, 2.0]),                   # null array
+        (6, [0.1, -0.0, 1e-300, 4.0], [3.0, 7.0, 1e300, 0.125]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>")
+    got = df.select(
+        "id",
+        S.dot_expr(F.col("a"), F.col("b")).alias("fold"),
+        S.dot_expr_dim(F.col("a"), F.col("b"), 4).alias("unrolled"),
+        S.dot_expr_dim(F.col("a"), F.col("b"), None).alias("fallback"),
+    ).collect()
+    import struct
+
+    def bits(x):
+        return None if x is None else struct.pack("<d", x)
+
+    for r in got:
+        assert bits(r["fold"]) == bits(r["unrolled"]), r
+        assert bits(r["fold"]) == bits(r["fallback"]), r
+    # the gate: past _MAX_UNROLL_DIM the expression IS the plain fold
+    big = S.dot_expr_dim(F.col("a"), F.col("b"), S._MAX_UNROLL_DIM + 1)
+    assert "CASE WHEN" not in big._jc.toString().upper() or \
+        "aggregate" in big._jc.toString()

@@ -3,6 +3,7 @@ its real degradation mode, the recommendation names the rebuild that
 cures it, and running that rebuild restores the pinned gate."""
 
 import json
+import math
 
 import pytest
 from pyspark.sql import functions as F
@@ -273,3 +274,189 @@ def test_fromkafka_health_no_auto_rebuild_warns_only(spark, tmp_path):
     assert not fam[0]["healthy"]
     assert any("unhealthy" in str(x.message) for x in w)
     assert fk.indexes[0][0] is spec  # warn-only: nothing rebuilt
+
+
+# -- round 10: occupancy/skew policy (shared by the two vector families) ----
+
+
+def test_occupancy_policy_verdicts():
+    """_occupancy_policy's two gates fire independently (SCALING §18.5):
+    mean past threshold = uniform fattening; max/mean past max_balance
+    with max above threshold = a collapsed quantizer's catch-all cell —
+    the case a mean-only policy is blind to (B2: mean 333 at target,
+    max 7,951). Both cures carry spread init + scaled iterations; the
+    cap case is flagged instead of steering into a no-op rebuild loop."""
+    from zync_spark.streaming.health import _CELL_CAP, _occupancy_policy
+
+    # the B2 residual shape: mean healthy, one catch-all cell
+    p = _occupancy_policy(110_000, 333.0, 7_951, 1024.0, 8.0, 2)
+    assert p["mean_ok"] and not p["skew_ok"]
+    assert p["args"]["init"] == "sample"
+    assert p["args"]["iterations"] >= math.ceil(
+        math.log2(p["args"]["n_cells"]))
+    # uniform fattening: mean breaches, balance fine
+    p2 = _occupancy_policy(110_000, 3125.0, 3500, 1024.0, 8.0, 2)
+    assert not p2["mean_ok"] and p2["skew_ok"]
+    assert p2["rec_cells"] >= math.ceil(math.sqrt(110_000))
+    # a skewed but SMALL max is not a failure (max under the threshold:
+    # even a 20x balance costs nothing if the fat cell is tiny)
+    p3 = _occupancy_policy(1_000, 10.0, 200, 1024.0, 8.0, 2)
+    assert p3["mean_ok"] and p3["skew_ok"]
+    # cell-label cap: rec_cells clamps and the capped flag says the
+    # rebuild cannot clear the mean gate (round-9 ADVICE)
+    p4 = _occupancy_policy(400_000_000, 6_000.0, 7_000, 1024.0, 8.0, 2)
+    assert p4["rec_cells"] == _CELL_CAP and p4["capped"]
+
+
+@pytest.mark.slow
+def test_embdedup_skew_gate_and_rebuild_report(spark, tmp_path):
+    """The skew gate fires when mean occupancy is AT target but one cell
+    hoards the corpus, the recommended rebuild carries the quantizer-
+    geometry cure (spread init + scaled iterations), and rebuild's
+    stats_out reports the post-rebuild balance so a useless rebuild is
+    visible immediately (round-10 ask #1)."""
+    from zync_spark.streaming import embdedup_index as ED
+    from zync_spark.streaming.health import check_embdedup_health
+
+    def vec(i):
+        # 30 of 36 vectors in one tight mode, 6 spread out: the modulo
+        # init's averaged centroids collapse and the argmin funnels the
+        # big mode into one cell
+        if i < 30:
+            return [1.0, 0.001 * i, 0.0, 0.0]
+        return [0.0, 0.0, math.cos(i), math.sin(i)]
+
+    rows = [(("emb", 0, i), "data", (i, vec(i))) for i in range(36)]
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    src.load(spark.createDataFrame(
+        rows, "kafka struct<topic:string,partition:long,offset:long>, "
+        "zed_type string, value struct<vec_id:long,emb:array<double>>"),
+        "all")
+    spec = ED.EmbDedupIndexSpec("v", "value.vec_id", "value.emb",
+                                n_cells=6, iterations=2, threshold=0.99)
+    assert ED.sync_embdedup(src, dest, spec, ["emb"]) > 0
+
+    v = check_embdedup_health(dest, spec, max_mean_occupancy=20.0,
+                              max_balance=2.0)
+    # mean is 36/cells_used (<= 20), but the fat cell breaches both the
+    # threshold and the balance gate
+    assert v["max_cell_occupancy"] >= 30
+    assert not v["healthy"]
+    assert v["rebuild_args"]["init"] == "sample"
+    assert v["rebuild_args"]["iterations"] >= 2
+    assert "balance" in v["recommendation"]
+
+    so = {}
+    ED.rebuild_embdedup(dest, spec, stats_out=so, **v["rebuild_args"])
+    # the report is the ask: post-rebuild occupancy, immediately
+    assert {"cells_used", "max_cell_occupancy", "mean_cell_occupancy",
+            "cell_balance"} <= set(so)
+    # spread seeding separated the modes: the fat cell shrank (the big
+    # mode is genuinely one mode — it keeps its own cell — but the six
+    # outliers no longer share it)
+    assert so["max_cell_occupancy"] <= v["max_cell_occupancy"]
+    assert so["cells_used"] >= 2
+
+
+@pytest.mark.slow
+def test_ann_occupancy_lifecycle(spark, tmp_path):
+    """Round-10 ask #3: the ANN family gets the same occupancy policy as
+    embdedup — threshold verdict with structured rebuild_args, applied
+    end-to-end by FromKafka's auto_rebuild loop, after which the index
+    is healthy and still answers queries."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from zync_spark.streaming.from_kafka import FromKafka
+
+    def env(rs, part=0):
+        df = spark.createDataFrame(rs, "vec_id long, embedding array<double>")
+        return df.select(
+            F.struct(F.lit("emb").alias("topic"),
+                     F.lit(part).cast("long").alias("partition"),
+                     F.col("vec_id").cast("long").alias("offset")
+                     ).alias("kafka"),
+            F.lit("data").alias("zed_type"),
+            F.struct("vec_id", "embedding").alias("value"))
+
+    import math as m
+    rows = [(i, [m.sin(0.7 * i + j) + 0.01 * ((i * 31 + j * 17) % 19)
+                 for j in range(6)]) for i in range(48)]
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dst = Pool.create(spark, str(tmp_path / "idx"))
+    spec = AI.AnnIndexSpec("e", "value.vec_id", "value.embedding",
+                           n_cells=2, iterations=2)
+    src.load(env(rows), "backfill")
+    AI.sync_ann(src, dst, spec, ["emb"])
+
+    v = check_ann_health(dst, spec, k=5, nprobe=1, sample=8,
+                         min_recall=0.0, max_mean_occupancy=8.0)
+    assert not v["healthy"]
+    assert v["mean_cell_occupancy"] > 8.0
+    assert {"max_cell_occupancy", "cell_balance"} <= set(v)
+    assert v["rebuild_args"]["n_cells"] >= 7  # >= ceil(sqrt(48))
+    assert v["rebuild_args"]["init"] == "sample"
+
+    sub = StructType([StructField("x", LongType())])
+    fk = FromKafka(spark, {"emb": src}, sub, sub, format="json",
+                   indexes=[(spec, dst, ["emb"])], health_every=1,
+                   auto_rebuild=True,
+                   health_opts={"e": {"min_recall": 0.0,
+                                      "max_mean_occupancy": 8.0,
+                                      "sample": 8}})
+    with pytest.warns(UserWarning, match="unhealthy"):
+        fk._run_health_checks()
+    v2 = check_ann_health(dst, spec, k=5, nprobe=1, sample=8,
+                          min_recall=0.0, max_mean_occupancy=8.0)
+    assert v2["healthy"] and v2["cells_used"] > 2
+    # the loop recorded the post-rebuild outcome for the cooldown
+    assert fk._occ_results.get("e") is not None
+    # the rebuilt index still answers (stored centroids adapted)
+    qs = spark.createDataFrame(rows[:3], "vec_id long, embedding array<double>")
+    assert AI.ann_query(dst, spec, qs, k=3, nprobe=2).count() > 0
+
+
+@pytest.mark.slow
+def test_fromkafka_occupancy_cooldown(spark, tmp_path):
+    """The round-10 cooldown: when the LAST applied occupancy rebuild
+    left max occupancy at X and a new verdict reports max <= 1.25X, the
+    loop refuses to re-fire (rec_cells drifting with N made the
+    arg-identity cooldown useless — §18.5's repeated no-op rebuilds)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from zync_spark.streaming import embdedup_index as ED
+    from zync_spark.streaming.from_kafka import FromKafka
+
+    def vec(i):
+        # 30 IDENTICAL vectors: every quantizer — spread init included —
+        # puts them in ONE cell, so no rebuild can cure the balance
+        if i < 30:
+            return [1.0, 0.0, 0.0, 0.0]
+        return [0.0, 0.0, math.cos(i), math.sin(i)]
+
+    rows = [(("emb", 0, i), "data", (i, vec(i))) for i in range(36)]
+    src = Pool.create(spark, str(tmp_path / "src"))
+    dest = Pool.create(spark, str(tmp_path / "idx"))
+    src.load(spark.createDataFrame(
+        rows, "kafka struct<topic:string,partition:long,offset:long>, "
+        "zed_type string, value struct<vec_id:long,emb:array<double>>"),
+        "all")
+    spec = ED.EmbDedupIndexSpec("v", "value.vec_id", "value.emb",
+                                n_cells=6, iterations=2, threshold=0.99)
+    assert ED.sync_embdedup(src, dest, spec, ["emb"]) > 0
+
+    sub = StructType([StructField("x", LongType())])
+    # max_balance=1.05: NO quantizer can clear it on this corpus — the
+    # structurally-uncurable workload the cooldown exists for
+    fk = FromKafka(spark, {"emb": src}, sub, sub, format="json",
+                   indexes=[(spec, dest, ["emb"])], health_every=1,
+                   auto_rebuild=True,
+                   health_opts={"v": {"max_mean_occupancy": 20.0,
+                                      "max_balance": 1.05}})
+    with pytest.warns(UserWarning):
+        fk._run_health_checks()  # applies one rebuild, records outcome
+    assert fk._occ_results.get("v") is not None
+    n_commits = len(dest.commits())
+    with pytest.warns(UserWarning, match="cooldown"):
+        fk._run_health_checks()  # still unhealthy → suppressed
+    assert len(dest.commits()) == n_commits  # no second O(corpus) rebuild

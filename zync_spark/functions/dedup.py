@@ -404,7 +404,8 @@ def embedding_neardup_pairs(
     into silently (round-2 audit finding).
     Output: (id_a, id_b, cos) with cos >= threshold, id_a < id_b.
     """
-    from zync_spark.functions.similarity import (dot_expr, hyperplane_bucket,
+    from zync_spark.functions.similarity import (dot_expr_dim,
+                                                 hyperplane_bucket,
                                                  norm_expr)
 
     if bucket_bits is None:
@@ -437,7 +438,10 @@ def embedding_neardup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            (dot_expr(F.col("a.v"), F.col("b.v"))
+            # dot_expr_dim: the pair fold restated in the measured-3x
+            # interpreted-unrolled form (round 10) — `dim` is already a
+            # contract of this operator (the hyperplanes are dim-long)
+            (dot_expr_dim(F.col("a.v"), F.col("b.v"), dim)
              / (F.col("a.vn") * F.col("b.vn"))).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
@@ -451,6 +455,7 @@ def semdedup_pairs(
     k: int = 8,
     iterations: int = 2,
     threshold: float = 0.45,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs: k-means cluster
     blocking + exact within-cluster cosine verification (the published
@@ -467,8 +472,11 @@ def semdedup_pairs(
     reproducible — no seed drift between runs.
 
     Output: (cluster, id_a, id_b, cos) with cos >= threshold, id_a < id_b.
+    `dim` (optional): declare the embedding dimensionality to score the
+    candidate pairs with the measured-3x unrolled cosine form (round 10,
+    similarity.dot_expr_dim — bit-identical either way).
     """
-    from zync_spark.functions.similarity import (dot_expr,
+    from zync_spark.functions.similarity import (dot_expr_dim,
                                                  kmeans_assignments,
                                                  norm_expr)
 
@@ -496,7 +504,7 @@ def semdedup_pairs(
     return (
         pairs.select(
             "cluster", "id_a", "id_b",
-            (dot_expr(F.col("va"), F.col("vb"))
+            (dot_expr_dim(F.col("va"), F.col("vb"), dim)
              / (F.col("na") * F.col("nb"))).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
@@ -521,9 +529,10 @@ def semdedup_pairs_frozen(
 
     Scale: same as semdedup_pairs — pairwise work is Σ|cell|², never
     |corpus|²; assignment is map-side against broadcast centroids."""
-    from zync_spark.functions.similarity import (dot_expr, ivf_assign,
-                                                 norm_expr)
+    from zync_spark.functions.similarity import (dot_expr_dim,
+                                                 ivf_assign, norm_expr)
 
+    dim = len(centroids[0][1]) if centroids else None
     vecs = df.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -540,7 +549,9 @@ def semdedup_pairs_frozen(
                & (F.col("id_a") < F.col("id_b")))
         .select(
             "cell", "id_a", "id_b",
-            (dot_expr(F.col("va"), F.col("vb"))
+            # dim is a property of the frozen quantizer — the 3x
+            # unrolled scoring form applies automatically (round 10)
+            (dot_expr_dim(F.col("va"), F.col("vb"), dim)
              / (F.col("na") * F.col("nb"))).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )

@@ -536,58 +536,64 @@ class Pool:
 
             transformed = transform(df).persist(StorageLevel.MEMORY_AND_DISK)
             df = transformed
-        n = df.count()
-        nfiles = max(1, (n + target_rows - 1) // target_rows)
-        if cluster_by and n:
-            # Same rule as load()'s clustered commits: file-granularity
-            # skipping needs several key-space-disjoint files to bite,
-            # and a single-file base is also a single ROW GROUP — every
-            # later bounded probe then scans the whole index in ONE task
-            # (measured on the 200k-vector embdedup resize: post-rebuild
-            # passes got SLOWER than pre-rebuild because the 2.16M-row
-            # base landed in one file). 8 range files per clustered base
-            # restores both skipping and scan parallelism without
-            # touching the large-pool sizing (target_rows still governs
-            # above 8 x target rows).
-            nfiles = max(nfiles, 8)
-        file_id = uuid.uuid4().hex
-        data_path = os.path.join(self.path, "data", file_id)
-        # Clustering: default layout is (topic, offset) — optimal for the
-        # cursor/offset scans every sync does. `cluster_by` instead range-
-        # clusters on the given dotted columns (offset as the final tie
-        # key), so each output file covers a narrow range of those values;
-        # their per-file min/max land in the manifest and `scan(bounds=)`
-        # skips whole files — multi-dimensional data skipping for the
-        # secondary-predicate scans (by user, by key, by time) that offset
-        # order can't serve. At 100 TB this is the difference between
-        # reading one file and reading the pool.
-        if zorder:
-            if not cluster_by or len(cluster_by) < 2:
-                raise ValueError(
-                    "zorder needs cluster_by with >= 2 columns (with one "
-                    "column, plain range clustering already skips optimally)")
-            # interleaved-bit layout: every cluster column gets range
-            # locality, so scan(bounds=) prunes on ANY of them — see
-            # zorder_column. The key is layout-only and dropped after the
-            # range shuffle + sort (projection preserves partitioning).
-            zv = zorder_column(df, cluster_by, n)
-            out_df = (
-                df.withColumn("_zv", zv)
-                .repartitionByRange(nfiles, F.col("_zv"), F.col("kafka.offset"))
-                .sortWithinPartitions(F.col("_zv"), F.col("kafka.offset"))
-                .drop("_zv")
-            )
-        else:
-            ckeys = (
-                [F.col(c) for c in cluster_by] + [F.col("kafka.offset")]
-                if cluster_by
-                else [F.col("kafka.topic"), F.col("kafka.offset")]
-            )
-            out_df = df.repartitionByRange(nfiles, *ckeys) \
-                .sortWithinPartitions(*ckeys)
         try:
+            n = df.count()
+            nfiles = max(1, (n + target_rows - 1) // target_rows)
+            if cluster_by and n:
+                # Same rule as load()'s clustered commits: file-granularity
+                # skipping needs several key-space-disjoint files to bite,
+                # and a single-file base is also a single ROW GROUP — every
+                # later bounded probe then scans the whole index in ONE task
+                # (measured on the 200k-vector embdedup resize: post-rebuild
+                # passes got SLOWER than pre-rebuild because the 2.16M-row
+                # base landed in one file). 8 range files per clustered base
+                # restores both skipping and scan parallelism without
+                # touching the large-pool sizing (target_rows still governs
+                # above 8 x target rows).
+                nfiles = max(nfiles, 8)
+            file_id = uuid.uuid4().hex
+            data_path = os.path.join(self.path, "data", file_id)
+            # Clustering: default layout is (topic, offset) — optimal for
+            # the cursor/offset scans every sync does. `cluster_by` instead
+            # range-clusters on the given dotted columns (offset as the
+            # final tie key), so each output file covers a narrow range of
+            # those values; their per-file min/max land in the manifest and
+            # `scan(bounds=)` skips whole files — multi-dimensional data
+            # skipping for the secondary-predicate scans (by user, by key,
+            # by time) that offset order can't serve. At 100 TB this is the
+            # difference between reading one file and reading the pool.
+            if zorder:
+                if not cluster_by or len(cluster_by) < 2:
+                    raise ValueError(
+                        "zorder needs cluster_by with >= 2 columns (with "
+                        "one column, plain range clustering already skips "
+                        "optimally)")
+                # interleaved-bit layout: every cluster column gets range
+                # locality, so scan(bounds=) prunes on ANY of them — see
+                # zorder_column. The key is layout-only and dropped after
+                # the range shuffle + sort (projection preserves
+                # partitioning).
+                zv = zorder_column(df, cluster_by, n)
+                out_df = (
+                    df.withColumn("_zv", zv)
+                    .repartitionByRange(nfiles, F.col("_zv"),
+                                        F.col("kafka.offset"))
+                    .sortWithinPartitions(F.col("_zv"), F.col("kafka.offset"))
+                    .drop("_zv")
+                )
+            else:
+                ckeys = (
+                    [F.col(c) for c in cluster_by] + [F.col("kafka.offset")]
+                    if cluster_by
+                    else [F.col("kafka.topic"), F.col("kafka.offset")]
+                )
+                out_df = df.repartitionByRange(nfiles, *ckeys) \
+                    .sortWithinPartitions(*ckeys)
             out_df.write.mode("overwrite").parquet(data_path)
         finally:
+            # the try spans count(), zorder/repartition plan-building AND
+            # the write: a failure in ANY of them must not leave the
+            # MEMORY_AND_DISK cache pinned until plan GC (round-9 ADVICE)
             if transformed is not None:
                 transformed.unpersist()
         parts = [

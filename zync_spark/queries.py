@@ -3305,6 +3305,63 @@ def kmeans_clusters(spark, sf_dir):
     )
 
 
+@register(
+    "kmeans_clusters_spread",
+    """
+    WITH scaled AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> floor(x::DOUBLE * 1048576)::BIGINT) AS xs
+      FROM embeddings),
+    e AS (SELECT vec_id, unnest(range(64)) AS pos, unnest(xs) AS x FROM scaled),
+    seeds AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cluster, xs
+              FROM (SELECT vec_id, xs, md5(vec_id::VARCHAR) AS h
+                    FROM scaled ORDER BY h, vec_id LIMIT 8)),
+    s AS (SELECT cluster, unnest(range(64)) AS pos, unnest(xs) AS c FROM seeds),
+    d0 AS (SELECT e.vec_id, s.cluster, sum((e.x - s.c) * (e.x - s.c)) AS dist
+           FROM e JOIN s USING (pos) GROUP BY e.vec_id, s.cluster),
+    a0 AS (SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+             FROM d0) WHERE rn = 1),
+    c1 AS (SELECT cluster, pos, (sum(x) // count(*))::BIGINT AS c
+           FROM e JOIN a0 USING (vec_id) GROUP BY cluster, pos),
+    d1 AS (SELECT e.vec_id, c1.cluster, sum((e.x - c1.c) * (e.x - c1.c)) AS dist
+           FROM e JOIN c1 USING (pos) GROUP BY e.vec_id, c1.cluster),
+    a1 AS (SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+             FROM d1) WHERE rn = 1),
+    c2 AS (SELECT cluster, pos, (sum(x) // count(*))::BIGINT AS c
+           FROM e JOIN a1 USING (vec_id) GROUP BY cluster, pos),
+    d2 AS (SELECT e.vec_id, c2.cluster, sum((e.x - c2.c) * (e.x - c2.c)) AS dist
+           FROM e JOIN c2 USING (pos) GROUP BY e.vec_id, c2.cluster),
+    a2 AS (SELECT vec_id, cluster, dist FROM (
+             SELECT vec_id, cluster, dist,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+             FROM d2) WHERE rn = 1)
+    SELECT cluster, count(*) AS n_vecs, sum(dist)::BIGINT AS total_sqdist
+    FROM a2 GROUP BY cluster
+    """,
+)
+def kmeans_clusters_spread(spark, sf_dir):
+    """K-means with the Forgy spread init (round 10 — the occupancy
+    policy's quantizer-geometry cure, similarity._kmeans_seed_rows): the
+    k lowest-(md5(vec_id), vec_id) stored vectors seed the centroids, so
+    round 0 already separates the corpus's modes instead of starting
+    from k near-copies of the global mean (the modulo init's collapse,
+    SCALING §18.5). Fully deterministic and replayed verbatim by the
+    DuckDB oracle (seed selection = ORDER BY md5 LIMIT k; rounds = the
+    same fixed-point CTE chain as kmeans_clusters). This entry keeps
+    the rebuild path's init under the hash gate — rebuild_ann/
+    rebuild_embdedup(init='sample') compute exactly this assignment."""
+    emb = T(spark, sf_dir, "embeddings")
+    assign = S.kmeans_assignments(emb, k=8, iterations=2, init="sample")
+    return assign.groupBy("cluster").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("dist").alias("total_sqdist"),
+    )
+
+
 # The k-means assignment CTE chain (identical fixed-point recipe to the
 # kmeans_clusters oracle above), parametrized by k — shared by the SemDeDup
 # and IVF oracles below.

@@ -294,10 +294,34 @@ def tombstone_ann(dest: Pool, spec: AnnIndexSpec, ids) -> int:
     return commit_with_retry(dest, build, f"{spec.topic} tombstone")
 
 
+def _occupancy_report(dest: Pool, spec, stats_out: dict) -> None:
+    """Post-rebuild cell-occupancy report (round 10): one bounded
+    groupBy over the fresh base's 'l:' space — so a rebuild that did
+    NOT cure the skew (quantizer geometry the data caps) is visible
+    immediately in the caller's stats instead of surfacing a full
+    health cadence later. The rebuild folded tombstones, so no masking
+    is needed; the scan is the cell space only."""
+    df = dest.scan(bounds={"ckey": ("l:", "l:g")})
+    if df is None or "cell" not in df.columns:
+        return
+    occ = (df.filter(_is_vec(spec)).groupBy("cell")
+           .agg(F.count("*").alias("n"))
+           .agg(F.max("n").alias("mx"), F.avg("n").alias("av"),
+                F.count("*").alias("nc")).collect()[0])
+    mean_occ = float(occ["av"] or 0.0)
+    stats_out["cells_used"] = int(occ["nc"] or 0)
+    stats_out["max_cell_occupancy"] = int(occ["mx"] or 0)
+    stats_out["mean_cell_occupancy"] = round(mean_occ, 1)
+    stats_out["cell_balance"] = round(
+        (float(occ["mx"] or 0) / mean_occ) if mean_occ else 1.0, 2)
+
+
 def rebuild_ann(dest: Pool, spec: AnnIndexSpec,
                 n_cells: int | None = None, iterations: int | None = None,
                 target_rows: int = 4_000_000,
-                message: str = "annindex rebuild") -> int:
+                message: str = "annindex rebuild",
+                init: str = "modulo",
+                stats_out: dict | None = None) -> int:
     """Retrain the frozen quantizer over the FULL stored corpus and
     re-shard every vec row against the new centroids — the module
     contract's rebuild path ("rebuild the index to retrain", module
@@ -318,12 +342,18 @@ def rebuild_ann(dest: Pool, spec: AnnIndexSpec,
 
     `n_cells`/`iterations` default to the spec's; pass a larger n_cells
     to re-shard a grown corpus at finer granularity (ann_query reads the
-    stored centroids, so queries adapt with no spec change). Returns the
-    rows in the rebuilt index."""
+    stored centroids, so queries adapt with no spec change). `init`:
+    k-means seeding — "sample" (Forgy spread, similarity._kmeans_seed_rows)
+    is the occupancy policy's cure for a collapsed quantizer (round 10);
+    the default keeps the historical modulo recipe. `stats_out` receives
+    the POST-rebuild cell occupancy (mean/max/balance/cells_used) so a
+    rebuild that could not cure a skew is visible immediately. Returns
+    the rows in the rebuilt index."""
     k = spec.n_cells if n_cells is None else n_cells
     iters = spec.iterations if iterations is None else iterations
     if not 1 <= k <= 65536:
         raise ValueError("n_cells must be 1..65536")  # _cell_ckey width
+    _caches: list[DataFrame] = []
 
     def _retrain(df: DataFrame):
         if "vec_id" not in df.columns or "v" not in df.columns:
@@ -336,12 +366,16 @@ def rebuild_ann(dest: Pool, spec: AnnIndexSpec,
         df = fold_tombstones(df)
         # persist: the fold's masking windows are expensive lineage, and
         # the retrain reads vecs several times (each k-means round's
-        # centroid job + the reassignment scan) — one materialization,
-        # ContextCleaner reclaims it when the rewrite's plan is GC'd
+        # centroid job, the reassignment scan, and the rewrite's
+        # count+write) — one materialization, explicitly unpersisted
+        # after the compact returns (round-9 ADVICE: relying on
+        # ContextCleaner let repeated auto-rebuilds accumulate cached
+        # fold lineage in a long-lived maintenance driver)
         vecs = (df.filter(_is_vec(spec))
                 .select("kafka", "vec_id", "v", "vn").persist())
+        _caches.append(vecs)
         cents = S.kmeans_centroids(vecs, k=k, iterations=iters,
-                                   id_col="vec_id", vec_col="v")
+                                   id_col="vec_id", vec_col="v", init=init)
         if not cents:
             raise ValueError(
                 f"rebuild_ann: index {spec.name!r} has no stored vectors")
@@ -376,8 +410,19 @@ def rebuild_ann(dest: Pool, spec: AnnIndexSpec,
                 .unionByName(new_vecs, allowMissingColumns=True)
                 .unionByName(others, allowMissingColumns=True))
 
-    return dest.compact(target_rows=target_rows, message=message,
-                        transform=_retrain, cluster_by=["ckey"])
+    try:
+        n = dest.compact(target_rows=target_rows, message=message,
+                         transform=_retrain, cluster_by=["ckey"])
+    finally:
+        # compact's own MEMORY_AND_DISK cache of the transformed rows is
+        # fully materialized by its count(), so the retrain cache is
+        # dead the moment compact returns — drop it instead of waiting
+        # for plan GC (round-9 ADVICE)
+        for c in _caches:
+            c.unpersist()
+    if stats_out is not None:
+        _occupancy_report(dest, spec, stats_out)
+    return n
 
 
 def compact_ann(dest: Pool, target_rows: int = 4_000_000,
@@ -587,7 +632,9 @@ def ann_query(dest: Pool, spec: AnnIndexSpec, queries: DataFrame,
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id",
-            (S.dot_expr(F.col("qv"), F.col("cv"))
+            # candidate scoring in the measured-3x unrolled form — dim
+            # is a property of the stored quantizer (round 10)
+            (S.dot_expr_dim(F.col("qv"), F.col("cv"), len(cents[0][1]))
              / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
         # a neighbor can appear via more than one probed cell

@@ -161,7 +161,7 @@ def _bkeys_expr(spec: DedupIndexSpec) -> F.Column:
     )
 
 
-def _sig_frame(spec: DedupIndexSpec, delta: DataFrame) -> DataFrame:
+def _sig_frame_unfenced(spec: DedupIndexSpec, delta: DataFrame) -> DataFrame:
     """(doc_id, sh_set, bkeys) for the delta, in one lazy plan.
 
     HOT-PATH CAVEAT (round 9, measured): consuming this frame directly
@@ -174,7 +174,9 @@ def _sig_frame(spec: DedupIndexSpec, delta: DataFrame) -> DataFrame:
     batch operator persists `sig` before banding, minhash_lsh_pairs)
     and derives bkeys from the cached sig column. This composition is
     kept for cold callers (tests, one-shot migrations) where the 16x
-    on a small frame is cheaper than a persist."""
+    on a small frame is cheaper than a persist — the _unfenced suffix
+    is the structural marker (round-9 ADVICE): do NOT call this on a
+    production path; persist _sig_core and band off the cache."""
     return _sig_core(spec, delta).select(
         "doc_id", "sh_set", _bkeys_expr(spec).alias("bkeys"))
 
@@ -468,7 +470,7 @@ def _sync_index_once(src: Pool, dest: Pool, spec: DedupIndexSpec,
             core = _sig_core(spec, delta).persist()
         # bkeys derive from the CACHED sig column — the persist is the
         # fence that stops CollapseProject re-inlining the shingle+
-        # minhash pipeline into all 16 band branches (see _sig_frame's
+        # minhash pipeline into all 16 band branches (see _sig_frame_unfenced's
         # hot-path caveat; measured 16x on this exact path, round 9)
         sigs = core.select("doc_id", "sh_set", _bkeys_expr(spec)
                            .alias("bkeys"))

@@ -106,12 +106,16 @@ def _is_pair(spec: EmbDedupIndexSpec):
             & F.col("kafka.topic").eqNullSafe(spec.topic))
 
 
-def _cos(va, na, vb, nb):
+def _cos(va, na, vb, nb, dim=None):
     """dot/(|a||b|) from precomputed norms — the operand shape ann_query
     uses; multiplication and the position-ordered dot fold are bit-exact
     regardless of which side is the newer document, so canonical
-    (id_a < id_b) pairs hash identically however they were discovered."""
-    return S.dot_expr(va, vb) / (na * nb)
+    (id_a < id_b) pairs hash identically however they were discovered.
+    `dim` (the frozen quantizer's, when known) selects the measured-3x
+    unrolled scoring form — bit-identical (similarity.dot_expr_dim,
+    round 10): within-cell scoring is THE constant-factor ceiling of
+    every sync/rebuild pass (SCALING §18.5)."""
+    return S.dot_expr_dim(va, vb, dim) / (na * nb)
 
 
 def _check_plen(dest: Pool, spec: EmbDedupIndexSpec) -> None:
@@ -228,6 +232,7 @@ def _sync_once(src: Pool, dest: Pool, spec: EmbDedupIndexSpec,
         out = None
         pair_rows = None
         if cents:
+            dim = len(cents[0][1])
             new = S.ivf_assign(
                 vecs.select("vec_id", "v",
                             S.norm_expr(F.col("v")).alias("vn")),
@@ -249,7 +254,8 @@ def _sync_once(src: Pool, dest: Pool, spec: EmbDedupIndexSpec,
                               & (F.col("id_a") < F.col("id_b")))
                       .select("cell", "id_a", "id_b",
                               _cos(F.col("va"), F.col("na"),
-                                   F.col("vb"), F.col("nb")).alias("cos")))
+                                   F.col("vb"), F.col("nb"),
+                                   dim).alias("cos")))
                 # new x stored: probe ONLY the delta's cells' files — the
                 # cell list is a <= n_cells metadata collect (ann_query's
                 # probe shape); stored vectors in other cells cannot
@@ -295,7 +301,8 @@ def _sync_once(src: Pool, dest: Pool, spec: EmbDedupIndexSpec,
                               F.least("vec_id", "old_id").alias("id_a"),
                               F.greatest("vec_id", "old_id").alias("id_b"),
                               _cos(F.col("v"), F.col("vn"),
-                                   F.col("vo"), F.col("no")).alias("cos")))
+                                   F.col("vo"), F.col("no"),
+                                   dim).alias("cos")))
                     pairs = nn.unionByName(no)
                 pairs = pairs.filter(F.col("cos") >= spec.threshold)
                 vec_out = _stamp("vec", _cell_ckey(F.col("cell")), new)
@@ -421,7 +428,9 @@ def rebuild_embdedup(dest: Pool, spec: EmbDedupIndexSpec,
                      iterations: int | None = None,
                      threshold: float | None = None,
                      target_rows: int = 4_000_000,
-                     message: str = "embdedup rebuild") -> int:
+                     message: str = "embdedup rebuild",
+                     init: str = "modulo",
+                     stats_out: dict | None = None) -> int:
     """Retrain the frozen blocks over the FULL stored live corpus,
     re-assign every vector, and RE-EMIT the pair set within the new
     cells — the cure for blocks frozen on an unrepresentative backfill
@@ -430,12 +439,21 @@ def rebuild_embdedup(dest: Pool, spec: EmbDedupIndexSpec,
     sync aborts the publish — the index can never straddle two
     quantizers); cursors carry forward. Within-cell pair re-emission is
     Σ|cell|² — the rebuild price, same class as the batch operator.
-    Returns rows in the rebuilt index."""
+
+    `init="sample"` (round 10): Forgy spread seeding + scaled
+    iterations are the occupancy policy's cure for a COLLAPSED
+    quantizer (SCALING §18.5: modulo-init centroids are k near-copies
+    of the global mean; the catch-all cell they produce makes a
+    mean-targeted resize useless). `stats_out` receives the
+    POST-rebuild occupancy (mean/max/balance/cells_used) so a rebuild
+    that did not cure the skew is visible immediately. Returns rows in
+    the rebuilt index."""
     k = spec.n_cells if n_cells is None else n_cells
     iters = spec.iterations if iterations is None else iterations
     thresh = spec.threshold if threshold is None else threshold
     if not 1 <= k <= 65536:
         raise ValueError("n_cells must be 1..65536")
+    _caches: list[DataFrame] = []
 
     def _retrain(df: DataFrame):
         if "vec_id" not in df.columns or "v" not in df.columns:
@@ -447,13 +465,16 @@ def rebuild_embdedup(dest: Pool, spec: EmbDedupIndexSpec,
         df = fold_tombstones(df)
         # persist: the fold's masking windows are expensive lineage, and
         # the retrain reads vecs several times (each k-means round's
-        # centroid job, the reassignment, and the within-cell pair
-        # re-emission's self-join) — one materialization, ContextCleaner
-        # reclaims it when the rewrite's plan is GC'd
+        # centroid job, the reassignment, the within-cell pair
+        # re-emission's self-join, and the rewrite's count+write) — one
+        # materialization, explicitly unpersisted after the compact
+        # returns (round-9 ADVICE: ContextCleaner-only reclamation let
+        # repeated auto-rebuilds accumulate cached fold lineage)
         vecs = (df.filter(_is_vec(spec))
                 .select("kafka", "vec_id", "v", "vn").persist())
+        _caches.append(vecs)
         cents = S.kmeans_centroids(vecs, k=k, iterations=iters,
-                                   id_col="vec_id", vec_col="v")
+                                   id_col="vec_id", vec_col="v", init=init)
         if not cents:
             raise ValueError(
                 f"rebuild_embdedup: index {spec.name!r} has no stored "
@@ -476,7 +497,8 @@ def rebuild_embdedup(dest: Pool, spec: EmbDedupIndexSpec,
                         & (F.col("id_a") < F.col("id_b")))
                  .select("cell", "id_a", "id_b",
                          _cos(F.col("va"), F.col("na"),
-                              F.col("vb"), F.col("nb")).alias("cos"))
+                              F.col("vb"), F.col("nb"),
+                              len(cents[0][1])).alias("cos"))
                  .filter(F.col("cos") >= thresh))
         pair_rows = pairs.select(
             # fresh labels on the reserved partition -2 (rebuild): the
@@ -511,8 +533,21 @@ def rebuild_embdedup(dest: Pool, spec: EmbDedupIndexSpec,
                 .unionByName(pair_rows, allowMissingColumns=True)
                 .unionByName(others, allowMissingColumns=True))
 
-    return dest.compact(target_rows=target_rows, message=message,
-                        transform=_retrain, cluster_by=["ckey"])
+    try:
+        n = dest.compact(target_rows=target_rows, message=message,
+                         transform=_retrain, cluster_by=["ckey"])
+    finally:
+        # compact's count() fully materializes its own cache of the
+        # transformed rows, so the retrain cache is dead once compact
+        # returns — drop it instead of waiting for plan GC (round-9
+        # ADVICE)
+        for c in _caches:
+            c.unpersist()
+    if stats_out is not None:
+        from zync_spark.streaming.ann_index import _occupancy_report
+
+        _occupancy_report(dest, spec, stats_out)
+    return n
 
 
 def pairs_view(dest: Pool, spec: EmbDedupIndexSpec,

@@ -116,6 +116,16 @@ class FromKafka:
         # spec.name -> json(rebuild_args) of the last APPLIED rebuild;
         # cleared when the index measures healthy again
         self._applied_rebuilds: dict[str, str] = {}
+        # spec.name -> POST-rebuild max_cell_occupancy of the last
+        # applied occupancy rebuild (round 10): the arg-identity
+        # cooldown above cannot catch the §18.5 loop where rec_cells
+        # drifts with N (448→449→…) so the args are never identical but
+        # each rebuild is equally useless. If a new occupancy verdict's
+        # max is within 1.25x of what the LAST rebuild already failed
+        # to cure, the workload's quantizer geometry caps the cells —
+        # suppress the repeat until real growth (or a healthy verdict)
+        # changes the picture.
+        self._occ_results: dict[str, int] = {}
         self._batches_since_health = 0
         for kind, entries in (("rollup", self.rollups),
                               ("index", self.indexes)):
@@ -218,7 +228,8 @@ class FromKafka:
 
     # -- commit ------------------------------------------------------------
 
-    def commit_batch(self, frame: DataFrame) -> dict[str, int]:
+    def commit_batch(self, frame: DataFrame,
+                     stats_out: dict | None = None) -> dict[str, int]:
         """Decode + envelope + per-pool atomic append for one micro-batch.
 
         Replay guard: offsets below a pool's per-(topic, partition) resume
@@ -228,7 +239,17 @@ class FromKafka:
         — it has no replaying checkpoint to be safe against), duplicates
         are FILTERED so the replay completes the partial batch
         idempotently instead of wedging the stream. Returns rows per
-        topic (post-filter)."""
+        topic (post-filter).
+
+        `stats_out` (round 10, the §18.1 phase-decomposition method):
+        receives sec_resume (pool manifest reads for the replay guard),
+        sec_decode (decode+filter materialization — ends at the presence
+        collect, the action that populates the cache) and sec_load (the
+        per-topic pool commits: write + manifest publish), so a
+        cold-vs-warm gap is attributable from the stats alone."""
+        import time as _time
+
+        _t0 = _time.perf_counter()
         env = self.decode_frame(frame)
         if self.dead_letter_pool is not None:
             # decode-failure routing: a non-null wire value that decoded
@@ -249,7 +270,9 @@ class FromKafka:
             )
             self.dead_letter_pool.load(dead, "from-kafka dead-letter")
             env = env.filter(~bad).drop("_raw_value")
+        _t1 = _time.perf_counter()
         resume = self.resume_offsets_by_partition()
+        _t2 = _time.perf_counter()
         # drop already-committed offsets (checkpoint replay after a
         # partial multi-topic commit): one map-side filter against the
         # per-(topic, partition) resume points
@@ -278,6 +301,11 @@ class FromKafka:
                 .agg(F.count("*").alias("n"))
                 .collect()
             }
+            _t3 = _time.perf_counter()
+            if stats_out is not None:
+                stats_out["sec_resume"] = round(_t2 - _t1, 3)
+                stats_out["sec_decode"] = round(
+                    (_t1 - _t0) + (_t3 - _t2), 3)
             committed: dict[str, int] = {}
             for topic, pool in self.topic_pools.items():
                 if topic not in present:
@@ -286,6 +314,11 @@ class FromKafka:
                 committed[topic] = pool.load(
                     part, f"from-kafka {topic}",
                     type_names=getattr(self, "_shaper_names", None))
+                if stats_out is not None:
+                    stats_out["sec_load"] = round(
+                        stats_out.get("sec_load", 0.0)
+                        + (_time.perf_counter() - _t3), 3)
+                    _t3 = _time.perf_counter()
                 # maintenance policy: every N delta commits, fold the pool
                 # into a base manifest so streaming ingest (one small commit
                 # per trigger) cannot accrete an unbounded small-file set.
@@ -374,9 +407,10 @@ class FromKafka:
             verdicts.append(v)
             if v["healthy"]:
                 # a later healthy verdict clears the no-improvement
-                # cooldown: the index recovered (organic growth, manual
+                # cooldowns: the index recovered (organic growth, manual
                 # fix), so a future degradation may rebuild again
                 self._applied_rebuilds.pop(spec.name, None)
+                self._occ_results.pop(spec.name, None)
                 continue
             warnings.warn(
                 f"index {spec.name!r} unhealthy: {_json.dumps(v)}",
@@ -397,8 +431,52 @@ class FromKafka:
                     "applied without clearing the threshold — cooldown; "
                     "tune health_opts or re-ingest", stacklevel=2)
                 continue
-            new = rebuild(dest, spec, **v["rebuild_args"])
+            prev_max = self._occ_results.get(spec.name)
+            if (prev_max
+                    and "n_cells" in v["rebuild_args"]
+                    and v.get("max_cell_occupancy") is not None
+                    and v["max_cell_occupancy"] <= prev_max * 1.25):
+                # occupancy no-improvement cooldown (round 10): the last
+                # occupancy rebuild LEFT max occupancy at prev_max — it
+                # did not cure the fat cell — and the verdict's max is
+                # essentially unchanged since (<= 1.25x: no material
+                # growth, just the same skew re-measured). rec_cells
+                # drifting with N makes args_key useless here; gate on
+                # the measured outcome instead. Real growth past the
+                # band re-arms the rebuild.
+                warnings.warn(
+                    f"index {spec.name!r}: last occupancy rebuild left "
+                    f"max_cell_occupancy={prev_max} and it is now "
+                    f"{v['max_cell_occupancy']} — the quantizer geometry "
+                    "caps what a resize can buy on this corpus; cooldown "
+                    "(tune max_balance/max_mean_occupancy, or accept the "
+                    "skew)", stacklevel=2)
+                continue
+            kwargs = dict(v["rebuild_args"])
+            so: dict = {}
+            if isinstance(spec, (embdedup_index.EmbDedupIndexSpec,)) or \
+                    rebuild is ann_index.rebuild_ann:
+                kwargs["stats_out"] = so
+            new = rebuild(dest, spec, **kwargs)
             self._applied_rebuilds[spec.name] = args_key
+            if "n_cells" in v["rebuild_args"] and so.get(
+                    "max_cell_occupancy") is not None:
+                self._occ_results[spec.name] = so["max_cell_occupancy"]
+                max_bal = self.health_opts.get(spec.name, {}).get(
+                    "max_balance", 8.0)
+                bal = so.get("cell_balance") or 1.0
+                if bal > max_bal:
+                    # the useless-rebuild signal, surfaced IMMEDIATELY
+                    # (round-10 ask #1a): mean landed at target but the
+                    # retrained quantizer is still skewed
+                    warnings.warn(
+                        f"index {spec.name!r}: rebuild finished with "
+                        f"cell_balance={bal} (> {max_bal:g}) — "
+                        f"max_cell_occupancy={so['max_cell_occupancy']} "
+                        f"across {so.get('cells_used')} cells; the "
+                        "corpus has fewer separable modes than cells, "
+                        "so further resizes will not reduce per-pass "
+                        "cost", stacklevel=2)
             # span/text/dedup rebuilds return the NEW spec contract
             # (prefix_len changed); ann returns a row count and the
             # spec is unchanged

@@ -93,13 +93,79 @@ def _plen_for(target_buckets: float) -> int:
     return max(1, min(8, math.ceil(math.log(max(target_buckets, 16), 16))))
 
 
+_CELL_CAP = 65536  # ann_index._cell_ckey's 4-hex-char label width
+
+
+def _occupancy_policy(n_vecs: int, mean_occ: float, max_occ: int,
+                      max_mean_occupancy: float, max_balance: float,
+                      spec_iterations: int) -> dict:
+    """Shared occupancy/skew verdict for the two vector families
+    (round 10 — SCALING §18.5's residual made policy).
+
+    Two distinct failure shapes, two gates:
+    - MEAN occupancy past `max_mean_occupancy`: cells fattened uniformly
+      under a frozen n_cells — per-pass probe cost grows linearly with
+      the corpus. Cure: resize to ~sqrt(N) cells (floored so
+      post-rebuild mean lands at or below HALF the threshold —
+      hysteresis).
+    - BALANCE (max/mean) past `max_balance` while max is itself above
+      the threshold: the quantizer is SKEWED — a catch-all cell absorbs
+      a constant fraction of every delta, so per-pass cost grows
+      linearly NO MATTER how many cells exist (the §18.5 B2 residual:
+      resize landed mean at 446 while one cell held 7,951→10,122). A
+      mean-only policy is blind to this; it fired an O(corpus) rebuild
+      that bought nothing.
+
+    Either way the cure is one rebuild, but its ARGUMENTS differ from
+    the round-9 recipe in two measured ways: `init="sample"` (Forgy
+    spread seeding — the modulo init's centroids are k near-copies of
+    the global mean, the root cause of the collapse) and `iterations`
+    scaled with k (2 Lloyd rounds cannot separate hundreds of
+    centroids; ceil(log2(k)) rounds give each split a doubling).
+
+    Returns the verdict fields + rebuild args; `capped` flags when
+    rec_cells hit the 65536 cell-label cap AND the capped rebuild still
+    cannot bring mean occupancy under the threshold (round-9 ADVICE:
+    say so instead of steering operators into a no-op rebuild loop)."""
+    balance = (float(max_occ) / mean_occ) if mean_occ else 1.0
+    mean_ok = mean_occ <= max_mean_occupancy
+    skew_ok = (max_occ <= max_mean_occupancy) or (balance <= max_balance)
+    rec_cells = min(_CELL_CAP,
+                    max(math.ceil(math.sqrt(max(n_vecs, 1))),
+                        math.ceil(n_vecs / max(max_mean_occupancy / 2, 1))))
+    rec_iters = max(int(spec_iterations),
+                    math.ceil(math.log2(max(rec_cells, 2))))
+    capped = (rec_cells == _CELL_CAP
+              and n_vecs / _CELL_CAP > max_mean_occupancy)
+    return {
+        "mean_ok": mean_ok, "skew_ok": skew_ok,
+        "balance": round(balance, 2),
+        "rec_cells": rec_cells, "rec_iters": rec_iters,
+        "capped": capped,
+        "args": {"n_cells": rec_cells, "iterations": rec_iters,
+                 "init": "sample"},
+    }
+
+
 def check_ann_health(dest: Pool, spec, k: int = 10, nprobe: int = 2,
                      sample: int = 32,
-                     min_recall: float = 0.5) -> dict:
+                     min_recall: float = 0.5,
+                     max_mean_occupancy: float = 2048.0,
+                     max_balance: float = 8.0) -> dict:
     """Recall@k of the stored index on a deterministic sample of its own
-    vectors, vs `min_recall`. The sample is the lowest-id stored vectors
-    (stable across runs); the exact side is one measurement scan — the
-    same cost note as ann_recall."""
+    vectors, vs `min_recall` (the sample is the lowest-id stored vectors
+    — stable across runs; the exact side is one measurement scan, same
+    cost note as ann_recall) — PLUS the occupancy/skew policy shared
+    with the embdedup family (round 10: the IVF index has the same
+    frozen-n_cells linear-fattening arithmetic — per-query probe cost
+    grows with cell occupancy even at fixed nprobe, and recall stays
+    perfect while it happens, so cell_balance-as-advisory caught
+    nothing). Unhealthy on ANY of: recall below floor, mean occupancy
+    past threshold, or a skewed quantizer (max/mean past `max_balance`
+    with max itself above threshold). An occupancy/skew cure implies a
+    retrain, so its rebuild_args (resize + spread init + scaled
+    iterations, _occupancy_policy) also cure a simultaneous recall
+    failure."""
     from zync_spark.streaming import ann_index as AI
     from zync_spark.streaming.tombstones import mask_rows, read_tombs
 
@@ -124,28 +190,61 @@ def check_ann_health(dest: Pool, spec, k: int = 10, nprobe: int = 2,
     cells = (vecs.groupBy("cell").agg(F.count("*").alias("n"))
              .agg(F.max("n").alias("mx"), F.avg("n").alias("av"),
                   F.count("*").alias("nc")).collect()[0])
-    balance = (float(cells["mx"]) / float(cells["av"])
-               if cells["av"] else 1.0)
-    healthy = rec is not None and float(rec) >= min_recall
+    mean_occ = float(cells["av"] or 0.0)
+    max_occ = int(cells["mx"] or 0)
+    pol = _occupancy_policy(n_vecs, mean_occ, max_occ,
+                            max_mean_occupancy, max_balance,
+                            spec.iterations)
+    recall_ok = rec is not None and float(rec) >= min_recall
+    healthy = recall_ok and pol["mean_ok"] and pol["skew_ok"]
+    if not pol["mean_ok"] or not pol["skew_ok"]:
+        why = (f"mean occupancy {mean_occ:.0f} vectors/cell exceeds "
+               f"{max_mean_occupancy:g}" if not pol["mean_ok"] else
+               f"cell balance {pol['balance']:.1f} (max {max_occ} / mean "
+               f"{mean_occ:.0f}) exceeds {max_balance:g} — a catch-all "
+               "cell absorbs a constant fraction of every query's probe")
+        rec_txt = (
+            f"rebuild_ann(dest, spec, n_cells={pol['rec_cells']}, "
+            f"iterations={pol['rec_iters']}, init='sample') — {why}; "
+            "spread seeding + scaled Lloyd rounds retrain a separated "
+            f"quantizer over all {n_vecs} stored vectors")
+        if pol["capped"]:
+            rec_txt += (
+                f" [NOTE: n_cells is CAPPED at {_CELL_CAP} (cell-label "
+                f"width) and {n_vecs} vectors / {_CELL_CAP} cells still "
+                f"exceeds the {max_mean_occupancy:g} threshold — the "
+                "rebuild improves balance but cannot clear the mean "
+                "gate; raise max_mean_occupancy or shard the index]")
+        args = pol["args"]
+    elif not recall_ok:
+        rec_txt = (
+            f"rebuild_ann(dest, spec) — retrain the frozen quantizer on "
+            f"all {n_vecs} stored vectors (recall {float(rec or 0):.3f} < "
+            f"{min_recall}); consider a larger n_cells if the corpus "
+            "has grown")
+        args = {}
+    else:
+        rec_txt, args = None, None
     return {
         "family": "ann", "healthy": bool(healthy),
         "avg_recall": round(float(rec or 0.0), 4),
         "min_recall": min_recall, "k": k, "nprobe": nprobe,
         "sample": int(sample), "n_vectors": int(n_vecs),
         "cells_used": int(cells["nc"] or 0),
-        "cell_balance": round(balance, 2),
-        "recommendation": None if healthy else (
-            f"rebuild_ann(dest, spec) — retrain the frozen quantizer on "
-            f"all {n_vecs} stored vectors (recall {float(rec or 0):.3f} < "
-            f"{min_recall}); consider a larger n_cells if the corpus "
-            "has grown"),
-        "rebuild_args": None if healthy else {},
+        "cell_balance": pol["balance"],
+        "max_cell_occupancy": max_occ,
+        "mean_cell_occupancy": round(mean_occ, 1),
+        "max_mean_occupancy": max_mean_occupancy,
+        "max_balance": max_balance,
+        "recommendation": rec_txt,
+        "rebuild_args": args,
     }
 
 
 def check_embdedup_health(dest: Pool, spec, sample: int = 32,
                           min_pair_recall: float = 0.5,
-                          max_mean_occupancy: float = 2048.0) -> dict:
+                          max_mean_occupancy: float = 2048.0,
+                          max_balance: float = 8.0) -> dict:
     """Blocking QUALITY and cell OCCUPANCY of the embdedup index.
 
     Quality (round 8): the family's failure mode is frozen blocks
@@ -176,7 +275,16 @@ def check_embdedup_health(dest: Pool, spec, sample: int = 32,
     n_cells is max(ceil(sqrt(N)), ceil(N / (max/2))): the sqrt target,
     floored so post-rebuild occupancy lands at or below HALF the
     threshold (hysteresis — the next breach needs real growth, not
-    noise)."""
+    noise).
+
+    Skew (round 10 — _occupancy_policy): mean at target with max 20x
+    above it means the QUANTIZER collapsed, not that cells are too few
+    (SCALING §18.5's B2 run: resize landed mean 446 while one catch-all
+    cell held 7,951→10,122 and post-resize passes were no faster). The
+    `max_balance` gate fires on max/mean with max above the threshold,
+    and every occupancy-motivated rebuild now carries init='sample' +
+    iterations scaled with k — the quantizer-geometry cure, not just
+    more cells."""
     from zync_spark.functions import similarity as S
     from zync_spark.streaming import ann_index as AI
     from zync_spark.streaming.tombstones import mask_rows, read_tombs
@@ -211,20 +319,34 @@ def check_embdedup_health(dest: Pool, spec, sample: int = 32,
            .agg(F.max("n").alias("mx"), F.avg("n").alias("av"),
                 F.count("*").alias("nc")).collect()[0])
     mean_occ = float(occ["av"] or 0.0)
+    max_occ = int(occ["mx"] or 0)
+    pol = _occupancy_policy(n_vecs, mean_occ, max_occ,
+                            max_mean_occupancy, max_balance,
+                            spec.iterations)
     recall_ok = recall is None or recall >= min_pair_recall
-    occ_ok = mean_occ <= max_mean_occupancy
-    healthy = recall_ok and occ_ok
-    rec_cells = min(65536, max(math.ceil(math.sqrt(n_vecs)),
-                               math.ceil(n_vecs
-                                         / max(max_mean_occupancy / 2, 1))))
-    if not occ_ok:
-        rec = (f"rebuild_embdedup(dest, spec, n_cells={rec_cells}) — "
-               f"mean occupancy {mean_occ:.0f} vectors/cell exceeds "
+    healthy = recall_ok and pol["mean_ok"] and pol["skew_ok"]
+    if not pol["mean_ok"] or not pol["skew_ok"]:
+        why = (f"mean occupancy {mean_occ:.0f} vectors/cell exceeds "
                f"{max_mean_occupancy:g} ({n_vecs} vectors across "
-               f"{int(occ['nc'] or 0)} frozen cells): per-pass sync cost "
-               "grows with the corpus; resizing to ~sqrt(N) cells "
-               f"brings it to ~{n_vecs // rec_cells}/cell")
-        args = {"n_cells": rec_cells}
+               f"{int(occ['nc'] or 0)} frozen cells): per-pass sync "
+               "cost grows with the corpus"
+               if not pol["mean_ok"] else
+               f"cell balance {pol['balance']:.1f} (max {max_occ} / "
+               f"mean {mean_occ:.0f}) exceeds {max_balance:g}: a "
+               "catch-all cell absorbs a constant fraction of every "
+               "delta's scoring")
+        rec = (f"rebuild_embdedup(dest, spec, n_cells={pol['rec_cells']}, "
+               f"iterations={pol['rec_iters']}, init='sample') — {why}; "
+               "spread seeding + scaled Lloyd rounds retrain a separated "
+               f"quantizer (~{n_vecs // pol['rec_cells']}/cell at target)")
+        if pol["capped"]:
+            rec += (
+                f" [NOTE: n_cells is CAPPED at {_CELL_CAP} (cell-label "
+                f"width) and {n_vecs} vectors / {_CELL_CAP} cells still "
+                f"exceeds the {max_mean_occupancy:g} threshold — the "
+                "rebuild improves balance but cannot clear the mean "
+                "gate; raise max_mean_occupancy or shard the index]")
+        args = pol["args"]
     elif not recall_ok:
         rec = (f"rebuild_embdedup(dest, spec) — retrain the frozen "
                f"blocks on all {n_vecs} stored vectors (pair recall "
@@ -241,9 +363,11 @@ def check_embdedup_health(dest: Pool, spec, sample: int = 32,
         "sample": int(sample), "qualifying_pairs": n_qual,
         "n_vectors": int(n_vecs),
         "cells_used": int(occ["nc"] or 0),
-        "max_cell_occupancy": int(occ["mx"] or 0),
+        "max_cell_occupancy": max_occ,
         "mean_cell_occupancy": round(mean_occ, 1),
         "max_mean_occupancy": max_mean_occupancy,
+        "cell_balance": pol["balance"],
+        "max_balance": max_balance,
         "recommendation": rec,
         "rebuild_args": args,
     }
