@@ -142,6 +142,9 @@ def main(backfill=20000, deltas=8, per=200, post_resize_deltas=0,
             rec = {
                 "phase": tag, "i": d, "rows": n, "docs": lo + per,
                 "sec": round(time.perf_counter() - t0, 2),
+                "sec_delta": stats.get("sec_delta"),
+                "sec_assign": stats.get("sec_assign"),
+                "sec_commit": stats.get("sec_commit"),
                 "probe_files": stats.get("probe_files"),
                 "live_files": stats.get("live_files"),
                 "probe_frac": (round(stats["probe_files"]

@@ -399,9 +399,16 @@ def cmd_ann_index(args) -> int:
         n = ai.compact_ann(dest)
         print(f"ann-index {spec.name}: compacted {n} rows")
     elif args.action == "rebuild":
-        n = ai.rebuild_ann(dest, spec, n_cells=args.n_cells)
+        so: dict = {}
+        n = ai.rebuild_ann(dest, spec, n_cells=args.n_cells,
+                           iterations=args.iterations, init=args.init,
+                           stats_out=so)
         print(f"ann-index {spec.name}: rebuilt {n} rows"
-              + (f" at {args.n_cells} cells" if args.n_cells else ""))
+              + (f" at {args.n_cells} cells" if args.n_cells else "")
+              + (f" — occupancy mean {so['mean_cell_occupancy']} / max "
+                 f"{so['max_cell_occupancy']} over {so['cells_used']} "
+                 f"cells (balance {so['cell_balance']})"
+                 if so.get("cells_used") else ""))
     elif args.action == "delete":
         if not args.ids:
             raise SystemExit("ann-index delete requires --ids ID,ID")
@@ -413,7 +420,9 @@ def cmd_ann_index(args) -> int:
 
         print(json.dumps(check_ann_health(
             dest, spec, sample=args.queries,
-            min_recall=args.min_recall)))
+            min_recall=args.min_recall,
+            max_mean_occupancy=args.max_mean_occupancy,
+            max_balance=args.max_balance)))
     elif args.action == "recall":
         cents = ai.stored_centroids(dest, spec)
         if cents is None:
@@ -502,9 +511,16 @@ def cmd_embdedup_index(args) -> int:
         n = ed.compact_embdedup(dest)
         print(f"embdedup-index {spec.name}: compacted {n} rows")
     elif args.action == "rebuild":
-        n = ed.rebuild_embdedup(dest, spec, n_cells=args.n_cells)
+        so: dict = {}
+        n = ed.rebuild_embdedup(dest, spec, n_cells=args.n_cells,
+                                iterations=args.iterations,
+                                init=args.init, stats_out=so)
         print(f"embdedup-index {spec.name}: rebuilt {n} rows"
-              + (f" at {args.n_cells} cells" if args.n_cells else ""))
+              + (f" at {args.n_cells} cells" if args.n_cells else "")
+              + (f" — occupancy mean {so['mean_cell_occupancy']} / max "
+                 f"{so['max_cell_occupancy']} over {so['cells_used']} "
+                 f"cells (balance {so['cell_balance']})"
+                 if so.get("cells_used") else ""))
     elif args.action == "delete":
         if not args.ids:
             raise SystemExit("embdedup-index delete requires --ids ID,ID")
@@ -516,7 +532,8 @@ def cmd_embdedup_index(args) -> int:
 
         print(json.dumps(check_embdedup_health(
             dest, spec, min_pair_recall=args.min_pair_recall,
-            max_mean_occupancy=args.max_mean_occupancy)))
+            max_mean_occupancy=args.max_mean_occupancy,
+            max_balance=args.max_balance)))
     else:  # pairs
         ids = ([int(x) for x in args.ids.split(",")] if args.ids
                else None)
@@ -1421,6 +1438,22 @@ def main(argv: list[str] | None = None) -> int:
                    help="re-cluster after N delta commits since last base")
     p.add_argument("--n-cells", type=int, default=None, metavar="K",
                    help="rebuild: re-shard at K cells (default: spec's)")
+    p.add_argument("--iterations", type=int, default=None, metavar="I",
+                   help="rebuild: Lloyd rounds (default: spec's; the "
+                        "skew cure scales this with K)")
+    p.add_argument("--init", default="modulo",
+                   choices=["modulo", "sample"],
+                   help="rebuild: k-means seeding — 'sample' (Forgy "
+                        "spread) cures a collapsed quantizer")
+    p.add_argument("--max-mean-occupancy", type=float, default=2048.0,
+                   help="health: flag when mean live vectors per cell "
+                        "exceeds this (frozen n_cells fattens with the "
+                        "corpus — per-query probe cost grows even at "
+                        "fixed nprobe)")
+    p.add_argument("--max-balance", type=float, default=8.0,
+                   help="health: flag when max/mean cell occupancy "
+                        "exceeds this while max is above the occupancy "
+                        "threshold (a skewed quantizer's catch-all cell)")
     p.add_argument("--queries", type=int, default=25, metavar="Q",
                    help="recall: sample size of stored vectors to query")
     p.set_defaults(fn=cmd_ann_index)
@@ -1451,6 +1484,20 @@ def main(argv: list[str] | None = None) -> int:
                    help="health: flag when mean live vectors per cell "
                         "exceeds this (frozen n_cells fattens with the "
                         "corpus; the cure is rebuild --n-cells ~sqrt(N))")
+    p.add_argument("--max-balance", type=float, default=8.0,
+                   help="health: flag when max/mean cell occupancy "
+                        "exceeds this while max is above the occupancy "
+                        "threshold (quantizer skew: a catch-all cell "
+                        "absorbs every delta — more cells will NOT cure "
+                        "it; the verdict recommends init='sample' + "
+                        "scaled iterations)")
+    p.add_argument("--iterations", type=int, default=None, metavar="I",
+                   help="rebuild: Lloyd rounds (default: spec's; the "
+                        "skew cure scales this with K)")
+    p.add_argument("--init", default="modulo",
+                   choices=["modulo", "sample"],
+                   help="rebuild: k-means seeding — 'sample' (Forgy "
+                        "spread) cures a collapsed quantizer")
     p.set_defaults(fn=cmd_embdedup_index)
 
     p = sub.add_parser("text-index", help="incremental BM25 text index")

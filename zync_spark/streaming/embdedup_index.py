@@ -169,6 +169,21 @@ def sync_embdedup(src: Pool, dest: Pool, spec: EmbDedupIndexSpec,
 def _sync_once(src: Pool, dest: Pool, spec: EmbDedupIndexSpec,
                topics: list[str], message: str | None,
                stats_out: dict | None, upsert: bool = False) -> int:
+    # phase decomposition (round 10, the §18.1 method): each sec_* ends
+    # at the Spark action that materializes the phase — sec_delta at the
+    # cursor collect (materializes the persisted delta), sec_assign at
+    # the probed-cells collect (materializes the persisted assignment),
+    # sec_commit at the load (scores pairs + writes + publishes)
+    import time as _time
+
+    _t = {"t": _time.perf_counter()}
+
+    def _stamp_sec(key: str) -> None:
+        now = _time.perf_counter()
+        if stats_out is not None:
+            stats_out[key] = round(now - _t["t"], 3)
+        _t["t"] = now
+
     _check_plen(dest, spec)
     snapshot = len(dest.commits())
     cursors = _spec_cursors(spec, dest.stored_cursors(), topics)
@@ -184,6 +199,7 @@ def _sync_once(src: Pool, dest: Pool, spec: EmbDedupIndexSpec,
                 F.col("kafka.partition").alias("p"),
             ).agg(F.max(F.col("kafka.offset")).alias("mx")).collect()
         }
+        _stamp_sec("sec_delta")
         if not new_cursors:
             return 0
         src_rows = delta
@@ -264,6 +280,7 @@ def _sync_once(src: Pool, dest: Pool, spec: EmbDedupIndexSpec,
                     int(r["c"]) for r in
                     new.select(F.col("cell").alias("c")).distinct().collect()
                 })
+                _stamp_sec("sec_assign")
                 ckeys = ["l:%04x" % c for c in cells]
                 if stats_out is not None:
                     stats_out["live_files"] = len(dest.committed_files())
@@ -340,6 +357,7 @@ def _sync_once(src: Pool, dest: Pool, spec: EmbDedupIndexSpec,
                                   message or f"{spec.topic} sync",
                                   cursors=new_cursors, occ_token=snapshot,
                                   cluster_by=["ckey"])
+                    _stamp_sec("sec_commit")
                 if n == 0:
                     return _cursor_only(dest, spec, delta, new_cursors,
                                         snapshot, message)
