@@ -1963,7 +1963,10 @@ def ann_cosine_topk(spark, sf_dir):
     rank per query. The LSH-bucketed scale path is
     functions/similarity.lsh_ann_topk."""
     emb = T(spark, sf_dir, "embeddings")
-    return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5)
+    # dim=64 is the embeddings table's contract (the oracle CTEs
+    # hardcode range(64)) — selects the 3x unrolled scoring form
+    return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 10),
+                         "vec_id", "embedding", k=5, dim=64)
 
 
 @register(

@@ -465,7 +465,9 @@ def ann_exact_topk(dest: Pool, spec: AnnIndexSpec, queries: DataFrame,
                              "vec_id", "left_semi")
     q = queries.select(F.col(id_col).alias("vec_id"),
                        F.col(vec_col).alias("emb"))
-    return S.cosine_topk(corpus, q, "vec_id", "emb", k=k)
+    cents = stored_centroids(dest, spec)
+    return S.cosine_topk(corpus, q, "vec_id", "emb", k=k,
+                         dim=len(cents[0][1]) if cents else None)
 
 
 def ann_recall(dest: Pool, spec: AnnIndexSpec, queries: DataFrame,

@@ -301,7 +301,9 @@ def check_embdedup_health(dest: Pool, spec, sample: int = 32,
     corpus = vecs.select("vec_id", F.col("v").alias("emb"))
     qs = (vecs.orderBy("vec_id").limit(int(sample))
           .select("vec_id", F.col("v").alias("emb")))
-    best = S.cosine_topk(corpus, qs, "vec_id", "emb", k=1)
+    cents = AI.stored_centroids(dest, spec)
+    best = S.cosine_topk(corpus, qs, "vec_id", "emb", k=1,
+                         dim=len(cents[0][1]) if cents else None)
     cells = vecs.select("vec_id", "cell")
     judged = (best.filter(F.col("cos") >= spec.threshold)
               .join(cells.select(F.col("vec_id").alias("query_id"),
