@@ -172,11 +172,17 @@ def main(backfill=20000, deltas=8, per=200, post_resize_deltas=0,
             "rebuild_args": v["rebuild_args"]}), flush=True)
         if v.get("rebuild_args") and "n_cells" in v["rebuild_args"]:
             t0 = time.perf_counter()
-            ED.rebuild_embdedup(dest, SPEC, **v["rebuild_args"])
+            rso: dict = {}
+            ED.rebuild_embdedup(dest, SPEC, stats_out=rso,
+                                **v["rebuild_args"])
             print(json.dumps({
                 "phase": "resize",
                 "n_cells": v["rebuild_args"]["n_cells"],
                 "sec": round(time.perf_counter() - t0, 1),
+                "sec_kmeans": rso.get("sec_kmeans"),
+                "rebuild_occ": {x: rso.get(x) for x in
+                                ("cells_used", "mean_cell_occupancy",
+                                 "max_cell_occupancy", "cell_balance")},
                 "occupancy": _occupancy(dest)}), flush=True)
         run_deltas("delta_post_resize", post_resize_deltas, occ_every=0)
     pairs = ED.pairs_view(dest, SPEC)

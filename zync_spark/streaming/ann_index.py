@@ -212,10 +212,15 @@ def _sync_ann_once(src: Pool, dest: Pool, spec: AnnIndexSpec,
                     "cid long, cv array<double>")
         out = None
         if cents:
-            assigned = S.ivf_assign(
-                vecs.select("vec_id", "v",
-                            S.norm_expr(F.col("v")).alias("vn")),
-                cents, "v", nprobe=1)
+            # spread before assignment — same single-task finding as the
+            # embdedup sync (see its comment; packed reads land small
+            # deltas in one partition, assignment is k x dim per row)
+            inp = vecs.select("vec_id", "v",
+                              S.norm_expr(F.col("v")).alias("vn"))
+            tgt = delta.sparkSession.sparkContext.defaultParallelism
+            if inp.rdd.getNumPartitions() < tgt:
+                inp = inp.repartition(tgt)
+            assigned = S.ivf_assign(inp, cents, "v", nprobe=1)
             vec_rows = assigned.select(
                 "vec_id", "v", "vn", F.col("__cell").alias("cell"))
             out = _stamp("vec", _cell_ckey(F.col("cell")), vec_rows)
@@ -379,7 +384,12 @@ def rebuild_ann(dest: Pool, spec: AnnIndexSpec,
         if not cents:
             raise ValueError(
                 f"rebuild_ann: index {spec.name!r} has no stored vectors")
-        assigned = S.ivf_assign(vecs, cents, "v", nprobe=1)
+        # the O(corpus x k x dim) assignment is the rewrite's heaviest
+        # map; cache it alongside vecs so no later consumer (compact's
+        # count/write, future co-tenant edits) can re-evaluate it
+        # (round 10, the §18.1 fence discipline)
+        assigned = S.ivf_assign(vecs, cents, "v", nprobe=1).persist()
+        _caches.append(assigned)
         new_vecs = assigned.select(
             "kafka",
             F.lit("vec").alias("zed_type"),

@@ -249,12 +249,23 @@ def _sync_once(src: Pool, dest: Pool, spec: EmbDedupIndexSpec,
         pair_rows = None
         if cents:
             dim = len(cents[0][1])
-            new = S.ivf_assign(
-                vecs.select("vec_id", "v",
-                            S.norm_expr(F.col("v")).alias("vn")),
-                cents, "v", nprobe=1
-            ).select("vec_id", "v", "vn",
-                     F.col("__cell").alias("cell")).persist()
+            # Spread the assignment input (round 10, measured): the
+            # engine's packed pool read lands a small delta in ONE
+            # partition — right for IO, but nearest-cell assignment is
+            # O(rows x n_cells x dim) interpreted CPU, the heaviest
+            # map-side work of the pass, and it ran single-task (12.2
+            # CPU-seconds = 12.4 s WALL at 10k rows x 332 cells while
+            # 31 cores idled). The tiny round-robin shuffle is orders
+            # below the compute it parallelizes; an already-parallel
+            # delta skips it.
+            inp = vecs.select("vec_id", "v",
+                              S.norm_expr(F.col("v")).alias("vn"))
+            tgt = delta.sparkSession.sparkContext.defaultParallelism
+            if inp.rdd.getNumPartitions() < tgt:
+                inp = inp.repartition(tgt)
+            new = S.ivf_assign(inp, cents, "v", nprobe=1).select(
+                "vec_id", "v", "vn",
+                F.col("__cell").alias("cell")).persist()
             try:
                 # new x new (within batch, same cell): each vector lives
                 # in exactly ONE cell (nprobe=1), so a pair can surface
@@ -491,13 +502,26 @@ def rebuild_embdedup(dest: Pool, spec: EmbDedupIndexSpec,
         vecs = (df.filter(_is_vec(spec))
                 .select("kafka", "vec_id", "v", "vn").persist())
         _caches.append(vecs)
+        import time as _time
+
+        _t0 = _time.perf_counter()
         cents = S.kmeans_centroids(vecs, k=k, iterations=iters,
                                    id_col="vec_id", vec_col="v", init=init)
+        if stats_out is not None:
+            # the retrain phase ends here; everything after (assignment,
+            # pair re-emission, clustered write) materializes inside the
+            # compact and lands in the caller's wall time
+            stats_out["sec_kmeans"] = round(_time.perf_counter() - _t0, 1)
         if not cents:
             raise ValueError(
                 f"rebuild_embdedup: index {spec.name!r} has no stored "
                 "vectors")
-        assigned = S.ivf_assign(vecs, cents, "v", nprobe=1)
+        # fence (the §18.1 pattern): `assigned` feeds new_vecs AND
+        # both sides of the pair self-join — without a cache the full
+        # O(corpus x k x dim) assignment re-evaluates THREE times
+        # inside the rewrite's materialization
+        assigned = S.ivf_assign(vecs, cents, "v", nprobe=1).persist()
+        _caches.append(assigned)
         new_vecs = assigned.select(
             "kafka",
             F.lit("vec").alias("zed_type"),
