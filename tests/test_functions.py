@@ -717,3 +717,44 @@ def test_dot_expr_dim_parity(spark):
     big = S.dot_expr_dim(F.col("a"), F.col("b"), S._MAX_UNROLL_DIM + 1)
     assert "CASE WHEN" not in big._jc.toString().upper() or \
         "aggregate" in big._jc.toString()
+
+
+@pytest.mark.slow
+def test_kmeans_arrow_reassign_parity(spark):
+    """The Arrow int64 Lloyd kernel (round 10, similarity.
+    _kmeans_reassign_arrow) must equal the expression path EXACTLY —
+    every (vec_id, cluster, dist) — including argmin TIES (duplicate
+    centroids: first-minimum = lowest cluster id) and degenerate rows
+    (wrong-length / null vectors → lowest cluster id with null dist,
+    the struct-ordering contract). Exactness is by construction
+    (integer arithmetic is order-independent), this test pins the
+    implementation details: matrix ordering, |x|^2-2xc+|c|^2 identity,
+    the fallback branch."""
+    import math
+
+    def vec(i):
+        return [math.sin(0.31 * (i % 8) + 0.7 * j)
+                + 0.01 * ((i * 31 + j * 17) % 19) for j in range(16)]
+
+    # planted exact duplicates → tie-heavy corpus
+    rows = [(i, vec(i if i % 7 else 0)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    scaled = S._kmeans_scaled(df, "vec_id", "embedding", 1 << 20)
+    cents = S._kmeans_seed_rows(scaled, 90)
+    # force an exact inter-cluster tie
+    cents[5] = {"cluster": cents[5]["cluster"], "c": list(cents[4]["c"])}
+    bad = spark.createDataFrame(
+        [(900001, [1, 2, 3]), (900002, None)],
+        "vec_id long, xs array<bigint>")
+    inp = scaled.unionByName(bad)
+    expr = sorted(map(tuple, S._kmeans_reassign(
+        inp, cents, literal_threshold=10**9)
+        .select("vec_id", "cluster", "dist").collect()))
+    arrow = sorted(map(tuple, S._kmeans_reassign_arrow(inp, cents)
+                       .select("vec_id", "cluster", "dist").collect()))
+    assert expr == arrow
+    # the gate: > _KMEANS_ARROW_K centroids routes to the kernel
+    assert len(cents) > S._KMEANS_ARROW_K
+    auto = sorted(map(tuple, S._kmeans_reassign(inp, cents)
+                      .select("vec_id", "cluster", "dist").collect()))
+    assert auto == expr
