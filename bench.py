@@ -196,6 +196,83 @@ def _ingest_backfill(spark, sf_dir: str) -> dict[str, float]:
             "rows_per_sec_cold": round(n / first) if first else None}
 
 
+def _ingest_stream(spark, sf_dir: str, batches: int = 10,
+                   per: int = 10_000) -> dict:
+    """Streaming-amortization ingest bench (round-11 ask #5): §19.9
+    adjudicated the cold ingest gap as per-plan Catalyst
+    analysis+codegen, "amortized at the design point, where one
+    micro-batch's codegen is amortized over a stream" — this bench
+    ASSERTS that claim instead of stating it. `batches` successive
+    micro-batches of `per` rows each are produced to the FileQueue and
+    committed through ONE FromKafka into ONE pool (cursors advance, the
+    replay guard runs every batch — the exact per-trigger work
+    foreachBatch does); each batch's frame is the per-segment view a
+    streaming file source hands the loader (new files only). Expected:
+    batch 1 pays the compile, batch >= 2 converges to the warm
+    per-batch number."""
+    import shutil
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from zync_spark.pool import Pool
+    from zync_spark.queries import T, _scratch_dir
+    from zync_spark.sources.filequeue import FileQueue
+    from zync_spark.streaming.from_kafka import FromKafka
+
+    root = _scratch_dir("zs-bench-ingest-stream")
+    shutil.rmtree(root, ignore_errors=True)
+    fq = FileQueue(f"{root}/q")
+    rows = (T(spark, sf_dir, "events")
+            .select("event_id", "event_type", "value")
+            .limit(batches * per).collect())
+    kschema = {"type": "struct",
+               "fields": [{"field": "ID", "type": "int64"}]}
+    vschema = {"type": "struct",
+               "fields": [{"field": "etype", "type": "string"},
+                          {"field": "v", "type": "string"}]}
+    payloads = [
+        (json.dumps({"schema": kschema,
+                     "payload": {"ID": int(r["event_id"])}}).encode(),
+         json.dumps({"schema": vschema,
+                     "payload": {"etype": r["event_type"],
+                                 "v": str(r["value"])}}).encode())
+        for r in rows
+    ]
+    key_t = StructType([StructField("ID", LongType())])
+    val_t = StructType([StructField("etype", StringType()),
+                        StructField("v", StringType())])
+    pool = Pool.create(spark, f"{root}/pool")
+    fk = FromKafka(spark, {"events": pool}, key_t, val_t, format="json")
+    per_batch: list[float] = []
+    n_total = 0
+    for b in range(batches):
+        seg = payloads[b * per:(b + 1) * per]
+        first = fq.produce("events", seg)  # producer excluded (untimed)
+        frame = fq.batch_frame_at(spark, "events", first, len(seg))
+        t0 = time.perf_counter()
+        committed = fk.commit_batch(frame)
+        per_batch.append(time.perf_counter() - t0)
+        n_total += committed.get("events", 0)
+    shutil.rmtree(root, ignore_errors=True)
+    rest = per_batch[1:]
+    rest_mean = sum(rest) / len(rest) if rest else None
+    return {
+        "batches": batches, "rows_per_batch": per, "rows": n_total,
+        "per_batch": [round(x, 3) for x in per_batch],
+        "sec_first": round(per_batch[0], 3),
+        "sec_rest_mean": round(rest_mean, 3) if rest else None,
+        "sec_rest_max": round(max(rest), 3) if rest else None,
+        # the amortization claim in one number: how much of the stream's
+        # total cost the one-time compile represents (-> 0 as the stream
+        # lengthens)
+        "first_batch_overhead_frac": round(
+            (per_batch[0] - rest_mean) / sum(per_batch), 3)
+        if rest else None,
+        "rows_per_sec_warm": round(per / rest_mean) if rest_mean else None,
+    }
+
+
 def _pool_layout(spark, sf_dir: str) -> dict:
     """Headline timings on the engine's NATIVE storage layout.
 
@@ -411,6 +488,7 @@ def main() -> None:
     duck_subtotal = round(sum(duck.values()), 3)
     egress = _egress_backfill(spark, sf_dir)
     ingest = _ingest_backfill(spark, sf_dir)
+    ingest_stream = _ingest_stream(spark, sf_dir)
     pooled = _pool_layout(spark, sf_dir)
 
     try:
@@ -444,6 +522,10 @@ def main() -> None:
                 # the other half of the sync path (round-9 ask #2):
                 # FileQueue -> decode -> replay guard -> pool commit
                 "ingest_100k": ingest,
+                # streaming amortization of the cold compile (round-11
+                # ask #5): 10 successive micro-batches into ONE pool;
+                # batch 1 pays Catalyst, batch >= 2 runs warm
+                "ingest_stream_10x10k": ingest_stream,
                 # same queries, both engines, on the engine's native
                 # multi-file pool layout (see _pool_layout docstring)
                 "pool_layout": pooled,

@@ -191,7 +191,16 @@ def test_rebuild_retrains_and_reemits_like_batch(spark, tmp_path):
     frozen = ED.stored_centroids(dest, spec)
     _load(spark, src, 8, 48)
     assert ED.sync_embdedup(src, dest, spec, ["emb"]) > 0
-    assert ED.rebuild_embdedup(dest, spec, target_rows=64) > 0
+    rso: dict = {}
+    assert ED.rebuild_embdedup(dest, spec, target_rows=64,
+                               stats_out=rso) > 0
+    # round-11 ask #2: the rebuild's phases are stamped — kmeans /
+    # assignment / pair scoring / rewrite remainder all present, and the
+    # counts match the corpus (every stored vector reassigned)
+    assert {"sec_kmeans", "sec_assign", "sec_pairs", "sec_rewrite",
+            "sec_rebuild_total"} <= set(rso)
+    assert rso["n_assigned"] == 48
+    assert rso["n_pairs"] >= 0
     cents = ED.stored_centroids(dest, spec)
     full = S.kmeans_centroids(_corpus(spark, 48), k=spec.n_cells,
                               iterations=spec.iterations,

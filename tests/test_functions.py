@@ -713,10 +713,17 @@ def test_dot_expr_dim_parity(spark):
     for r in got:
         assert bits(r["fold"]) == bits(r["unrolled"]), r
         assert bits(r["fold"]) == bits(r["fallback"]), r
-    # the gate: past _MAX_UNROLL_DIM the expression IS the plain fold
+    # the gate: past _MAX_UNROLL_DIM the expression IS the plain fold —
+    # string-identical to dot_expr's, no CASE WHEN guard at all
+    # (round-10 ADVICE: the old or-assertion was always satisfiable)
+    import re
+
+    def norm(c):  # gensym'd lambda variable counters differ per call
+        return re.sub(r"[xy]_\d+", "V", c._jc.toString())
+
     big = S.dot_expr_dim(F.col("a"), F.col("b"), S._MAX_UNROLL_DIM + 1)
-    assert "CASE WHEN" not in big._jc.toString().upper() or \
-        "aggregate" in big._jc.toString()
+    assert norm(big) == norm(S.dot_expr(F.col("a"), F.col("b")))
+    assert "CASE WHEN" not in big._jc.toString().upper()
 
 
 @pytest.mark.slow
@@ -744,7 +751,11 @@ def test_kmeans_arrow_reassign_parity(spark):
     # force an exact inter-cluster tie
     cents[5] = {"cluster": cents[5]["cluster"], "c": list(cents[4]["c"])}
     bad = spark.createDataFrame(
-        [(900001, [1, 2, 3]), (900002, None)],
+        [(900001, [1, 2, 3]), (900002, None),
+         # right LENGTH but a null element: Arrow→pandas renders this
+         # as a float64 ndarray holding NaN, not None — must still
+         # route to the fallback branch (round-10 ADVICE)
+         (900003, [None] + [1] * 15)],
         "vec_id long, xs array<bigint>")
     inp = scaled.unionByName(bad)
     expr = sorted(map(tuple, S._kmeans_reassign(
@@ -758,3 +769,59 @@ def test_kmeans_arrow_reassign_parity(spark):
     auto = sorted(map(tuple, S._kmeans_reassign(inp, cents)
                       .select("vec_id", "cluster", "dist").collect()))
     assert auto == expr
+    # non-long id columns ride the kernel unchanged — out_schema
+    # derives vec_id's type from the input plan (round-10 ADVICE)
+    sid = scaled.limit(50).select(
+        F.concat(F.lit("d-"), F.col("vec_id")).alias("vec_id"), "xs")
+    sa = S._kmeans_reassign_arrow(sid, cents).select(
+        "vec_id", "cluster", "dist")
+    assert dict(sa.dtypes)["vec_id"] == "string"
+    s_expr = sorted(map(tuple, S._kmeans_reassign(
+        sid, cents, literal_threshold=10**9)
+        .select("vec_id", "cluster", "dist").collect()))
+    assert sorted(map(tuple, sa.collect())) == s_expr
+
+
+@pytest.mark.slow
+def test_ivf_assign_arrow_parity(spark):
+    """The Arrow FLOAT assignment kernel (round 11, similarity.
+    _ivf_assign_arrow) must equal ivf_assign(nprobe=1) EXACTLY — cell
+    for cell — including duplicate-centroid TIES (struct order: equal
+    negcos -> lowest cid) and degenerate rows (wrong length / null
+    array / null element / NaN element -> null-or-NaN score on every
+    cell -> lowest cid). Exactness is by the left-assoc fold replay
+    (see the kernel docstring); this test pins it with data."""
+    import math
+
+    def vec(i):
+        return [math.sin(0.29 * (i % 9) + 0.61 * j)
+                + 0.01 * ((i * 37 + j * 13) % 23) for j in range(16)]
+
+    rows = [(i, vec(i if i % 5 else 0)) for i in range(2500)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = S.kmeans_centroids(df, k=90, iterations=2,
+                               id_col="vec_id", vec_col="embedding")
+    assert len(cents) > S._KMEANS_ARROW_K
+    # force an exact inter-centroid tie: two cids, same vector
+    cents[7] = (cents[7][0], list(cents[6][1]))
+    bad = spark.createDataFrame(
+        [(900001, [1.0, 2.0]),                    # wrong length
+         (900002, None),                          # null array
+         (900003, [None] + [1.0] * 15),           # null element
+         (900004, [float("nan")] + [1.0] * 15)],  # NaN element
+        "vec_id long, embedding array<double>")
+    inp = df.unionByName(bad)
+    expr = sorted(map(tuple, S.ivf_assign(
+        inp, cents, "embedding", nprobe=1, literal_threshold=10**9)
+        .select("vec_id", "__cell").collect()))
+    arrow = sorted(map(tuple, S._ivf_assign_arrow(inp, cents, "embedding")
+                       .select("vec_id", "__cell").collect()))
+    assert expr == arrow
+    # the gate: ivf_assign_fast routes > _KMEANS_ARROW_K to the kernel
+    # and carries every input column through untouched
+    fast = S.ivf_assign_fast(inp, cents, "embedding")
+    assert set(fast.columns) == {"vec_id", "embedding", "__cell"}
+    assert sorted(map(tuple,
+                      fast.select("vec_id", "__cell").collect())) == expr
+    small = S.ivf_assign_fast(inp, cents[:8], "embedding")
+    assert "MapInPandas" not in small._jdf.queryExecution().toString()

@@ -460,3 +460,12 @@ def test_fromkafka_occupancy_cooldown(spark, tmp_path):
     with pytest.warns(UserWarning, match="cooldown"):
         fk._run_health_checks()  # still unhealthy → suppressed
     assert len(dest.commits()) == n_commits  # no second O(corpus) rebuild
+    # mean-breach RE-ARM (round-10 ADVICE): a later MEAN-occupancy
+    # failure — uniform fattening, simulated here by tightening the
+    # gate — is a DIFFERENT failure a resize WOULD cure, so the skew
+    # cooldown must not suppress it even though max occupancy is
+    # inside the 1.25x band
+    fk.health_opts["v"]["max_mean_occupancy"] = 1.0
+    with pytest.warns(UserWarning, match="unhealthy"):
+        fk._run_health_checks()
+    assert len(dest.commits()) > n_commits  # the rebuild fired

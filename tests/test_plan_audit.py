@@ -146,6 +146,34 @@ def test_spread_is_conditional(spark):
         )
 
 
+def test_ensure_compute_splits_shared_guard(spark, tmp_path):
+    """The factored helper (round-11 ask #3 — ONE implementation for
+    dedup, the vector-family sync/rebuild paths, and the ANN query
+    sides): an under-split input spreads to full parallelism; an
+    already-parallel one is returned UNTOUCHED (same object — no
+    redundant exchange), on both the file-metadata estimate and the
+    rdd-probe fallback."""
+    from zync_spark.functions.compute import ensure_compute_splits
+
+    target = spark.sparkContext.defaultParallelism
+    # non-file frames take the rdd probe
+    one = spark.range(0, 512, 1, 1).select("id")
+    assert ensure_compute_splits(one).rdd.getNumPartitions() >= target
+    par = spark.range(0, 512, 1, target).select("id")
+    assert ensure_compute_splits(par) is par
+    # file-backed frames take the driver-side split estimate: a
+    # one-split parquet spreads ...
+    p1 = str(tmp_path / "small")
+    spark.range(0, 512, 1, 1).write.parquet(p1)
+    small = spark.read.parquet(p1)
+    assert ensure_compute_splits(small).rdd.getNumPartitions() >= target
+    # ... a many-file (>= parallelism row groups) layout does not
+    p2 = str(tmp_path / "wide")
+    spark.range(0, 4096).repartition(target * 2).write.parquet(p2)
+    wide = spark.read.parquet(p2)
+    assert ensure_compute_splits(wide) is wide
+
+
 def test_shuffle_budgets(plans):
     over = {}
     for name, p in plans.items():

@@ -41,7 +41,10 @@ from zync_spark.queries import _scratch_dir
 from zync_spark.session import get_spark
 from zync_spark.streaming import embdedup_index as ED
 
-spark = get_spark("exp-embdedup", shuffle_partitions=16, adaptive=False)
+spark = get_spark("exp-embdedup",
+                  shuffle_partitions=int(os.environ.get(
+                      "EXP_SHUFFLE", "16")),
+                  adaptive=False)
 spark.sparkContext.setLogLevel("ERROR")
 
 ROW = ("kafka struct<topic:string,partition:long,offset:long>, "
@@ -91,9 +94,59 @@ def _vec(i):
             for j in range(DIM)]
 
 
+GEN = "py"  # "spark": distributed generation (decade-up runs, round 11)
+
+
+def _vec_sql() -> str:
+    """The SAME synthetic corpus as _vec()/_noise(), generated
+    EXECUTOR-SIDE (round 11, VERDICT ask #1): a ~1M-doc decade-up run
+    cannot build 64M python floats on the driver and serialize them
+    through createDataFrame. md5 agrees byte-for-byte across engines
+    (the repo's oracle-hashing rule), so the noise term is identical;
+    sin() may differ from CPython's libm in the last ulp — irrelevant at
+    the 0.999 threshold (cluster separation ~0.1, planted near-dup
+    cosine ~1-1e-7), and verified < 1e-9 by the genparity phase."""
+    b = "(CASE WHEN id % 40 = 39 THEN id - 1 ELSE id END)"
+    return (
+        f"transform(sequence(0, {DIM - 1}), j -> ("
+        f"sin(0.31 * cast({b} % 8 AS double) + 0.7 * cast(j AS double))"
+        f" + 0.8 * (cast(conv(substr(md5(concat('n', cast({b} AS string),"
+        f" ',', cast(j AS string))), 1, 8), 16, 10) AS double)"
+        f" / 4294967296.0 - 0.5)"
+        f" + (CASE WHEN id % 40 = 39 THEN 1e-4 ELSE 0.0 END)))"
+    )
+
+
 def _load(src, lo, hi):
+    if GEN == "spark":
+        df = spark.range(lo, hi).select(
+            F.struct(F.lit("emb").alias("topic"),
+                     F.lit(0).cast("long").alias("partition"),
+                     F.col("id").alias("offset")).alias("kafka"),
+            F.lit("data").alias("zed_type"),
+            F.struct(F.col("id").alias("vec_id"),
+                     F.expr(_vec_sql()).alias("emb")).alias("value"))
+        src.load(df, f"[{lo},{hi})")
+        return
     rows = [(("emb", 0, i), "data", (i, _vec(i))) for i in range(lo, hi)]
     src.load(spark.createDataFrame(rows, ROW), f"[{lo},{hi})")
+
+
+def _gen_parity_check(sample: int = 200) -> float:
+    """Max |spark_gen - python_gen| over a sample covering every region
+    and the planted-near-dup branch — the spark generator's honesty
+    check (must be < 1e-9; md5 noise is exact, sin may differ 1 ulp)."""
+    ids = list(range(80)) + [39 + 40 * k for k in range(1, 31)]
+    ids = sorted(set(ids))[:sample]
+    got = {r["id"]: r["v"] for r in
+           spark.range(0, max(ids) + 1).filter(F.col("id").isin(ids))
+           .select("id", F.expr(_vec_sql()).alias("v")).collect()}
+    worst = 0.0
+    for i in ids:
+        py = _vec(i)
+        sp = got[int(i)]
+        worst = max(worst, max(abs(a - b) for a, b in zip(py, sp)))
+    return worst
 
 
 def _occupancy(dest):
@@ -115,9 +168,25 @@ def _occupancy(dest):
 
 
 def main(backfill=20000, deltas=8, per=200, post_resize_deltas=0,
-         max_mean_occupancy=1024.0, noise="md5"):
-    global NOISE
+         max_mean_occupancy=1024.0, noise="md5", gen="py",
+         n_cells=None):
+    """gen="spark" + n_cells=<initial quantizer size> are the round-11
+    decade-up knobs: distributed corpus generation and a spec sized for
+    the backfill (sqrt(backfill)-class), so the protocol's shape —
+    frozen quantizer outgrown by ~a decade, then one policy resize —
+    is preserved at 1M docs."""
+    global NOISE, GEN, SPEC
     NOISE = str(noise)
+    GEN = str(gen)
+    if n_cells is not None:
+        SPEC = ED.EmbDedupIndexSpec(
+            "x", "value.vec_id", "value.emb", n_cells=int(n_cells),
+            iterations=SPEC.iterations, threshold=SPEC.threshold)
+    if GEN == "spark":
+        worst = _gen_parity_check()
+        print(json.dumps({"phase": "genparity",
+                          "max_abs_diff": worst}), flush=True)
+        assert worst < 1e-9, "spark generator diverged from _vec()"
     lake = _scratch_dir("zs-exp-embdedup")
     shutil.rmtree(lake, ignore_errors=True)
     src = Pool.create(spark, f"{lake}/src")
@@ -180,6 +249,12 @@ def main(backfill=20000, deltas=8, per=200, post_resize_deltas=0,
                 "n_cells": v["rebuild_args"]["n_cells"],
                 "sec": round(time.perf_counter() - t0, 1),
                 "sec_kmeans": rso.get("sec_kmeans"),
+                # round-11 ask #2: the previously unstamped remainder
+                "sec_assign": rso.get("sec_assign"),
+                "sec_pairs": rso.get("sec_pairs"),
+                "sec_rewrite": rso.get("sec_rewrite"),
+                "n_assigned": rso.get("n_assigned"),
+                "n_pairs": rso.get("n_pairs"),
                 "rebuild_occ": {x: rso.get(x) for x in
                                 ("cells_used", "mean_cell_occupancy",
                                  "max_cell_occupancy", "cell_balance")},

@@ -150,6 +150,20 @@ class FileQueue:
         )
         return self._decode(raw)
 
+    def batch_frame_at(self, spark: SparkSession, topic: str,
+                       first: int, count: int) -> DataFrame:
+        """Batch kafka-frame over ONE produced segment — the
+        `{first}-{count}.jsonl` file a produce() call wrote. This is the
+        per-trigger view the streaming file source hands foreachBatch
+        (NEW files only, not the whole queue), for run-loop batch
+        drivers that measure or replay one micro-batch at a time without
+        holding a streaming checkpoint (bench.py's ingest stream bench,
+        round-11 ask #5)."""
+        path = os.path.join(self._topic_dir(topic),
+                            f"{first}-{count}.jsonl")
+        raw = spark.read.schema(WIRE_T).json(path)
+        return self._decode(raw)
+
     def batch_frame(self, spark: SparkSession, topic: str | None = None,
                     starting: int = 0) -> DataFrame:
         """Batch kafka-frame (read everything at or past `starting`)."""

@@ -54,9 +54,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from zync_spark.functions.compute import ensure_compute_splits
 from zync_spark.functions import similarity as S
 from zync_spark.pool import Pool
 from zync_spark.streaming.ann_index import (_cell_ckey, _is_centroid,
+                                            _rebuild_assign,
                                             _is_vec, stored_centroids)
 from zync_spark.streaming.dedup_index import (_PREFIX_LEN, _envelope,
                                               _stamp, pmod_ckey)
@@ -258,12 +260,14 @@ def _sync_once(src: Pool, dest: Pool, spec: EmbDedupIndexSpec,
             # 31 cores idled). The tiny round-robin shuffle is orders
             # below the compute it parallelizes; an already-parallel
             # delta skips it.
-            inp = vecs.select("vec_id", "v",
-                              S.norm_expr(F.col("v")).alias("vn"))
-            tgt = delta.sparkSession.sparkContext.defaultParallelism
-            if inp.rdd.getNumPartitions() < tgt:
-                inp = inp.repartition(tgt)
-            new = S.ivf_assign(inp, cents, "v", nprobe=1).select(
+            inp = ensure_compute_splits(
+                vecs.select("vec_id", "v",
+                            S.norm_expr(F.col("v")).alias("vn")))
+            # ivf_assign_fast (round 11): past the Arrow gate the
+            # bit-identical numpy kernel replaces the interpreted
+            # k x dim scoring — the sync's heaviest map-side pass once
+            # the quantizer is resize-scale
+            new = S.ivf_assign_fast(inp, cents, "v").select(
                 "vec_id", "v", "vn",
                 F.col("__cell").alias("cell")).persist()
             try:
@@ -499,8 +503,14 @@ def rebuild_embdedup(dest: Pool, spec: EmbDedupIndexSpec,
         # materialization, explicitly unpersisted after the compact
         # returns (round-9 ADVICE: ContextCleaner-only reclamation let
         # repeated auto-rebuilds accumulate cached fold lineage)
-        vecs = (df.filter(_is_vec(spec))
-                .select("kafka", "vec_id", "v", "vn").persist())
+        # ensure_compute_splits (round 11): the compact's packed read
+        # coalesces for IO, so the FULL corpus can arrive in fewer
+        # partitions than cores — and every retrain phase downstream
+        # (k x dim assignment, within-cell pair scoring) is exactly the
+        # O(cost-per-row) compute the under-split guard exists for
+        vecs = ensure_compute_splits(
+            df.filter(_is_vec(spec))
+            .select("kafka", "vec_id", "v", "vn")).persist()
         _caches.append(vecs)
         import time as _time
 
@@ -520,8 +530,16 @@ def rebuild_embdedup(dest: Pool, spec: EmbDedupIndexSpec,
         # both sides of the pair self-join — without a cache the full
         # O(corpus x k x dim) assignment re-evaluates THREE times
         # inside the rewrite's materialization
-        assigned = S.ivf_assign(vecs, cents, "v", nprobe=1).persist()
+        assigned = _rebuild_assign(vecs, cents).persist()
         _caches.append(assigned)
+        if stats_out is not None:
+            # phase stamp (round-11 ask #2): materialize the cached
+            # assignment HERE so the rebuild's remainder decomposes —
+            # the count is the same job compact's materialization would
+            # run first anyway; later readers hit the cache
+            _t1 = _time.perf_counter()
+            stats_out["n_assigned"] = assigned.count()
+            stats_out["sec_assign"] = round(_time.perf_counter() - _t1, 1)
         new_vecs = assigned.select(
             "kafka",
             F.lit("vec").alias("zed_type"),
@@ -542,6 +560,16 @@ def rebuild_embdedup(dest: Pool, spec: EmbDedupIndexSpec,
                               F.col("vb"), F.col("nb"),
                               len(cents[0][1])).alias("cos"))
                  .filter(F.col("cos") >= thresh))
+        if stats_out is not None:
+            # phase stamp: the within-cell self-join + scoring (Σ|cell|²
+            # pairs scored, the surviving >= thresh set cached — small
+            # by the threshold's design). Scoring runs ONCE here; the
+            # rewrite reads the cache.
+            pairs = pairs.persist()
+            _caches.append(pairs)
+            _t2 = _time.perf_counter()
+            stats_out["n_pairs"] = pairs.count()
+            stats_out["sec_pairs"] = round(_time.perf_counter() - _t2, 1)
         pair_rows = pairs.select(
             # fresh labels on the reserved partition -2 (rebuild): the
             # base manifest is the only commit at its seq
@@ -575,6 +603,9 @@ def rebuild_embdedup(dest: Pool, spec: EmbDedupIndexSpec,
                 .unionByName(pair_rows, allowMissingColumns=True)
                 .unionByName(others, allowMissingColumns=True))
 
+    import time as _wtime
+
+    _t_all = _wtime.perf_counter()
     try:
         n = dest.compact(target_rows=target_rows, message=message,
                          transform=_retrain, cluster_by=["ckey"])
@@ -586,6 +617,16 @@ def rebuild_embdedup(dest: Pool, spec: EmbDedupIndexSpec,
         for c in _caches:
             c.unpersist()
     if stats_out is not None:
+        # sec_rewrite = everything the stamped phases don't cover:
+        # the pass-through/union plan build, compact's count of the
+        # transformed cache, and the 8+-file range-clustered write
+        # (round-11 ask #2 — the previously unstamped remainder)
+        total = _wtime.perf_counter() - _t_all
+        stats_out["sec_rebuild_total"] = round(total, 1)
+        stats_out["sec_rewrite"] = round(
+            total - sum(stats_out.get(k) or 0.0
+                        for k in ("sec_kmeans", "sec_assign",
+                                  "sec_pairs")), 1)
         from zync_spark.streaming.ann_index import _occupancy_report
 
         _occupancy_report(dest, spec, stats_out)

@@ -435,7 +435,8 @@ class FromKafka:
             if (prev_max
                     and "n_cells" in v["rebuild_args"]
                     and v.get("max_cell_occupancy") is not None
-                    and v["max_cell_occupancy"] <= prev_max * 1.25):
+                    and v["max_cell_occupancy"] <= prev_max * 1.25
+                    and v.get("mean_ok") is True):
                 # occupancy no-improvement cooldown (round 10): the last
                 # occupancy rebuild LEFT max occupancy at prev_max — it
                 # did not cure the fat cell — and the verdict's max is
@@ -443,7 +444,11 @@ class FromKafka:
                 # growth, just the same skew re-measured). rec_cells
                 # drifting with N makes args_key useless here; gate on
                 # the measured outcome instead. Real growth past the
-                # band re-arms the rebuild.
+                # band re-arms the rebuild — and so does a MEAN breach
+                # (mean_ok False: uniform fattening is a DIFFERENT
+                # failure a resize would cure, so the cooldown applies
+                # only while the skew gate is the whole verdict —
+                # round-10 ADVICE).
                 warnings.warn(
                     f"index {spec.name!r}: last occupancy rebuild left "
                     f"max_cell_occupancy={prev_max} and it is now "

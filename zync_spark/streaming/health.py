@@ -236,6 +236,7 @@ def check_ann_health(dest: Pool, spec, k: int = 10, nprobe: int = 2,
         "mean_cell_occupancy": round(mean_occ, 1),
         "max_mean_occupancy": max_mean_occupancy,
         "max_balance": max_balance,
+        "mean_ok": pol["mean_ok"], "skew_ok": pol["skew_ok"],
         "recommendation": rec_txt,
         "rebuild_args": args,
     }
@@ -370,6 +371,7 @@ def check_embdedup_health(dest: Pool, spec, sample: int = 32,
         "max_mean_occupancy": max_mean_occupancy,
         "cell_balance": pol["balance"],
         "max_balance": max_balance,
+        "mean_ok": pol["mean_ok"], "skew_ok": pol["skew_ok"],
         "recommendation": rec,
         "rebuild_args": args,
     }

@@ -221,9 +221,18 @@ def _sync_text_once(src: Pool, dest: Pool, spec: TextIndexSpec,
             src_rows = keep_latest_versions(delta, spec.id_expr)
             tombs_new = src_rows.select(
                 F.expr(spec.id_expr).cast("long").alias("did")).distinct()
-        docs = src_rows.select(
+        # ensure_compute_splits BEFORE tokenization (round-11 audit):
+        # the delta's packed read lands small batches in one partition —
+        # right for IO, single-task for the regex tokenize that feeds
+        # BOTH the postings and dlen branches; an already-parallel
+        # delta skips the reshuffle
+        from zync_spark.functions.compute import ensure_compute_splits
+
+        docs = ensure_compute_splits(src_rows.select(
             F.expr(spec.id_expr).cast("long").alias("doc_id"),
-            TX.tokens(F.lower(F.expr(spec.text_expr))).alias("toks"),
+            F.lower(F.expr(spec.text_expr)).alias("__text"),
+        )).select(
+            "doc_id", TX.tokens(F.col("__text")).alias("toks"),
         ).filter(F.size("toks") > 0)
         toks = docs.select(
             "doc_id", F.explode("toks").alias("term")
