@@ -431,3 +431,92 @@ threshold: 0.7
     p2.write_text(doc.replace("kind: embdedup", "kind: text"))
     with pytest.raises(ValueError):
         ED.load_embdedup_spec(str(p2))
+
+
+def test_pair_cos_arrow_parity(spark):
+    """The grouped numpy pair scorer (round 11, similarity.
+    pair_cos_arrow via ED._emit_pairs) must equal the expression
+    self-join BAG-EXACTLY — bit-identical cos doubles (the kernel
+    replays dot_expr_dim's left-assoc fold and divides by the same
+    stored-norm product), identical survivor selection under Spark's
+    comparison semantics (NaN cos >= t is TRUE and kept; null cos is
+    dropped), duplicate-id multiplicities, canonical (id_a, id_b)
+    ordering, and the degenerate-row fallback routing: wrong-length /
+    null-element / null-array / null-id rows pair only among
+    themselves through the expression path (equal-but-not-dim lengths
+    still produce REAL pairs via the fold branch)."""
+    import struct
+
+    dim = 8
+
+    def vec(i):
+        return [math.sin(0.3 * (i % 5) + 0.7 * j)
+                + 0.001 * ((i * 13 + j * 7) % 11) for j in range(dim)]
+
+    new_rows = [(i, vec(i), i % 6) for i in range(60)] + [
+        (1000, [1.0] * 4, 0),     # wrong length...
+        (1001, [2.0] * 4, 0),     # ...same wrong length: real fold pair
+        (1002, None, 1),          # null array
+        (1003, [None] + [1.0] * (dim - 1), 2),          # null element
+        (1004, [float("nan")] + [1.0] * (dim - 1), 2),  # NaN elem: kept
+        (None, vec(7), 3),        # null id: join predicate nulls out
+        (1006, vec(22), 4), (1006, vec(23), 4),  # duplicate id
+        (1007, vec(22), 4),
+    ]
+    old_rows = [(5000 + i, vec(i + 2), i % 6) for i in range(40)] + [
+        (5100, [3.0] * 4, 0),     # degenerate old x degenerate new pair
+        (5101, [float("nan")] + [1.0] * (dim - 1), 2),
+        (30, vec(30), 0),         # id collision with a new row: != guard
+    ]
+    new = spark.createDataFrame(
+        new_rows, "vec_id long, v array<double>, cell long"
+    ).select("vec_id", "v", S.norm_expr(F.col("v")).alias("vn"), "cell")
+    old = spark.createDataFrame(
+        old_rows, "old_id long, vo array<double>, cell_o long"
+    ).select("old_id", "vo", S.norm_expr(F.col("vo")).alias("no"),
+             "cell_o")
+    t = 0.5
+
+    def canon(rows):
+        def b(x):
+            if x is None:
+                return None
+            if math.isnan(x):
+                return "nan"  # JVM vs numpy NaN payload bits may differ
+            return struct.pack("<d", x)
+        return sorted((r["cell"], r["id_a"], r["id_b"], b(r["cos"]))
+                      for r in rows)
+
+    expr = canon(ED._pairs_expr(new, old, dim)
+                 .filter(F.col("cos") >= t).collect())
+    fast = canon(ED._emit_pairs(new, old, dim, t, k=S._KMEANS_ARROW_K + 1)
+                 .collect())
+    assert fast == expr
+    assert len(expr) > 50  # the comparison is not vacuous
+    # NaN pairs actually present and kept on both paths
+    assert any(x[3] == "nan" for x in expr)
+    # nn-only shape (no stored side yet)
+    expr1 = canon(ED._pairs_expr(new, None, dim)
+                  .filter(F.col("cos") >= t).collect())
+    fast1 = canon(ED._emit_pairs(new, None, dim, t,
+                                 k=S._KMEANS_ARROW_K + 1).collect())
+    assert fast1 == expr1
+    # the gate: at k <= _KMEANS_ARROW_K the plan has no Python node
+    small = ED._emit_pairs(new, old, dim, t, k=8)
+    assert "InPandas" not in small._jdf.queryExecution().toString()
+    # the workload gate (round 11): a FAT delta (est_rows^2/k >=
+    # _PAIR_ARROW_MIN_PAIRS) engages the kernel at ANY k — same bag —
+    # while a thin one at the same k stays on the expression plan
+    est_fat = int(math.isqrt(S._PAIR_ARROW_MIN_PAIRS * 8)) + 1
+    fat = ED._emit_pairs(new, old, dim, t, k=8, est_rows=est_fat)
+    assert "InPandas" in fat._jdf.queryExecution().toString()
+    assert canon(fat.collect()) == expr
+    thin = ED._emit_pairs(new, old, dim, t, k=8, est_rows=100)
+    assert "InPandas" not in thin._jdf.queryExecution().toString()
+    # a zero norms-product raises (ANSI division parity), kernel path too
+    zn = spark.createDataFrame(
+        [(1, [0.0] * dim, 7), (2, vec(2), 7)],
+        "vec_id long, v array<double>, cell long"
+    ).select("vec_id", "v", S.norm_expr(F.col("v")).alias("vn"), "cell")
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        ED._emit_pairs(zn, None, dim, t, k=S._KMEANS_ARROW_K + 1).collect()

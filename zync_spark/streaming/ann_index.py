@@ -155,6 +155,7 @@ def _sync_ann_once(src: Pool, dest: Pool, spec: AnnIndexSpec,
     if delta is None:
         return 0
     delta = delta.persist()
+    assigned = None
     try:
         new_cursors = {
             f"{spec.topic}|{r['t']}#{int(r['p'])}": int(r["mx"]) + 1
@@ -204,8 +205,12 @@ def _sync_ann_once(src: Pool, dest: Pool, spec: AnnIndexSpec,
                     f"{spec.n_cells} cells (< 8/cell) — consider "
                     "min_train, or rebuild_ann once the corpus grows",
                     stacklevel=2)
+            # spread the TRAINING input (round 11 — the embdedup sync's
+            # single-task backfill-training finding, see its comment):
+            # first pass only, the Lloyd rounds are O(rows x k x dim)
             cents = S.kmeans_centroids(
-                vecs, k=spec.n_cells, iterations=spec.iterations,
+                ensure_compute_splits(vecs), k=spec.n_cells,
+                iterations=spec.iterations,
                 id_col="vec_id", vec_col="v")
             if cents:
                 cent_rows = delta.sparkSession.createDataFrame(
@@ -219,8 +224,12 @@ def _sync_ann_once(src: Pool, dest: Pool, spec: AnnIndexSpec,
             inp = ensure_compute_splits(
                 vecs.select("vec_id", "v",
                             S.norm_expr(F.col("v")).alias("vn")))
-            # Arrow-gated assignment (round 11, see embdedup sync)
-            assigned = S.ivf_assign_fast(inp, cents, "v")
+            # Arrow-gated assignment (round 11, see embdedup sync).
+            # Fenced (round 11, the embdedup-sync finding): the commit's
+            # load pays TWO materializations (its count job, then the
+            # write), and the k x dim-per-row assignment is this DAG's
+            # dominant compute — uncached it ran twice.
+            assigned = S.ivf_assign_fast(inp, cents, "v").persist()
             vec_rows = assigned.select(
                 "vec_id", "v", "vn", F.col("__cell").alias("cell"))
             out = _stamp("vec", _cell_ckey(F.col("cell")), vec_rows)
@@ -273,6 +282,8 @@ def _sync_ann_once(src: Pool, dest: Pool, spec: AnnIndexSpec,
         return n
     finally:
         delta.unpersist()
+        if assigned is not None:
+            assigned.unpersist()
 
 
 def _rebuild_assign(vecs: DataFrame, cents) -> DataFrame:

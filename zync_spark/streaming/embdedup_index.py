@@ -120,6 +120,120 @@ def _cos(va, na, vb, nb, dim=None):
     return S.dot_expr_dim(va, vb, dim) / (na * nb)
 
 
+def _pairs_expr(new: DataFrame, old: DataFrame | None,
+                dim: int | None) -> DataFrame:
+    """EXPRESSION-path pair scoring — the original formulation, shared
+    by the small-k path (token-identical plan) and the kernel path's
+    degenerate-row fallback. `new`: (vec_id, v, vn, cell); `old`
+    (optional): (old_id, vo, no, cell_o). Returns UNFILTERED
+    (cell, id_a, id_b, cos) rows: new x new within a cell (each vector
+    lives in exactly ONE cell under nprobe=1, so a pair surfaces
+    through exactly one cell — no distinct needed), plus new x stored
+    with the pair discovered when the LATER member arrives (canonical
+    smaller id first; the cosine is operand-order-exact — see _cos)."""
+    na = new.select(F.col("vec_id").alias("id_a"), "cell",
+                    F.col("v").alias("va"),
+                    F.col("vn").alias("na"))
+    nb = new.select(F.col("vec_id").alias("id_b"),
+                    F.col("cell").alias("cell_b"),
+                    F.col("v").alias("vb"),
+                    F.col("vn").alias("nb"))
+    nn = (na.join(nb, (F.col("cell") == F.col("cell_b"))
+                  & (F.col("id_a") < F.col("id_b")))
+          .select("cell", "id_a", "id_b",
+                  _cos(F.col("va"), F.col("na"),
+                       F.col("vb"), F.col("nb"),
+                       dim).alias("cos")))
+    if old is None:
+        return nn
+    no = (new.join(old, (F.col("cell") == F.col("cell_o"))
+                   & (F.col("vec_id") != F.col("old_id")))
+          .select(
+              "cell",
+              F.least("vec_id", "old_id").alias("id_a"),
+              F.greatest("vec_id", "old_id").alias("id_b"),
+              _cos(F.col("v"), F.col("vn"),
+                   F.col("vo"), F.col("no"),
+                   dim).alias("cos")))
+    return nn.unionByName(no)
+
+
+def _pairable(vc: str, nc: str, idc: str, dim: int):
+    """Rows the Arrow pair kernel can score with EXACT expression-path
+    parity: non-null id and norm, vector of exactly the quantizer's
+    dim with no null elements. Everything else routes to the
+    expression fallback — see _emit_pairs. NaN elements stay HERE (the
+    expression path scores them to NaN cos, which `>= threshold` KEEPS
+    under Spark's NaN-greatest semantics, and the kernel reproduces);
+    null elements must NOT (they score to null cos = dropped, but
+    Arrow→pandas renders them as the same NaN — JVM-side isnull is the
+    only place the two are distinguishable). Never null: false AND
+    null = false, and the exists() is coalesced."""
+    return (F.col(idc).isNotNull() & F.col(nc).isNotNull()
+            & F.col(vc).isNotNull() & (F.size(F.col(vc)) == int(dim))
+            & ~F.coalesce(F.exists(F.col(vc), lambda x: x.isNull()),
+                          F.lit(False)))
+
+
+def _emit_pairs(new: DataFrame, old: DataFrame | None, dim: int,
+                threshold: float, k: int,
+                est_rows: int | None = None) -> DataFrame:
+    """Near-dup pair emission with the engine's kernel gate (round 11):
+    past _KMEANS_ARROW_K cells the grouped numpy kernel
+    (similarity.pair_cos_arrow) replaces the expression self-join —
+    Σ|cell|² interpreted dots were the rebuild's dominant remaining
+    cost (VERDICT r10 ask #2) — below it the expression path keeps the
+    catalog entries' pinned plans. Returns THRESHOLD-FILTERED pairs
+    either way (the small-k filter is the original `cos >= t` Column —
+    NaN kept, null dropped — and the kernel replays exactly that).
+
+    Parity decomposition on the kernel path: pairable rows (see
+    _pairable) score in the kernel; degenerate rows pair only among
+    THEMSELVES through the original expression join (a degenerate x
+    pairable pair can never survive: a wrong-length member null-pads
+    the dot fold to null, a null element nulls the unrolled sum, a
+    null id nulls the join predicate — all dropped), so the union is
+    the exact expression bag. SPARK_GRAFT_NO_PAIR_ARROW=1 disables the
+    kernel (A/B measurement kill-switch).
+
+    `est_rows` (round 11, measured): the pair workload is
+    Sigma|cell|^2 ~ est_rows^2 / k — a function of delta FATNESS, not
+    k. A 110k-doc backfill on a 64-cell quantizer sits at the k-gate
+    yet pays ~190M expression-scored pairs (240-315 s inside the
+    sync's commit), so a caller that knows its delta's row count also
+    engages the kernel when the estimate crosses
+    similarity._PAIR_ARROW_MIN_PAIRS. Catalog fixtures stay orders
+    below it (pinned plans intact), and the estimate only picks the
+    path — both paths are bag-exact (test_pair_cos_arrow_parity)."""
+    import os
+
+    fat = (est_rows is not None
+           and est_rows * est_rows / max(k, 1) >= S._PAIR_ARROW_MIN_PAIRS)
+    if ((k <= S._KMEANS_ARROW_K and not fat)
+            or os.environ.get("SPARK_GRAFT_NO_PAIR_ARROW")):
+        return _pairs_expr(new, old, dim).filter(
+            F.col("cos") >= threshold)
+    ok_new = _pairable("v", "vn", "vec_id", dim)
+    combined = new.filter(ok_new).select(
+        "cell", "vec_id", "v", "vn", F.lit(0).alias("__old"))
+    bad_new = new.filter(~ok_new)
+    bad_old = None
+    if old is not None:
+        ok_old = _pairable("vo", "no", "old_id", dim)
+        combined = combined.unionByName(
+            old.filter(ok_old).select(
+                F.col("cell_o").alias("cell"),
+                F.col("old_id").alias("vec_id"),
+                F.col("vo").alias("v"),
+                F.col("no").alias("vn"),
+                F.lit(1).alias("__old")))
+        bad_old = old.filter(~ok_old)
+    fast = S.pair_cos_arrow(combined, dim, threshold)
+    slow = _pairs_expr(bad_new, bad_old, dim).filter(
+        F.col("cos") >= threshold)
+    return fast.unionByName(slow)
+
+
 def _check_plen(dest: Pool, spec: EmbDedupIndexSpec) -> None:
     """prefix_len is FIXED for the life of an index (stored 'p:'/'x:'/
     'a:' ckeys embed it): a drifted spec would not error — it would
@@ -194,13 +308,19 @@ def _sync_once(src: Pool, dest: Pool, spec: EmbDedupIndexSpec,
         return 0
     delta = delta.persist()
     try:
+        # per-partition max offset AND row count in the one job the
+        # cursor bookkeeping already pays — the count feeds the pair
+        # kernel's workload gate (est_rows below) for free
+        cur_rows = delta.groupBy(
+            F.col("kafka.topic").alias("t"),
+            F.col("kafka.partition").alias("p"),
+        ).agg(F.max(F.col("kafka.offset")).alias("mx"),
+              F.count("*").alias("cnt")).collect()
         new_cursors = {
             f"{spec.topic}|{r['t']}#{int(r['p'])}": int(r["mx"]) + 1
-            for r in delta.groupBy(
-                F.col("kafka.topic").alias("t"),
-                F.col("kafka.partition").alias("p"),
-            ).agg(F.max(F.col("kafka.offset")).alias("mx")).collect()
+            for r in cur_rows
         }
+        n_delta = sum(int(r["cnt"]) for r in cur_rows)
         _stamp_sec("sec_delta")
         if not new_cursors:
             return 0
@@ -240,8 +360,16 @@ def _sync_once(src: Pool, dest: Pool, spec: EmbDedupIndexSpec,
                     f"{spec.n_cells} cells (< 8/cell) — consider "
                     "min_train, or rebuild_embdedup once the corpus "
                     "grows", stacklevel=2)
+            # ensure_compute_splits on the TRAINING input (round 11,
+            # measured): the packed delta read lands the backfill in
+            # one partition — right for IO, and exactly the §19.7 trap
+            # for the Lloyd rounds' O(rows x k x dim) scoring, which
+            # ran single-task (110k-doc backfill at 64 cells: 278 s of
+            # sec_assign with 31 cores idle). First pass only — steady-
+            # state syncs skip this branch entirely.
             cents = S.kmeans_centroids(
-                vecs, k=spec.n_cells, iterations=spec.iterations,
+                ensure_compute_splits(vecs), k=spec.n_cells,
+                iterations=spec.iterations,
                 id_col="vec_id", vec_col="v")
             if cents:
                 cent_rows = delta.sparkSession.createDataFrame(
@@ -270,27 +398,13 @@ def _sync_once(src: Pool, dest: Pool, spec: EmbDedupIndexSpec,
             new = S.ivf_assign_fast(inp, cents, "v").select(
                 "vec_id", "v", "vn",
                 F.col("__cell").alias("cell")).persist()
+            pairs = None
             try:
-                # new x new (within batch, same cell): each vector lives
-                # in exactly ONE cell (nprobe=1), so a pair can surface
-                # through exactly one cell — no distinct needed
-                na = new.select(F.col("vec_id").alias("id_a"), "cell",
-                                F.col("v").alias("va"),
-                                F.col("vn").alias("na"))
-                nb = new.select(F.col("vec_id").alias("id_b"),
-                                F.col("cell").alias("cell_b"),
-                                F.col("v").alias("vb"),
-                                F.col("vn").alias("nb"))
-                nn = (na.join(nb, (F.col("cell") == F.col("cell_b"))
-                              & (F.col("id_a") < F.col("id_b")))
-                      .select("cell", "id_a", "id_b",
-                              _cos(F.col("va"), F.col("na"),
-                                   F.col("vb"), F.col("nb"),
-                                   dim).alias("cos")))
-                # new x stored: probe ONLY the delta's cells' files — the
-                # cell list is a <= n_cells metadata collect (ann_query's
-                # probe shape); stored vectors in other cells cannot
-                # share a block, so skipping their files loses nothing
+                # new x stored probe scope: ONLY the delta's cells' files
+                # — the cell list is a <= n_cells metadata collect
+                # (ann_query's probe shape); stored vectors in other
+                # cells cannot share a block, so skipping their files
+                # loses nothing
                 cells = sorted({
                     int(r["c"]) for r in
                     new.select(F.col("cell").alias("c")).distinct().collect()
@@ -302,7 +416,7 @@ def _sync_once(src: Pool, dest: Pool, spec: EmbDedupIndexSpec,
                     stats_out["probe_files"] = len(
                         dest.committed_files(bounds={"ckey": ckeys}))
                 stored = dest.scan(bounds={"ckey": ckeys})
-                pairs = nn
+                old = None
                 if stored is not None and "vec_id" in stored.columns:
                     from zync_spark.streaming.tombstones import (read_tombs,
                                                                  with_upserts)
@@ -322,21 +436,22 @@ def _sync_once(src: Pool, dest: Pool, spec: EmbDedupIndexSpec,
                              F.col("cell").alias("cell_o"),
                              F.col("v").alias("vo"),
                              F.col("vn").alias("no"))
-                    # the pair is discovered when the LATER member
-                    # arrives; canonical smaller id first (the cosine is
-                    # operand-order-exact — see _cos)
-                    no = (new.join(old,
-                                   (F.col("cell") == F.col("cell_o"))
-                                   & (F.col("vec_id") != F.col("old_id")))
-                          .select(
-                              "cell",
-                              F.least("vec_id", "old_id").alias("id_a"),
-                              F.greatest("vec_id", "old_id").alias("id_b"),
-                              _cos(F.col("v"), F.col("vn"),
-                                   F.col("vo"), F.col("no"),
-                                   dim).alias("cos")))
-                    pairs = nn.unionByName(no)
-                pairs = pairs.filter(F.col("cos") >= spec.threshold)
+                # within-batch (new x new) plus new x stored pairs,
+                # threshold-filtered; past the kernel gate — k OR the
+                # delta-fatness estimate — the grouped numpy scorer
+                # replaces the expression self-join (round 11 — see
+                # _emit_pairs; n_delta bounds the vec count from the
+                # cursor agg's free count)
+                # fence (the §18.1 pattern, measured round 11): the
+                # commit's load pays TWO materializations of its input
+                # (its count job, then the write), and pair scoring is
+                # the DAG's dominant compute — uncached it ran twice
+                # inside sec_commit. The survivor set is small by the
+                # threshold's design; the cache fills on the count pass
+                # and the write reads it.
+                pairs = _emit_pairs(new, old, dim, spec.threshold,
+                                    k=len(cents),
+                                    est_rows=n_delta).persist()
                 vec_out = _stamp("vec", _cell_ckey(F.col("cell")), new)
                 pair_rows = _stamp(
                     "duppair",
@@ -379,6 +494,8 @@ def _sync_once(src: Pool, dest: Pool, spec: EmbDedupIndexSpec,
                 return n
             finally:
                 new.unpersist()
+                if pairs is not None:
+                    pairs.unpersist()
         # nothing indexable (no vectors and nothing trained): advance the
         # cursor via a tombstone so later passes don't re-scan forever —
         # but the delta's attr rows (and upsert tombstones) still commit
@@ -532,13 +649,16 @@ def rebuild_embdedup(dest: Pool, spec: EmbDedupIndexSpec,
         # inside the rewrite's materialization
         assigned = _rebuild_assign(vecs, cents).persist()
         _caches.append(assigned)
+        # materialize the cached assignment HERE (round-11 ask #2 phase
+        # stamp, now unconditional): the count is the same job compact's
+        # materialization would run first anyway, later readers hit the
+        # cache — and the corpus size feeds the pair kernel's workload
+        # gate (a rebuild to a SMALL k over a fat corpus is the same
+        # Sigma|cell|^2 trap the sync's backfill hit)
+        _t1 = _time.perf_counter()
+        n_assigned = assigned.count()
         if stats_out is not None:
-            # phase stamp (round-11 ask #2): materialize the cached
-            # assignment HERE so the rebuild's remainder decomposes —
-            # the count is the same job compact's materialization would
-            # run first anyway; later readers hit the cache
-            _t1 = _time.perf_counter()
-            stats_out["n_assigned"] = assigned.count()
+            stats_out["n_assigned"] = n_assigned
             stats_out["sec_assign"] = round(_time.perf_counter() - _t1, 1)
         new_vecs = assigned.select(
             "kafka",
@@ -547,26 +667,24 @@ def rebuild_embdedup(dest: Pool, spec: EmbDedupIndexSpec,
             "vec_id", "v", "vn",
             F.col("__cell").alias("cell"),
         )
-        a = assigned.select(F.col("vec_id").alias("id_a"),
-                            F.col("__cell").alias("cell"),
-                            F.col("v").alias("va"), F.col("vn").alias("na"))
-        b = assigned.select(F.col("vec_id").alias("id_b"),
-                            F.col("__cell").alias("cell_b"),
-                            F.col("v").alias("vb"), F.col("vn").alias("nb"))
-        pairs = (a.join(b, (F.col("cell") == F.col("cell_b"))
-                        & (F.col("id_a") < F.col("id_b")))
-                 .select("cell", "id_a", "id_b",
-                         _cos(F.col("va"), F.col("na"),
-                              F.col("vb"), F.col("nb"),
-                              len(cents[0][1])).alias("cos"))
-                 .filter(F.col("cos") >= thresh))
+        # within-cell pair re-emission (Σ|cell|² — the rebuild price):
+        # threshold-filtered; past the kernel gate the grouped numpy
+        # scorer replaces the expression self-join (round 11 —
+        # _emit_pairs; at rebuild-scale k this was the dominant
+        # remaining phase once assignment went Arrow)
+        pairs = _emit_pairs(
+            assigned.select("vec_id", F.col("__cell").alias("cell"),
+                            "v", "vn"),
+            None, len(cents[0][1]), thresh, k=len(cents),
+            est_rows=n_assigned)
+        # fence (unconditional since round 11): the surviving >= thresh
+        # set is cached — small by the threshold's design — so Σ|cell|²
+        # scoring runs ONCE and the rewrite reads the cache (without
+        # stats the rewrite's multiple readers re-scored every pair)
+        pairs = pairs.persist()
+        _caches.append(pairs)
         if stats_out is not None:
-            # phase stamp: the within-cell self-join + scoring (Σ|cell|²
-            # pairs scored, the surviving >= thresh set cached — small
-            # by the threshold's design). Scoring runs ONCE here; the
-            # rewrite reads the cache.
-            pairs = pairs.persist()
-            _caches.append(pairs)
+            # phase stamp: the within-cell pair scoring materializes here
             _t2 = _time.perf_counter()
             stats_out["n_pairs"] = pairs.count()
             stats_out["sec_pairs"] = round(_time.perf_counter() - _t2, 1)

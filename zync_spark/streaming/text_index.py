@@ -202,6 +202,7 @@ def _sync_text_once(src: Pool, dest: Pool, spec: TextIndexSpec,
     if delta is None:
         return 0
     delta = delta.persist()
+    docs = None
     try:
         new_cursors = {
             f"{spec.topic}|{r['t']}#{int(r['p'])}": int(r["mx"]) + 1
@@ -228,12 +229,18 @@ def _sync_text_once(src: Pool, dest: Pool, spec: TextIndexSpec,
         # delta skips the reshuffle
         from zync_spark.functions.compute import ensure_compute_splits
 
+        # fenced (round 11, the vector-sync finding): `docs` feeds THREE
+        # union branches (posts, dlens, cstat) and the commit's load
+        # materializes the union TWICE (count job + write) — uncached,
+        # the regex tokenize ran up to six times per sync. The cache is
+        # delta-sized (doc_id + token array), same scale as the delta
+        # already persisted above.
         docs = ensure_compute_splits(src_rows.select(
             F.expr(spec.id_expr).cast("long").alias("doc_id"),
             F.lower(F.expr(spec.text_expr)).alias("__text"),
         )).select(
             "doc_id", TX.tokens(F.col("__text")).alias("toks"),
-        ).filter(F.size("toks") > 0)
+        ).filter(F.size("toks") > 0).persist()
         toks = docs.select(
             "doc_id", F.explode("toks").alias("term")
         ).filter(F.col("term") != "")
@@ -302,6 +309,8 @@ def _sync_text_once(src: Pool, dest: Pool, spec: TextIndexSpec,
         return n
     finally:
         delta.unpersist()
+        if docs is not None:
+            docs.unpersist()
 
 
 def _neg_cstat(dest: Pool, spec: TextIndexSpec, idf: DataFrame,
