@@ -590,3 +590,30 @@ def test_clustered_compact_min_fanout(spark, tmp_path):
               "zed_type string, ckey string"), "fill")
     assert pool2.compact() == 640
     assert len(pool2.committed_files()) == 1
+
+
+def test_load_with_precomputed_rows(spark, tmp_path):
+    """load(rows=) (round 11): a caller that already counted the exact
+    frame (FromKafka's presence aggregation) skips load's own count
+    job. The commit must be indistinguishable — same return, same
+    manifest row count and offset stats (committed_files pruning), same
+    scanned data — and rows=0 must commit nothing, like an empty
+    count."""
+    import json as _json
+    import os as _os
+
+    a = Pool.create(spark, str(tmp_path / "a"))
+    b = Pool.create(spark, str(tmp_path / "b"))
+    df = spark.createDataFrame(BATCH_1, ROW_SCHEMA)
+    assert a.load(df) == 4
+    assert b.load(df, rows=4) == 4
+    rows_a = sorted(map(tuple, a.scan().select("kafka.offset").collect()))
+    rows_b = sorted(map(tuple, b.scan().select("kafka.offset").collect()))
+    assert rows_a == rows_b
+    ma = _json.load(open(_os.path.join(a._commit_dir(), a.commits()[0])))
+    mb = _json.load(open(_os.path.join(b._commit_dir(), b.commits()[0])))
+    assert ma["rows"] == mb["rows"] == 4
+    assert ma["stats"] == mb["stats"]
+    empty = spark.createDataFrame([], ROW_SCHEMA)
+    assert b.load(empty, rows=0) == 0
+    assert len(b.commits()) == 1

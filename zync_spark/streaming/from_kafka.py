@@ -295,8 +295,12 @@ class FromKafka:
         # re-running decode+shaper per action
         env = env.persist()
         try:
+            # topic -> row count: presence AND the per-topic counts the
+            # loads below would otherwise recompute with their own jobs
+            # (round 11 — Pool.load(rows=); the filter below selects
+            # exactly the slice this aggregation counted)
             present = {
-                r["t"]
+                r["t"]: int(r["n"])
                 for r in env.groupBy(F.col("kafka.topic").alias("t"))
                 .agg(F.count("*").alias("n"))
                 .collect()
@@ -313,7 +317,8 @@ class FromKafka:
                 part = env.filter(F.col("kafka.topic") == topic)
                 committed[topic] = pool.load(
                     part, f"from-kafka {topic}",
-                    type_names=getattr(self, "_shaper_names", None))
+                    type_names=getattr(self, "_shaper_names", None),
+                    rows=present[topic])
                 if stats_out is not None:
                     stats_out["sec_load"] = round(
                         stats_out.get("sec_load", 0.0)
