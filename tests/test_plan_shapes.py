@@ -380,11 +380,18 @@ def test_chunking_and_bloom_scale_posture(spark):
     p = plan_of(spark, "text_chunks")
     assert n_shuffles(p) == 0
     assert re.search(PY_NODES, p) is None
-    # text_bloom_decontaminate: the corpus side never shuffles — the only
-    # exchange feeds the 1-row Bloom bit-set aggregate, which broadcasts
-    # back (BroadcastNestedLoopJoin on the single row).
+    # text_bloom_decontaminate: no DATA-proportional shuffle of the
+    # corpus — the only unconditional exchange feeds the 1-row Bloom
+    # bit-set aggregate, which broadcasts back (BroadcastNestedLoopJoin
+    # on the single row). Round 11 added the under-split rebalance
+    # (ensure_compute_splits) ahead of the per-token-md5 fingerprint:
+    # at THIS fixture's single-row-group scale it fires once per branch
+    # (the %10 filters push below it, so the two branches' exchanges
+    # don't unify), hence <= 3; at real many-split scale both are
+    # no-ops and the posture collapses back to the single 1-row
+    # aggregate exchange.
     p = plan_of(spark, "text_bloom_decontaminate")
-    assert n_shuffles(p) <= 1
+    assert n_shuffles(p) <= 3
     assert count("BroadcastNestedLoopJoin", p) == 1
     assert re.search(PY_NODES, p) is None
     # dedup_passages: exactly two data-proportional shuffles (hash

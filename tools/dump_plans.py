@@ -2,7 +2,11 @@
 optimization evidence): writes plans/<tag>/<query>_<suffix>.txt for each
 HEADLINE entry, on the stock sf layout. Usage:
 
-    python tools/dump_plans.py <out_dir> <suffix> [sf_dir]
+    python tools/dump_plans.py <out_dir> <suffix> [sf_dir] [query ...]
+
+With no explicit query names the HEADLINE set is dumped; naming queries
+dumps exactly those (the round-11 operator work touches non-headline
+entries, whose before/after plans are committed the same way).
 
 The session mirrors bench.py's sizing (shuffle partitions from corpus
 bytes, AQE off) so the captured plans are the ones the bench actually
@@ -34,7 +38,8 @@ def main() -> None:
     spark = get_spark("zync-spark-plans", shuffle_partitions=shuffle_parts,
                       adaptive=False)
     spark.sparkContext.setLogLevel("ERROR")
-    for name in HEADLINE:
+    names = sys.argv[4:] or HEADLINE
+    for name in names:
         df = QUERIES[name](spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted")

@@ -76,6 +76,23 @@ from zync_spark.functions.compute import (  # noqa: E402
 )
 
 
+# Size gate for explicitly broadcasting a per-vector block table (the
+# semdedup pair joins): fires only when the SOURCE corpus is provably a
+# few MB of parquet (similarity._corpus_bytes — unknown size counts as
+# huge). 8 MB compressed vectors ≈ tens of MB of built hash relation,
+# the same class the session's 10 MB auto threshold targets; past the
+# gate the cluster-hash join is the scale shape (k ~ sqrt(N) >> cores).
+_BLOCK_BROADCAST_BYTES = 8 << 20
+
+
+def _maybe_broadcast(block: DataFrame, source: DataFrame) -> DataFrame:
+    from zync_spark.functions.similarity import _corpus_bytes
+
+    if _corpus_bytes(source) < _BLOCK_BROADCAST_BYTES:
+        return F.broadcast(block)
+    return block
+
+
 def _hashed_set(text_col: Column, k: int) -> Column:
     """The doc's distinct shingle-hash set as ONE map-side expression:
     tokenize → k-gram shingles → md5-hash each → array_distinct. The set
@@ -93,13 +110,24 @@ def doc_shingles(
     shingle-set size on every row. Set construction and dedup happen
     map-side (_hashed_set) — `distinct` costs nothing and is kept only for
     signature compatibility; no shuffle either way. Hashing the shingle to
-    a long before the explode keeps shuffle rows narrow downstream."""
+    a long before the explode keeps shuffle rows narrow downstream.
+
+    explode_outer + IS NOT NULL instead of explode (round 11): a plain
+    explode makes Catalyst infer `size(shs) > 0 AND isnotnull(shs)` and
+    push BOTH copies of the full tokenize→shingle→md5→distinct tree below
+    the _spread exchange to the scan — the heaviest expression in the plan
+    evaluated 3x, two of them on the scan's (often single) input split.
+    explode_outer infers nothing; the null filter references the GENERATED
+    attribute, so it cannot sink. Bag-identical: shingle hashes are
+    md5_long of concat_ws strings (never null), so the only null `sh` rows
+    are the empty/null-set docs a plain explode drops anyway."""
     per_doc = _spread(
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
     ).select("doc_id", _hashed_set(F.col("__text"), k).alias("shs"))
     return per_doc.select(
-        "doc_id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh")
-    )
+        "doc_id", F.size("shs").alias("n_sh"),
+        F.explode_outer("shs").alias("sh"),
+    ).filter(F.col("sh").isNotNull())
 
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
@@ -353,7 +381,12 @@ def embedding_neardup_pairs(
     # as a column and multiplied is the SAME IEEE value as the inlined
     # sqrt(aa)*sqrt(bb) (ann_query's qn*cn precedent), so the oracle
     # hash-parity is untouched.
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # _spread (round 11): the pair join streams one side — a single-split
+    # scan (one parquet row group) would score EVERY candidate pair on one
+    # core while the rest idle (the §19.7 under-split trap, here on the
+    # batch operator's quadratic side). No-op on real many-file layouts.
+    base = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
     base = base.withColumn("vn", norm_expr(F.col("v")))
     if bucket_bits > 0:
         base = base.withColumn(
@@ -420,7 +453,11 @@ def semdedup_pairs(
     # per-vector norm precompute — same rationale and same IEEE parity
     # argument as embedding_neardup_pairs (pairs are quadratic within a
     # cluster, vectors linear)
-    clustered = assign.join(vecs, "vec_id").withColumn(
+    # _spread (round 11): with every join broadcast (tiny dims), the
+    # within-cluster pair scoring streams on the SCAN's splits — one row
+    # group = one core scoring Σ|cluster|² pairs. Rebalance the streamed
+    # side; no-op on real many-file layouts.
+    clustered = _spread(assign.join(vecs, "vec_id")).withColumn(
         "vn", norm_expr(F.col("v")))
     a = clustered.select(
         F.col("vec_id").alias("id_a"), "cluster",
@@ -428,8 +465,20 @@ def semdedup_pairs(
     b = clustered.select(
         F.col("vec_id").alias("id_b"), F.col("cluster").alias("cluster_b"),
         F.col("v").alias("vb"), F.col("vn").alias("nb"))
+    # Size-gated broadcast of the build side (round 11): size ESTIMATES
+    # on the post-join subtree overshoot the 10 MB auto threshold, so
+    # the planner fell back to a SortMergeJoin hash-partitioned by
+    # cluster — k partitions bound the within-cluster scoring's
+    # parallelism to k (k=8 here, on 32 cores), and the cosine fold in
+    # the SMJ condition ran in those k tasks. Broadcasting keeps the
+    # quadratic scoring on the streamed side's _spread splits. Gated on
+    # the corpus' file bytes (the cosine_topk _SMALL_CORPUS_BYTES
+    # pattern): at real scale k ~ sqrt(N) dwarfs the core count and the
+    # cluster-hash join is the right shape, so the broadcast must not
+    # fire there.
     pairs = a.join(
-        b, (F.col("cluster") == F.col("cluster_b"))
+        _maybe_broadcast(b, df),
+        (F.col("cluster") == F.col("cluster_b"))
         & (F.col("id_a") < F.col("id_b")))
     return (
         pairs.select(
@@ -463,10 +512,10 @@ def semdedup_pairs_frozen(
                                                  ivf_assign, norm_expr)
 
     dim = len(centroids[0][1]) if centroids else None
-    vecs = df.select(
+    vecs = _spread(df.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).withColumn("vn", norm_expr(F.col("v")))
+    )).withColumn("vn", norm_expr(F.col("v")))
     assigned = ivf_assign(vecs, centroids, "v", nprobe=1)
     a = assigned.select(F.col("vec_id").alias("id_a"),
                         F.col("__cell").alias("cell"),
@@ -475,7 +524,8 @@ def semdedup_pairs_frozen(
                         F.col("__cell").alias("cell_b"),
                         F.col("v").alias("vb"), F.col("vn").alias("nb"))
     return (
-        a.join(b, (F.col("cell") == F.col("cell_b"))
+        a.join(_maybe_broadcast(b, df),
+               (F.col("cell") == F.col("cell_b"))
                & (F.col("id_a") < F.col("id_b")))
         .select(
             "cell", "id_a", "id_b",
@@ -534,7 +584,14 @@ def window_hash_rows(
     batch operator can never disagree on what a window is. Tokenize +
     per-window md5 is CPU-dense per-row expansion, so the scan takes the
     module's _spread under-split guard (a no-op on real many-file
-    layouts); text never leaves the scan task."""
+    layouts); text never leaves the scan task.
+
+    explode_outer + IS NOT NULL (round 11, the doc_shingles fix): plain
+    explode let Catalyst infer size>0/isnotnull over the whole window-md5
+    array and push it below the _spread to the scan — the O(tokens)
+    md5-per-window expression evaluated 3x, twice on the unspread input.
+    Window structs are never null (struct() of non-null fields), so
+    filtering the generated attribute is bag-identical."""
     return (
         _spread(df.select(F.col(id_col).alias("doc_id"),
                           F.col(text_col).alias("__text")))
@@ -542,7 +599,7 @@ def window_hash_rows(
         .filter(F.size("t") >= window)
         .select(
             "doc_id",
-            F.explode(
+            F.explode_outer(
                 F.transform(
                     F.sequence(F.lit(0), F.size("t") - window),
                     lambda i: F.struct(
@@ -556,6 +613,7 @@ def window_hash_rows(
                 )
             ).alias("w"),
         )
+        .filter(F.col("w").isNotNull())
         .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
     )
 

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zync_spark.functions import dedup as D
+from zync_spark.functions.compute import ensure_compute_splits as _spread
 from zync_spark.functions import graph as G
 from zync_spark.functions import joins as J
 from zync_spark.functions import multimodal as M
@@ -524,6 +525,11 @@ def q_denorm_join(spark, sf_dir):
 def q_agg_stats(spark, sf_dir):
     """Global multi-aggregate incl. exact distinct count (SURVEY §2.4)."""
     li = T(spark, sf_dir, "lineitem")
+    # _spread (round 11): the exact-distinct partial aggregation keyed by
+    # l_orderkey runs in the scan's tasks — one row group = one core
+    # hashing 600k keys. All six aggregates are order-insensitive
+    # (decimal sums exact, min/max/counts), so values are unchanged.
+    li = _spread(li.select("l_orderkey", "l_quantity", "l_extendedprice"))
     return li.agg(
         F.count("*").alias("n_rows"),
         F.count_distinct(F.col("l_orderkey")).alias("n_orders"),
@@ -1383,13 +1389,32 @@ def quality_rule_filter(spark, sf_dir):
     Thresholds are corpus-calibrated constants; the boundary comparisons
     are exact across engines (integer-derived doubles)."""
     docs = _docs_for_compute(spark, sf_dir)
+    # Staged projections (round 11): the one-select form inlined the
+    # tokenize tree ~8x and the shingle tree 3x into the reason CASE —
+    # every signal re-split the document. Aliasing the token array and
+    # the per-signal counts in child projections computes each ONCE:
+    # CollapseProject declines to inline a non-cheap alias consumed more
+    # than once, so the staging survives optimization. lang_id/stopword
+    # logic restated over the SAME token array (lang_id(text) tokenizes
+    # identically — tokens(text), unlowered). Values byte-identical.
     toks = TX.tokens(F.col("text"))
-    n = F.size(toks)
-    sh = TX.word_shingles(toks, 3)
-    rep = F.when(F.size(sh) < 1, F.lit(None).cast("double")).otherwise(
-        F.lit(1.0) - F.size(F.array_distinct(sh)) / F.size(sh))
-    stopf = TX.stopword_count(toks) / n
-    lang = TX.lang_id(F.col("text"))
+    m = docs.select("doc_id", toks.alias("__toks")).select(
+        "doc_id",
+        F.size("__toks").alias("__n"),
+        TX.word_shingles(F.col("__toks"), 3).alias("__sh"),
+        TX.stopword_count(F.col("__toks")).alias("__nstop"),
+        F.size(F.filter("__toks", lambda t: t == F.lit("the"))).alias("__nthe"),
+        F.size(F.filter("__toks", lambda t: t == F.lit("a"))).alias("__na"),
+    )
+    n = F.col("__n")
+    rep = F.when(F.size("__sh") < 1, F.lit(None).cast("double")).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct("__sh")) / F.size("__sh"))
+    stopf = F.col("__nstop") / n
+    lang = (
+        F.when(F.col("__nthe") > F.col("__na"), F.lit("en"))
+        .when(F.col("__na") > F.col("__nthe"), F.lit("es"))
+        .otherwise(F.lit("zh"))
+    )
     reason = (
         F.when(n < 10, "too_short")
         .when(rep > 0.5, "too_repetitive")
@@ -1397,7 +1422,7 @@ def quality_rule_filter(spark, sf_dir):
         .when(lang != "en", "non_english")
         .otherwise("keep")
     )
-    return docs.select(
+    return m.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
         reason.alias("reason"),
@@ -2124,6 +2149,11 @@ def q_cube_agg(spark, sf_dir):
 def q_rollup_agg(spark, sf_dir):
     """ROLLUP hierarchy totals."""
     li = T(spark, sf_dir, "lineitem")
+    # Round 11: a compute-split spread was measured here and REJECTED —
+    # the round-robin shuffle of 600k rows costs (~0.7 s) what the
+    # single-split Expand+partial-agg saves (1.08 s either way at
+    # sf0.1); ROLLUP's expansion is cheap per row, unlike the md5/HOF
+    # text pipelines where the same spread wins 5-25x.
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
@@ -2181,10 +2211,29 @@ def q_percentiles(spark, sf_dir):
     """Exact interpolated percentiles (Spark `percentile` == DuckDB
     quantile_cont: both linear interpolation over the sorted set)."""
     li = T(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
-        F.percentile("l_extendedprice", F.lit(0.75)).alias("p75"),
+    # One array-percentile aggregate instead of three scalar ones (round
+    # 11): three separate `percentile` calls each build their own
+    # value→count buffer over the same 600k values (3x the map-side
+    # hashing and the reduce-side merge); the array form builds ONE
+    # buffer, sorts once, interpolates three cut points — the same
+    # doubles by the same algorithm. Measured 2.9 → 1.2 s at sf0.1.
+    # (A compute-split spread was measured too and rejected: prices are
+    # ~all-distinct, so the value→count map doesn't compress and the
+    # extra exchange buys nothing — 1.26 vs 1.20 s.)
+    ps = F.percentile(
+        "l_extendedprice",
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+    )
+    return (
+        li.select("l_returnflag", "l_extendedprice")
+        .groupBy("l_returnflag")
+        .agg(ps.alias("__ps"))
+        .select(
+            "l_returnflag",
+            F.col("__ps")[0].alias("p25"),
+            F.col("__ps")[1].alias("p50"),
+            F.col("__ps")[2].alias("p75"),
+        )
     )
 
 
@@ -3977,7 +4026,11 @@ def dedup_semantic(spark, sf_dir):
     hash-matches. Scale: one corpus shuffle by cluster id; pairwise work
     is per-cluster, shrinking as k grows (see dedup.semdedup_pairs)."""
     emb = T(spark, sf_dir, "embeddings")
-    return D.semdedup_pairs(emb, k=8, iterations=2, threshold=0.45)
+    # dim=64 engages the measured-3x unrolled pair scoring
+    # (similarity.dot_expr_dim, round 10 — bit-identical fold); without
+    # it this entry was the one vector scorer still on the plain
+    # aggregate(zip_with(...)) fold (round-11 plan audit).
+    return D.semdedup_pairs(emb, k=8, iterations=2, threshold=0.45, dim=64)
 
 
 @register(
@@ -4648,6 +4701,10 @@ def q_profile(spark, sf_dir):
     format explicitly so both engines render identically.
     """
     o = T(spark, sf_dir, "orders")
+    # _spread (round 11): same single-split trap as q_agg_stats — the
+    # three exact-distinct partials otherwise hash every order row on one
+    # core. All aggregates order-insensitive; values unchanged.
+    o = _spread(o.select("o_totalprice", "o_orderpriority", "o_orderdate"))
     stats = o.agg(
         F.count("*").alias("n"),
         F.count("o_totalprice").alias("nn_price"),
@@ -4698,14 +4755,25 @@ def text_repetition(spark, sf_dir):
     """
     docs = T(spark, sf_dir, "documents")
     toks = TX.tokens(F.lower(F.col("text")))
-    sh = TX.word_shingles(toks, 3)
-    return (
-        docs.select(
-            "doc_id",
-            TX.repetition_ratio(toks, 3).alias("rep3"),
-            F.size(sh).cast("long").alias("n_grams"),
-        )
-        .filter(F.col("n_grams") >= 1)
+    # Round 11: the old shape computed the shingle array THREE times
+    # (repetition_ratio's internal copy, the n_grams size, and the
+    # n_grams>=1 filter that Catalyst pushed — tree and all — into the
+    # single-split scan). Filter on the equivalent cheap predicate
+    # (n_grams = size(toks)-2 >= 1 ⟺ size(toks) >= 3), spread the
+    # per-row shingle work, and build the array once in a projection
+    # (CollapseProject keeps non-cheap aliases un-inlined). rep3's null
+    # branch was unreachable under the old filter, so dropping it
+    # changes no surviving row.
+    base = (
+        _spread(docs.select("doc_id", "text"))
+        .filter(F.size(toks) >= 3)
+        .select("doc_id", TX.word_shingles(toks, 3).alias("__sh"))
+    )
+    return base.select(
+        "doc_id",
+        (F.lit(1.0) - F.size(F.array_distinct("__sh")) / F.size("__sh"))
+        .alias("rep3"),
+        F.size("__sh").cast("long").alias("n_grams"),
     )
 
 
@@ -6299,11 +6367,17 @@ def text_bloom_decontaminate(spark, sf_dir):
             F.concat_ws(":", F.col("fp").cast("string"), j.cast("string")))
         % 65536,
     )
-    base = docs.select("doc_id", fp.alias("fp")).select(
-        "doc_id", ps.alias("ps"))
+    # _spread + explode_outer (round 11, the doc_shingles fix): the
+    # rolling-hash fingerprint is one md5 PER TOKEN — the plan's
+    # dominant expression — and the bloom branch's plain explode pushed
+    # an inferred size/isnotnull copy of it into the single-split scan.
+    # Bit positions are never null, so the null filter is bag-identical.
+    base = _spread(docs.select("doc_id", "text")).select(
+        "doc_id", fp.alias("fp")).select("doc_id", ps.alias("ps"))
     bloom = (
         base.filter(F.col("doc_id") % 10 == 0)
-        .select(F.explode("ps").alias("p"))
+        .select(F.explode_outer("ps").alias("p"))
+        .filter(F.col("p").isNotNull())
         .agg(F.array_sort(F.collect_set("p")).alias("bits"))
     )
     return (
@@ -6358,10 +6432,17 @@ def text_ngram_decontaminate(spark, sf_dir):
     toks = TX.tokens(F.col("text"))
     grams5 = F.array_distinct(
         F.transform(TX.word_shingles(toks, 5), TX.md5_long))
+    # explode_outer + IS NOT NULL (round 11, the doc_shingles fix): the
+    # explicit size(gs)>0 filter plus explode's inferred twin pushed the
+    # full tokenize→5-gram→md5→distinct tree into the scan's filter —
+    # evaluated 3x, all on the stock layout's single input split. Gram
+    # hashes are never null, so filtering the generated attribute drops
+    # exactly the empty-array docs the old filter did. _spread engages
+    # the idle cores for the per-row gram work (no-op at real scale).
     base = (
-        docs.select("doc_id", grams5.alias("gs"))
-        .filter(F.size("gs") > 0)
-        .select("doc_id", F.explode("gs").alias("g"))
+        _spread(docs.select("doc_id", "text"))
+        .select("doc_id", F.explode_outer(grams5).alias("g"))
+        .filter(F.col("g").isNotNull())
     )
     bench = base.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
     corpus = base.filter(F.col("doc_id") % 10 != 0)
