@@ -617,3 +617,43 @@ def test_load_with_precomputed_rows(spark, tmp_path):
     empty = spark.createDataFrame([], ROW_SCHEMA)
     assert b.load(empty, rows=0) == 0
     assert len(b.commits()) == 1
+
+
+def test_small_python_batch_repartitions_jvm_stays_narrow(spark, tmp_path):
+    """Small-batch load path selection (round 11): a Python-sourced frame
+    (createDataFrame of local rows = defaultParallelism parallelize
+    slices) shrinks via repartition — coalesce(1) would drain every
+    slice SERIALLY through one task at a Python-runner round-trip each —
+    while JVM/cached sources keep the narrow coalesce (measured faster
+    on the warm ingest commit). The committed data must be identical
+    either way."""
+    from zync_spark.pool import _scans_python_rdd
+
+    df = spark.createDataFrame(BATCH_1, ROW_SCHEMA)
+    assert _scans_python_rdd(df)
+    assert not _scans_python_rdd(spark.range(5))
+    # a cached python-sourced frame drains cheaply -> coalesce path
+    # (fresh frame: optimizedPlan is a lazy val memoized per Dataset, so
+    # probing the SAME object before persist would pin the uncached plan)
+    cached = spark.createDataFrame(BATCH_1, ROW_SCHEMA).persist()
+    try:
+        cached.count()
+        assert not _scans_python_rdd(cached)
+    finally:
+        cached.unpersist()
+    a = Pool.create(spark, str(tmp_path / "a"))
+    b = Pool.create(spark, str(tmp_path / "b"))
+    assert a.load(df) == 4
+    os.environ["SPARK_GRAFT_NO_LOAD_REPART"] = "1"
+    try:
+        assert b.load(df) == 4
+    finally:
+        del os.environ["SPARK_GRAFT_NO_LOAD_REPART"]
+    rows_a = sorted(map(tuple, a.scan().select(
+        "kafka.topic", "kafka.offset", "zed_type").collect()))
+    rows_b = sorted(map(tuple, b.scan().select(
+        "kafka.topic", "kafka.offset", "zed_type").collect()))
+    assert rows_a == rows_b
+    # both commits keep the single-file small-batch contract
+    assert len(a.committed_files()) == 1
+    assert len(b.committed_files()) == 1

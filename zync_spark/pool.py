@@ -348,7 +348,8 @@ class Pool:
         # here paid an extra javaToPython wrapper stage + py4j round-trip
         # on EVERY commit (round-6 ADVICE; the helper already serves
         # rebalance_for_compute)
-        target = max(1, min(_plan_num_partitions(df), n // 500_000 + 1))
+        plan_parts = _plan_num_partitions(df)
+        target = max(1, min(plan_parts, n // 500_000 + 1))
         if cluster_by:
             # file-granularity skipping needs several key-space-disjoint
             # files per commit to bite (a probe always skips the OTHER
@@ -372,6 +373,25 @@ class Pool:
                 ckeys = [F.col(c) for c in cluster_by] + [F.col("kafka.offset")]
                 out = (df.repartitionByRange(max(target, 8), *ckeys)
                        .sortWithinPartitions(*ckeys))
+        elif (n <= 500_000 and plan_parts > target
+              and not os.environ.get("SPARK_GRAFT_NO_LOAD_REPART")
+              and _scans_python_rdd(df)):
+            # Small PYTHON-SOURCED batches shrink via repartition, not
+            # coalesce (round 11): coalesce(1) makes ONE task drain every
+            # upstream partition SERIALLY, and for a parallelize-backed
+            # frame (createDataFrame of local rows = defaultParallelism
+            # slices) each drain is a Python-runner round-trip — measured
+            # 5.7-7.4 s for a 10-row commit vs 0.5 s with a shuffle into
+            # one partition (the upstream slices drain in parallel; the
+            # shuffle is bounded by this branch's n <= 500k rows). Row bag
+            # and the offset sort are unchanged; only tie order within
+            # the file can differ, which no reader contract depends on.
+            # JVM/cached sources keep the narrow coalesce — their serial
+            # drain is microseconds per partition and the added exchange
+            # measurably LOSES on the warm ingest commit (interleaved
+            # A/B: 0.72-0.79 s coalesce vs 0.76-0.97 s repartition).
+            out = (df.repartition(target)
+                   .sortWithinPartitions(F.col("kafka.offset")))
         else:
             out = (df.coalesce(target)
                    .sortWithinPartitions(F.col("kafka.offset")))
@@ -1100,6 +1120,26 @@ def rebalance_for_compute(df: DataFrame, min_fraction: float = 0.5) -> DataFrame
     if parts < threshold:
         return df.repartition(cores)
     return df
+
+
+def _scans_python_rdd(df: DataFrame) -> bool:
+    """True when the frame's optimized plan reads a Python-backed RDD
+    (createDataFrame of local rows → LogicalRDD / ExistingRDD): exactly
+    the sources whose partitions cost a Python-runner round-trip EACH to
+    drain, which is what makes a serial coalesce(1) pathological in
+    Pool.load. A CACHED python-sourced frame reports its InMemoryRelation
+    instead and correctly stays on the coalesce path (cached partitions
+    drain in microseconds). One py4j string call; only evaluated on the
+    small-batch branch."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+    if "InMemoryRelation" in plan:
+        # the cache node prints its ORIGINAL child plan (LogicalRDD and
+        # all), but execution reads the cached partitions — cheap drain
+        return False
+    return "LogicalRDD" in plan or "ExistingRDD" in plan
 
 
 def _plan_num_partitions(df: DataFrame) -> int:
