@@ -394,11 +394,66 @@ def test_chunking_and_bloom_scale_posture(spark):
     assert n_shuffles(p) <= 3
     assert count("BroadcastNestedLoopJoin", p) == 1
     assert re.search(PY_NODES, p) is None
+    # Shape, not just count (round-12 ADVICE): the <=3 budget counts any
+    # exchange type, so pin that NONE of them hash-partitions the corpus
+    # — only round-robin compute spreads and the 1-row bit-set aggregate
+    # exchange are allowed. A regression that re-introduces a
+    # data-proportional hash shuffle of the corpus fails here even if it
+    # fits the count.
+    assert "hashpartitioning" not in p
     # dedup_passages: exactly two data-proportional shuffles (hash
     # arbitration window + per-doc reassembly).
     p = plan_of(spark, "dedup_passages")
     assert n_shuffles(p) <= 2
     assert re.search(PY_NODES, p) is None
+
+
+def test_semdedup_broadcast_gate_scale_branch(spark):
+    """_maybe_broadcast (round 11) may hint the pair join's build side
+    ONLY when the SOURCE corpus is provably a few MB; past the 8 MB gate
+    the join must revert to the cluster-hash shuffled shape — the scale
+    posture where k ~ sqrt(N) >> cores. Every committed fixture is far
+    under the gate, so without this test the scale branch was exercised
+    by nothing (round-12 ADVICE): both the gate arithmetic and the
+    reverted plan shape are pinned here via the carried _zs_bytes stat
+    (the same attribute pool.read_packed uses for coalesced reads)."""
+    from zync_spark.functions.dedup import (_BLOCK_BROADCAST_BYTES,
+                                            _maybe_broadcast, semdedup_pairs)
+
+    src = spark.read.parquet(f"{SF}/embeddings.parquet")
+    block = src.select("vec_id")
+
+    # unit: the gate itself, on the carried byte stat
+    small = spark.read.parquet(f"{SF}/embeddings.parquet")
+    small._zs_bytes = _BLOCK_BROADCAST_BYTES - 1
+    big = spark.read.parquet(f"{SF}/embeddings.parquet")
+    big._zs_bytes = _BLOCK_BROADCAST_BYTES
+    assert _maybe_broadcast(block, big) is block        # scale: no hint
+    hinted = _maybe_broadcast(block, small)
+    assert hinted is not block
+    assert "hint" in hinted._jdf.queryExecution().analyzed().toString().lower()
+    # unknown size (no files, no carried stat) counts as huge
+    no_stat = spark.createDataFrame(
+        [(1, [1.0])], "vec_id long, embedding array<double>")
+    assert _maybe_broadcast(block, no_stat) is block
+
+    # plan shape past the gate: the pair join hash-partitions by cluster
+    big_src = spark.read.parquet(f"{SF}/embeddings.parquet")
+    big_src._zs_bytes = 64 << 20
+    df = semdedup_pairs(big_src, k=8, iterations=1, threshold=0.45, dim=64)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert count("SortMergeJoin", p) + count("ShuffledHashJoin", p) >= 1
+    assert re.search(r"hashpartitioning\(cluster", p)
+    # and below the gate the same pipeline broadcasts (no cluster-hash
+    # exchange of the pair sides)
+    df_small = semdedup_pairs(src, k=8, iterations=1, threshold=0.45, dim=64)
+    p_small = df_small._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert count("BroadcastHashJoin", p_small) + count(
+        "BroadcastNestedLoopJoin", p_small) >= 1
 
 
 def test_q_approx_quantile_sketch_broadcast_back(spark):

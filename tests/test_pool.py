@@ -639,6 +639,12 @@ def test_small_python_batch_repartitions_jvm_stays_narrow(spark, tmp_path):
     try:
         cached.count()
         assert not _scans_python_rdd(cached)
+        # a cached subtree masks only ITSELF (round 12, ADVICE): a fresh
+        # Python-sourced frame unioned beside it is still a live serial
+        # drain and must take the repartition path
+        assert _scans_python_rdd(
+            cached.union(spark.createDataFrame(BATCH_1, ROW_SCHEMA)))
+        assert not _scans_python_rdd(cached.union(cached))
     finally:
         cached.unpersist()
     a = Pool.create(spark, str(tmp_path / "a"))

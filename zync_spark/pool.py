@@ -1124,22 +1124,37 @@ def rebalance_for_compute(df: DataFrame, min_fraction: float = 0.5) -> DataFrame
 
 def _scans_python_rdd(df: DataFrame) -> bool:
     """True when the frame's optimized plan reads a Python-backed RDD
-    (createDataFrame of local rows → LogicalRDD / ExistingRDD): exactly
+    (createDataFrame of local rows → LogicalRDD / ExternalRDD): exactly
     the sources whose partitions cost a Python-runner round-trip EACH to
     drain, which is what makes a serial coalesce(1) pathological in
-    Pool.load. A CACHED python-sourced frame reports its InMemoryRelation
-    instead and correctly stays on the coalesce path (cached partitions
-    drain in microseconds). One py4j string call; only evaluated on the
-    small-batch branch."""
+    Pool.load. A CACHED python-sourced frame reads its InMemoryRelation
+    instead (cheap drain) and correctly stays on the coalesce path.
+
+    Walks the optimized plan's LEAVES (round 12): InMemoryRelation is a
+    leaf whose toString prints its ORIGINAL child plan (LogicalRDD and
+    all), so the earlier string probe let ANY cached subtree mask a
+    fresh LogicalRDD unioned/joined beside it — that frame fell back to
+    coalesce(1) and re-hit the serial drain. A cache node among the
+    leaves masks only itself; any LogicalRDD leaf is a live Python
+    drain. One py4j round-trip; only evaluated on the small-batch
+    branch."""
     try:
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        for i in range(leaves.size()):
+            if leaves.apply(i).nodeName() in ("LogicalRDD", "ExternalRDD"):
+                return True
+        return False
     except Exception:
-        return False
-    if "InMemoryRelation" in plan:
-        # the cache node prints its ORIGINAL child plan (LogicalRDD and
-        # all), but execution reads the cached partitions — cheap drain
-        return False
-    return "LogicalRDD" in plan or "ExistingRDD" in plan
+        # py4j surface drift: keep the round-11 string heuristic so the
+        # path degrades to the old (conservative) behavior, never to an
+        # error inside load.
+        try:
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+        except Exception:
+            return False
+        if "InMemoryRelation" in plan:
+            return False
+        return "LogicalRDD" in plan or "ExistingRDD" in plan
 
 
 def _plan_num_partitions(df: DataFrame) -> int:
