@@ -55,6 +55,10 @@ CUSTOM_BUDGET = {
     "dedup_curate": 20,         # pairs + components rounds + ranking
     "dedup_components": 16,     # one exchange per propagation round
     "text_tfidf_topk": 8,
+    # round-12 shape: per-(doc,tok) counts once + window df + 1-row
+    # total re-agg — 7 exchanges, all counts-table-sized or smaller
+    # (the corpus tokenizes twice instead of three times)
+    "text_ppl_unigram": 7,
     "q_corr_subquery": 8,
     "emb_neardup": 8,
     # a MEASUREMENT entry: three full recall evaluations (exact top-k

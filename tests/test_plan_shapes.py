@@ -194,9 +194,13 @@ def test_mix_and_ppl_shapes(spark):
     # mixture sampling is a pure map+explode: zero exchanges
     pm = plan_of(spark, "mix_weighted")
     assert n_shuffles(pm) == 0 and count("Generate", pm) == 1
-    # unigram surprisal: vocab agg + token join + doc agg, nothing more
+    # unigram surprisal (round-12 shape): the tokenize pass collapses to
+    # per-(doc,tok) counts once; df is a window over that table and the
+    # corpus total re-aggregates it — 7 exchanges, but every one moves
+    # the counts table (docs x vocab) or smaller, never the token
+    # stream, and the corpus tokenizes twice instead of three times
     pp = plan_of(spark, "text_ppl_unigram")
-    assert n_shuffles(pp) <= 5
+    assert n_shuffles(pp) <= 7
     assert re.search(PY_NODES, pp) is None
 
 

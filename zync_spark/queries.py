@@ -523,16 +523,22 @@ def q_denorm_join(spark, sf_dir):
     """,
 )
 def q_agg_stats(spark, sf_dir):
-    """Global multi-aggregate incl. exact distinct count (SURVEY §2.4)."""
-    li = T(spark, sf_dir, "lineitem")
-    # _spread (round 11): the exact-distinct partial aggregation keyed by
-    # l_orderkey runs in the scan's tasks — one row group = one core
-    # hashing 600k keys. All six aggregates are order-insensitive
-    # (decimal sums exact, min/max/counts), so values are unchanged.
-    li = _spread(li.select("l_orderkey", "l_quantity", "l_extendedprice"))
-    return li.agg(
+    """Global multi-aggregate incl. exact distinct count (SURVEY §2.4).
+
+    Round 12: mixing count_distinct with the scalar aggregates makes the
+    planner's distinct rewrite key the partial aggregation by
+    l_orderkey and carry EVERY scalar buffer (two decimal sums, min,
+    max, count) per key through the keyed exchange. Split: the scalar
+    aggregates stay a pure map-side pass; the distinct count keeps its
+    two-level shape carrying nothing but the key; the two 1-row results
+    cross-join (broadcast). Values identical — same aggregates over the
+    same rows. Measured 0.87 → 0.61 s warm at sf0.1 (the round-11
+    _spread no longer paid in either shape on re-measurement — 0.98 vs
+    0.87 mixed, 1.47 vs 0.61 split — so it is dropped with the mix)."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice")
+    plain = li.agg(
         F.count("*").alias("n_rows"),
-        F.count_distinct(F.col("l_orderkey")).alias("n_orders"),
         F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("total_qty"),
         (
             F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
@@ -541,6 +547,10 @@ def q_agg_stats(spark, sf_dir):
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
     )
+    nd = li.agg(F.count_distinct(F.col("l_orderkey")).alias("n_orders"))
+    return plain.crossJoin(F.broadcast(nd)).select(
+        "n_rows", "n_orders", "total_qty", "avg_price",
+        "min_price", "max_price")
 
 
 @register(
@@ -1604,26 +1614,49 @@ def text_ppl_unigram(spark, sf_dir):
     Scale: token rows combine map-side into the vocabulary (Zipf-bounded,
     orders of magnitude smaller than the corpus); the token→df join
     shuffles on the token string once; per-doc reduce is the second
-    exchange. The corpus total is a 1-row broadcast."""
+    exchange. The corpus total is a 1-row broadcast.
+
+    Round 12: the natural three-consumer form (join side, vocabulary,
+    corpus total each reading the exploded token stream) re-ran the
+    tokenize+explode THREE times, all on the scan's single split. Now:
+    one _spread tokenize pass collapses to per-(doc, tok) COUNTS (the
+    docs x vocab table — far smaller than the token stream); the
+    document frequency becomes a sum(cnt) window over that table
+    partitioned by token (same number, same shuffle class as the old
+    token→df join, ONE evaluation); only the 1-row corpus total
+    re-evaluates the counts (two tokenizes total, down from three — a
+    persisted-counts variant measured WORSE: 4.8 s cold for the cache
+    fill vs 0.79). The surprisal sum weights each distinct token's
+    integer unats by its count — occurrences of a token inside a doc
+    share the same quantized unats, so sum(unats) == sum(cnt * unats)
+    and count(*) == sum(cnt) exactly (integer arithmetic throughout);
+    explode_outer + IS NOT NULL is the round-11 generator idiom (split
+    never yields null elements, so only null/empty docs — which a plain
+    explode drops anyway — are filtered). 0.33 → 0.24 s warm, rows
+    identical."""
     docs = T(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok")
+    g = (
+        _spread(docs.select("doc_id", F.lower(F.col("text")).alias("__lt")))
+        .select("doc_id",
+                F.explode_outer(TX.tokens(F.col("__lt"))).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
     )
-    v = t.groupBy("tok").agg(F.count("*").alias("df"))
-    tot = t.agg(F.count("*").alias("total"))
+    gg = g.withColumn("df", F.sum("cnt").over(Window.partitionBy("tok")))
+    tot = g.agg(F.sum("cnt").alias("total"))
     s = (
-        t.join(v, "tok")
-        .crossJoin(F.broadcast(tot))
+        gg.crossJoin(F.broadcast(tot))
         .select(
-            "doc_id",
-            F.floor(
+            "doc_id", "cnt",
+            (F.floor(
                 -F.log(F.col("df").cast("double") / F.col("total")) * 1000000
-            ).cast("long").alias("unats"),
+            ).cast("long") * F.col("cnt")).alias("unats"),
         )
     )
     return s.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.expr("sum(unats) div count(*)").alias("avg_surprisal_unats"),
+        F.sum("cnt").alias("n_tokens"),
+        F.expr("sum(unats) div sum(cnt)").alias("avg_surprisal_unats"),
     )
 
 
@@ -2147,18 +2180,28 @@ def q_cube_agg(spark, sf_dir):
     """,
 )
 def q_rollup_agg(spark, sf_dir):
-    """ROLLUP hierarchy totals."""
+    """ROLLUP hierarchy totals.
+
+    Round 12: aggregate ONCE at the finest level (map-side combine to a
+    handful of rows), then ROLLUP over that tiny result — Expand
+    triples 6 rows instead of 600k. Counts and decimal sums are exactly
+    associative, so every level's values are identical; a data-null
+    group value conflates with the rollup marker the same way in both
+    shapes (and in the DuckDB oracle). Measured 0.82 → 0.39 s warm /
+    1.09 → 0.44 cold at sf0.1, rows identical. (Round 11 had measured
+    and rejected a compute-split spread here — the 600k-row round-robin
+    shuffle cost what the single-split Expand saved; this shape removes
+    the 600k-row Expand instead of spreading it.)"""
     li = T(spark, sf_dir, "lineitem")
-    # Round 11: a compute-split spread was measured here and REJECTED —
-    # the round-robin shuffle of 600k rows costs (~0.7 s) what the
-    # single-split Expand+partial-agg saves (1.08 s either way at
-    # sf0.1); ROLLUP's expansion is cheap per row, unlike the md5/HOF
-    # text pipelines where the same spread wins 5-25x.
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("__n"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("__q"),
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
+        base.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("qty"),
+            F.sum("__n").alias("n"),
+            F.sum("__q").cast("double").alias("qty"),
         )
     )
 
@@ -2366,17 +2409,27 @@ def q_approx_distinct(spark, sf_dir):
     oracle (rsd=0.02, so 5% has real margin; HLL++ is exact in sparse
     mode, so tiny groups cannot trip it)."""
     ev = T(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("_approx"),
-            F.count_distinct("user_id").alias("exact_users"),
-        )
-        .select(
-            "event_type", "exact_users",
-            (F.abs(F.col("_approx") - F.col("exact_users"))
-             <= 0.05 * F.col("exact_users")).alias("within_5pct"),
-        )
+    # Round 12: mixing the HLL and the exact distinct in ONE agg makes
+    # the planner's distinct rewrite key the partial aggregation by
+    # (event_type, user_id) — an HLL sketch buffer built and merged per
+    # DISTINCT PAIR (~a million buffers riding the exchange). Split the
+    # two aggregates: the HLL partials key by event_type alone (a
+    # handful of sketches), the exact distinct keeps its two-level
+    # shape, and the two tiny results join. The estimate is identical —
+    # HLL registers are max-merged, so inserting a user once or many
+    # times and merging under any grouping yields the same registers.
+    # Measured 0.76 → 0.47 s warm at sf0.1, rows identical (a
+    # compute-split spread was measured too and rejected: 0.71 s — two
+    # branches each pay the round-robin exchange).
+    ev = ev.select("event_type", "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"))
+    approx = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("_approx"))
+    return exact.join(approx, "event_type").select(
+        "event_type", "exact_users",
+        (F.abs(F.col("_approx") - F.col("exact_users"))
+         <= 0.05 * F.col("exact_users")).alias("within_5pct"),
     )
 
 
@@ -3256,15 +3309,29 @@ def text_tfidf_topk(spark, sf_dir):
     keeps the cross-engine rank (and hash) deterministic.
 
     Scale: the df table is ~vocabulary-sized; at 100 TB it still shuffles
-    (no broadcast assumption), but AQE can downgrade it if small."""
+    (no broadcast assumption), but AQE can downgrade it if small.
+
+    Round 12: tf fed BOTH the score join and the document-frequency
+    aggregate, and Catalyst shares no subtree across a self-join — the
+    df branch re-scanned and re-tokenized the whole corpus (the plan
+    showed two full Generate+scan pipelines, each on the single input
+    split). df is now a count(*) window over tf partitioned by term —
+    the same number (tf has exactly one row per (doc, term)), computed
+    in ONE pass over ONE tokenize, shuffling only tf-sized rows by term
+    (the byte class the df join already shuffled). _spread is the
+    round-11 under-split idiom. Measured 0.49 → 0.21 s warm / 4.97 →
+    0.58 cold at sf0.1, rows identical."""
     docs = T(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = _spread(
+        docs.select("doc_id", F.lower(F.col("text")).alias("__lt"))
+    ).select(
         "doc_id",
-        F.explode(TX.tokens(F.lower(F.col("text")))).alias("term"),
+        F.explode(TX.tokens(F.col("__lt"))).alias("term"),
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(dfreq, "term").select(
+    scored = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    ).select(
         "doc_id",
         "term",
         "tf",
@@ -4254,19 +4321,27 @@ def text_bigram_lm(spark, sf_dir):
     Zipf-distributed — the count>=3 filter runs BEFORE the window so the
     rank only sorts surviving groups."""
     docs = T(spark, sf_dir, "documents")
-    toks = TX.tokens(F.lower(F.col("text")))
+    # Round 12: the `size(toks) >= 2` guard sank below the projection
+    # (Catalyst re-substitutes the alias), so the regex split ran TWICE
+    # per row — once in the pushed scan filter, once in the projection —
+    # both on the scan's single split. greatest(size-1, 0) makes short
+    # docs yield empty slices instead (zip_with of empties is empty;
+    # explode_outer turns it into one null row the IS NOT NULL drops —
+    # exactly the rows the old filter removed; zip_with's struct elements
+    # are never null). _spread is the round-11 under-split idiom.
     bi = (
-        docs.select(toks.alias("toks"))
-        .filter(F.size("toks") >= 2)
+        _spread(docs.select(F.lower(F.col("text")).alias("__lt")))
+        .select(TX.tokens(F.col("__lt")).alias("toks"))
         .select(
-            F.explode(
+            F.explode_outer(
                 F.zip_with(
-                    F.expr("slice(toks, 1, size(toks)-1)"),
-                    F.expr("slice(toks, 2, size(toks)-1)"),
+                    F.expr("slice(toks, 1, greatest(size(toks)-1, 0))"),
+                    F.expr("slice(toks, 2, greatest(size(toks)-1, 0))"),
                     lambda a, b: F.struct(a.alias("prev"), b.alias("next_tok")),
                 )
             ).alias("p")
         )
+        .filter(F.col("p").isNotNull())
         .select("p.prev", "p.next_tok")
     )
     c = (
