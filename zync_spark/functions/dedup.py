@@ -592,23 +592,36 @@ def window_hash_rows(
     md5-per-window expression evaluated 3x, twice on the unspread input.
     Window structs are never null (struct() of non-null fields), so
     filtering the generated attribute is bag-identical."""
+    # The size(t) >= window guard is a WHEN inside the generator input,
+    # not a Filter (round 12): a filter on the alias sinks below the
+    # projection by re-substituting the tokenize — the regex split ran
+    # TWICE per row, once in the pushed scan filter and once in the
+    # projection (read from the committed dedup_substring_spans before-
+    # plan). A short doc now yields a null array, which explode_outer
+    # turns into the one null row the IS NOT NULL already drops — the
+    # exact rows the old filter removed. (sequence() would count DOWN
+    # for size(t) < window, so the guard is also what keeps the window
+    # positions well-formed.)
     return (
         _spread(df.select(F.col(id_col).alias("doc_id"),
                           F.col(text_col).alias("__text")))
         .select("doc_id", tokens(F.lower(F.col("__text"))).alias("t"))
-        .filter(F.size("t") >= window)
         .select(
             "doc_id",
             F.explode_outer(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - window),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        md5_long(
-                            F.concat_ws(
-                                " ", F.slice(F.col("t"), i + 1, F.lit(window))
-                            )
-                        ).alias("h"),
+                F.when(
+                    F.size("t") >= window,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("t") - window),
+                        lambda i: F.struct(
+                            i.alias("pos"),
+                            md5_long(
+                                F.concat_ws(
+                                    " ",
+                                    F.slice(F.col("t"), i + 1, F.lit(window))
+                                )
+                            ).alias("h"),
+                        ),
                     ),
                 )
             ).alias("w"),

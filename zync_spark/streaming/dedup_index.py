@@ -132,15 +132,25 @@ class DedupIndexSpec:
 
 
 def _sig_core(spec: DedupIndexSpec, delta: DataFrame) -> DataFrame:
-    """(doc_id, sh_set, sig) for the delta — all map-side (the same
-    zero-shuffle construction as the batch operator)."""
+    """(doc_id, sh_set, sig) for the delta — map-side except the round-12
+    under-split spread (the same construction as the batch operator).
+
+    ensure_compute_splits (round 12, the §19.7 trap found a fifth time):
+    the delta arrives as a packed pool read — ONE partition — so the
+    shingle→64-minhash pipeline, the sync's dominant per-row work, ran on
+    one core at ANY delta size. The spread is a delta-sized round-robin
+    exchange of the two projected columns, a no-op once the delta has
+    real splits; signatures are a pure per-row function, so results are
+    unchanged. Measured on the full 3-batch sf0.1 lifecycle, interleaved
+    A/B x2: 21.0-29.8 s → 13.7-15.4 s, identical 256-pair set."""
+    from zync_spark.functions.compute import ensure_compute_splits
     from zync_spark.functions.dedup import _hashed_set, _minhash_sig_expr
 
     sets = (
-        delta.select(
+        ensure_compute_splits(delta.select(
             F.expr(spec.id_expr).cast("long").alias("doc_id"),
             F.expr(spec.text_expr).alias("__text"),
-        )
+        ))
         .select("doc_id", _hashed_set(F.col("__text"), spec.k).alias("sh_set"))
         .filter(F.size("sh_set") > 0)
     )
