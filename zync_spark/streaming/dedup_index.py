@@ -574,6 +574,14 @@ def _verify_and_commit(dest: Pool, spec: DedupIndexSpec, delta: DataFrame,
     if old_sets is not None:
         all_sets = all_sets.unionByName(old_sets)
     inter = F.size(F.array_intersect("set_a", "set_b"))
+    # persist the threshold-filtered survivors (round 12, the embdedup
+    # sync's round-11 fence): the commit materializes `out` THREE times
+    # (load's count job, the clustered write's range sampling, the write
+    # itself), and the verify join — including old_sets' parquet fetch —
+    # is the only segment of that DAG not already behind the sig cache.
+    # The survivor set is tiny by design. Interleaved lifecycle A/B x2:
+    # sec_verify_commit 1.6-2.3 → 1.4-1.5 s per warm sync, identical
+    # pair sets.
     pairs = (
         cand.join(all_sets.select(F.col("doc_id").alias("id_a"),
                                   F.col("sh_set").alias("set_a")),
@@ -585,56 +593,61 @@ def _verify_and_commit(dest: Pool, spec: DedupIndexSpec, delta: DataFrame,
             (inter / (F.size("set_a") + F.size("set_b") - inter))
             .alias("jaccard"))
         .filter(F.col("jaccard") >= spec.threshold)
-    )
-    out = (
-        _stamp("index", _doc_ckey(F.col("doc_id"), spec.prefix_len), sigs)
-        .unionByName(_stamp("band", _band_ckey(F.col("bkey"),
-                                               spec.prefix_len), new_bands),
-                     allowMissingColumns=True)
-        .unionByName(_stamp("duppair",
-                            _pair_ckey(F.col("id_a"), spec.prefix_len),
-                            pairs),
-                     allowMissingColumns=True)
-    )
-    if tombs_new is not None:
-        from zync_spark.streaming.tombstones import tomb_rows
-
-        out = out.unionByName(
-            tomb_rows(delta.sparkSession, tombs_new, upto=snapshot,
-                      prefix_len=spec.prefix_len),
-            allowMissingColumns=True)
-    if not has_meta:
-        # persist the spec contract so a later pass under a DRIFTED spec
-        # fails loud (_check_meta) instead of silently missing stored rows
-        meta = delta.sparkSession.createDataFrame(
-            [(spec.k, spec.num_hashes, spec.bands, spec.prefix_len,
-              float(spec.threshold))],
-            "k long, num_hashes long, bands long, prefix_len long,"
-            " threshold double")
-        out = out.unionByName(_stamp("meta", F.lit("c:"), meta),
-                              allowMissingColumns=True)
-    out = _envelope(spec, out, snapshot)
-    # cluster the commit itself by ckey (load records per-file stats):
-    # the band/signature/pair key spaces land in separate files, so
-    # bounded probes skip this commit's non-matching files IMMEDIATELY —
-    # boundedness no longer waits for the next compact_index
-    n = dest.load(out, message or f"{spec.topic} sync",
-                  cursors=new_cursors, occ_token=snapshot,
-                  cluster_by=["ckey"])
-    if n == 0:
-        # Delta had documents but none were indexable (all shorter
-        # than the shingle size): Pool.load skips empty frames, so
-        # the cursor advance must ride a 1-row tombstone — without
-        # it every later pass would re-scan this delta forever.
-        # The tombstone's zed_type matches no view filter.
-        tomb = delta.sparkSession.createDataFrame(
-            [((spec.topic, 0, 0), "cursors")],
-            "kafka struct<topic:string,partition:long,offset:long>,"
-            " zed_type string",
+    ).persist()
+    try:
+        out = (
+            _stamp("index", _doc_ckey(F.col("doc_id"), spec.prefix_len), sigs)
+            .unionByName(_stamp("band", _band_ckey(F.col("bkey"),
+                                                   spec.prefix_len),
+                                new_bands),
+                         allowMissingColumns=True)
+            .unionByName(_stamp("duppair",
+                                _pair_ckey(F.col("id_a"), spec.prefix_len),
+                                pairs),
+                         allowMissingColumns=True)
         )
-        return dest.load(tomb, message or f"{spec.topic} sync",
-                         cursors=new_cursors, occ_token=snapshot)
-    return n
+        if tombs_new is not None:
+            from zync_spark.streaming.tombstones import tomb_rows
+
+            out = out.unionByName(
+                tomb_rows(delta.sparkSession, tombs_new, upto=snapshot,
+                          prefix_len=spec.prefix_len),
+                allowMissingColumns=True)
+        if not has_meta:
+            # persist the spec contract so a later pass under a DRIFTED
+            # spec fails loud (_check_meta) instead of silently missing
+            # stored rows
+            meta = delta.sparkSession.createDataFrame(
+                [(spec.k, spec.num_hashes, spec.bands, spec.prefix_len,
+                  float(spec.threshold))],
+                "k long, num_hashes long, bands long, prefix_len long,"
+                " threshold double")
+            out = out.unionByName(_stamp("meta", F.lit("c:"), meta),
+                                  allowMissingColumns=True)
+        out = _envelope(spec, out, snapshot)
+        # cluster the commit itself by ckey (load records per-file stats):
+        # the band/signature/pair key spaces land in separate files, so
+        # bounded probes skip this commit's non-matching files IMMEDIATELY
+        # — boundedness no longer waits for the next compact_index
+        n = dest.load(out, message or f"{spec.topic} sync",
+                      cursors=new_cursors, occ_token=snapshot,
+                      cluster_by=["ckey"])
+        if n == 0:
+            # Delta had documents but none were indexable (all shorter
+            # than the shingle size): Pool.load skips empty frames, so
+            # the cursor advance must ride a 1-row tombstone — without
+            # it every later pass would re-scan this delta forever.
+            # The tombstone's zed_type matches no view filter.
+            tomb = delta.sparkSession.createDataFrame(
+                [((spec.topic, 0, 0), "cursors")],
+                "kafka struct<topic:string,partition:long,offset:long>,"
+                " zed_type string",
+            )
+            return dest.load(tomb, message or f"{spec.topic} sync",
+                             cursors=new_cursors, occ_token=snapshot)
+        return n
+    finally:
+        pairs.unpersist()
 
 
 def _upgrade_and_fill(df: DataFrame, prefix_len: int) -> DataFrame:
