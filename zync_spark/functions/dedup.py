@@ -134,11 +134,25 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
     """(doc_id, sh_set: array<long>) — ZERO shuffles: the distinct set is
     assembled inside the scan task (_hashed_set). Empty sets (docs with
     fewer than k tokens) are dropped, matching the inverted-index path
-    where such docs simply have no rows."""
+    where such docs simply have no rows.
+
+    The drop is restated on the CHEAP equivalent `size(tokens) >= k`
+    and applied BEFORE the spread (round 12): filtering on
+    size(sh_set) > 0 sank below the projection by re-substituting the
+    alias, so the ENTIRE tokenize→shingle→md5→distinct tree evaluated a
+    second time inside the pushed scan filter — on the scan's single
+    split (committed dedup_minhash_lsh before-plan). Equivalent by
+    construction: word_shingles yields [] exactly when size(tokens) < k
+    (its own CASE guard), md5_long of a shingle is never null, and
+    array_distinct of a non-empty array is non-empty — including the
+    null-text row (tokens(null) is null, size -1). The filter now costs
+    one extra split() per row at the scan and ALSO prunes short docs
+    before the exchange; the heavy tree evaluates once, spread."""
     per_doc = _spread(
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+        .filter(F.size(tokens(F.col("__text"))) >= k)
     ).select("doc_id", _hashed_set(F.col("__text"), k).alias("sh_set"))
-    return per_doc.filter(F.size("sh_set") > 0)
+    return per_doc
 
 
 def _minhash_sig_expr(num_hashes: int) -> Column:

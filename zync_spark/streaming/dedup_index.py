@@ -145,14 +145,18 @@ def _sig_core(spec: DedupIndexSpec, delta: DataFrame) -> DataFrame:
     A/B x2: 21.0-29.8 s → 13.7-15.4 s, identical 256-pair set."""
     from zync_spark.functions.compute import ensure_compute_splits
     from zync_spark.functions.dedup import _hashed_set, _minhash_sig_expr
+    from zync_spark.functions.text import tokens
 
+    # short-doc drop restated on the cheap `size(tokens) >= k` BEFORE
+    # the spread (round 12, the _shingle_sets fix): filtering on
+    # size(sh_set) > 0 re-substituted the whole shingle tree into a
+    # pushed filter. Equivalent by word_shingles' own < k CASE guard.
     sets = (
         ensure_compute_splits(delta.select(
             F.expr(spec.id_expr).cast("long").alias("doc_id"),
             F.expr(spec.text_expr).alias("__text"),
-        ))
+        ).filter(F.size(tokens(F.col("__text"))) >= spec.k))
         .select("doc_id", _hashed_set(F.col("__text"), spec.k).alias("sh_set"))
-        .filter(F.size("sh_set") > 0)
     )
     return sets.select("doc_id", "sh_set",
                        _minhash_sig_expr(spec.num_hashes).alias("sig"))

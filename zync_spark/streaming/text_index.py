@@ -202,7 +202,7 @@ def _sync_text_once(src: Pool, dest: Pool, spec: TextIndexSpec,
     if delta is None:
         return 0
     delta = delta.persist()
-    docs = None
+    tokenized = None
     try:
         new_cursors = {
             f"{spec.topic}|{r['t']}#{int(r['p'])}": int(r["mx"]) + 1
@@ -235,12 +235,20 @@ def _sync_text_once(src: Pool, dest: Pool, spec: TextIndexSpec,
         # the regex tokenize ran up to six times per sync. The cache is
         # delta-sized (doc_id + token array), same scale as the delta
         # already persisted above.
+        # the empty-doc drop sits ABOVE the persist (round 12): a filter
+        # on the toks alias below it would sink past the projection by
+        # re-substituting the regex tokenize into a pushed filter (the
+        # _shingle_sets finding) — above the cache it reads the cached
+        # arrays instead. The cache holds the few empty-token docs too;
+        # every consumer filters through `docs` below.
         docs = ensure_compute_splits(src_rows.select(
             F.expr(spec.id_expr).cast("long").alias("doc_id"),
             F.lower(F.expr(spec.text_expr)).alias("__text"),
         )).select(
             "doc_id", TX.tokens(F.col("__text")).alias("toks"),
-        ).filter(F.size("toks") > 0).persist()
+        ).persist()
+        tokenized = docs  # the cached frame — unpersisted in finally
+        docs = docs.filter(F.size("toks") > 0)
         toks = docs.select(
             "doc_id", F.explode("toks").alias("term")
         ).filter(F.col("term") != "")
@@ -309,8 +317,8 @@ def _sync_text_once(src: Pool, dest: Pool, spec: TextIndexSpec,
         return n
     finally:
         delta.unpersist()
-        if docs is not None:
-            docs.unpersist()
+        if tokenized is not None:
+            tokenized.unpersist()
 
 
 def _neg_cstat(dest: Pool, spec: TextIndexSpec, idf: DataFrame,
