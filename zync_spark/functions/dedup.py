@@ -457,9 +457,23 @@ def semdedup_pairs(
                                                  kmeans_assignments,
                                                  norm_expr)
 
+    # Persist the (vec_id, cluster) assignment — the narrow minhash-sig
+    # idiom (round 12): the lazy frame kmeans_assignments returns carries
+    # the final reassignment's k x dim argmin fold as the `cluster`
+    # projection, and under constraint propagation (ON in any vanilla
+    # session — bench.py disables it, the driver does not) the pair
+    # join's inferred isnotnull(cluster) re-substitutes that fold into
+    # pushed filters: the costliest expression in the module evaluated
+    # 2-3x per row per run. Behind the cache, inference lands on a
+    # cached column. Measured with constraint propagation on: 11.5 s →
+    # 0.7 s per run at sf0.1, identical 39-pair output. The cache is two
+    # longs per vector; the ContextCleaner reclaims it when the plan is
+    # garbage-collected (the minhash `sig` precedent).
+    from pyspark import StorageLevel
+
     assign = kmeans_assignments(
         df, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
-    ).select("vec_id", "cluster")
+    ).select("vec_id", "cluster").persist(StorageLevel.MEMORY_AND_DISK)
     vecs = df.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
