@@ -197,6 +197,7 @@ def _sync_spans_once(src: Pool, dest: Pool, spec: SpanIndexSpec,
         wins_d = window_hash_rows(
             docs, "doc_id", "text", spec.window
         ).persist()
+        fences: list[DataFrame] = []
         try:
             # the delta's hash-bucket footprint — a <=16^prefix_len-value
             # metadata collect (same shape as the other indexes' probes).
@@ -253,13 +254,21 @@ def _sync_spans_once(src: Pool, dest: Pool, spec: SpanIndexSpec,
             # the duplication rule over everything ingested so far that
             # shares a hash with the delta (monotone, so evaluating it
             # lazily — only when a hash reappears — is exact)
+            # fence the rule evaluation (round 12, the dedup-sync
+            # finding): the commit materializes `out` three times
+            # (load's count, the clustered write's range sampling, the
+            # write), and everything below `occ` — the stored-window
+            # parquet probe, the satisfied aggregation, the hit joins —
+            # re-ran each time; wins_d's cache covered only the delta
+            # side. The fenced frames are dup-hash/hit-position sized.
             satisfied = (
                 occ.groupBy("h")
                 .agg(F.count_distinct("doc_id").alias("nd"),
                      F.count(F.lit(1)).alias("nt"))
                 .filter((F.col("nd") >= spec.min_docs) & (F.col("nt") >= 2))
                 .select("h")
-            )
+            ).persist()
+            fences.append(satisfied)
             newly_dup = (satisfied.join(known_dup, "h", "left_anti")
                          if known_dup is not None else satisfied)
             hits_new = occ.join(newly_dup, "h").select("doc_id", "pos")
@@ -272,14 +281,22 @@ def _sync_spans_once(src: Pool, dest: Pool, spec: SpanIndexSpec,
                 # hit rows would outlive the same-seq unhit/undup), so
                 # the known-dup hit branch keeps only still-satisfied
                 # hashes on the upsert path.
-                undup_new = known_dup.join(satisfied, "h", "left_anti")
-                unhit_new = occ.join(undup_new, "h").select("doc_id", "pos")
+                undup_new = known_dup.join(satisfied, "h",
+                                           "left_anti").persist()
+                fences.append(undup_new)
+                unhit_new = occ.join(undup_new, "h").select(
+                    "doc_id", "pos").persist()
+                fences.append(unhit_new)
                 known_for_hits = known_dup.join(satisfied, "h", "left_semi")
             elif known_dup is not None:
                 known_for_hits = known_dup
             if known_dup is not None:
                 hits_new = hits_new.unionByName(
                     wins_d.join(known_for_hits, "h").select("doc_id", "pos"))
+            # the hit branch still walks occ (stored parquet) per
+            # evaluation — fence the final frame
+            hits_new = hits_new.persist()
+            fences.append(hits_new)
             plen = spec.prefix_len
             # forward rows: each delta doc's distinct hashes, bucketed
             # by doc — what makes tombstone_spans's retraction bounded
@@ -343,6 +360,8 @@ def _sync_spans_once(src: Pool, dest: Pool, spec: SpanIndexSpec,
             return n
         finally:
             wins_d.unpersist()
+            for f in fences:
+                f.unpersist()
     finally:
         delta.unpersist()
 
