@@ -506,6 +506,14 @@ def tombstone_spans(dest: Pool, spec: SpanIndexSpec, ids,
     plen = spec.prefix_len
     idf = ids_frame(dest.spark, ids).persist()
     dying = idf.withColumnRenamed("did", "doc_id")
+    # fences live until AFTER commit_with_retry's load (round 12): the
+    # old shape unpersisted `affected` inside build's finally — BEFORE
+    # the load's two materializations of the returned frame ran, so the
+    # forward-bucket probe and the live recount re-ran per
+    # materialization. Each retry's frames accrete here and are all
+    # released in the outer finally. The fenced frames are
+    # hash-set/retraction-row sized.
+    fences: list[DataFrame] = []
 
     def build(seq: int) -> DataFrame:
         from zync_spark.streaming.tombstones import mask_rows
@@ -524,51 +532,55 @@ def tombstone_spans(dest: Pool, spec: SpanIndexSpec, ids,
                 .join(dying, "doc_id", "left_semi"),
                 tombs_prev, "doc_id")
                 .select("h").distinct().persist())
+            fences.append(affected)
         if affected is None:
             return _envelope(spec, out, seq)
-        try:
-            w_prefixes = sorted(
-                r["ck"] for r in affected.select(
-                    pmod_ckey("w:", F.col("h"), plen).alias("ck"))
-                .distinct().collect())
-            if not w_prefixes:
-                return _envelope(spec, out, seq)
-            stored_w, live_dup = _probe(dest, spec, w_prefixes, stats_out,
-                                        tombs=tombs_prev)
-            if stored_w is None:
-                return _envelope(spec, out, seq)
-            # live occurrences AFTER this delete: stored wins already
-            # masked by prior tombs, restricted to the affected hashes,
-            # minus the dying docs themselves
-            live = (stored_w.join(affected, "h")
-                    .join(dying, "doc_id", "left_anti"))
-            still = (
-                live.groupBy("h")
-                .agg(F.count_distinct("doc_id").alias("nd"),
-                     F.count(F.lit(1)).alias("nt"))
-                .filter((F.col("nd") >= spec.min_docs)
-                        & (F.col("nt") >= 2))
-                .select("h"))
-            dying_dup = (live_dup.join(affected, "h")
-                         .join(still, "h", "left_anti")
-                         if live_dup is not None else None)
-            if dying_dup is not None:
-                unhit = live.join(dying_dup, "h").select("doc_id", "pos")
-                out = (out.unionByName(
-                    _stamp("undup", pmod_ckey("d:", F.col("h"), plen),
-                           dying_dup), allowMissingColumns=True)
-                    .unionByName(
-                        _stamp("unhit",
-                               pmod_ckey("h:", F.col("doc_id"), plen),
-                               unhit), allowMissingColumns=True))
+        w_prefixes = sorted(
+            r["ck"] for r in affected.select(
+                pmod_ckey("w:", F.col("h"), plen).alias("ck"))
+            .distinct().collect())
+        if not w_prefixes:
             return _envelope(spec, out, seq)
-        finally:
-            affected.unpersist()
+        stored_w, live_dup = _probe(dest, spec, w_prefixes, stats_out,
+                                    tombs=tombs_prev)
+        if stored_w is None:
+            return _envelope(spec, out, seq)
+        # live occurrences AFTER this delete: stored wins already
+        # masked by prior tombs, restricted to the affected hashes,
+        # minus the dying docs themselves
+        live = (stored_w.join(affected, "h")
+                .join(dying, "doc_id", "left_anti"))
+        still = (
+            live.groupBy("h")
+            .agg(F.count_distinct("doc_id").alias("nd"),
+                 F.count(F.lit(1)).alias("nt"))
+            .filter((F.col("nd") >= spec.min_docs)
+                    & (F.col("nt") >= 2))
+            .select("h"))
+        dying_dup = None
+        if live_dup is not None:
+            dying_dup = (live_dup.join(affected, "h")
+                         .join(still, "h", "left_anti")).persist()
+            fences.append(dying_dup)
+        if dying_dup is not None:
+            unhit = live.join(dying_dup, "h").select(
+                "doc_id", "pos").persist()
+            fences.append(unhit)
+            out = (out.unionByName(
+                _stamp("undup", pmod_ckey("d:", F.col("h"), plen),
+                       dying_dup), allowMissingColumns=True)
+                .unionByName(
+                    _stamp("unhit",
+                           pmod_ckey("h:", F.col("doc_id"), plen),
+                           unhit), allowMissingColumns=True))
+        return _envelope(spec, out, seq)
 
     try:
         return commit_with_retry(dest, build, f"{spec.topic} tombstone")
     finally:
         idf.unpersist()
+        for f in fences:
+            f.unpersist()
 
 
 def rebuild_spans(dest: Pool, spec: SpanIndexSpec,
